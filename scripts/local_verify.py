@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/local_verify.py <outDir> [sfDir]
+
+Reads <outDir>/<name>/ parquet (written by graft.Verify) and
+<outDir>/oracle_sql.json, runs each oracle in DuckDB with the sfDir
+tables registered as views, and compares EXACTLY: column names sorted,
+rows sorted by all columns, values compared with == (no tolerance).
+Exact pass here implies any reasonable driver hash passes.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+outdir = sys.argv[1]
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize list/array cells to tuples so sorting works
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+fails = 0
+names = sorted(d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d)))
+for name in names:
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no parquet output"); fails += 1; continue
+    got = canon(con.sql(f"SELECT * FROM '{os.path.join(outdir,name)}/*.parquet'").df())
+    if name not in oracles:
+        print(f"ok?  {name}: rows={len(got)} (no oracle, rows-only)")
+        if len(got) == 0: print(f"FAIL {name}: 0 rows"); fails += 1
+        continue
+    try:
+        exp = canon(con.sql(oracles[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); fails += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
+    bad = []
+    for c in got.columns:
+        a, b = got[c].values, exp[c].values
+        neq = ~((pd.isna(a) & pd.isna(b)) | (a == b))
+        if neq.any():
+            i = int(np.argmax(neq))
+            bad.append(f"{c}: row {i}: {a[i]!r} != {b[i]!r} ({int(neq.sum())} cells)")
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(bad)); fails += 1
+    else:
+        print(f"PASS {name}: rows={len(got)}")
+
+print(f"\n{len(names)-fails}/{len(names)} pass")
+sys.exit(1 if fails else 0)

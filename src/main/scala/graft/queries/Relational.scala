@@ -1,0 +1,480 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The relational operator inventory of SURVEY.md §2, re-expressed over the
+  * driver testdata so every operator has a DuckDB oracle.
+  *
+  * Each query is a pure `(SparkSession, sfDir) => DataFrame` transform —
+  * the Spark analog of the reference's SQL metric functions
+  * (reference src/metrics/queries.py:29–223). Declarative DataFrame plans
+  * keep Catalyst in charge: filters/projections push into the parquet scan,
+  * aggregates get partial (map-side) combine, joins pick broadcast vs
+  * shuffled via AQE (SURVEY.md §4).
+  *
+  * Determinism rules for the oracle hash-compare (both sides identical):
+  *  - double SUM/AVG go through exact decimal aggregation (see [[decSum]]);
+  *  - divisions happen once on bit-identical doubles (IEEE-deterministic);
+  *  - every output has a total ORDER BY; window orders carry a unique
+  *    tiebreak column (SURVEY.md §7 "hard parts" #2).
+  */
+object Relational {
+
+  /** Q1 — pricing summary (SURVEY A1/A6; reference queries.py:29–42 shape).
+    * Scan + filter + group-agg with partial aggregation; the filter and the
+    * 7-column projection push down into the parquet scan.
+    */
+  private val q01 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          decSum($"l_quantity").as("sum_qty"),
+          decSum($"l_extendedprice").as("sum_base_price"),
+          sum($"l_extendedprice".cast("decimal(18,4)") *
+            (lit(1.0) - $"l_discount").cast("decimal(8,4)"))
+            .cast("double").as("sum_disc_price"),
+          decAvg($"l_quantity").as("avg_qty"),
+          decAvg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Q2 — threshold alert + top-N by time (SURVEY P2+T1; reference
+    * consumer.py:90–98 speed rule + queries.py:45–58 alerts top-N).
+    * Filter + orderBy + limit compiles to TakeOrderedAndProject: each
+    * partition keeps only its local top-100 before the single-reduce merge,
+    * so no full sort at 100 TB.
+    */
+  private val q02 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"value" > 150.0)
+        .select(
+          $"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"event_type", $"value",
+          concat(lit("ALERT user "), $"user_id",
+            lit(" value "), round($"value", 0).cast("long")).as("alert_message"))
+        .orderBy($"ts_us".desc, $"event_id")
+        .limit(100)
+    },
+    oracle = Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value,
+             'ALERT user ' || user_id || ' value ' || CAST(CAST(ROUND(value, 0) AS BIGINT) AS VARCHAR) AS alert_message
+      FROM events
+      WHERE value > 150.0
+      ORDER BY ts_us DESC, event_id
+      LIMIT 100"""))
+
+  /** Q3 — per-customer order rollup via LEFT JOIN + COALESCE (SURVEY J1;
+    * reference queries.py:103–110). The aggregated right side is small
+    * relative to the dimension at any scale; AQE broadcasts it.
+    */
+  private val q03 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val byCust = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("total_spent"))
+      Tables.customer(s, d)
+        .join(byCust, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_custkey", $"c_name",
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"total_spent", lit(0.0)).as("total_spent"))
+        .orderBy($"c_custkey")
+    },
+    oracle = Some("""
+      WITH by_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+        FROM orders GROUP BY o_custkey)
+      SELECT c_custkey, c_name,
+             COALESCE(n_orders, 0) AS n_orders,
+             COALESCE(total_spent, 0.0) AS total_spent
+      FROM customer LEFT JOIN by_cust ON c_custkey = o_custkey
+      ORDER BY c_custkey"""))
+
+  /** Q4 — revenue by region through the dimension chain (broadcast joins).
+    * region(5) and nation(25) stay tiny at every scale factor: explicit
+    * `broadcast()` keeps the fact-table scan shuffle-free on the dim side.
+    */
+  private val q04 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val dims = broadcast(
+        Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey"))
+      Tables.customer(s, d)
+        .join(dims, $"c_nationkey" === $"n_nationkey")
+        .join(Tables.orders(s, d), $"o_custkey" === $"c_custkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("revenue"))
+        .orderBy($"r_name")
+    },
+    oracle = Some("""
+      SELECT r_name, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY r_name
+      ORDER BY r_name"""))
+
+  /** Q5 — latest row per key (SURVEY W1; reference queries.py:71–83
+    * `DISTINCT ON (vehicle_id) ... ORDER BY time DESC`). Postgres breaks
+    * ties by physical order; we declare `(ts DESC, event_id DESC)` as the
+    * total order (SURVEY §7 #2). One shuffle on the partition key; at high
+    * key cardinality `max_by(struct)` is the agg-side alternative.
+    */
+  private val q05 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"event_type", $"value")
+        .orderBy($"user_id")
+    },
+    oracle = Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
+  /** Q6 — distinct keys (SURVEY A7; reference queries.py:61–68). Partial
+    * distinct happens map-side before the shuffle. At 100 TB the
+    * approx_count_distinct variant (see Q9) avoids the full shuffle.
+    */
+  private val q06 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id").distinct()
+        .orderBy($"user_id")
+        .limit(200)
+    },
+    oracle = Some("""
+      SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 200"""))
+
+  /** Q7 — engagement-rate style conditional aggregation (SURVEY A6;
+    * reference queries.py:207–223). The ratio divides bit-identical exact
+    * integers once, so no rounding hazard.
+    */
+  private val q07 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("total_events"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"))
+        .withColumn("purchase_pct", round(lit(100.0) * $"purchases" / $"total_events", 2))
+        .orderBy($"user_id")
+    },
+    oracle = Some("""
+      SELECT user_id, COUNT(*) AS total_events,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+             ROUND(100.0 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / COUNT(*), 2) AS purchase_pct
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Q8 — km-per-intervention shape: two aggregates left-joined with a
+    * CASE/NULLIF ratio guard (SURVEY J1+A2+A3+P9+P10; reference
+    * queries.py:86–110). max-min and the single division are exact.
+    */
+  private val q08 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val rng = ev.groupBy($"user_id")
+        .agg((max($"value") - min($"value")).as("value_range"))
+      val err = ev.filter($"event_type" === "error")
+        .groupBy($"user_id").agg(count(lit(1)).as("errors"))
+      rng.join(err, Seq("user_id"), "left")
+        .select($"user_id", $"value_range",
+          coalesce($"errors", lit(0L)).as("errors"),
+          when(coalesce($"errors", lit(0L)) > 0, $"value_range" / $"errors")
+            .as("value_per_error"))
+        .orderBy($"user_id")
+    },
+    oracle = Some("""
+      WITH rng AS (
+        SELECT user_id, MAX(value) - MIN(value) AS value_range FROM events GROUP BY user_id),
+      err AS (
+        SELECT user_id, COUNT(*) AS errors FROM events WHERE event_type = 'error' GROUP BY user_id)
+      SELECT r.user_id, r.value_range,
+             COALESCE(e.errors, 0) AS errors,
+             CASE WHEN COALESCE(e.errors, 0) > 0 THEN r.value_range / e.errors ELSE NULL END AS value_per_error
+      FROM rng r LEFT JOIN err e ON r.user_id = e.user_id
+      ORDER BY r.user_id"""))
+
+  /** Q9 — fleet-wide scalar combine (SURVEY A5+J2; reference
+    * queries.py:190–204): two one-row aggregates cross-joined
+    * (BroadcastNestedLoopJoin over single rows — negligible at any scale).
+    */
+  private val q09 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val tot = ev.agg(
+        decSum($"value").as("total_value"),
+        count(lit(1)).as("total_events"),
+        approx_count_distinct($"user_id").as("approx_users"))
+      val key = ev.filter($"event_type".isin("error", "signup"))
+        .agg(count(lit(1)).as("key_events"))
+      tot.crossJoin(key)
+        .select($"total_value", $"total_events", $"approx_users", $"key_events",
+          when($"key_events" > 0, $"total_value" / $"key_events")
+            .as("value_per_key_event"))
+    },
+    oracle = None, // approx_count_distinct is engine-specific; rows-only check
+    doc = "1-row fleet summary; HLL distinct-count replaces exact distinct at scale")
+
+  /** Q9b — exact variant of Q9 with a full oracle. */
+  private val q09b = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val tot = ev.agg(
+        decSum($"value").as("total_value"),
+        count(lit(1)).as("total_events"),
+        countDistinct($"user_id").as("n_users"))
+      val key = ev.filter($"event_type".isin("error", "signup"))
+        .agg(count(lit(1)).as("key_events"))
+      tot.crossJoin(key)
+        .select($"total_value", $"total_events", $"n_users", $"key_events",
+          when($"key_events" > 0, $"total_value" / $"key_events")
+            .as("value_per_key_event"))
+    },
+    oracle = Some("""
+      WITH tot AS (
+        SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               COUNT(*) AS total_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events),
+      key_ev AS (
+        SELECT COUNT(*) AS key_events FROM events WHERE event_type IN ('error', 'signup'))
+      SELECT total_value, total_events, n_users, key_events,
+             CASE WHEN key_events > 0 THEN total_value / key_events ELSE NULL END AS value_per_key_event
+      FROM tot, key_ev"""))
+
+  /** Q10 — group shares via window-over-aggregate. The unpartitioned window
+    * runs over the 5 post-aggregation rows, not the base table, so the
+    * single-partition window is O(|groups|), fine at any scale.
+    */
+  private val q10 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), decSum($"value").as("total_value"))
+        .withColumn("share_pct",
+          $"n" * lit(100.0) / sum($"n").over(Window.partitionBy()))
+        .orderBy($"event_type")
+    },
+    oracle = Some("""
+      SELECT event_type, n, total_value, n * 100.0 / SUM(n) OVER () AS share_pct
+      FROM (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY event_type)
+      ORDER BY event_type"""))
+
+  /** Q11 — per-user inter-event gap via lag window (natural extension of
+    * SURVEY §2.5; per-segment odometer deltas in the telemetry domain).
+    * Long-typed gap sum is exact; one double division at the end.
+    */
+  private val q11 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+        .filter($"gap_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum($"gap_us").as("total_gap_us"))
+        .withColumn("avg_gap_us", $"total_gap_us" / $"n_gaps")
+        .orderBy($"user_id")
+    },
+    oracle = Some("""
+      SELECT user_id, COUNT(*) AS n_gaps, SUM(gap_us) AS total_gap_us,
+             SUM(gap_us) / COUNT(*) AS avg_gap_us
+      FROM (SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)
+      WHERE gap_us IS NOT NULL
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Q12 — ROLLUP over order status × priority (cheap extension flagged in
+    * SURVEY §2.3). Grouping-set nulls are folded to 'ALL' to keep one
+    * null-ordering contract across engines.
+    */
+  private val q12 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("total_price"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+          coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+          $"n_orders", $"total_price")
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    },
+    oracle = Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+             COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** Q13 — proximity self-pairing with per-key cap (SURVEY J3+T4; reference
+    * opensky_source.py:101–143). Same-key equi self-join + range predicate
+    * + row_number cap 3, the declarative form of the reference's O(n²)
+    * pair loop. At scale the nation key pre-partitions the join.
+    */
+  private val q13 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val a = c.select($"c_custkey".as("c_custkey"), $"c_nationkey".as("nk"), $"c_acctbal".as("b1"))
+      val b = c.select($"c_custkey".as("other_custkey"), $"c_nationkey".as("nk"), $"c_acctbal".as("b2"))
+      val w = Window.partitionBy($"c_custkey").orderBy(abs($"b1" - $"b2"), $"other_custkey")
+      a.join(b, Seq("nk"))
+        .filter($"c_custkey" =!= $"other_custkey" && abs($"b1" - $"b2") < 10.0)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"c_custkey", $"other_custkey", abs($"b1" - $"b2").as("bal_diff"))
+        .orderBy($"c_custkey", $"other_custkey")
+    },
+    oracle = Some("""
+      SELECT c_custkey, other_custkey, bal_diff
+      FROM (SELECT a.c_custkey, b.c_custkey AS other_custkey,
+                   ABS(a.c_acctbal - b.c_acctbal) AS bal_diff,
+                   ROW_NUMBER() OVER (PARTITION BY a.c_custkey
+                                      ORDER BY ABS(a.c_acctbal - b.c_acctbal), b.c_custkey) AS rn
+            FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+            WHERE a.c_custkey <> b.c_custkey AND ABS(a.c_acctbal - b.c_acctbal) < 10.0)
+      WHERE rn <= 3
+      ORDER BY c_custkey, other_custkey"""))
+
+  /** Q14 — shipping-priority 3-way join (TPC-H Q3 shape): selective dim
+    * filter + fact join + group + top-10. The mktsegment filter pushes to
+    * the customer scan; top-10 via TakeOrderedAndProject.
+    */
+  private val q14 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, d).filter($"o_orderdate" < cut)
+      val l = Tables.lineitem(s, d).filter($"l_shipdate" > cut)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sum($"l_extendedprice".cast("decimal(18,4)") *
+          (lit(1.0) - $"l_discount").cast("decimal(8,4)"))
+          .cast("double").as("revenue"))
+        // o_orderdate scans as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+        // with the UTC session zone the cast to TIMESTAMP is an identity.
+        .select($"l_orderkey", unix_micros($"o_orderdate".cast("timestamp")).as("o_orderdate_us"), $"revenue")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    oracle = Some("""
+      SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** Q15 — anti join: customers with no big-ticket orders (NOT EXISTS).
+    * The totalprice filter keeps the build side small and the result
+    * non-empty at every scale factor.
+    */
+  private val q15 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter($"o_totalprice" > 300000.0),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      ORDER BY c_custkey"""))
+
+  /** Q16 — semi join: suppliers with at least one high-quantity lineitem
+    * (EXISTS). left_semi stops probing at first match; no fact-side blowup.
+    */
+  private val q16 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d).filter($"l_quantity" >= 48.0),
+          $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+        .orderBy($"s_suppkey")
+    },
+    oracle = Some("""
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 48.0)
+      ORDER BY s_suppkey"""))
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_threshold_alerts_topn" -> q02,
+    "q03_orders_per_customer" -> q03,
+    "q04_revenue_by_region" -> q04,
+    "q05_latest_event_per_user" -> q05,
+    "q06_distinct_users" -> q06,
+    "q07_engagement_rate" -> q07,
+    "q08_value_per_error" -> q08,
+    "q09_fleet_summary_approx" -> q09,
+    "q09b_fleet_summary_exact" -> q09b,
+    "q10_event_type_share" -> q10,
+    "q11_user_event_gaps" -> q11,
+    "q12_orders_rollup" -> q12,
+    "q13_proximity_pairs" -> q13,
+    "q14_shipping_priority" -> q14,
+    "q15_customers_no_orders" -> q15,
+    "q16_high_qty_suppliers" -> q16,
+  )
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+package object queries {
+
+  /** A declared engine query: the Spark transform plus (optionally) the
+    * equivalent ANSI SQL the driver runs in DuckDB as a correctness oracle.
+    * Queries without SQL-expressible semantics (e.g. LSH bucketing with
+    * engine-side randomness) omit `oracle` and get a rows-only check.
+    */
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      doc: String = "")
+
+  /** Exact, order-independent double aggregation.
+    *
+    * Double sums are non-associative: Spark's partial/final aggregation over
+    * 32 shuffle partitions and DuckDB's single-threaded fold would disagree
+    * in the last ulps, breaking the driver's hash compare. Routing the sum
+    * through a fixed-scale decimal makes addition exact and associative on
+    * both engines; the single final cast back to double is deterministic.
+    * Oracle-side equivalent: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    */
+  def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Exact mean: exact decimal sum, one deterministic double division. */
+  def decAvg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(c)
+}
