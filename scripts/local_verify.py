@@ -6,8 +6,9 @@ Usage: python3 scripts/local_verify.py <outDir> [sfDir]
 Reads <outDir>/<name>/ parquet (written by graft.Verify) and
 <outDir>/oracle_sql.json, runs each oracle in DuckDB with the sfDir
 tables registered as views, and compares EXACTLY: column names sorted,
-rows sorted by all columns, values compared with == (no tolerance).
-Exact pass here implies any reasonable driver hash passes.
+rows sorted by all columns, values compared with == (no tolerance), AND
+column dtypes compared (the driver's hash is representation-sensitive:
+an int64 column vs a float64 column hash-mismatch even when 1 == 1.0).
 """
 import sys, os, json, glob
 import duckdb
@@ -54,6 +55,9 @@ for name in names:
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
     bad = []
     for c in got.columns:
+        if got[c].dtype != exp[c].dtype:
+            bad.append(f"{c}: dtype {got[c].dtype} != {exp[c].dtype}")
+            continue
         a, b = got[c].values, exp[c].values
         neq = ~((pd.isna(a) & pd.isna(b)) | (a == b))
         if neq.any():

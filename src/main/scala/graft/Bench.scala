@@ -1,18 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (driver contract): run every declared query on
+  * `SPARK_GRAFT_SF_DIR` and emit ONE JSON line with per-query seconds.
+  *
+  * Methodology:
+  *  - a warmup pass runs every query once at sf0.001 first, so JIT /
+  *    codegen / executor startup cost doesn't land on whichever query
+  *    happens to run first in the measured pass;
+  *  - each measured query is fully executed through a `noop`-format write
+  *    (every output column is materialized — `.count()` would let Catalyst
+  *    prune projections and under-report);
+  *  - failures are NOT swallowed into a fake timing: a failed query is
+  *    reported as -1 with its name in `failed`, and the process exit code
+  *    is non-zero so a broken round shows up red, not "fast".
+  */
 object Bench {
+  private def runOnce(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String): Either[String, Unit] =
+    try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
+    catch { case e: Throwable => Left(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = "/root/testdata/sf0.001"
     val spark = Sessions.local()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    SparkEntry.queries.foreach { case (name, fn) => runOnce(spark, name, fn, warmDir) }
+
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = runOnce(spark, name, fn, sfDir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      r match {
+        case Right(_) => name -> dt
+        case Left(err) => System.err.println(s"[bench] FAIL $err"); failed ::= name; name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -196,7 +196,7 @@ object Relational {
     },
     oracle = Some("""
       SELECT user_id, COUNT(*) AS total_events,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
              ROUND(100.0 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / COUNT(*), 2) AS purchase_pct
       FROM events
       GROUP BY user_id
@@ -321,7 +321,7 @@ object Relational {
         .orderBy($"user_id")
     },
     oracle = Some("""
-      SELECT user_id, COUNT(*) AS n_gaps, SUM(gap_us) AS total_gap_us,
+      SELECT user_id, COUNT(*) AS n_gaps, CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
              SUM(gap_us) / COUNT(*) AS avg_gap_us
       FROM (SELECT user_id,
                    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
@@ -356,18 +356,30 @@ object Relational {
       ORDER BY o_orderstatus, o_orderpriority"""))
 
   /** Q13 — proximity self-pairing with per-key cap (SURVEY J3+T4; reference
-    * opensky_source.py:101–143). Same-key equi self-join + range predicate
+    * opensky_source.py:101–143). Banded equi self-join + range predicate
     * + row_number cap 3, the declarative form of the reference's O(n²)
-    * pair loop. At scale the nation key pre-partitions the join.
+    * pair loop.
+    *
+    * Scale design: joining on nation alone (25 keys) materializes
+    * (n/25)² candidate pairs per nation before the band filter — quadratic
+    * per group. Instead each probe row explodes into its own acctbal band
+    * (width 10 = the range radius) plus the two adjacent bands, and the
+    * join key is `(nation, band)`: every |b1−b2|<10 pair still meets in
+    * exactly one bucket (the build row's own band), candidate count is
+    * ~linear in true matches, and join-key cardinality grows with the data
+    * instead of being pinned at 25.
     */
   private val q13 = Q(
     fn = (s, d) => {
       import s.implicits._
       val c = Tables.customer(s, d)
-      val a = c.select($"c_custkey".as("c_custkey"), $"c_nationkey".as("nk"), $"c_acctbal".as("b1"))
-      val b = c.select($"c_custkey".as("other_custkey"), $"c_nationkey".as("nk"), $"c_acctbal".as("b2"))
+      val band = floor($"c_acctbal" / 10.0).cast("long")
+      val a = c.select($"c_custkey".as("c_custkey"), $"c_nationkey".as("nk"), $"c_acctbal".as("b1"),
+        explode(array(band - 1, band, band + 1)).as("band"))
+      val b = c.select($"c_custkey".as("other_custkey"), $"c_nationkey".as("nk"), $"c_acctbal".as("b2"),
+        band.as("band"))
       val w = Window.partitionBy($"c_custkey").orderBy(abs($"b1" - $"b2"), $"other_custkey")
-      a.join(b, Seq("nk"))
+      a.join(b, Seq("nk", "band"))
         .filter($"c_custkey" =!= $"other_custkey" && abs($"b1" - $"b2") < 10.0)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
