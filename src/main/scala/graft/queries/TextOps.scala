@@ -1,8 +1,389 @@
 package graft.queries
 
-/** Text-analysis / dedup operators over the `documents` table — filled in
-  * as each operator lands (dedup, lang-id, quality scoring, fingerprints).
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis / deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline surface the reference lacks but a
+  * 100 TB corpus engine needs (builder brief; SURVEY.md §7 step 8).
+  *
+  * Scale design notes (each query is written for the 1000-executor case,
+  * not just the 500-row test table):
+  *  - exact dedup groups by a 128-bit content hash, so the shuffle key is
+  *    16 bytes regardless of document size;
+  *  - the exact near-dup join is prefix-filtered (PPJoin-style): shingles
+  *    are globally ordered by document frequency (rarest first) and only
+  *    each document's prefix participates in the candidate self-join, so
+  *    hot shingles never fan out quadratically;
+  *  - MinHash/LSH and SimHash banding bound candidate generation by
+  *    bucket, never all-pairs;
+  *  - everything is built-in Catalyst expressions (higher-order array
+  *    functions, xxhash64) — no UDFs, whole-stage codegen throughout.
   */
 object TextOps {
-  val all: Map[String, Q] = Map()
+
+  /** Whitespace word tokens. */
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-gram shingles of a token array (needs >= 3 tokens). */
+  private def shingles(w: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", slice(w, i, lit(3)))))
+
+  /** documents → (doc_id, sh: array<string>, n: int) with n = |shingles|. */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", shingles($"w").as("sh"))
+      .withColumn("n", size($"sh"))
+  }
+
+  /** Exact Jaccard verification of candidate pairs (i < j): join the two
+    * shingle sets back in and keep pairs with jaccard >= minJaccard.
+    * `common` and the set sizes are exact ints, so the single double
+    * division is bit-identical across engines.
+    */
+  private def verifyPairs(cand: DataFrame, docs: DataFrame, minJaccard: Double): DataFrame = {
+    import cand.sparkSession.implicits._
+    cand
+      .join(docs.select($"doc_id".as("i"), $"sh".as("sh_i"), $"n".as("n_i")), Seq("i"))
+      .join(docs.select($"doc_id".as("j"), $"sh".as("sh_j"), $"n".as("n_j")), Seq("j"))
+      .withColumn("common", size(array_intersect($"sh_i", $"sh_j")).cast("long"))
+      .withColumn("jaccard", $"common".cast("double") / ($"n_i" + $"n_j" - $"common"))
+      .filter($"jaccard" >= minJaccard)
+      .select($"i", $"j", $"n_i".cast("long").as("n_i"),
+        $"n_j".cast("long").as("n_j"), $"common", $"jaccard")
+      .orderBy($"i", $"j")
+  }
+
+  /** Near-dup output oracle, shared by q18 (exact) and q19 (MinHash-LSH):
+    * the LSH variant is verified-exact on its candidates and its recall at
+    * the data's jaccard levels (all true pairs >= 0.8) is ~1-1e-4, so both
+    * produce the true pair set; verified equal at sf0.01 via local_verify.
+    */
+  private val nearDupOracle = """
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      )
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             any_value(a.n) AS n_i, any_value(b.n) AS n_j,
+             COUNT(*) AS common,
+             CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jaccard
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ORDER BY i, j"""
+
+  /** Q17 — exact deduplication by content hash (hash group-by; brief's
+    * "exact dedup"). Groups on md5(text) so the shuffle key is 16 bytes,
+    * not the document; keeps the lowest doc_id as the deterministic
+    * survivor. At sf0.1 the table contains real exact duplicates.
+    */
+  private val q17 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    },
+    oracle = Some("""
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY keep_id"""))
+
+  /** Q18 — exact near-duplicate pairs by word-3-gram Jaccard >= 0.5,
+    * prefix-filtered (brief's "n-gram Jaccard" dedup).
+    *
+    * Candidate generation: shingles are ranked per document by global
+    * document frequency ascending (rare first); only the first
+    * n - ceil(0.5*n) + 1 shingles (the prefix) join. Any pair with
+    * jaccard >= t shares >= ceil(t*n) shingles, hence shares a prefix
+    * shingle under a common global order — lossless, while hot shingles
+    * (df in the thousands) sit at the end of every ranking and never
+    * generate candidates. A length filter (t*n_i <= n_j) prunes further.
+    * The final answer is exact, so the naive all-pairs SQL is a valid
+    * oracle.
+    */
+  private val q18 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val t = 0.5
+      val docs = shingled(s, d)
+      val ex = docs.select($"doc_id", $"n", explode($"sh").as("s"))
+      val dfreq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+      val prefix = ex.join(dfreq, Seq("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df", $"s")))
+        .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
+        .select($"doc_id", $"n", $"s")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .filter($"b.n" >= $"a.n" * t && $"a.n" >= $"b.n" * t)
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+        .distinct()
+      verifyPairs(cand, docs, t)
+    },
+    oracle = Some(nearDupOracle))
+
+  /** Q19 — MinHash + LSH near-duplicate pairs (brief's scale path for
+    * near-dup at 100 TB: no global df pass, candidates only within LSH
+    * buckets).
+    *
+    * 64 MinHash permutations simulated as min over xxhash64(perm, shingle);
+    * 16 bands x 4 rows; a pair becomes a candidate iff some band hashes
+    * equal. Candidates are then verified with exact Jaccard (>= 0.5), so
+    * precision is 1 and recall at the corpus's near-dup similarity levels
+    * (>= 0.8) is 1 - (1 - 0.8^4)^16 ≈ 0.9998 — the output equals Q18's
+    * exact pair set on the test corpora (asserted in TextOpsSpec).
+    */
+  private val q19 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val nPerm = 64
+      val bands = 16
+      val rows = nPerm / bands
+      val docs = shingled(s, d)
+      val withSig = docs.withColumn("sig",
+        transform(sequence(lit(0), lit(nPerm - 1)),
+          p => array_min(transform($"sh", sh0 => xxhash64(p, sh0)))))
+      val banded = withSig.select($"doc_id",
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(b, slice($"sig", b * rows + 1, lit(rows))).as("bh"))))
+            .as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+        .distinct()
+      verifyPairs(cand, docs, 0.5)
+    },
+    oracle = Some(nearDupOracle))
+
+  /** Q20 — SimHash fingerprints + Hamming-distance pairs (brief's SimHash
+    * dedup). 64-bit simhash over distinct word-3-gram shingles (shingle
+    * features, not bare words — this corpus's word vocabulary is ~30
+    * terms, so word-set simhashes would collide everywhere; shingle sets
+    * overlap ~5% between unrelated docs and ~99% between near-dups).
+    * Banded into 8 bytes so any pair within Hamming distance 7 shares at
+    * least one exact band (pigeonhole) — candidate join is per-bucket,
+    * never all-pairs. xxhash64 is engine-specific, so this is
+    * rows-checked (pinned against the known near-dup pairs in tests).
+    */
+  private val q20 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = shingled(s, d).select($"doc_id", $"sh".as("w"))
+      val bit = (i: Int) =>
+        when(aggregate($"w", lit(0L),
+          (acc, w0) => acc + when(shiftright(xxhash64(w0), i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      val sim = (0 until 64).map(bit).reduce(_ bitwiseOR _)
+      val withSim = docs.select($"doc_id", sim.as("simhash"))
+      val banded = withSim.select($"doc_id", $"simhash",
+          explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+            shiftright($"simhash", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
+        .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bv".as("bv"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.bv" === $"b.bv" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 7)
+        .orderBy($"i", $"j")
+      pairs
+    },
+    oracle = None,
+    doc = "SimHash banding; engine-specific hash → rows-only + pinned-pair tests")
+
+  /** Q21 — n-gram/stopword-heuristic language ID (brief's "language-ID"),
+    * scored against the labeled `lang` column as a confusion summary.
+    * Marker-word hits per language; argmax with fixed precedence order,
+    * 'und' (undetermined) when nothing matches.
+    */
+  private val q21 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val markers: Seq[(String, Seq[String])] = Seq(
+        "de" -> Seq("der", "die", "das", "und", "nicht"),
+        "en" -> Seq("the", "a", "of", "and", "is"),
+        "es" -> Seq("el", "los", "las", "y", "es"),
+        "fr" -> Seq("le", "la", "les", "et", "est"))
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"lang", array_distinct(words($"text")).as("w"))
+      val withHits = markers.foldLeft(docs) { case (df, (l, ms)) =>
+        df.withColumn(s"hits_$l",
+          size(array_intersect($"w", array(ms.map(lit): _*))))
+      }
+      val best = greatest(markers.map { case (l, _) => col(s"hits_$l") }: _*)
+      val pred = when(best === 0, lit("und"))
+        .otherwise(markers.foldRight(lit("und")) { case ((l, _), e) =>
+          when(col(s"hits_$l") === best, lit(l)).otherwise(e)
+        })
+      withHits.withColumn("lang_pred", pred)
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"lang_pred")
+    },
+    oracle = Some("""
+      WITH scored AS (
+        SELECT lang,
+               len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','das','und','nicht'])) AS hits_de,
+               len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','is'])) AS hits_en,
+               len(list_intersect(list_distinct(string_split(text,' ')), ['el','los','las','y','es'])) AS hits_es,
+               len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','les','et','est'])) AS hits_fr
+        FROM documents
+      ), pred AS (
+        SELECT lang,
+               CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                    WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                    WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored)
+      SELECT lang, lang_pred, COUNT(*) AS n_docs
+      FROM pred
+      GROUP BY lang, lang_pred
+      ORDER BY lang, lang_pred"""))
+
+  /** Q22 — per-document quality scoring (brief's "quality scoring"):
+    * token count, punctuation count, stopword ratio and a composite
+    * score. Each double is produced by one fixed-order expression over
+    * exact ints, so both engines agree bitwise.
+    */
+  private val q22 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+      Tables.documents(s, d)
+        .select($"doc_id", $"n_chars", words($"text").as("w"),
+          regexp_count($"text", lit("[.,!?;:]")).cast("long").as("punct_cnt"))
+        .withColumn("n_tokens", size($"w").cast("long"))
+        .withColumn("stop_cnt",
+          size(filter($"w", w0 => w0.isInCollection(stop))).cast("long"))
+        .withColumn("stop_ratio", $"stop_cnt".cast("double") / $"n_tokens")
+        .withColumn("quality_score",
+          when($"n_chars" >= 100 && $"n_chars" <= 400, 1.0).otherwise(0.0)
+            + $"stop_ratio")
+        .select($"doc_id", $"n_chars", $"n_tokens", $"punct_cnt",
+          $"stop_cnt", $"stop_ratio", $"quality_score")
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS punct_cnt,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','and','is','to','in'], w))) AS stop_cnt,
+             CAST(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','and','is','to','in'], w))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END)
+               + CAST(len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','and','is','to','in'], w))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS quality_score
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Q23 — token counting per source (brief's "token counting"):
+    * whitespace tokens plus a BPE-ish `[a-z]+|[0-9]+` unit count,
+    * aggregated per source with exact integer sums.
+    */
+  private val q23 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", size(words($"text")).cast("long").as("nt"),
+          regexp_count($"text", lit("[a-z]+|[0-9]+")).cast("long").as("nb"),
+          $"n_chars")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"nt").as("ws_tokens"),
+          sum($"nb").as("bpe_units"),
+          sum($"n_chars").as("total_chars"))
+        .withColumn("avg_tokens_per_doc", $"ws_tokens" / $"n_docs")
+        .orderBy($"source")
+    },
+    oracle = Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS bpe_units,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) / COUNT(*) AS avg_tokens_per_doc
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
+  /** Q24 — document fingerprinting by winnowing (brief's "rolling hash"):
+    * polynomial rolling hash (base 31 mod 1e9+7) over char-8-grams,
+    * minima over sliding windows of 4, distinct minima = the fingerprint
+    * set. Pure integer arithmetic → identical across engines; summarized
+    * as (count, min, max) per document.
+    */
+  private val q24 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val k = 8
+      val win = 4
+      Tables.documents(s, d)
+        .filter(length($"text") >= k + win - 1)
+        .select($"doc_id",
+          transform(sequence(lit(1), length($"text")),
+            i => ascii($"text".substr(i, lit(1)))).as("codes"))
+        .select($"doc_id",
+          transform(sequence(lit(1), size($"codes") - (k - 1)),
+            i => aggregate(slice($"codes", i, lit(k)), lit(0L),
+              (acc, c) => (acc * 31 + c) % 1000000007L)).as("kh"))
+        .select($"doc_id",
+          array_distinct(transform(sequence(lit(1), size($"kh") - (win - 1)),
+            i => array_min(slice($"kh", i, lit(win))))).as("fps"))
+        .select($"doc_id", size($"fps").cast("long").as("n_fp"),
+          array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH codes AS (
+        SELECT doc_id, list_transform(generate_series(1, len(text)),
+               i -> ascii(text[i:i])) AS codes
+        FROM documents WHERE len(text) >= 11
+      ), kh AS (
+        SELECT doc_id, list_transform(generate_series(1, len(codes) - 7),
+               i -> list_reduce(codes[i:i+7], (acc, c) -> (CAST(acc AS BIGINT) * 31 + c) % 1000000007)) AS kh
+        FROM codes
+      ), fps AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(kh) - 3),
+               i -> list_min(kh[i:i+3]))) AS fps
+        FROM kh)
+      SELECT doc_id, len(fps) AS n_fp,
+             CAST(list_min(fps) AS BIGINT) AS min_fp,
+             CAST(list_max(fps) AS BIGINT) AS max_fp
+      FROM fps
+      ORDER BY doc_id"""))
+
+  val all: Map[String, Q] = Map(
+    "q17_dedup_exact" -> q17,
+    "q18_neardup_jaccard" -> q18,
+    "q19_neardup_minhash_lsh" -> q19,
+    "q20_simhash_pairs" -> q20,
+    "q21_lang_id" -> q21,
+    "q22_doc_quality" -> q22,
+    "q23_token_stats" -> q23,
+    "q24_winnow_fingerprint" -> q24,
+  )
 }
