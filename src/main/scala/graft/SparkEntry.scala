@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Map[String, Q] =
     Relational.all ++
       graft.queries.TextOps.all ++
-      graft.queries.VectorOps.all
+      graft.queries.VectorOps.all ++
+      graft.queries.Domain.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

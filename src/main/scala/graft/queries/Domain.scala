@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.rules.{Rule, RuleEngine}
+import graft.sources.Tables
+
+/** Domain-shaped queries exercising the rules/model layer against the
+  * driver's oracle-checkable tables: the reusable alert-rule engine
+  * (reference consumer.py:87–127), the planar-distance math of the
+  * proximity mapper (reference opensky_source.py:124–129), and the
+  * perception-summary ordering (reference queries.py:114–127).
+  */
+object Domain {
+
+  /** Q28 — three-rule alert union over `events` via [[RuleEngine]] — the
+    * exact shape of the reference's alert chain (filter → typed alert →
+    * formatted message → union into one alerts table), evaluated
+    * set-oriented. Each rule is a scan-local filter+project; the union
+    * introduces no shuffle.
+    *
+    * Messages avoid %-formatting: printf rounds half-even in C engines but
+    * half-up on the JVM, while `round()` rounds half-away-from-zero on
+    * both — so `round` + string concat is the cross-engine-stable form.
+    */
+  private val q28 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val rules = Seq(
+        Rule("High Value", $"value" > 150.0,
+          concat(lit("user "), $"user_id", lit(" value "), round($"value", 1))),
+        Rule("Error Event", $"event_type" === "error",
+          concat(lit("user "), $"user_id", lit(" error"))),
+        Rule("Risky Click", $"event_type" === "click" && $"value" < 5.0,
+          concat(lit("user "), $"user_id", lit(" click value "), round($"value", 1))))
+      RuleEngine.alerts(Tables.events(s, d), rules, $"ts", $"user_id", "user_id")
+        .select(unix_micros($"time").as("ts_us"), $"user_id",
+          $"alert_type", $"alert_message")
+        .orderBy($"ts_us", $"user_id", $"alert_type")
+    },
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT epoch_us(ts) AS ts_us, user_id, 'High Value' AS alert_type,
+               'user ' || user_id || ' value ' || ROUND(value, 1) AS alert_message
+        FROM events WHERE value > 150.0
+        UNION ALL
+        SELECT epoch_us(ts), user_id, 'Error Event',
+               'user ' || user_id || ' error'
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT epoch_us(ts), user_id, 'Risky Click',
+               'user ' || user_id || ' click value ' || ROUND(value, 1)
+        FROM events WHERE event_type = 'click' AND value < 5.0)
+      ORDER BY ts_us, user_id, alert_type"""))
+
+  /** Q29 — per-entity trajectory step distance (the planar-distance math
+    * of SURVEY P13: abs/greatest scale correction, squares, sqrt), via a
+    * lag window. All doubles flow through one fixed-shape expression over
+    * identical operands, so the sqrt is bit-identical across engines.
+    */
+  private val q29 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+        .withColumn("dv", $"value" - lag($"value", 1).over(w))
+        .withColumn("dt_sec", ($"ts_us" - lag($"ts_us", 1).over(w)) / 1000000.0)
+        .filter($"dv".isNotNull)
+        .withColumn("scale", greatest(lit(0.7), abs($"value") / 90.0))
+        .withColumn("step_dist",
+          sqrt(($"dv" * $"dv") * ($"scale" * $"scale") + $"dt_sec" * $"dt_sec"))
+        .select($"user_id", $"event_id", $"ts_us", $"step_dist")
+        .orderBy($"step_dist".desc, $"user_id", $"event_id")
+        .limit(100)
+    },
+    oracle = Some("""
+      SELECT user_id, event_id, ts_us, SQRT((dv * dv) * (scale * scale) + dt_sec * dt_sec) AS step_dist
+      FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dv,
+               (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) / 1000000.0 AS dt_sec,
+               GREATEST(0.7, ABS(value) / 90.0) AS scale
+        FROM events)
+      WHERE dv IS NOT NULL
+      ORDER BY step_dist DESC, user_id, event_id
+      LIMIT 100"""))
+
+  /** Q30 — perception-summary ordering (SURVEY A4: two-key count with
+    * count-descending output order, reference queries.py:118–126).
+    */
+  private val q30 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"user_id", $"n".desc, $"event_type")
+    },
+    oracle = Some("""
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, n DESC, event_type"""))
+
+  val all: Map[String, Q] = Map(
+    "q28_alert_rules_union" -> q28,
+    "q29_trajectory_steps" -> q29,
+    "q30_event_type_ranking" -> q30,
+  )
+}
