@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++
       graft.queries.TextOps.all ++
       graft.queries.VectorOps.all ++
-      graft.queries.Domain.all
+      graft.queries.Domain.all ++
+      graft.queries.MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

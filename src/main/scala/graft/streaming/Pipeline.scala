@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{Schemas, Thresholds}
+import graft.rules.FleetRules
+import graft.sinks.Sinks
+import graft.sources.FileReplay
+
+/** Structured-Streaming ingest path — the Spark re-expression of the
+  * reference's E1 entry point (producer → Kafka → consumer rules → store;
+  * reference consumer.py:51–164, SURVEY §2.9 and §3 E1).
+  *
+  * Semantics mapping:
+  *  - per-record loop + 50-row buffers → micro-batches (`availableNow` for
+  *    bounded runs, `ProcessingTime` for live);
+  *  - inline per-alert INSERT → set-oriented [[FleetRules]] transform
+  *    inside the same micro-batch;
+  *  - auto-commit at-least-once → checkpointed offsets (exactly-once into
+  *    transactional sinks; parquet append here is at-least-once, an
+  *    explicit parity call — SURVEY §7 hard-part 4);
+  *  - SIGINT flag + buffer flush → `query.stop()` + checkpoint recovery.
+  */
+object Pipeline {
+
+  /** File-based telemetry stream: JSONL landing directory → lenient wire
+    * normalization (the streaming twin of [[FileReplay.readTelemetryJsonl]]).
+    * `maxFilesPerTrigger` is the backpressure knob (reference's
+    * BATCH_SIZE/sleep pacing, consumer.py:33, producer.py:181).
+    */
+  def telemetryFileStream(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    FileReplay.normalize(
+      s.readStream
+        .schema(Schemas.telemetryWire)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(dir))
+
+  /** Kafka telemetry stream (reference consumer.py:51–60: three topics,
+    * earliest offsets, JSON values). Compiles against core Spark; running
+    * it requires the spark-sql-kafka connector on the cluster classpath
+    * (not shipped in this environment — the file stream above exercises
+    * identical downstream semantics).
+    */
+  def kafkaTelemetryStream(s: SparkSession, bootstrap: String,
+      topic: String = "vehicle_telemetry"): DataFrame =
+    FileReplay.normalize(
+      s.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(from_json(col("value").cast("string"), Schemas.telemetryWire).as("r"))
+        .select(col("r.*")))
+
+  /** Kafka sink leg (reference producer.py:142–145: JSON-serialized dicts). */
+  def toKafkaSink(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): StreamingQuery =
+    df.select(to_json(struct(col("*"))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The E1 pipeline, bounded: drain whatever is in `inDir`, derive alerts
+    * with the reference's three-rule chain, write both raw telemetry and
+    * alerts as day-partitioned parquet, stop at the end of available data.
+    * Checkpointing makes re-runs incremental (only new files process).
+    */
+  def runAlertPipeline(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, t: Thresholds = Thresholds()): StreamingQuery = {
+    val stream = telemetryFileStream(s, inDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          Sinks.writePartitioned(b, s"$outDir/vehicle_telemetry")
+          Sinks.writePartitioned(FleetRules.telemetryAlerts(b, t), s"$outDir/alerts")
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked event-time windowed metrics — the incremental
+    * materialization of `self_driving_metrics` the reference declared but
+    * never built (sql/01_schema.sql:61–67; SURVEY §2.9 extension row).
+    * Works on both batch and streaming frames; with a stream, late data
+    * beyond the watermark is dropped and windows finalize incrementally.
+    */
+  def speedMetricsByWindow(telemetry: DataFrame, windowLen: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    telemetry
+      .withWatermark("time", watermark)
+      .groupBy(window(col("time"), windowLen), col("vehicle_id"))
+      .agg(
+        avg(col("current_speed_kmh")).as("avg_speed_kmh"),
+        max(col("current_speed_kmh")).as("max_speed_kmh"),
+        sum(when(col("speed_limit_violation"), 1L).otherwise(0L)).as("violations"),
+        count(lit(1)).as("n_samples"))
+      .select(col("window.start").as("time_bucket"), col("vehicle_id"),
+        col("avg_speed_kmh"), col("max_speed_kmh"), col("violations"), col("n_samples"))
+
+  /** Streaming metrics leg: windowed speed metrics appended as parquet
+    * once each window finalizes (append mode + watermark).
+    */
+  def runMetricsPipeline(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    speedMetricsByWindow(telemetryFileStream(s, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/self_driving_metrics")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

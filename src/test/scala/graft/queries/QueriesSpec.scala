@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Invariant tests for the query registry on sf0.001 (SURVEY §5: golden
+  * invariants instead of golden files — the DuckDB oracle covers exact
+  * values; these pin semantic properties).
+  */
+class QueriesSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("registry: every oracle key has a query and entry() is non-empty") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    assert(qs.size >= 32)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 pricing summary: positive sums, avg consistent with count") {
+    val rows = run("q01_pricing_summary").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
+      assert(r.getLong(7) > 0)
+    }
+  }
+
+  test("q07 engagement pct within [0,100]") {
+    val bad = run("q07_engagement_rate")
+      .filter(col("purchase_pct") < 0 || col("purchase_pct") > 100)
+    assert(bad.count() == 0)
+  }
+
+  test("q10 shares sum to 100") {
+    val total = run("q10_event_type_share").agg(sum("share_pct")).head().getDouble(0)
+    assert(math.abs(total - 100.0) < 1e-9)
+  }
+
+  test("q13 banded self-join: band filter holds, caps at 3 per key") {
+    // sf0.01: sf0.001's customer table is too sparse for <10 bal pairs
+    val df = SparkEntry.queries("q13_proximity_pairs")(spark, "/root/testdata/sf0.01")
+    assert(df.count() > 0)
+    assert(df.filter(col("bal_diff") >= 10.0).count() == 0)
+    val maxPer = df.groupBy("c_custkey").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("q17 exact dedup: survivors cover all distinct texts") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val distinctTexts = docs.select("text").distinct().count()
+    val dedup = run("q17_dedup_exact")
+    assert(dedup.count() == distinctTexts)
+    assert(dedup.agg(sum("n_copies")).head().getLong(0) == docs.count())
+  }
+
+  test("q19 MinHash-LSH equals the exact Jaccard pairs (recall 1 here)") {
+    val exact = run("q18_neardup_jaccard").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("q19_neardup_minhash_lsh").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus plants near-dup pairs")
+    assert(lsh == exact)
+  }
+
+  test("q20 SimHash pairs: perfect precision, recall >= 0.5 vs exact") {
+    val exact = run("q18_neardup_jaccard").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = run("q20_simhash_pairs").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.subsetOf(exact), "hamming<=7 shingle-simhash pairs must be true near-dups")
+    assert(sim.size.toDouble / exact.size >= 0.5)
+  }
+
+  test("q25/q26: ANN recall@5 >= 0.6 against exact KNN") {
+    val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = run("q26_knn_ann_lsh").select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 50)
+    assert((exact & ann).size.toDouble / exact.size >= 0.6)
+  }
+
+  test("q25 scores are valid cosines, ranked descending per query") {
+    val rows = run("q25_knn_cosine_exact").collect()
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(byRank.sliding(2).forall { case Array(a, b) => a >= b })
+    }
+  }
+
+  test("q27 centroids: 64 components per label, n_vecs consistent") {
+    val df = run("q27_label_centroids")
+    val perLabel = df.groupBy("label").count().collect()
+    assert(perLabel.forall(_.getLong(1) == 64))
+    val nv = df.select("label", "n_vecs").distinct().groupBy("label").count().collect()
+    assert(nv.forall(_.getLong(1) == 1), "n_vecs constant within label")
+  }
+
+  test("q28 alert union preserves per-rule counts") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val expected = ev.filter(col("value") > 150).count() +
+      ev.filter(col("event_type") === "error").count() +
+      ev.filter(col("event_type") === "click" && col("value") < 5).count()
+    assert(run("q28_alert_rules_union").count() == expected)
+  }
+
+  test("q32 frame features: n_frames matches ceil(bytes/64)") {
+    val df = run("q32_media_frame_features")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), ceil(length(col("text")) / 64.0).cast("int").as("exp_frames"))
+    val joined = df.join(docs, "doc_id")
+    assert(joined.filter(col("n_frames") =!= col("exp_frames")).count() == 0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  private def writeJsonl(dir: String, name: String, lines: String*): Unit =
+    Files.writeString(Paths.get(dir, name), lines.mkString("", "\n", "\n"))
+
+  private val row1 =
+    """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:00","current_speed_kmh":"80","speed_limit_violation":"true","battery_level_pct":"50"}"""
+  private val row2 =
+    """{"vehicle_id":"2","timestamp":"2026-03-01 08:00:01","current_speed_kmh":"40","speed_limit_violation":"false","battery_level_pct":"10"}"""
+  private val row3 =
+    """{"vehicle_id":"3","timestamp":"2026-03-01 08:00:02","current_speed_kmh":"30","speed_limit_violation":"false","battery_level_pct":"90"}"""
+
+  test("availableNow alert pipeline: stream -> rules -> partitioned parquet, incremental on re-run") {
+    val in = tmpDir("stream_in")
+    val out = tmpDir("stream_out")
+    val ckpt = tmpDir("stream_ckpt")
+    writeJsonl(in, "batch1.jsonl", row1, row2)
+
+    val q1 = Pipeline.runAlertPipeline(spark, in, out, ckpt)
+    q1.awaitTermination()
+    val tel1 = spark.read.parquet(s"$out/vehicle_telemetry")
+    val al1 = spark.read.parquet(s"$out/alerts")
+    assert(tel1.count() == 2)
+    // row1 -> Speed Violation, row2 -> Low Battery
+    assert(al1.count() == 2)
+    assert(al1.select("alert_type").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq == Seq("Low Battery", "Speed Violation"))
+    // day partitioning materialized
+    assert(tel1.columns.contains("p_date"))
+
+    // second run with one new file: checkpoint skips batch1
+    writeJsonl(in, "batch2.jsonl", row3)
+    val q2 = Pipeline.runAlertPipeline(spark, in, out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$out/vehicle_telemetry").count() == 3)
+    assert(spark.read.parquet(s"$out/alerts").count() == 2, "benign row adds no alert")
+  }
+
+  test("watermarked windowed metrics finalize through availableNow") {
+    val in = tmpDir("met_in")
+    val out = tmpDir("met_out")
+    val ckpt = tmpDir("met_ckpt")
+    // two vehicles, two 1-minute windows
+    // the 08:10 row advances the watermark (08:10 - 2min = 08:08) past the
+    // earlier window ends, so those finalize and emit; its own window stays
+    // open and must NOT appear in append output
+    writeJsonl(in, "b.jsonl",
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:10","current_speed_kmh":"60","speed_limit_violation":"false"}""",
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:50","current_speed_kmh":"80","speed_limit_violation":"true"}""",
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:01:10","current_speed_kmh":"40","speed_limit_violation":"false"}""",
+      """{"vehicle_id":"2","timestamp":"2026-03-01 08:00:20","current_speed_kmh":"50","speed_limit_violation":"false"}""",
+      """{"vehicle_id":"2","timestamp":"2026-03-01 08:10:00","current_speed_kmh":"30","speed_limit_violation":"false"}""")
+    val q = Pipeline.runMetricsPipeline(spark, in, out, ckpt)
+    q.awaitTermination()
+    val m = spark.read.parquet(s"$out/self_driving_metrics")
+    val v1w1 = m.filter(col("vehicle_id") === 1 &&
+      col("time_bucket") === lit("2026-03-01 08:00:00").cast("timestamp")).collect()
+    assert(v1w1.length == 1)
+    assert(v1w1.head.getAs[Double]("avg_speed_kmh") == 70.0)
+    assert(v1w1.head.getAs[Double]("max_speed_kmh") == 80.0)
+    assert(v1w1.head.getAs[Long]("violations") == 1L)
+    assert(m.count() == 3, "three finalized (vehicle, window) groups")
+    assert(m.filter(col("time_bucket") === lit("2026-03-01 08:10:00").cast("timestamp"))
+      .count() == 0, "open window beyond watermark is not emitted")
+  }
+
+  test("batch frame through the same windowed-metrics transform") {
+    val tel = graft.sources.Simulation.telemetry(spark, 3, 120, seed = 42).toDF()
+    val m = Pipeline.speedMetricsByWindow(tel)
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    assert(m.filter(col("avg_speed_kmh") < 20.0 || col("avg_speed_kmh") > 90.0).count() == 0)
+    val total = m.agg(sum("n_samples")).head().getLong(0)
+    assert(total == 360L)
+  }
+}
