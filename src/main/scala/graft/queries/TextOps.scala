@@ -33,10 +33,19 @@ object TextOps {
     array_distinct(transform(sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", slice(w, i, lit(3)))))
 
-  /** documents → (doc_id, sh: array<string>, n: int) with n = |shingles|. */
+  /** documents → (doc_id, sh: array<string>, n: int) with n = |shingles|.
+    *
+    * The explicit repartition spreads the per-document work (shingling,
+    * hashing — interpreted higher-order lambdas) across all cores: the
+    * test corpus is one tiny parquet file = one scan partition, which
+    * would otherwise serialize every downstream computation. At real
+    * scale the corpus arrives as many splits and this is a cheap
+    * round-robin of ~1 task's data.
+    */
   private def shingled(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", shingles($"w").as("sh"))
@@ -50,7 +59,9 @@ object TextOps {
     */
   private def verifyPairs(cand: DataFrame, docs: DataFrame, minJaccard: Double): DataFrame = {
     import cand.sparkSession.implicits._
-    cand
+    // candidate pairs are tiny relative to the corpus: broadcast them so
+    // the two shingle-set lookups stay shuffle-free map-side joins
+    broadcast(cand)
       .join(docs.select($"doc_id".as("i"), $"sh".as("sh_i"), $"n".as("n_i")), Seq("i"))
       .join(docs.select($"doc_id".as("j"), $"sh".as("sh_j"), $"n".as("n_j")), Seq("j"))
       .withColumn("common", size(array_intersect($"sh_i", $"sh_j")).cast("long"))
@@ -130,10 +141,19 @@ object TextOps {
           Window.partitionBy($"doc_id").orderBy($"df", $"s")))
         .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
         .select($"doc_id", $"n", $"s")
-      val cand = prefix.as("a").join(prefix.as("b"),
-          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-        .filter($"b.n" >= $"a.n" * t && $"a.n" >= $"b.n" * t)
-        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      // Bucket-collect pair generation (prefix entries computed once, no
+      // self-join): group by shingle, explode in-bucket pairs. The length
+      // filter (t*n_i <= n_j) prunes before the exact verification.
+      val cand = prefix.groupBy($"s")
+        .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
+        .filter(size($"ds") > 1)
+        .select(explode(flatten(transform($"ds", (x, ix) =>
+          transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
+            y => struct(least(x("doc_id"), y("doc_id")).as("a"),
+              greatest(x("doc_id"), y("doc_id")).as("b"),
+              x("n").as("nx"), y("n").as("ny")))))).as("p"))
+        .filter($"p.ny" >= $"p.nx" * t && $"p.nx" >= $"p.ny" * t)
+        .select($"p.a".as("i"), $"p.b".as("j"))
         .distinct()
       verifyPairs(cand, docs, t)
     },
@@ -157,19 +177,45 @@ object TextOps {
       val bands = 16
       val rows = nPerm / bands
       val docs = shingled(s, d)
-      val withSig = docs.withColumn("sig",
+      // One xxhash64 per shingle; the 64 permutations are the classic
+      // (a*x + b) mod P linear family over the base hash, with (a, b)
+      // driver-side constants — higher-order lambdas run interpreted, so
+      // the string hash must happen once, not once per permutation, and
+      // ANSI mode rules out wrapping-multiply tricks (P < 2^31 keeps
+      // a*x within int64).
+      val P = 1000000007L
+      def splitmix(v: Long): Long = {
+        var x = v + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      val aArr = (0 until nPerm).map(p => math.floorMod(splitmix(2L * p), P - 1) + 1)
+      val bArr = (0 until nPerm).map(p => math.floorMod(splitmix(2L * p + 1), P))
+      val hashed = docs.withColumn("hs",
+        transform($"sh", x => pmod(xxhash64(x), lit(P))))
+      val withSig = hashed.withColumn("sig",
         transform(sequence(lit(0), lit(nPerm - 1)),
-          p => array_min(transform($"sh", sh0 => xxhash64(p, sh0)))))
+          p => array_min(transform($"hs",
+            h => pmod(element_at(typedlit(aArr), p + 1) * h +
+              element_at(typedlit(bArr), p + 1), lit(P))))))
       val banded = withSig.select($"doc_id",
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
               xxhash64(b, slice($"sig", b * rows + 1, lit(rows))).as("bh"))))
             .as("bb"))
         .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
-      val cand = banded.as("a").join(banded.as("b"),
-          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      // Bucket-collect pair generation instead of a self-join: signatures
+      // are computed once, and candidate pairs come from exploding each
+      // bucket's id list (LSH buckets are near-dup-sized; a real 100 TB
+      // deployment would additionally cap pathological buckets).
+      val cand = banded.groupBy($"band", $"bh")
+        .agg(collect_list($"doc_id").as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(flatten(transform($"ids", (x, ix) =>
+          transform(slice($"ids", ix + 2, greatest(size($"ids") - ix - 1, lit(0))),
+            y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
+        .select($"p.a".as("i"), $"p.b".as("j"))
         .distinct()
       verifyPairs(cand, docs, 0.5)
     },
@@ -188,10 +234,12 @@ object TextOps {
   private val q20 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val docs = shingled(s, d).select($"doc_id", $"sh".as("w"))
+      // one xxhash64 per shingle (interpreted HOF lambdas: keep the string
+      // hash out of the 64-bit loop), then cheap bit ops per simhash bit
+      val docs = shingled(s, d).withColumn("hs", transform($"sh", x => xxhash64(x)))
       val bit = (i: Int) =>
-        when(aggregate($"w", lit(0L),
-          (acc, w0) => acc + when(shiftright(xxhash64(w0), i).bitwiseAND(1) === 1, 1L)
+        when(aggregate($"hs", lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L)
             .otherwise(-1L)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
       val sim = (0 until 64).map(bit).reduce(_ bitwiseOR _)
       val withSim = docs.select($"doc_id", sim.as("simhash"))
@@ -199,11 +247,16 @@ object TextOps {
           explode(array((0 until 8).map(b => struct(lit(b).as("band"),
             shiftright($"simhash", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
         .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bv".as("bv"))
-      val pairs = banded.as("a").join(banded.as("b"),
-          $"a.band" === $"b.band" && $"a.bv" === $"b.bv" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
-          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+      // bucket-collect pairs: simhashes computed once, no self-join
+      val pairs = banded.groupBy($"band", $"bv")
+        .agg(collect_list(struct($"doc_id", $"simhash")).as("ds"))
+        .filter(size($"ds") > 1)
+        .select(explode(flatten(transform($"ds", (x, ix) =>
+          transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
+            y => struct(least(x("doc_id"), y("doc_id")).as("a"),
+              greatest(x("doc_id"), y("doc_id")).as("b"),
+              x("simhash").bitwiseXOR(y("simhash")).as("x")))))).as("p"))
+        .select($"p.a".as("i"), $"p.b".as("j"), bit_count($"p.x").as("hamming"))
         .distinct()
         .filter($"hamming" <= 7)
         .orderBy($"i", $"j")
@@ -342,6 +395,7 @@ object TextOps {
       val k = 8
       val win = 4
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(length($"text") >= k + win - 1)
         .select($"doc_id",
           transform(sequence(lit(1), length($"text")),

@@ -70,6 +70,9 @@ object VectorOps {
     fn = (s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
+        // single-file test input = one scan partition; spread the
+        // per-vector quantize/dot work (see TextOps.shingled note)
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", quantize($"embedding").as("qv"))
         .withColumn("qq", qdot($"qv", $"qv"))
       val queries = broadcast(
@@ -125,15 +128,27 @@ object VectorOps {
       import s.implicits._
       val nPlanes = 6
       val nTables = 8
+      // Hyperplane component signs are data-independent constants —
+      // precompute them driver-side (splitmix64 of (table, plane, dim))
+      // and ship them as array literals, so the per-row work is one
+      // multiply-add pass per plane instead of hash evaluations.
+      def splitmix(v: Long): Long = {
+        var x = v + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      def signRow(t: Int, p: Int): Seq[Double] =
+        (0 until 64).map(i => if ((splitmix(((t * nPlanes + p) * 64L) + i) & 1L) == 1L) 1.0 else -1.0)
       def sigOf(t: Int): Column = (0 until nPlanes).map { p =>
         val proj = aggregate(
-          zip_with($"embedding", sequence(lit(0), lit(63)),
-            (x, i) => when(xxhash64(lit(t), lit(p), i).bitwiseAND(1) === 1,
-              x.cast("double")).otherwise(-x.cast("double"))),
+          zip_with($"embedding", typedlit(signRow(t, p)),
+            (x, sgn) => x.cast("double") * sgn),
           lit(0.0), (acc, v) => acc + v)
         when(proj > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", quantize($"embedding").as("qv"),
           array((0 until nTables).map(sigOf): _*).as("sigs"))
         .withColumn("qq", qdot($"qv", $"qv"))
