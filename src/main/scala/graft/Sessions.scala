@@ -27,6 +27,7 @@ object Sessions {
   def local(cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt): SparkSession = {
     val spark = builder(s"local[$cores]", cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.expressions.register(spark)
     spark
   }
 }

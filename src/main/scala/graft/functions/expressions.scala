@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the engine's hot per-row kernels.
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`) evaluate
+  * their lambdas interpreted — fine for a pass or two, but a 64-permutation
+  * MinHash or a rolling-hash fingerprint over every character is thousands
+  * of boxed lambda invocations per row. These expressions run the same
+  * math as one tight primitive loop per row and stay inside whole-stage
+  * codegen (the generated code calls straight into the typed kernel; no
+  * Row boxing, no UDF serialization) — preference tier (b) of the
+  * build-vs-custom ladder (spark_guide.md): compose built-ins first, drop
+  * to a custom Expression only where built-ins can't express it
+  * efficiently.
+  *
+  * Every kernel is bit-compatible with the declarative form it replaced,
+  * so the DuckDB oracles are unchanged.
+  */
+object expressions {
+
+  private[functions] val P = 1000000007L
+
+  private def splitmix(v: Long): Long = {
+    var x = v + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private[functions] def permA(n: Int): Array[Long] =
+    (0 until n).map(p => math.floorMod(splitmix(2L * p), P - 1) + 1).toArray
+  private[functions] def permB(n: Int): Array[Long] =
+    (0 until n).map(p => math.floorMod(splitmix(2L * p + 1), P)).toArray
+
+  /** array<string> shingles → array<long> MinHash signature: one xxhash64
+    * (seed 42, == SQL `xxhash64`) per element, nPerm (a*h+b) mod P minima
+    * updated in a single pass.
+    */
+  case class MinHashSignature(child: Expression, nPerm: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val a = permA(nPerm)
+    @transient private lazy val b = permB(nPerm)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(nPerm)(Long.MaxValue)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h = math.floorMod(XxHash64Function.hash(s, StringType, 42L), P)
+        var p = 0
+        while (p < nPerm) {
+          val v = (a(p) * h + b(p)) % P
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("mhs", this, classOf[MinHashSignature].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  /** (array<float>, array<float>) → double: cosine over 2^20-quantized
+    * int64 vectors (bit-compatible with the `floor(x*2^20)` declarative
+    * form and its DuckDB oracle — see VectorOps).
+    */
+  case class QuantizedCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dab = 0L; var daa = 0L; var dbb = 0L
+      var i = 0
+      while (i < n) {
+        val qa = math.floor(a.getFloat(i).toDouble * 1048576.0).toLong
+        val qb = math.floor(b.getFloat(i).toDouble * 1048576.0).toLong
+        dab += qa * qb; daa += qa * qa; dbb += qb * qb
+        i += 1
+      }
+      dab.toDouble / (math.sqrt(daa.toDouble) * math.sqrt(dbb.toDouble))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("qc", this, classOf[QuantizedCosine].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = (Double) $ref.nullSafeEval($l, $r);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedCosine =
+      copy(left = l, right = r)
+  }
+
+  /** string → array<long> winnowing fingerprint: rolling polynomial hash
+    * (base 31 mod 1e9+7) over char k-grams, distinct minima of sliding
+    * windows of `win` (first-occurrence order, matching `array_distinct`).
+    * Bit-compatible with the nested-transform form and its oracle.
+    */
+  case class WinnowFingerprint(child: Expression, k: Int, win: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.toString
+      val n = s.length
+      if (n < k + win - 1) return new GenericArrayData(Array.empty[Long])
+      val m = n - k + 1
+      val kh = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var j = 0
+        while (j < k) { acc = (acc * 31 + s.charAt(i + j).toInt) % P; j += 1 }
+        kh(i) = acc
+        i += 1
+      }
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      i = 0
+      while (i <= m - win) {
+        var mn = kh(i)
+        var j = 1
+        while (j < win) { if (kh(i + j) < mn) mn = kh(i + j); j += 1 }
+        seen.add(mn)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wfp", this, classOf[WinnowFingerprint].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
+  }
+
+  /** Register the kernels in the session's function registry (idempotent;
+    * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
+    * Expression→Column constructors are sql-private in Spark 4, so the
+    * registry + `call_function` is the supported wiring (spark_guide.md).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs.head, 64), "scala_udf")
+    reg.createOrReplaceTempFunction("quantized_cosine",
+      exprs => QuantizedCosine(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
+  }
+
+  // Column-API wrappers (session must have passed through register —
+  // graft.Sessions.local does)
+  def minhash_signature(shingles: Column): Column =
+    call_function("minhash_signature", shingles)
+  def quantized_cosine(a: Column, b: Column): Column =
+    call_function("quantized_cosine", a, b)
+  def winnow_fingerprint(text: Column): Column =
+    call_function("winnow_fingerprint", text)
+}

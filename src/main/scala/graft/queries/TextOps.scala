@@ -177,28 +177,11 @@ object TextOps {
       val bands = 16
       val rows = nPerm / bands
       val docs = shingled(s, d)
-      // One xxhash64 per shingle; the 64 permutations are the classic
-      // (a*x + b) mod P linear family over the base hash, with (a, b)
-      // driver-side constants — higher-order lambdas run interpreted, so
-      // the string hash must happen once, not once per permutation, and
-      // ANSI mode rules out wrapping-multiply tricks (P < 2^31 keeps
-      // a*x within int64).
-      val P = 1000000007L
-      def splitmix(v: Long): Long = {
-        var x = v + 0x9E3779B97F4A7C15L
-        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-        x ^ (x >>> 31)
-      }
-      val aArr = (0 until nPerm).map(p => math.floorMod(splitmix(2L * p), P - 1) + 1)
-      val bArr = (0 until nPerm).map(p => math.floorMod(splitmix(2L * p + 1), P))
-      val hashed = docs.withColumn("hs",
-        transform($"sh", x => pmod(xxhash64(x), lit(P))))
-      val withSig = hashed.withColumn("sig",
-        transform(sequence(lit(0), lit(nPerm - 1)),
-          p => array_min(transform($"hs",
-            h => pmod(element_at(typedlit(aArr), p + 1) * h +
-              element_at(typedlit(bArr), p + 1), lit(P))))))
+      // Native one-pass kernel: one xxhash64 per shingle, 64 (a*x+b) mod P
+      // permutation minima in a tight primitive loop (interpreted HOF
+      // lambdas were the round-1 bottleneck; see graft.functions).
+      val withSig = docs.withColumn("sig",
+        graft.functions.expressions.minhash_signature($"sh"))
       val banded = withSig.select($"doc_id",
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
@@ -397,16 +380,10 @@ object TextOps {
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .filter(length($"text") >= k + win - 1)
+        // native one-pass kernel (rolling hash + window minima + distinct);
+        // bit-compatible with the nested-transform form (graft.functions)
         .select($"doc_id",
-          transform(sequence(lit(1), length($"text")),
-            i => ascii($"text".substr(i, lit(1)))).as("codes"))
-        .select($"doc_id",
-          transform(sequence(lit(1), size($"codes") - (k - 1)),
-            i => aggregate(slice($"codes", i, lit(k)), lit(0L),
-              (acc, c) => (acc * 31 + c) % 1000000007L)).as("kh"))
-        .select($"doc_id",
-          array_distinct(transform(sequence(lit(1), size($"kh") - (win - 1)),
-            i => array_min(slice($"kh", i, lit(win))))).as("fps"))
+          graft.functions.expressions.winnow_fingerprint($"text").as("fps"))
         .select($"doc_id", size($"fps").cast("long").as("n_fp"),
           array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
         .orderBy($"doc_id")

@@ -28,17 +28,11 @@ object VectorOps {
 
   private val Scale = 1048576.0 // 2^20
 
-  /** float array → exact int64 quantized array. */
+  /** float array → exact int64 quantized array (declarative form; the
+    * per-pair scoring path uses the native kernel
+    * [[graft.functions.expressions.QuantizedCosine]] instead). */
   private def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Scale))
-
-  /** Exact int64 dot product of two quantized vectors (left fold). */
-  private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-
-  /** Cosine from exact integer dots — fixed-shape IEEE, engine-portable. */
-  private def qcos(dqn: Column, dqq: Column, dnn: Column): Column =
-    dqn.cast("double") / (sqrt(dqq.cast("double")) * sqrt(dnn.cast("double")))
 
   /** Queries = every 50th vector (10 at sf0.01, 100 at sf0.1). */
   private def isQuery(vecId: Column): Column = vecId % 50 === 0
@@ -71,16 +65,15 @@ object VectorOps {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
         // single-file test input = one scan partition; spread the
-        // per-vector quantize/dot work (see TextOps.shingled note)
+        // per-pair scoring work (see TextOps.shingled note)
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"vec_id", quantize($"embedding").as("qv"))
-        .withColumn("qq", qdot($"qv", $"qv"))
+        .select($"vec_id", $"embedding")
       val queries = broadcast(
         emb.filter(isQuery($"vec_id"))
-          .select($"vec_id".as("query_id"), $"qv".as("q_qv"), $"qq".as("q_qq")))
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb")))
       val scored = emb.join(queries, $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
-          qcos(qdot($"q_qv", $"qv"), $"q_qq", $"qq").as("score"))
+          graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
       topK(scored, 5)
     },
     oracle = Some("""
@@ -149,23 +142,22 @@ object VectorOps {
       }.reduce(_ + _)
       val emb = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"vec_id", quantize($"embedding").as("qv"),
+        .select($"vec_id", $"embedding",
           array((0 until nTables).map(sigOf): _*).as("sigs"))
-        .withColumn("qq", qdot($"qv", $"qv"))
-      val corpus = emb.select($"vec_id", $"qv", $"qq",
+      val corpus = emb.select($"vec_id", $"embedding",
         posexplode($"sigs").as(Seq("tbl", "sig")))
       val probes = array(lit(0) +: (0 until nPlanes).map(p => lit(1 << p)): _*)
       val queries = broadcast(
         emb.filter(isQuery($"vec_id"))
-          .select($"vec_id".as("query_id"), $"qv".as("q_qv"), $"qq".as("q_qq"),
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
             posexplode($"sigs").as(Seq("tbl", "qsig")))
-          .select($"query_id", $"q_qv", $"q_qq", $"tbl",
+          .select($"query_id", $"q_emb", $"tbl",
             explode(transform(probes, m => $"qsig".bitwiseXOR(m))).as("probe_sig")))
       val scored = corpus.join(queries,
           corpus("tbl") === queries("tbl") && $"sig" === $"probe_sig" &&
             $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
-          qcos(qdot($"q_qv", $"qv"), $"q_qq", $"qq").as("score"))
+          graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
         .distinct()
       topK(scored, 5)
     },

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Parity tests: each native kernel must be bit-identical to the
+  * declarative (built-in-functions) form it replaced — the DuckDB oracles
+  * were validated against the declarative forms.
+  */
+class ExpressionsSpec extends SparkSpec {
+
+  test("minhash_signature == declarative (a*x+b) mod P minima") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("x y z"))).toDF("id", "sh")
+    val P = 1000000007L
+    val aArr = (0 until 64).map(p => expressions.permA(64)(p))
+    val bArr = (0 until 64).map(p => expressions.permB(64)(p))
+    val declarative = df.withColumn("hs", transform($"sh", x => pmod(xxhash64(x), lit(P))))
+      .withColumn("sig", transform(sequence(lit(0), lit(63)),
+        p => array_min(transform($"hs",
+          h => pmod(element_at(typedlit(aArr), p + 1) * h +
+            element_at(typedlit(bArr), p + 1), lit(P))))))
+      .select($"id", $"sig")
+    val native = df.select($"id",
+      expressions.minhash_signature($"sh").as("sig"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
+  test("quantized_cosine == declarative floor(x*2^20) int cosine") {
+    import spark.implicits._
+    val df = Seq((Seq(0.5f, -1.25f, 2.0f), Seq(1.0f, 0.75f, -0.5f))).toDF("a", "b")
+    def q(c: org.apache.spark.sql.Column) = transform(c, x => floor(x.cast("double") * 1048576.0))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+    val declarative = df.select(
+      (dot(q($"a"), q($"b")).cast("double") /
+        (sqrt(dot(q($"a"), q($"a")).cast("double")) *
+          sqrt(dot(q($"b"), q($"b")).cast("double")))).as("c"))
+      .head().getDouble(0)
+    val native = df.select(expressions.quantized_cosine($"a", $"b")).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(native) ==
+      java.lang.Double.doubleToLongBits(declarative))
+  }
+
+  test("winnow_fingerprint == declarative nested-transform form") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaa")).toDF("id", "text")
+    val k = 8
+    val win = 4
+    val declarative = df
+      .select($"id", transform(sequence(lit(1), length($"text")),
+        i => ascii($"text".substr(i, lit(1)))).as("codes"))
+      .select($"id", transform(sequence(lit(1), size($"codes") - (k - 1)),
+        i => aggregate(slice($"codes", i, lit(k)), lit(0L),
+          (acc, c) => (acc * 31 + c) % 1000000007L)).as("kh"))
+      .select($"id", array_distinct(transform(sequence(lit(1), size($"kh") - (win - 1)),
+        i => array_min(slice($"kh", i, lit(win))))).as("fps"))
+    val native = df.select($"id", expressions.winnow_fingerprint($"text").as("fps"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
+  test("kernels are callable from SQL") {
+    import spark.implicits._
+    Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
+      .createOrReplaceTempView("k_test")
+    val r = spark.sql(
+      """SELECT size(minhash_signature(sh)) AS n, size(winnow_fingerprint(t)) AS f
+         FROM k_test""").head()
+    assert(r.getInt(0) == 64 && r.getInt(1) > 0)
+  }
+}
