@@ -23,6 +23,13 @@ package object queries {
     * through a fixed-scale decimal makes addition exact and associative on
     * both engines; the single final cast back to double is deterministic.
     * Oracle-side equivalent: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    *
+    * Overflow headroom: `sum(decimal(18,4))` widens to decimal(28,4) —
+    * ~10^24 absolute headroom, i.e. ~10^12 rows of 10^12-magnitude values
+    * before overflow. With ANSI on (Spark 4 default) an overflow raises
+    * rather than silently nulling; if a 100 TB deployment ever trips it,
+    * widen the cast (decimal(30,4) sums to 38,4) rather than disabling
+    * ANSI.
     */
   def decSum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
