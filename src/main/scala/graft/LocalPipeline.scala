@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.rules.FleetRules
+import graft.metrics.FleetMetrics
 import graft.sinks.Sinks
 import graft.sources.Simulation
 import graft.streaming.Pipeline
@@ -56,13 +56,30 @@ object LocalPipeline {
     alerts.groupBy("alert_type").count().orderBy("alert_type").collect()
       .foreach(r => println(s"[pipeline]   ${r.getString(0)}: ${r.getLong(1)}"))
 
-    // 3. export: summary CSVs (reference export_results.py shape)
+    // 3. export: the nine metric functions + raw summaries as CSVs
+    // (reference scripts/export_results.py:31-75)
+    val drv = Simulation.driving(spark, nVehicles, nTicks, seed).toDF()
+    val per = Simulation.perception(spark, nVehicles, nTicks, seed).toDF()
+    val asOf = storedTel.agg(max("time")).head().getTimestamp(0)
+    val asOfCol = lit(asOf.toString).cast("timestamp")
+    val metricFrames = Map(
+      "interventions_per_vehicle" -> FleetMetrics.interventionsPerVehicle(drv, asOf = asOfCol),
+      "alerts_summary" -> FleetMetrics.alertsSummary(alerts),
+      "distinct_vehicles" -> FleetMetrics.distinctVehicleIds(storedTel),
+      "latest_telemetry" -> FleetMetrics.latestTelemetry(storedTel).drop("p_date"),
+      "km_per_intervention" -> FleetMetrics.kmPerIntervention(storedTel, drv, asOf = asOfCol),
+      "perception_summary" -> FleetMetrics.perceptionSummary(per, asOf = asOfCol),
+      "intervention_rate" -> FleetMetrics.interventionRatePer1000Km(storedTel, drv, asOf = asOfCol),
+      "disengagement_rate" -> FleetMetrics.disengagementRatePer1000Km(storedTel, drv, asOf = asOfCol),
+      "fleet_summary" -> FleetMetrics.fleetSelfDrivingSummary(storedTel, drv, asOf = asOfCol),
+      "engagement_rate" -> FleetMetrics.autopilotEngagementRate(storedTel, asOf = asOfCol))
+    metricFrames.foreach { case (name, df) =>
+      Sinks.exportCsv(df, s"$outDir/results/$name")
+    }
     val summary = storedTel.groupBy("vehicle_id")
       .agg(count(lit(1)).as("n"), max("current_speed_kmh").as("max_speed_kmh"))
       .orderBy("vehicle_id")
     Sinks.exportCsv(summary, s"$outDir/results/telemetry_summary")
-    Sinks.exportCsv(alerts.select("time", "vehicle_id", "alert_type", "alert_message"),
-      s"$outDir/results/alerts")
     val metricsPath = Paths.get(s"$outDir/store/self_driving_metrics")
     if (Files.exists(metricsPath)) {
       val m = spark.read.parquet(metricsPath.toString)
