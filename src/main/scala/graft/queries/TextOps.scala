@@ -134,17 +134,22 @@ object TextOps {
       import s.implicits._
       val t = 0.5
       val docs = shingled(s, d)
+      // Work on 8-byte shingle hashes, not strings: df counting, ranking
+      // and bucketing only need a consistent identity, and a rare hash
+      // collision merely merges two buckets — extra candidates that the
+      // exact verification filters right back out (lossless).
       val ex = docs.select($"doc_id", $"n", explode($"sh").as("s"))
-      val dfreq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
-      val prefix = ex.join(dfreq, Seq("s"))
+        .select($"doc_id", $"n", xxhash64($"s").as("h"))
+      val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+      val prefix = ex.join(dfreq, Seq("h"))
         .withColumn("rk", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"df", $"s")))
+          Window.partitionBy($"doc_id").orderBy($"df", $"h")))
         .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
-        .select($"doc_id", $"n", $"s")
+        .select($"doc_id", $"n", $"h")
       // Bucket-collect pair generation (prefix entries computed once, no
-      // self-join): group by shingle, explode in-bucket pairs. The length
-      // filter (t*n_i <= n_j) prunes before the exact verification.
-      val cand = prefix.groupBy($"s")
+      // self-join): group by shingle hash, explode in-bucket pairs. The
+      // length filter (t*n_i <= n_j) prunes before the exact verification.
+      val cand = prefix.groupBy($"h")
         .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
         .filter(size($"ds") > 1)
         .select(explode(flatten(transform($"ds", (x, ix) =>

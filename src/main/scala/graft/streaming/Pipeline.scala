@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.model.{Schemas, Thresholds}
+import graft.model.{Schemas, Telemetry, Thresholds}
 import graft.rules.FleetRules
 import graft.sinks.Sinks
 import graft.sources.FileReplay
@@ -104,6 +104,60 @@ object Pipeline {
         count(lit(1)).as("n_samples"))
       .select(col("window.start").as("time_bucket"), col("vehicle_id"),
         col("avg_speed_kmh"), col("max_speed_kmh"), col("violations"), col("n_samples"))
+
+  /** Per-vehicle running state carried across micro-batches. */
+  final case class VehicleProgress(lastOdometer: Double, totalKm: Double, nRecords: Long)
+
+  /** One emitted row per vehicle per micro-batch. */
+  final case class OdometerUpdate(vehicle_id: Int, n_records: Long, total_km: Double)
+
+  /** Custom stateful streaming operator (SURVEY §2.9 "stateful ops"):
+    * per-vehicle cumulative distance via `flatMapGroupsWithState` — the
+    * declarative analog of the reference producer's per-vehicle mutable
+    * walk state (producer.py:147–164), but on the consumer side and
+    * fault-tolerant: state lives in the checkpointed state store, so a
+    * stopped and restarted query resumes the running totals exactly.
+    *
+    * Works on a streaming OR batch `Dataset[Telemetry]` (batch = single
+    * group invocation with no prior state).
+    */
+  def odometerProgress(telemetry: Dataset[Telemetry]): Dataset[OdometerUpdate] = {
+    import telemetry.sparkSession.implicits._
+    telemetry
+      .groupByKey(_.vehicle_id)
+      .flatMapGroupsWithState[VehicleProgress, OdometerUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (vid: Int, rows: Iterator[Telemetry], state: GroupState[VehicleProgress]) =>
+          val batch = rows.toSeq.sortBy(_.time.getTime)
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(
+              VehicleProgress(batch.head.odometer_km, 0.0, 0L))
+            // odometer is monotone per vehicle: distance this batch is the
+            // gap from the last seen reading to this batch's final reading
+            val km = math.max(0.0, batch.last.odometer_km - prev.lastOdometer)
+            val next = VehicleProgress(batch.last.odometer_km,
+              prev.totalKm + km, prev.nRecords + batch.size)
+            state.update(next)
+            Iterator.single(OdometerUpdate(vid, next.nRecords, next.totalKm))
+          }
+      }
+  }
+
+  /** Stateful leg runner: telemetry stream → per-batch cumulative rows. */
+  def runOdometerProgress(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import s.implicits._
+    odometerProgress(telemetryFileStream(s, inDir).as[Telemetry])
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/odometer_progress")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 
   /** Streaming metrics leg: windowed speed metrics appended as parquet
     * once each window finalizes (append mode + watermark).

@@ -72,6 +72,39 @@ class StreamingSpec extends SparkSpec {
       .count() == 0, "open window beyond watermark is not emitted")
   }
 
+  test("stateful odometer progress: state survives across availableNow restarts") {
+    import org.apache.spark.sql.functions.col
+    val in = tmpDir("st_in")
+    val out = tmpDir("st_out")
+    val ckpt = tmpDir("st_ckpt")
+    def telRow(vid: Int, t: String, odo: Double) =
+      s"""{"vehicle_id":"$vid","timestamp":"$t","odometer_km":"$odo"}"""
+    writeJsonl(in, "b1.jsonl",
+      telRow(1, "2026-03-01 08:00:00", 10.0),
+      telRow(1, "2026-03-01 08:00:10", 12.0),
+      telRow(2, "2026-03-01 08:00:05", 100.0))
+    Pipeline.runOdometerProgress(spark, in, out, ckpt).awaitTermination()
+    val r1 = spark.read.parquet(s"$out/odometer_progress")
+    assert(r1.count() == 2)
+    val v1 = r1.filter(col("vehicle_id") === 1).head()
+    assert(v1.getAs[Long]("n_records") == 2 && v1.getAs[Double]("total_km") == 2.0)
+
+    // restart with a new file: vehicle 1 advances from checkpointed state
+    // (12.0 -> 15.5), vehicle 2 stays flat
+    writeJsonl(in, "b2.jsonl",
+      telRow(1, "2026-03-01 08:01:00", 15.5),
+      telRow(2, "2026-03-01 08:01:00", 100.0))
+    Pipeline.runOdometerProgress(spark, in, out, ckpt).awaitTermination()
+    val r2 = spark.read.parquet(s"$out/odometer_progress")
+      .orderBy("vehicle_id", "n_records").collect()
+    assert(r2.length == 4)
+    val v1b = r2.filter(r => r.getInt(0) == 1 && r.getLong(1) == 3L)
+    assert(v1b.length == 1 && v1b.head.getDouble(2) == 5.5,
+      "cumulative km resumes from checkpointed state, not from zero")
+    val v2b = r2.filter(r => r.getInt(0) == 2 && r.getLong(1) == 2L)
+    assert(v2b.length == 1 && v2b.head.getDouble(2) == 0.0)
+  }
+
   test("batch frame through the same windowed-metrics transform") {
     val tel = graft.sources.Simulation.telemetry(spark, 3, 120, seed = 42).toDF()
     val m = Pipeline.speedMetricsByWindow(tel)
