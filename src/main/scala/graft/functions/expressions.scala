@@ -76,6 +76,45 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   }
 
+  /** string → array<string>: distinct word k-gram shingles in
+    * first-occurrence order. Bit-compatible with
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+    * slice(split(text, " "), i, k))))` — including empty tokens from
+    * repeated spaces (`split(sep, -1)` semantics). Returns an empty array
+    * below k words (callers filter on `size > 0`).
+    */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.toString.split(" ", -1)
+      if (words.length < k) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ws", this, classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
   /** (array<float>, array<float>) → double: cosine over 2^20-quantized
     * int64 vectors (bit-compatible with the `floor(x*2^20)` declarative
     * form and its DuckDB oracle — see VectorOps).
@@ -168,6 +207,8 @@ object expressions {
       exprs => QuantizedCosine(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs.head, 3), "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —
@@ -178,4 +219,6 @@ object expressions {
     call_function("quantized_cosine", a, b)
   def winnow_fingerprint(text: Column): Column =
     call_function("winnow_fingerprint", text)
+  def word_shingles(text: Column): Column =
+    call_function("word_shingles", text)
 }

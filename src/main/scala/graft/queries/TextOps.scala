@@ -28,11 +28,6 @@ object TextOps {
   /** Whitespace word tokens. */
   private def words(text: Column): Column = split(text, " ")
 
-  /** Distinct word 3-gram shingles of a token array (needs >= 3 tokens). */
-  private def shingles(w: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", slice(w, i, lit(3)))))
-
   /** documents → (doc_id, sh: array<string>, n: int) with n = |shingles|.
     *
     * The explicit repartition spreads the per-document work (shingling,
@@ -46,9 +41,10 @@ object TextOps {
     import s.implicits._
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", words($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id", shingles($"w").as("sh"))
+      // native kernel == array_distinct(transform(...slice...)) but one
+      // pass; empty array below 3 words replaces the size(w)>=3 guard
+      .select($"doc_id", graft.functions.expressions.word_shingles($"text").as("sh"))
+      .filter(size($"sh") >= 1)
       .withColumn("n", size($"sh"))
   }
 

@@ -65,6 +65,20 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("word_shingles == declarative split+slice+concat_ws+distinct") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p  q r"), (4L, "t t t t t"))
+      .toDF("id", "text")
+    val declarative = df.select($"id", split($"text", " ").as("w"))
+      .select($"id", when(size($"w") >= 3,
+        array_distinct(transform(sequence(lit(1), size($"w") - 2),
+          i => concat_ws(" ", slice($"w", i, lit(3))))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+    val native = df.select($"id", expressions.word_shingles($"text").as("sh"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
