@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Advanced windowed operators beyond the reference's surface (SURVEY §2.5
+  * lists only latest-per-key): frame-spec moving aggregates, an as-of
+  * join, and gap-based sessionization — the time-series staples a
+  * telemetry engine needs at scale. All single-shuffle-per-key window
+  * plans; no self-joins.
+  */
+object Windowed {
+
+  /** Q33 — moving aggregates over a ROWS frame (4-row trailing window).
+    * The average routes through an exact decimal sum so the frame
+    * aggregation is order-insensitive and bit-identical across engines
+    * (incremental frame update vs recompute would otherwise diverge in
+    * last ulps).
+    */
+  private val q33 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .withColumn("mov_avg",
+          sum($"value".cast("decimal(18,4)")).over(w).cast("double") / $"mov_n")
+        .withColumn("mov_max", max($"value").over(w))
+        .select($"user_id", $"event_id", $"ts_us", $"value",
+          $"mov_n", $"mov_avg", $"mov_max")
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+    oracle = Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             COUNT(*) OVER w AS mov_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS mov_avg,
+             MAX(value) OVER w AS mov_max
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_us, event_id"""))
+
+  /** Q34 — as-of join: for every purchase, the most recent view at or
+    * before it per user. Implemented as the scalable union+last_value
+    * sweep (one shuffle on the key, linear scan — no range self-join):
+    * tag the two sides, order by (ts, tag) so same-instant views precede
+    * purchases, and carry the running last view timestamp forward.
+    * DuckDB's native ASOF LEFT JOIN is the oracle.
+    */
+  private val q34 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts_us", $"event_id", lit(0).as("tag"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_us", $"event_id", lit(1).as("tag"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_us", $"tag", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("last_view_ts_us",
+          last(when($"tag" === 0, $"ts_us"), ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"user_id", $"event_id", $"ts_us", $"last_view_ts_us",
+          ($"ts_us" - $"last_view_ts_us").as("since_view_us"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+    oracle = Some("""
+      SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+             epoch_us(v.ts) AS last_view_ts_us,
+             epoch_us(p.ts) - epoch_us(v.ts) AS since_view_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND v.ts <= p.ts
+      ORDER BY p.user_id, ts_us, p.event_id"""))
+
+  /** Q35 — gap-based sessionization: a 30-minute silence starts a new
+    * session; emit per-session aggregates. Session ids come from a
+    * cumulative sum over the is-new flag — one window pass, then a
+    * group-by; the standard scalable form (no iterative logic).
+    */
+  private val q35 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000
+      val order = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+        .withColumn("is_new",
+          when(lag($"ts_us", 1).over(order).isNull ||
+            $"ts_us" - lag($"ts_us", 1).over(order) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"is_new").over(running))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts_us").as("start_us"),
+          max($"ts_us").as("end_us"),
+          decSum($"value").as("session_value"))
+        .withColumn("duration_us", $"end_us" - $"start_us")
+        .orderBy($"user_id", $"session_id")
+    },
+    oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ), sess AS (
+        SELECT user_id, event_id, ts_us, value,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(MIN(ts_us) AS BIGINT) AS start_us,
+             CAST(MAX(ts_us) AS BIGINT) AS end_us,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value,
+             CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  val all: Map[String, Q] = Map(
+    "q33_moving_aggregates" -> q33,
+    "q34_asof_join" -> q34,
+    "q35_sessionization" -> q35,
+  )
+}
