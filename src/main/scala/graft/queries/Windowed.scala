@@ -128,9 +128,34 @@ object Windowed {
       GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
+  /** Q36 — exact interpolated percentiles per group (`percentile` /
+    * `quantile_cont`: sort-based exact, both engines interpolate
+    * `lower + (upper-lower)*frac` over identical doubles). The
+    * approx-sketch variant at 100 TB is `approx_percentile`
+    * (engine-specific values, so the exact form carries the oracle).
+    */
+  private val q36 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          percentile($"value", lit(0.5)).as("p50"),
+          percentile($"value", lit(0.9)).as("p90"))
+        .orderBy($"event_type")
+    },
+    oracle = Some("""
+      SELECT event_type, COUNT(*) AS n,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.9) AS p90
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
     "q35_sessionization" -> q35,
+    "q36_percentiles" -> q36,
   )
 }
