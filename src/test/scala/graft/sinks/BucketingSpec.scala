@@ -1,0 +1,58 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Scale techniques that only show up in the physical plan: bucketed
+  * co-located joins (no shuffle) and day-partition pruning (no full scan).
+  * Asserting on the plan text pins them against regressions.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // warehouse.dir is a static conf; tables land in ./spark-warehouse
+    // (gitignored) and are dropped in the finally
+    val d = sf0001
+    Tables.orders(spark, d).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.customer(spark, d).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("customer_b")
+        .join(spark.table("orders_b"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning(c_custkey"),
+        "bucketed build side must not re-shuffle")
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+        "bucketed probe side must not re-shuffle")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("day-partitioned parquet prunes partitions under a date predicate") {
+    val dir = tmpDir("prune") + "/t"
+    val tel = graft.sources.Simulation.telemetry(spark, 2, 10, seed = 1).toDF()
+    Sinks.writePartitioned(tel, dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("p_date") === to_date(lit("2023-11-14")))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+    assert(pruned.count() == 20)
+    val none = spark.read.parquet(dir)
+      .filter(col("p_date") === to_date(lit("1999-01-01")))
+    assert(none.count() == 0)
+  }
+}
