@@ -47,11 +47,11 @@ object Relational {
     },
     oracle = Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
              COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1999-12-01'
@@ -105,7 +105,7 @@ object Relational {
     oracle = Some("""
       WITH by_cust AS (
         SELECT o_custkey, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_spent
         FROM orders GROUP BY o_custkey)
       SELECT c_custkey, c_name,
              COALESCE(n_orders, 0) AS n_orders,
@@ -132,7 +132,7 @@ object Relational {
     },
     oracle = Some("""
       SELECT r_name, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -272,7 +272,7 @@ object Relational {
     },
     oracle = Some("""
       WITH tot AS (
-        SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value,
                COUNT(*) AS total_events,
                COUNT(DISTINCT user_id) AS n_users
         FROM events),
@@ -299,7 +299,7 @@ object Relational {
     oracle = Some("""
       SELECT event_type, n, total_value, n * 100.0 / SUM(n) OVER () AS share_pct
       FROM (SELECT event_type, COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
             FROM events GROUP BY event_type)
       ORDER BY event_type"""))
 
@@ -350,7 +350,7 @@ object Relational {
       SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
              COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
       FROM orders
       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus, o_orderpriority"""))
@@ -422,7 +422,7 @@ object Relational {
     },
     oracle = Some("""
       SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey

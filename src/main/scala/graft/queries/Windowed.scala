@@ -37,7 +37,7 @@ object Windowed {
     oracle = Some("""
       SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
              COUNT(*) OVER w AS mov_n,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE)
                / COUNT(*) OVER w AS mov_avg,
              MAX(value) OVER w AS mov_max
       FROM events
@@ -122,7 +122,7 @@ object Windowed {
       SELECT user_id, session_id, COUNT(*) AS n_events,
              CAST(MIN(ts_us) AS BIGINT) AS start_us,
              CAST(MAX(ts_us) AS BIGINT) AS end_us,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS session_value,
              CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
       FROM sess
       GROUP BY user_id, session_id

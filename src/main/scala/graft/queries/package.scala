@@ -22,7 +22,12 @@ package object queries {
     * in the last ulps, breaking the driver's hash compare. Routing the sum
     * through a fixed-scale decimal makes addition exact and associative on
     * both engines; the single final cast back to double is deterministic.
-    * Oracle-side equivalent: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    * Oracle-side equivalent:
+    * `CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)` —
+    * the VARCHAR bridge matters: DuckDB's direct decimal→double cast
+    * double-rounds (int128→double, then ÷10^scale), landing one ulp off
+    * the correctly-rounded value Spark's BigDecimal.doubleValue produces;
+    * its string→double parse is correctly rounded.
     *
     * Overflow headroom: `sum(decimal(18,4))` widens to decimal(28,4) —
     * ~10^24 absolute headroom, i.e. ~10^12 rows of 10^12-magnitude values
