@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.expressions._
+
+/** Session-extensions entry point: wires the engine's native function
+  * kernels into ANY Spark session at construction time —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * so SQL users on a stock cluster get `minhash_signature`,
+  * `quantized_cosine`, `winnow_fingerprint`, `word_shingles` without any
+  * driver-side registration call. (`Sessions.local` additionally
+  * registers them imperatively for programmatic sessions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "_FUNC_(shingles) - 64-permutation MinHash signature"),
+      exprs => MinHashSignature(exprs.head, 64)))
+    e.injectFunction((FunctionIdentifier("quantized_cosine"),
+      info("quantized_cosine", "_FUNC_(a, b) - exact 2^20-quantized cosine"),
+      exprs => {
+        require(exprs.length == 2, "quantized_cosine requires exactly 2 arguments")
+        QuantizedCosine(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint", "_FUNC_(text) - winnowing fingerprint set (k=8, w=4)"),
+      exprs => WinnowFingerprint(exprs.head, 8, 4)))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "_FUNC_(text) - distinct word 3-gram shingles"),
+      exprs => WordShingles(exprs.head, 3)))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -39,6 +40,13 @@ object expressions {
   private[functions] def permB(n: Int): Array[Long] =
     (0 until n).map(p => math.floorMod(splitmix(2L * p + 1), P)).toArray
 
+  // ExpectsInputTypes is sql-private in Spark 4; a manual check gives the
+  // same analysis-time error instead of a runtime ClassCastException
+  private def requireType(e: Expression, expected: DataType, what: String): TypeCheckResult =
+    if (DataType.equalsIgnoreNullability(e.dataType, expected)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$what expects ${expected.simpleString}, got ${e.dataType.simpleString}")
+
   /** array<string> shingles → array<long> MinHash signature: one xxhash64
     * (seed 42, == SQL `xxhash64`) per element, nPerm (a*h+b) mod P minima
     * updated in a single pass.
@@ -46,6 +54,8 @@ object expressions {
   case class MinHashSignature(child: Expression, nPerm: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(StringType), "minhash_signature")
     @transient private lazy val a = permA(nPerm)
     @transient private lazy val b = permB(nPerm)
 
@@ -86,6 +96,8 @@ object expressions {
   case class WordShingles(child: Expression, k: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "word_shingles")
 
     override def nullSafeEval(input: Any): Any = {
       val words = input.toString.split(" ", -1)
@@ -122,6 +134,11 @@ object expressions {
   case class QuantizedCosine(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, ArrayType(FloatType), "quantized_cosine")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, ArrayType(FloatType), "quantized_cosine")
+    }
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -155,6 +172,8 @@ object expressions {
   case class WinnowFingerprint(child: Expression, k: Int, win: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "winnow_fingerprint")
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.toString
@@ -204,7 +223,10 @@ object expressions {
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs.head, 64), "scala_udf")
     reg.createOrReplaceTempFunction("quantized_cosine",
-      exprs => QuantizedCosine(exprs(0), exprs(1)), "scala_udf")
+      exprs => {
+        require(exprs.length == 2, "quantized_cosine requires exactly 2 arguments")
+        QuantizedCosine(exprs(0), exprs(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",

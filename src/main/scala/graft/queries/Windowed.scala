@@ -152,10 +152,70 @@ object Windowed {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Q37 — time-series similarity search (PAPERS.md: "Time Series
+    * Similarity Search for Streaming Data in Distributed Systems",
+    * EDBT 2019 shape): each entity's event stream is resampled to a
+    * fixed-length profile (24 hour-of-day buckets of summed value), and
+    * the query set finds its top-3 nearest profiles by squared euclidean
+    * distance.
+    *
+    * The whole pipeline is exact int64 (decimal sums ×10^4 → integers, so
+    * distances are exact) — no float anywhere, hash-stable by
+    * construction. Queries broadcast against the profile corpus; profile
+    * construction is one map-side-combined aggregation of the raw events.
+    */
+  private val q37 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val prof = Tables.events(s, d)
+        .groupBy($"user_id", hour($"ts").as("h"))
+        .agg((sum($"value".cast("decimal(18,4)")) * 10000).cast("long").as("q"))
+      val vecs = prof.groupBy($"user_id")
+        .agg(map_from_entries(collect_list(struct($"h", $"q"))).as("m"))
+        .select($"user_id",
+          transform(sequence(lit(0), lit(23)),
+            h => coalesce(element_at($"m", h), lit(0L))).as("vec"))
+      val queries = broadcast(vecs.filter($"user_id" % 50 === 0)
+        .select($"user_id".as("query_id"), $"vec".as("qv")))
+      val w = Window.partitionBy($"query_id").orderBy($"dist2", $"neighbor_id")
+      vecs.join(queries, $"user_id" =!= $"query_id")
+        .select($"query_id", $"user_id".as("neighbor_id"),
+          aggregate(zip_with($"qv", $"vec", (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("dist2"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .orderBy($"query_id", $"rank")
+    },
+    oracle = Some("""
+      WITH prof AS (
+        SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS q
+        FROM events GROUP BY 1, 2
+      ), users AS (SELECT DISTINCT user_id FROM events),
+      grid AS (
+        SELECT u.user_id, t.h FROM users u, (SELECT CAST(UNNEST(generate_series(0,23)) AS INT) AS h) t
+      ), dense AS (
+        SELECT g.user_id, g.h, COALESCE(p.q, 0) AS q
+        FROM grid g LEFT JOIN prof p ON g.user_id = p.user_id AND g.h = p.h
+      ), dist AS (
+        SELECT a.user_id AS query_id, b.user_id AS neighbor_id,
+               SUM((a.q - b.q) * (a.q - b.q)) AS dist2
+        FROM dense a JOIN dense b ON a.h = b.h
+        WHERE a.user_id % 50 = 0 AND a.user_id <> b.user_id
+        GROUP BY 1, 2
+      )
+      SELECT query_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2,
+             CAST(rank AS INT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rank FROM dist)
+      WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
     "q35_sessionization" -> q35,
     "q36_percentiles" -> q36,
+    "q37_timeseries_knn" -> q37,
   )
 }
