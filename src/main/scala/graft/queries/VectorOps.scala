@@ -188,9 +188,99 @@ object VectorOps {
       GROUP BY label, pos
       ORDER BY label, pos"""))
 
+  /** Q38 — embedding-cosine near-duplicate pairs (brief's fifth dedup
+    * method), blocked by label: candidate pairs only within a block (the
+    * classic dedup blocking key — at 100 TB the block is a coarse cluster
+    * id, exactly the IVF cell of Q39), exact quantized cosine >= 0.4,
+    * top-100 by similarity. Scores are the Q25 quantized pipeline, so the
+    * all-pairs-within-block SQL is a bitwise oracle.
+    */
+  private val q38 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label", $"embedding")
+      val a = emb.select($"vec_id".as("i"), $"label", $"embedding".as("e_i"))
+      val b = emb.select($"vec_id".as("j"), $"label", $"embedding".as("e_j"))
+      a.join(b, Seq("label")).filter($"i" < $"j")
+        .select($"label", $"i", $"j",
+          graft.functions.expressions.quantized_cosine($"e_i", $"e_j").as("cos"))
+        .filter($"cos" >= 0.4)
+        .orderBy($"cos".desc, $"i", $"j")
+        .limit(100)
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id, label, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ), n AS (
+        SELECT vec_id, label, qv,
+               list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
+        FROM q)
+      SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+             CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                  k -> a.qv[k] * b.qv[k])) AS DOUBLE)
+               / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) AS cos
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                k -> a.qv[k] * b.qv[k])) AS DOUBLE)
+              / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) >= 0.4
+      ORDER BY cos DESC, i, j
+      LIMIT 100"""))
+
+  /** Q39 — IVF-style approximate nearest neighbors (brief's "IVF
+    * variant"): per-label centroids (Q27's aggregation) act as the coarse
+    * quantizer; every vector lives in its own label's cell, queries probe
+    * the 3 nearest cells by exact centroid distance, and only those
+    * cells' members are scored with the exact quantized cosine. The
+    * centroid table is tiny and broadcast twice (assignment + probe).
+    * Engine-derived structure → rows-only; recall vs Q25 asserted in
+    * QueriesSpec.
+    */
+  private val q39 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label", $"embedding")
+      val centroids = broadcast(
+        emb.select($"label", posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
+          .groupBy($"label", $"pos")
+          .agg((sum($"qx") / count(lit(1))).cast("double").as("c"))
+          .groupBy($"label")
+          .agg(map_from_entries(collect_list(struct($"pos", $"c"))).as("m"))
+          .select($"label".as("c_label"),
+            transform(sequence(lit(0), lit(63)),
+              p => element_at($"m", p)).as("cvec")))
+      // probe cells: 3 nearest centroids per query by exact quantized
+      // distance over the centroid vector (float-cast for the kernel)
+      val toF = (c: Column) => transform(c, x => x.cast("float"))
+      val queries = emb.filter(isQuery($"vec_id"))
+        .crossJoin(centroids)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"c_label",
+          graft.functions.expressions.quantized_cosine($"embedding", toF($"cvec")).as("csim"))
+      val probeW = Window.partitionBy($"query_id").orderBy($"csim".desc, $"c_label")
+      val probes = broadcast(queries
+        .withColumn("pr", row_number().over(probeW))
+        .filter($"pr" <= 3)
+        .select($"query_id", $"q_emb", $"c_label".as("label")))
+      val scored = emb.join(probes, Seq("label"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
+        .distinct()
+      topK(scored, 5)
+    },
+    oracle = None,
+    doc = "IVF coarse-quantizer ANN (label cells, 3-probe); recall vs q25 pinned in tests")
+
   val all: Map[String, Q] = Map(
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
     "q27_label_centroids" -> q27,
+    "q38_neardup_embedding" -> q38,
+    "q39_knn_ann_ivf" -> q39,
   )
 }

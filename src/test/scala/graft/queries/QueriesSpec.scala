@@ -106,6 +106,25 @@ class QueriesSpec extends SparkSpec {
     assert(run("q28_alert_rules_union").count() == expected)
   }
 
+  test("q38 embedding near-dup: pairs share a label, cos in [0.4, 1]") {
+    val rows = run("q38_neardup_embedding").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(3) >= 0.4 && r.getDouble(3) <= 1.0 + 1e-9))
+    assert(rows.forall(r => r.getLong(1) < r.getLong(2)), "pairs are ordered i < j")
+  }
+
+  test("q39 IVF ANN: recall consistent with probing 3 of 10 cells") {
+    val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("q39_knn_ann_ivf").select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // this corpus is near-random (labels are not cosine clusters), so the
+    // expected ceiling is ~the probed fraction (3/10); on clustered data
+    // the same structure recalls far higher
+    assert(recall >= 0.15, s"recall $recall below the probed-fraction floor")
+  }
+
   test("q32 frame features: n_frames matches ceil(bytes/64)") {
     val df = run("q32_media_frame_features")
     val docs = graft.sources.Tables.documents(spark, sf0001)
