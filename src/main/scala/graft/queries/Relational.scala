@@ -470,6 +470,59 @@ object Relational {
       WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 48.0)
       ORDER BY s_suppkey"""))
 
+  /** Q40 — CUBE over order status × priority (the grouping-sets sibling
+    * of q12's ROLLUP; SURVEY §2.3 flags cube as the natural extension).
+    * Grouping-set nulls folded to 'ALL' as in q12.
+    */
+  private val q40 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("total_price"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+          coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+          $"n_orders", $"total_price")
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    },
+    oracle = Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+             COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** Q41 — set operations (SURVEY §2.7: absent in the reference; the
+    * engine supports them): users who both viewed and purchased
+    * (INTERSECT) tagged against users who viewed but never purchased
+    * (EXCEPT), unioned into one labeled output.
+    */
+  private val q41 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val viewers = ev.filter($"event_type" === "view").select($"user_id").distinct()
+      val buyers = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+      viewers.intersect(buyers).withColumn("cohort", lit("view_and_buy"))
+        .unionByName(viewers.except(buyers).withColumn("cohort", lit("view_only")))
+        .orderBy($"cohort", $"user_id")
+    },
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT user_id, 'view_and_buy' AS cohort FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT user_id, 'view_only' FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+      ORDER BY cohort, user_id"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -488,5 +541,7 @@ object Relational {
     "q14_shipping_priority" -> q14,
     "q15_customers_no_orders" -> q15,
     "q16_high_qty_suppliers" -> q16,
+    "q40_orders_cube" -> q40,
+    "q41_cohort_set_ops" -> q41,
   )
 }
