@@ -130,9 +130,13 @@ object Windowed {
 
   /** Q36 — exact interpolated percentiles per group (`percentile` /
     * `quantile_cont`: sort-based exact, both engines interpolate
-    * `lower + (upper-lower)*frac` over identical doubles). The
-    * approx-sketch variant at 100 TB is `approx_percentile`
-    * (engine-specific values, so the exact form carries the oracle).
+    * `lower + (upper-lower)*frac` over identical doubles).
+    *
+    * Scale note: exact percentile buffers each group's values in the
+    * aggregation buffer — fine for bounded per-group cardinality (5 event
+    * types here), a memory hazard for billions-per-group; the 100 TB form
+    * is `approx_percentile` (t-digest sketch, mergeable map-side), whose
+    * values are engine-specific — so the exact form carries the oracle.
     */
   private val q36 = Q(
     fn = (s, d) => {
