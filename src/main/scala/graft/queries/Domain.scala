@@ -105,9 +105,42 @@ object Domain {
       GROUP BY user_id, event_type
       ORDER BY user_id, n DESC, event_type"""))
 
+  /** Q42 — JSON property extraction (SURVEY §2.8 JSON row: the wire
+    * payloads are JSON documents; `events.props` carries one). Spark side
+    * uses the real JSON path machinery (`get_json_object`); the oracle
+    * reproduces the semantics with a regex so it doesn't depend on
+    * DuckDB's JSON extension being loadable offline. Exact integer
+    * aggregates per event type.
+    */
+  private val q42 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("k_sum"),
+          min($"k").as("k_min"),
+          max($"k").as("k_max"),
+          countDistinct($"k").as("k_distinct"))
+        .orderBy($"event_type")
+    },
+    oracle = Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(k) AS BIGINT) AS k_sum,
+             MIN(k) AS k_min, MAX(k) AS k_max,
+             COUNT(DISTINCT k) AS k_distinct
+      FROM (SELECT event_type,
+                   CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Map[String, Q] = Map(
     "q28_alert_rules_union" -> q28,
     "q29_trajectory_steps" -> q29,
     "q30_event_type_ranking" -> q30,
+    "q42_json_extraction" -> q42,
   )
 }
