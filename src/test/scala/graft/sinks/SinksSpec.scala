@@ -18,6 +18,27 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv")) == 1)
   }
 
+  test("compaction collapses small files, preserves rows and partitioning") {
+    val dir = tmpDir("compact") + "/t"
+    val tel = graft.sources.Simulation.telemetry(spark, 4, 50, seed = 3).toDF()
+    // three appends at full parallelism -> many small files
+    (1 to 3).foreach(_ => Sinks.writePartitioned(tel, dir))
+    def parquetFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles.size
+    val rows = spark.read.parquet(dir).count()
+    Sinks.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024,
+      partitionCols = Seq("p_date"))
+    assert(parquetFiles.size < before)
+    assert(parquetFiles.size == 1, "600 tiny rows fit one target-size file")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == rows)
+    assert(after.columns.contains("p_date"), "partition column survives")
+  }
+
   test("partitioned parquet sink prunes by day") {
     val tel = graft.sources.Simulation.telemetry(spark, 2, 10, seed = 1,
       startMillis = 1700000000000L).toDF()

@@ -72,6 +72,24 @@ class StreamingSpec extends SparkSpec {
       .count() == 0, "open window beyond watermark is not emitted")
   }
 
+  test("watermarked ingest dedup: replayed wire records land exactly once") {
+    import org.apache.spark.sql.functions.col
+    val in = tmpDir("dd_in")
+    val out = tmpDir("dd_out")
+    val ckpt = tmpDir("dd_ckpt")
+    // row1 appears twice in the same file and again in a second file:
+    // an at-least-once source replaying a batch
+    writeJsonl(in, "a.jsonl", row1, row1, row2)
+    writeJsonl(in, "b.jsonl", row1, row3)
+    Pipeline.runDedupedAlertPipeline(spark, in, out, ckpt).awaitTermination()
+    val tel = spark.read.parquet(s"$out/vehicle_telemetry")
+    assert(tel.count() == 3, "five wire records, three distinct (vehicle,time) keys")
+    assert(tel.filter(col("vehicle_id") === 1).count() == 1)
+    val al = spark.read.parquet(s"$out/alerts")
+    assert(al.filter(col("alert_type") === "Speed Violation").count() == 1,
+      "the duplicated speeding row alerts exactly once")
+  }
+
   test("stateful odometer progress: state survives across availableNow restarts") {
     import org.apache.spark.sql.functions.col
     val in = tmpDir("st_in")
