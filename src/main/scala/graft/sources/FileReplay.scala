@@ -41,22 +41,24 @@ object FileReplay {
     val withAll = Schemas.telemetryWire.fieldNames.foldLeft(wire) { (df, f) =>
       if (df.columns.contains(f)) df else df.withColumn(f, lit(null).cast("string"))
     }
+    // try_* everywhere: Spark 4's ANSI mode makes plain cast/parse ABORT
+    // the batch on one malformed wire value — the opposite of this
+    // source's lenient contract (waymo_replay.py defaults). try_cast /
+    // try_to_timestamp yield null, and coalesce applies the default.
     withAll.select(
-      // try_to_timestamp: ANSI mode must not abort the batch on one bad
-      // wire record — parse failure falls back (db.py:134-141 semantics)
       coalesce(try_to_timestamp(col("timestamp"), lit("yyyy-MM-dd HH:mm:ss")), asOf).as("time"),
       // int(float(v)) with default 1 — waymo_replay.py:47
-      coalesce(col("vehicle_id").cast("double").cast("int"), lit(1)).as("vehicle_id"),
-      coalesce(col("current_speed_kmh").cast("double"), lit(0.0)).as("current_speed_kmh"),
+      coalesce(col("vehicle_id").try_cast("double").try_cast("int"), lit(1)).as("vehicle_id"),
+      coalesce(col("current_speed_kmh").try_cast("double"), lit(0.0)).as("current_speed_kmh"),
       // str→bool: true/1/yes (waymo_replay.py:52–53); default false
       coalesce(truthy(col("speed_limit_violation")), lit(false)).as("speed_limit_violation"),
-      coalesce(col("latitude").cast("double"), lit(numericDefaults("latitude"))).as("latitude"),
-      coalesce(col("longitude").cast("double"), lit(numericDefaults("longitude"))).as("longitude"),
-      coalesce(col("battery_level_pct").cast("double"), lit(numericDefaults("battery_level_pct"))).as("battery_level_pct"),
-      coalesce(col("remaining_range_km").cast("double"), lit(numericDefaults("remaining_range_km"))).as("remaining_range_km"),
+      coalesce(col("latitude").try_cast("double"), lit(numericDefaults("latitude"))).as("latitude"),
+      coalesce(col("longitude").try_cast("double"), lit(numericDefaults("longitude"))).as("longitude"),
+      coalesce(col("battery_level_pct").try_cast("double"), lit(numericDefaults("battery_level_pct"))).as("battery_level_pct"),
+      coalesce(col("remaining_range_km").try_cast("double"), lit(numericDefaults("remaining_range_km"))).as("remaining_range_km"),
       // str→bool negated default-true: NOT in false/0/no (waymo_replay.py:54–55)
       coalesce(!falsy(col("autopilot_engaged")), lit(true)).as("autopilot_engaged"),
-      coalesce(col("odometer_km").cast("double"), lit(numericDefaults("odometer_km"))).as("odometer_km"),
+      coalesce(col("odometer_km").try_cast("double"), lit(numericDefaults("odometer_km"))).as("odometer_km"),
       coalesce(nullif(trim(col("start_location")), lit("")), lit("Waymo")).as("start_location"),
       coalesce(nullif(trim(col("destination")), lit("")), lit("Waymo")).as("destination"))
   }

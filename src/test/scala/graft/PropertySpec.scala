@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sources.FileReplay
+
+/** Property tests (SURVEY §5): totality and invariants over generated
+  * inputs rather than fixtures. Uses raw ScalaCheck generators with
+  * seeded deterministic sampling (the scalatest bridge artifact isn't in
+  * the offline cache, and deterministic cases suit this repo's
+  * reproducibility contract anyway). Spark jobs per case are expensive,
+  * so each property runs 10 generated cases.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](g: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 10)(body: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(42L + i))
+        b <- gb.apply(Gen.Parameters.default, Seed(1042L + i))
+      } body(a, b)
+    }
+
+  private val wireCell: Gen[String] = Gen.oneOf(
+    Gen.const(null: String), Gen.const(""), Gen.const("not-a-number"),
+    Gen.choose(-1000.0, 1000.0).map(_.toString),
+    Gen.oneOf("true", "false", "1", "0", "yes", "no", "TRUE", "garbage"),
+    Gen.const("2026-03-01 08:00:00"), Gen.const("9999-99-99 99:99:99"))
+
+  test("property: FileReplay.normalize is total over arbitrary wire rows") {
+    val fields = graft.model.Schemas.telemetryWire.fieldNames
+    forAll(Gen.listOfN(8, Gen.listOfN(fields.length, wireCell))) { rowCells =>
+      val rows = rowCells.map(cells => Row(cells: _*))
+      val wire = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        StructType(fields.map(StructField(_, StringType, nullable = true))))
+      val out = FileReplay.normalize(wire,
+        lit("2026-01-01 00:00:00").cast("timestamp")).collect()
+      // never throws, never drops, never nulls the normalized columns
+      assert(out.length == rows.length)
+      assert(out.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+      assert(out.forall(r => r.getString(10) != null && r.getString(10).nonEmpty))
+    }
+  }
+
+  test("property: alert union count == sum of per-rule match counts") {
+    import graft.rules.{Rule, RuleEngine}
+    val eventGen = for {
+      v <- Gen.choose(-50.0, 250.0)
+      t <- Gen.oneOf("click", "view", "error")
+    } yield (v, t)
+    forAll(Gen.listOfN(30, eventGen)) { evs =>
+      import spark.implicits._
+      val df = evs.zipWithIndex.map { case ((v, t), i) => (i.toLong, v, t) }
+        .toDF("id", "value", "event_type")
+      val rules = Seq(
+        Rule("high", col("value") > 150.0, concat(lit("h"), col("id"))),
+        Rule("err", col("event_type") === "error", concat(lit("e"), col("id"))))
+      val alerts = RuleEngine.alerts(df, rules, col("id").cast("timestamp"), col("id"), "id")
+      val expected = evs.count(_._1 > 150.0) + evs.count(_._2 == "error")
+      assert(alerts.count() == expected)
+    }
+  }
+
+  test("property: quantized_cosine is symmetric, bounded, 1 on itself") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-8.0f, 8.0f))
+      .suchThat(_.exists(x => math.abs(x) > 0.01f))
+    forAll2(vecGen, vecGen) { (a, b) =>
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        graft.functions.expressions.quantized_cosine(col("a"), col("b")).as("ab"),
+        graft.functions.expressions.quantized_cosine(col("b"), col("a")).as("ba"),
+        graft.functions.expressions.quantized_cosine(col("a"), col("a")).as("aa")).head()
+      assert(r.getDouble(0) == r.getDouble(1), "symmetric")
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9, "bounded")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, "self-cosine is 1")
+    }
+  }
+
+  test("property: word_shingles count and membership") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x")
+    forAll(Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))) { ws =>
+      import spark.implicits._
+      val text = ws.mkString(" ")
+      val out = Seq(text).toDF("t")
+        .select(graft.functions.expressions.word_shingles(col("t")).as("sh"))
+        .head().getSeq[String](0)
+      if (ws.length < 3) assert(out.isEmpty)
+      else {
+        assert(out.nonEmpty && out.length <= ws.length - 2, "distinct <= total 3-grams")
+        assert(out.forall(s => text.contains(s)), "every shingle is a substring")
+        assert(out.distinct.length == out.length, "distinct")
+      }
+    }
+  }
+
+  test("property: winnow fingerprints are within the hash modulus") {
+    forAll(Gen.choose(11, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))) { text =>
+      import spark.implicits._
+      val fps = Seq(text).toDF("t")
+        .select(graft.functions.expressions.winnow_fingerprint(col("t")).as("f"))
+        .head().getSeq[Long](0)
+      assert(fps.nonEmpty)
+      assert(fps.forall(f => f >= 0 && f < 1000000007L))
+      assert(fps.distinct.length == fps.length)
+    }
+  }
+}
