@@ -25,10 +25,17 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val spark = Sessions.local()
 
-    SparkEntry.queries.foreach { case (name, fn) => runOnce(spark, name, fn, warmDir) }
+    // warmup must not silently no-op (a missing warm dir would hand the
+    // first measured query all the JIT/codegen startup cost)
+    val warmFailures = SparkEntry.queries.toSeq
+      .flatMap { case (name, fn) => runOnce(spark, name, fn, warmDir).left.toOption }
+    if (warmFailures.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${warmFailures.size} warmup failures " +
+        s"(warm dir $warmDir) — first measured timings may include startup cost; " +
+        s"first: ${warmFailures.head}")
 
     // best-of-2: single-run timings on this box vary ±50% (JIT, page
     // cache); the minimum is the stable estimate of plan cost

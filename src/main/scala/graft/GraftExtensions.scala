@@ -23,10 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  private def one(name: String)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(exprs.length == 1, s"$name requires exactly 1 argument")
+    exprs.head
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "_FUNC_(shingles) - 64-permutation MinHash signature"),
-      exprs => MinHashSignature(exprs.head, 64)))
+      exprs => MinHashSignature(one("minhash_signature")(exprs), 64)))
     e.injectFunction((FunctionIdentifier("quantized_cosine"),
       info("quantized_cosine", "_FUNC_(a, b) - exact 2^20-quantized cosine"),
       exprs => {
@@ -35,9 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint", "_FUNC_(text) - winnowing fingerprint set (k=8, w=4)"),
-      exprs => WinnowFingerprint(exprs.head, 8, 4)))
+      exprs => WinnowFingerprint(one("winnow_fingerprint")(exprs), 8, 4)))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "_FUNC_(text) - distinct word 3-gram shingles"),
-      exprs => WordShingles(exprs.head, 3)))
+      exprs => WordShingles(one("word_shingles")(exprs), 3)))
   }
 }

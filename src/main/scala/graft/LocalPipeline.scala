@@ -25,7 +25,9 @@ object LocalPipeline {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(Files.createTempDirectory("graft_pipeline").toString)
     val nVehicles = args.lift(1).map(_.toInt).getOrElse(10)
-    val nTicks = args.lift(2).map(_.toInt).getOrElse(60)
+    // default covers > 2 full metric windows + watermark (>= ~161 s of
+    // event time) so the windowed-metrics leg emits rows out of the box
+    val nTicks = args.lift(2).map(_.toInt).getOrElse(240)
     val seed = args.lift(3).map(_.toLong).getOrElse(42L)
     val spark = Sessions.local()
     import spark.implicits._
@@ -52,6 +54,10 @@ object LocalPipeline {
 
     val storedTel = spark.read.parquet(s"$outDir/store/vehicle_telemetry")
     val alerts = spark.read.parquet(s"$outDir/store/alerts")
+    if (storedTel.isEmpty) {
+      System.err.println("[pipeline] no telemetry stored (nTicks=0?); nothing to export")
+      spark.stop(); sys.exit(2)
+    }
     println(s"[pipeline] stored telemetry=${storedTel.count()} alerts=${alerts.count()}")
     alerts.groupBy("alert_type").count().orderBy("alert_type").collect()
       .foreach(r => println(s"[pipeline]   ${r.getString(0)}: ${r.getLong(1)}"))
@@ -80,10 +86,18 @@ object LocalPipeline {
       .agg(count(lit(1)).as("n"), max("current_speed_kmh").as("max_speed_kmh"))
       .orderBy("vehicle_id")
     Sinks.exportCsv(summary, s"$outDir/results/telemetry_summary")
+    // the metrics sink dir exists (with _spark_metadata) even when no
+    // window finalized; reading a data-file-less FileStreamSink dir
+    // throws, so check for actual parquet output first
     val metricsPath = Paths.get(s"$outDir/store/self_driving_metrics")
-    if (Files.exists(metricsPath)) {
+    val hasMetricFiles = Files.exists(metricsPath) &&
+      Files.list(metricsPath).anyMatch(p => p.toString.endsWith(".parquet"))
+    if (hasMetricFiles) {
       val m = spark.read.parquet(metricsPath.toString)
       println(s"[pipeline] windowed metrics rows=${m.count()}")
+    } else {
+      println("[pipeline] windowed metrics: no finalized windows yet " +
+        "(needs > window + watermark of event time; increase nTicks)")
     }
     println(s"[pipeline] results -> $outDir/results")
     spark.stop()

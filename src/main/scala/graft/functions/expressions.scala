@@ -28,7 +28,9 @@ object expressions {
 
   private[functions] val P = 1000000007L
 
-  private def splitmix(v: Long): Long = {
+  /** SplitMix64 mix — shared deterministic "randomness" for permutation
+    * tables and LSH hyperplane signs (also used by VectorOps). */
+  private[graft] def splitmix(v: Long): Long = {
     var x = v + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
@@ -65,13 +67,16 @@ object expressions {
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h = math.floorMod(XxHash64Function.hash(s, StringType, 42L), P)
-        var p = 0
-        while (p < nPerm) {
-          val v = (a(p) * h + b(p)) % P
-          if (v < mins(p)) mins(p) = v
-          p += 1
+        // null elements contribute nothing (SQL arrays may carry them)
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          val h = math.floorMod(XxHash64Function.hash(s, StringType, 42L), P)
+          var p = 0
+          while (p < nPerm) {
+            val v = (a(p) * h + b(p)) % P
+            if (v < mins(p)) mins(p) = v
+            p += 1
+          }
         }
         i += 1
       }
@@ -134,6 +139,8 @@ object expressions {
   case class QuantizedCosine(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // null-on-null-component (see nullSafeEval), beyond child nullability
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult = {
       val l = requireType(left, ArrayType(FloatType), "quantized_cosine")
       if (l != TypeCheckResult.TypeCheckSuccess) l
@@ -147,6 +154,9 @@ object expressions {
       var dab = 0L; var daa = 0L; var dbb = 0L
       var i = 0
       while (i < n) {
+        // a null component makes the cosine undefined — return SQL null
+        // rather than silently reading it as 0
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         val qa = math.floor(a.getFloat(i).toDouble * 1048576.0).toLong
         val qb = math.floor(b.getFloat(i).toDouble * 1048576.0).toLong
         dab += qa * qb; daa += qa * qa; dbb += qb * qb
@@ -158,7 +168,9 @@ object expressions {
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("qc", this, classOf[QuantizedCosine].getName)
       nullSafeCodeGen(ctx, ev, (l, r) =>
-        s"${ev.value} = (Double) $ref.nullSafeEval($l, $r);")
+        s"""Object qcRes = $ref.nullSafeEval($l, $r);
+           |if (qcRes == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) qcRes).doubleValue(); }""".stripMargin)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedCosine =
       copy(left = l, right = r)
@@ -220,17 +232,21 @@ object expressions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def one(name: String)(exprs: Seq[Expression]): Expression = {
+      require(exprs.length == 1, s"$name requires exactly 1 argument")
+      exprs.head
+    }
     reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs.head, 64), "scala_udf")
+      exprs => MinHashSignature(one("minhash_signature")(exprs), 64), "scala_udf")
     reg.createOrReplaceTempFunction("quantized_cosine",
       exprs => {
         require(exprs.length == 2, "quantized_cosine requires exactly 2 arguments")
         QuantizedCosine(exprs(0), exprs(1))
       }, "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
-      exprs => WinnowFingerprint(exprs.head, 8, 4), "scala_udf")
+      exprs => WinnowFingerprint(one("winnow_fingerprint")(exprs), 8, 4), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs.head, 3), "scala_udf")
+      exprs => WordShingles(one("word_shingles")(exprs), 3), "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —

@@ -129,7 +129,12 @@ object TextOps {
     fn = (s, d) => {
       import s.implicits._
       val t = 0.5
-      val docs = shingled(s, d)
+      // persist: the shingled corpus feeds candidate generation AND both
+      // sides of the verification join — three independent plan subtrees
+      // that would otherwise each rerun the scan + shingle kernel.
+      // (Storage is LRU-evicted; a long-lived session can drop it with
+      // spark.catalog.clearCache().)
+      val docs = shingled(s, d).persist()
       // Work on 8-byte shingle hashes, not strings: df counting, ranking
       // and bucketing only need a consistent identity, and a rare hash
       // collision merely merges two buckets — extra candidates that the
@@ -177,7 +182,9 @@ object TextOps {
       val nPerm = 64
       val bands = 16
       val rows = nPerm / bands
-      val docs = shingled(s, d)
+      // persist: reused by signature computation and both verify joins
+      // (see q18's note)
+      val docs = shingled(s, d).persist()
       // Native one-pass kernel: one xxhash64 per shingle, 64 (a*x+b) mod P
       // permutation minima in a tight primitive loop (interpreted HOF
       // lambdas were the round-1 bottleneck; see graft.functions).

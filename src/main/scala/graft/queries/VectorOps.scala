@@ -122,17 +122,14 @@ object VectorOps {
       val nPlanes = 6
       val nTables = 8
       // Hyperplane component signs are data-independent constants —
-      // precompute them driver-side (splitmix64 of (table, plane, dim))
-      // and ship them as array literals, so the per-row work is one
-      // multiply-add pass per plane instead of hash evaluations.
-      def splitmix(v: Long): Long = {
-        var x = v + 0x9E3779B97F4A7C15L
-        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-        x ^ (x >>> 31)
-      }
+      // precompute them driver-side (shared splitmix64 of
+      // (table, plane, dim)) and ship them as array literals, so the
+      // per-row work is one multiply-add pass per plane instead of hash
+      // evaluations.
       def signRow(t: Int, p: Int): Seq[Double] =
-        (0 until 64).map(i => if ((splitmix(((t * nPlanes + p) * 64L) + i) & 1L) == 1L) 1.0 else -1.0)
+        (0 until 64).map(i =>
+          if ((graft.functions.expressions.splitmix(((t * nPlanes + p) * 64L) + i) & 1L) == 1L) 1.0
+          else -1.0)
       def sigOf(t: Int): Column = (0 until nPlanes).map { p =>
         val proj = aggregate(
           zip_with($"embedding", typedlit(signRow(t, p)),

@@ -48,14 +48,30 @@ object Sinks {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(new Path(path)).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(path).repartition(nFiles)
+    val raw = spark.read.parquet(path)
+    // hash-repartition ON the partition columns, or a bare round-robin
+    // spreads every table partition's rows over all tasks and partitionBy
+    // then writes up to nFiles files per directory — the opposite of
+    // compaction
+    val df =
+      if (partitionCols.nonEmpty) raw.repartition(nFiles, partitionCols.map(col): _*)
+      else raw.repartition(nFiles)
     val tmp = path.stripSuffix("/") + "__compacting"
+    val old = path.stripSuffix("/") + "__precompact"
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
-    fs.delete(new Path(path), true)
-    if (!fs.rename(new Path(tmp), new Path(path)))
-      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+    // swap via rename-aside: the live path is missing only between the
+    // two renames (not during the whole rewrite), and a crash leaves the
+    // data recoverable at one of the suffixed paths
+    fs.delete(new Path(old), true)
+    if (!fs.rename(new Path(path), new Path(old)))
+      throw new java.io.IOException(s"compaction rename-aside failed: $path -> $old")
+    if (!fs.rename(new Path(tmp), new Path(path))) {
+      fs.rename(new Path(old), new Path(path)) // restore
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    fs.delete(new Path(old), true)
   }
 
   /** JDBC batch sink (reference db.py:67–129: execute_values pages of 500,

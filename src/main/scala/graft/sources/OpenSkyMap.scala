@@ -63,13 +63,19 @@ object OpenSkyMap {
     * candidates.
     */
   def proximityPerception(states: DataFrame): DataFrame = {
-    val cell = 0.45 // degrees ≈ 50 km latitude
+    // Cell widths must cover the maximum coordinate delta a 50 km pair can
+    // have under the distance formula below: |Δlat| <= 50/111 ≈ 0.4505°,
+    // and |Δlon| <= 50/(111*0.7) ≈ 0.6435° (the 0.7 floor of the
+    // longitude scale factor). Narrower cells (e.g. a square 0.45° grid)
+    // silently drop true pairs that land two cells apart.
+    val cellLatDeg = 0.46
+    val cellLonDeg = 0.65
     val base = states
       .filter(col("latitude").isNotNull && col("longitude").isNotNull)
       .select(col("icao24"), col("time_position"), col("latitude"), col("longitude"),
         col("velocity"))
-    val cellLat = floor(col("latitude") / cell).cast("long")
-    val cellLon = floor(col("longitude") / cell).cast("long")
+    val cellLat = floor(col("latitude") / cellLatDeg).cast("long")
+    val cellLon = floor(col("longitude") / cellLonDeg).cast("long")
     val probe = base.select(col("icao24"), col("time_position"),
         col("latitude"), col("longitude"), col("velocity"),
         explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield

@@ -35,6 +35,20 @@ class OpenSkyMapSpec extends SparkSpec {
     assert(rows(1).getString(11) == "UAL123")
   }
 
+  test("proximity grid covers longitude pairs near the 50km boundary") {
+    // dlon scale at lat 37 is max(0.7, 37/90) = 0.7, so 0.541 deg of
+    // longitude = 0.541*111000*0.7 = 42.0 km <= 50 km: a true pair. A
+    // square 0.45-deg grid put these two cells apart (0.449 -> cell 0,
+    // 0.990 -> cell 2) and silently dropped them; the 0.65-deg longitude
+    // cell must catch them.
+    val df = OpenSkyMap.proximityPerception(statesDf(
+      state("b00001", "A", "X", 1700000000L, 0.449, 37.0, 100.0),
+      state("b00002", "B", "X", 1700000000L, 0.990, 37.0, 110.0)))
+    val rows = df.collect()
+    assert(rows.length == 2, "both directions of the 42km pair")
+    assert(rows.forall(r => math.abs(r.getDouble(3) - 42036.54) < 200.0))
+  }
+
   test("proximity perception: within 50km only, nearest-3 cap, no self-pairs") {
     // ~0.1 deg lat ~ 11.1 km; d > 50 km for the far one
     val df = OpenSkyMap.proximityPerception(statesDf(
