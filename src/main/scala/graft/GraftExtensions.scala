@@ -13,7 +13,8 @@ import graft.functions.expressions._
   *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
   *
   * so SQL users on a stock cluster get `minhash_signature`,
-  * `quantized_cosine`, `winnow_fingerprint`, `word_shingles` without any
+  * `quantized_cosine`, `winnow_fingerprint`, `word_shingles`,
+  * `simhash64` without any
   * driver-side registration call. (`Sessions.local` additionally
   * registers them imperatively for programmatic sessions.)
   */
@@ -45,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "_FUNC_(text) - distinct word 3-gram shingles"),
       exprs => WordShingles(one("word_shingles")(exprs), 3)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(shingles) - 64-bit SimHash over shingle features"),
+      exprs => SimHash64(one("simhash64")(exprs))))
   }
 }

@@ -225,6 +225,54 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
   }
 
+  /** array<string> shingles → long SimHash: one xxhash64 (seed 42, == SQL
+    * `xxhash64`) per element; 64 signed bit-counters updated in a single
+    * pass; bit i of the result is set iff counter i is positive.
+    *
+    * Bit-compatible with the declarative form it replaced (64 interpreted
+    * `aggregate()` lambda passes over `transform(sh, xxhash64)` — the last
+    * of the round-1 interpreted-HOF bottlenecks): a null element hashes to
+    * the seed (42), exactly as SQL `xxhash64(NULL)` does inside the old
+    * `transform`; an empty array yields 0 (no counter positive).
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(StringType), "simhash64")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h =
+          if (arr.isNullAt(i)) 42L
+          else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sim |= (1L << b)
+        b += 1
+      }
+      sim
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sh64", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ((Long) $ref.nullSafeEval($c)).longValue();")
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
   /** Register the kernels in the session's function registry (idempotent;
     * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
     * Expression→Column constructors are sql-private in Spark 4, so the
@@ -247,6 +295,8 @@ object expressions {
       exprs => WinnowFingerprint(one("winnow_fingerprint")(exprs), 8, 4), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => WordShingles(one("word_shingles")(exprs), 3), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(one("simhash64")(exprs)), "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —
@@ -259,4 +309,6 @@ object expressions {
     call_function("winnow_fingerprint", text)
   def word_shingles(text: Column): Column =
     call_function("word_shingles", text)
+  def simhash64(shingles: Column): Column =
+    call_function("simhash64", shingles)
 }

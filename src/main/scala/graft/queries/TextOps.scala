@@ -28,6 +28,22 @@ object TextOps {
   /** Whitespace word tokens. */
   private def words(text: Column): Column = split(text, " ")
 
+  /** Pathological-bucket guard for candidate generation (q18/q19/q20): a
+    * bucket (shared prefix shingle / LSH band / SimHash byte) larger than
+    * `maxBucket` would explode quadratically at pair time. Cap it to the
+    * first `maxBucket` entries in sorted order (deterministic — collect_list
+    * order is not). Normal buckets pass through untouched, so results are
+    * unchanged wherever the cap doesn't trigger; where it does, the
+    * truncation is the standard LSH-dedup trade (a bucket shared by
+    * millions of documents carries ~no similarity signal). Session-tunable
+    * via `graft.text.maxBucket` (default 4096).
+    */
+  private[queries] def capBucket(ds: Column, maxBucket: Int): Column =
+    when(size(ds) > maxBucket, slice(array_sort(ds), 1, maxBucket)).otherwise(ds)
+
+  private[queries] def maxBucket(s: SparkSession): Int =
+    s.conf.get("graft.text.maxBucket", "4096").toInt
+
   /** documents → (doc_id, sh: array<string>, n: int) with n = |shingles|.
     *
     * The explicit repartition spreads the per-document work (shingling,
@@ -131,37 +147,41 @@ object TextOps {
       val t = 0.5
       // persist: the shingled corpus feeds candidate generation AND both
       // sides of the verification join — three independent plan subtrees
-      // that would otherwise each rerun the scan + shingle kernel.
-      // (Storage is LRU-evicted; a long-lived session can drop it with
-      // spark.catalog.clearCache().)
+      // that would otherwise each rerun the scan + shingle kernel. The
+      // small verified-pairs result is materialized (localCheckpoint)
+      // before the cache is released, so nothing stays pinned after the
+      // query returns.
       val docs = shingled(s, d).persist()
-      // Work on 8-byte shingle hashes, not strings: df counting, ranking
-      // and bucketing only need a consistent identity, and a rare hash
-      // collision merely merges two buckets — extra candidates that the
-      // exact verification filters right back out (lossless).
-      val ex = docs.select($"doc_id", $"n", explode($"sh").as("s"))
-        .select($"doc_id", $"n", xxhash64($"s").as("h"))
-      val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
-      val prefix = ex.join(dfreq, Seq("h"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"df", $"h")))
-        .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
-        .select($"doc_id", $"n", $"h")
-      // Bucket-collect pair generation (prefix entries computed once, no
-      // self-join): group by shingle hash, explode in-bucket pairs. The
-      // length filter (t*n_i <= n_j) prunes before the exact verification.
-      val cand = prefix.groupBy($"h")
-        .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
-        .filter(size($"ds") > 1)
-        .select(explode(flatten(transform($"ds", (x, ix) =>
-          transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
-            y => struct(least(x("doc_id"), y("doc_id")).as("a"),
-              greatest(x("doc_id"), y("doc_id")).as("b"),
-              x("n").as("nx"), y("n").as("ny")))))).as("p"))
-        .filter($"p.ny" >= $"p.nx" * t && $"p.nx" >= $"p.ny" * t)
-        .select($"p.a".as("i"), $"p.b".as("j"))
-        .distinct()
-      verifyPairs(cand, docs, t)
+      try {
+        // Work on 8-byte shingle hashes, not strings: df counting, ranking
+        // and bucketing only need a consistent identity, and a rare hash
+        // collision merely merges two buckets — extra candidates that the
+        // exact verification filters right back out (lossless).
+        val ex = docs.select($"doc_id", $"n", explode($"sh").as("s"))
+          .select($"doc_id", $"n", xxhash64($"s").as("h"))
+        val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+        val prefix = ex.join(dfreq, Seq("h"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+          .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
+          .select($"doc_id", $"n", $"h")
+        // Bucket-collect pair generation (prefix entries computed once, no
+        // self-join): group by shingle hash, explode in-bucket pairs. The
+        // length filter (t*n_i <= n_j) prunes before the exact verification.
+        val cand = prefix.groupBy($"h")
+          .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
+          .filter(size($"ds") > 1)
+          .withColumn("ds", capBucket($"ds", maxBucket(s)))
+          .select(explode(flatten(transform($"ds", (x, ix) =>
+            transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
+              y => struct(least(x("doc_id"), y("doc_id")).as("a"),
+                greatest(x("doc_id"), y("doc_id")).as("b"),
+                x("n").as("nx"), y("n").as("ny")))))).as("p"))
+          .filter($"p.ny" >= $"p.nx" * t && $"p.nx" >= $"p.ny" * t)
+          .select($"p.a".as("i"), $"p.b".as("j"))
+          .distinct()
+        verifyPairs(cand, docs, t).localCheckpoint()
+      } finally docs.unpersist()
     },
     oracle = Some(nearDupOracle))
 
@@ -183,32 +203,34 @@ object TextOps {
       val bands = 16
       val rows = nPerm / bands
       // persist: reused by signature computation and both verify joins
-      // (see q18's note)
+      // (see q18's note — released after the result is materialized)
       val docs = shingled(s, d).persist()
-      // Native one-pass kernel: one xxhash64 per shingle, 64 (a*x+b) mod P
-      // permutation minima in a tight primitive loop (interpreted HOF
-      // lambdas were the round-1 bottleneck; see graft.functions).
-      val withSig = docs.withColumn("sig",
-        graft.functions.expressions.minhash_signature($"sh"))
-      val banded = withSig.select($"doc_id",
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"),
-              xxhash64(b, slice($"sig", b * rows + 1, lit(rows))).as("bh"))))
-            .as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
-      // Bucket-collect pair generation instead of a self-join: signatures
-      // are computed once, and candidate pairs come from exploding each
-      // bucket's id list (LSH buckets are near-dup-sized; a real 100 TB
-      // deployment would additionally cap pathological buckets).
-      val cand = banded.groupBy($"band", $"bh")
-        .agg(collect_list($"doc_id").as("ids"))
-        .filter(size($"ids") > 1)
-        .select(explode(flatten(transform($"ids", (x, ix) =>
-          transform(slice($"ids", ix + 2, greatest(size($"ids") - ix - 1, lit(0))),
-            y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
-        .select($"p.a".as("i"), $"p.b".as("j"))
-        .distinct()
-      verifyPairs(cand, docs, 0.5)
+      try {
+        // Native one-pass kernel: one xxhash64 per shingle, 64 (a*x+b) mod P
+        // permutation minima in a tight primitive loop (interpreted HOF
+        // lambdas were the round-1 bottleneck; see graft.functions).
+        val withSig = docs.withColumn("sig",
+          graft.functions.expressions.minhash_signature($"sh"))
+        val banded = withSig.select($"doc_id",
+            explode(transform(sequence(lit(0), lit(bands - 1)),
+              b => struct(b.as("band"),
+                xxhash64(b, slice($"sig", b * rows + 1, lit(rows))).as("bh"))))
+              .as("bb"))
+          .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+        // Bucket-collect pair generation instead of a self-join: signatures
+        // are computed once, and candidate pairs come from exploding each
+        // bucket's id list; pathological buckets are capped (see capBucket).
+        val cand = banded.groupBy($"band", $"bh")
+          .agg(collect_list($"doc_id").as("ids"))
+          .filter(size($"ids") > 1)
+          .withColumn("ids", capBucket($"ids", maxBucket(s)))
+          .select(explode(flatten(transform($"ids", (x, ix) =>
+            transform(slice($"ids", ix + 2, greatest(size($"ids") - ix - 1, lit(0))),
+              y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
+          .select($"p.a".as("i"), $"p.b".as("j"))
+          .distinct()
+        verifyPairs(cand, docs, 0.5).localCheckpoint()
+      } finally docs.unpersist()
     },
     oracle = Some(nearDupOracle))
 
@@ -225,23 +247,22 @@ object TextOps {
   private val q20 = Q(
     fn = (s, d) => {
       import s.implicits._
-      // one xxhash64 per shingle (interpreted HOF lambdas: keep the string
-      // hash out of the 64-bit loop), then cheap bit ops per simhash bit
-      val docs = shingled(s, d).withColumn("hs", transform($"sh", x => xxhash64(x)))
-      val bit = (i: Int) =>
-        when(aggregate($"hs", lit(0L),
-          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
-      val sim = (0 until 64).map(bit).reduce(_ bitwiseOR _)
-      val withSim = docs.select($"doc_id", sim.as("simhash"))
+      // native one-pass kernel: one xxhash64 per shingle + 64 signed bit
+      // counters in a tight primitive loop (the old form was 64 separate
+      // interpreted aggregate() passes per document — the last surviving
+      // round-1-class HOF bottleneck; see graft.functions.SimHash64)
+      val withSim = shingled(s, d)
+        .select($"doc_id", graft.functions.expressions.simhash64($"sh").as("simhash"))
       val banded = withSim.select($"doc_id", $"simhash",
           explode(array((0 until 8).map(b => struct(lit(b).as("band"),
             shiftright($"simhash", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
         .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bv".as("bv"))
-      // bucket-collect pairs: simhashes computed once, no self-join
+      // bucket-collect pairs: simhashes computed once, no self-join;
+      // pathological buckets capped (see capBucket)
       val pairs = banded.groupBy($"band", $"bv")
         .agg(collect_list(struct($"doc_id", $"simhash")).as("ds"))
         .filter(size($"ds") > 1)
+        .withColumn("ds", capBucket($"ds", maxBucket(s)))
         .select(explode(flatten(transform($"ds", (x, ix) =>
           transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
             y => struct(least(x("doc_id"), y("doc_id")).as("a"),

@@ -65,6 +65,24 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("simhash64 == declarative 64-pass aggregate form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f")),
+      (2L, Seq("x y z")),
+      (3L, Seq.empty[String])).toDF("id", "sh")
+    val hs = transform($"sh", x => xxhash64(x))
+    val bit = (i: Int) =>
+      when(aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    val declarative = df.select($"id",
+      (0 until 64).map(bit).reduce(_ bitwiseOR _).as("s"))
+    val native = df.select($"id", expressions.simhash64($"sh").as("s"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
   test("word_shingles == declarative split+slice+concat_ws+distinct") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p  q r"), (4L, "t t t t t"))

@@ -72,6 +72,45 @@ class QueriesSpec extends SparkSpec {
     assert(sim.size.toDouble / exact.size >= 0.5)
   }
 
+  test("q18/q19 release their scoped persist (no pinned cache after run)") {
+    spark.catalog.clearCache()
+    run("q18_neardup_jaccard").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q18 must unpersist its shingled corpus after materializing the result")
+    run("q19_neardup_minhash_lsh").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q19 must unpersist its shingled corpus after materializing the result")
+  }
+
+  test("capBucket truncates oversized buckets deterministically") {
+    import spark.implicits._
+    val df = Seq(Seq(5L, 3L, 1L, 4L, 2L), Seq(2L, 1L)).toDF("ds")
+    val out = df.select(TextOps.capBucket($"ds", 3).as("ds"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out.contains(Seq(1L, 2L, 3L)), "oversized bucket -> first 3 in sorted order")
+    assert(out.contains(Seq(2L, 1L)), "bucket within cap passes through untouched")
+  }
+
+  test("pathological shared shingle: capped candidate gen, results exact") {
+    import spark.implicits._
+    // every doc shares the hot shingle "x y z" (df = nDocs) and carries one
+    // unique shingle -> with 2 shingles the whole doc is its own prefix, so
+    // the hot bucket holds ALL docs: the quadratic-candidate worst case the
+    // cap exists for. No pair reaches jaccard 0.5 (overlap is 1 of 3).
+    val nDocs = 300
+    val dir = tmpDir("advdocs")
+    (1 to nDocs).map(i => (i.toLong, s"x y z w$i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("graft.text.maxBucket", "8")
+    try {
+      assert(SparkEntry.queries("q18_neardup_jaccard")(spark, dir).count() == 0)
+      assert(SparkEntry.queries("q19_neardup_minhash_lsh")(spark, dir).count() == 0)
+      assert(SparkEntry.queries("q20_simhash_pairs")(spark, dir)
+        .filter(col("i") >= col("j")).count() == 0)
+    } finally spark.conf.unset("graft.text.maxBucket")
+  }
+
   test("q25/q26: ANN recall@5 >= 0.6 against exact KNN") {
     val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
