@@ -150,7 +150,11 @@ object expressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      // mismatched dimensionality means corrupt/mixed embeddings: surface
+      // SQL null (like the null-component path) rather than a plausible
+      // but wrong truncated score
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
       var dab = 0L; var daa = 0L; var dbb = 0L
       var i = 0
       while (i < n) {

@@ -136,7 +136,8 @@ object Windowed {
     * aggregation buffer — fine for bounded per-group cardinality (5 event
     * types here), a memory hazard for billions-per-group; the 100 TB form
     * is `approx_percentile` (t-digest sketch, mergeable map-side), whose
-    * values are engine-specific — so the exact form carries the oracle.
+    * values are engine-specific — so the exact form carries the oracle and
+    * q36b below is the runnable scale sibling.
     */
   private val q36 = Q(
     fn = (s, d) => {
@@ -155,6 +156,26 @@ object Windowed {
       FROM events
       GROUP BY event_type
       ORDER BY event_type"""))
+
+  /** Q36b — the declared 100 TB path for q36: `approx_percentile`
+    * (mergeable quantile sketch, map-side combined — constant memory per
+    * group regardless of group cardinality, where exact `percentile`
+    * buffers every value). Sketch outputs are engine-specific, so this is
+    * rows-only in CORRECTNESS; WindowedSpec pins it within ε of the exact
+    * form.
+    */
+  private val q36b = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          approx_percentile($"value", lit(0.5), lit(10000)).as("p50"),
+          approx_percentile($"value", lit(0.9), lit(10000)).as("p90"))
+        .orderBy($"event_type")
+    },
+    oracle = None,
+    doc = "approx_percentile scale sibling of q36 — sketch values engine-specific → rows-only")
 
   /** Q37 — time-series similarity search (PAPERS.md: "Time Series
     * Similarity Search for Streaming Data in Distributed Systems",
@@ -220,6 +241,7 @@ object Windowed {
     "q34_asof_join" -> q34,
     "q35_sessionization" -> q35,
     "q36_percentiles" -> q36,
+    "q36b_percentiles_approx" -> q36b,
     "q37_timeseries_knn" -> q37,
   )
 }

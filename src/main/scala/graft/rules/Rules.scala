@@ -39,6 +39,14 @@ object RuleEngine {
 /** The reference's three fleet alert rules with its exact message formats
   * (consumer.py:95–98 speed, :104–107 battery, :119–124 collision),
   * parametrized by [[Thresholds]] (settings.yaml:23–27).
+  *
+  * Known formatting divergence (intentional, like the other parity calls):
+  * JVM `format_string` %.1f/%.0f rounds HALF_UP where Python's :.1f/:.0f
+  * rounds half-even, so a value landing exactly on a .5 boundary formats
+  * one ulp apart across engines (19.25 → "19.2" in Python, "19.3" here).
+  * Sensor doubles land on exact .5 boundaries with ~zero probability and
+  * no consumer parses alert text numerically; byte parity would cost a
+  * pre-rounding pass on every alert, so the JVM convention stands.
   */
 object FleetRules {
 

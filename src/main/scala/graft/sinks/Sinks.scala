@@ -37,18 +37,58 @@ object Sinks {
     * `partitionCols` is set), preserving rows and partitioning. Streaming
     * micro-batch sinks accrete one-file-per-trigger; at 100 TB unmanaged
     * small files dominate scan planning time, and periodic compaction is
-    * the standard remedy. Write-to-temp + swap keeps readers from seeing
-    * a half-rewritten table (not transactional — that's a table format's
-    * job — but never observably empty).
+    * the standard remedy.
+    *
+    * Concurrent-writer safety: the rewrite reads an explicitly pinned file
+    * list (not "whatever is in the directory at scan time"), and after the
+    * swap any data file that a live writer appended during the rewrite —
+    * present in the old directory but absent from the pinned list — is
+    * moved into the new directory before the old one is deleted. So a
+    * streaming sink may keep appending throughout; no rows are lost.
+    * Readers can still observe a brief missing-directory window between
+    * the two renames (atomic multi-dir swap is a table format's job, not a
+    * filesystem's); schedule compaction off the query path or use Delta/
+    * Iceberg where that window is unacceptable.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      partitionCols: Seq[String] = Seq.empty): Unit = {
+      partitionCols: Seq[String] = Seq.empty): Unit =
+    compactImpl(spark, path, targetFileBytes, partitionCols, () => ())
+
+  /** `afterPin` is a test seam: invoked once right after the file list is
+    * pinned (i.e. "during the rewrite" from a concurrent writer's view),
+    * letting specs simulate a mid-compaction append deterministically.
+    */
+  private[graft] def compactImpl(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long, partitionCols: Seq[String], afterPin: () => Unit): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new Path(path)).getLength
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // data files only (skip _SUCCESS / hidden), with their dir-relative
+    // paths so late arrivals can be matched and re-homed after the swap
+    // (listFiles returns fully-qualified URIs — strip the qualified base)
+    def dataFiles(base: Path): Seq[(String, Long)] = {
+      val baseStr = fs.makeQualified(base).toString.stripSuffix("/") + "/"
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+          out += ((f.getPath.toString.stripPrefix(baseStr), f.getLen))
+      }
+      out.toSeq
+    }
+
+    val pinned = dataFiles(root)
+    if (pinned.isEmpty) return
+    afterPin()
+    val totalBytes = pinned.map(_._2).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val raw = spark.read.parquet(path)
+    val rootStr = fs.makeQualified(root).toString.stripSuffix("/")
+    val raw = spark.read.option("basePath", path)
+      .parquet(pinned.map(rootStr + "/" + _._1): _*)
     // hash-repartition ON the partition columns, or a bare round-robin
     // spreads every table partition's rows over all tasks and partitionBy
     // then writes up to nFiles files per directory — the opposite of
@@ -56,8 +96,8 @@ object Sinks {
     val df =
       if (partitionCols.nonEmpty) raw.repartition(nFiles, partitionCols.map(col): _*)
       else raw.repartition(nFiles)
-    val tmp = path.stripSuffix("/") + "__compacting"
-    val old = path.stripSuffix("/") + "__precompact"
+    val tmp = rootStr + "__compacting"
+    val old = rootStr + "__precompact"
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
@@ -65,11 +105,42 @@ object Sinks {
     // two renames (not during the whole rewrite), and a crash leaves the
     // data recoverable at one of the suffixed paths
     fs.delete(new Path(old), true)
-    if (!fs.rename(new Path(path), new Path(old)))
+    if (!fs.rename(root, new Path(old)))
       throw new java.io.IOException(s"compaction rename-aside failed: $path -> $old")
-    if (!fs.rename(new Path(tmp), new Path(path))) {
-      fs.rename(new Path(old), new Path(path)) // restore
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    if (!fs.rename(new Path(tmp), root)) {
+      if (fs.exists(root)) {
+        // a concurrent writer re-created the live dir inside the swap
+        // window; merge the compacted output into it file-by-file (part
+        // file names are UUID-unique, so only metadata files can collide)
+        def mergeInto(src: Path, destDir: Path): Unit = {
+          val dest = new Path(destDir, src.getName)
+          if (fs.getFileStatus(src).isDirectory && fs.exists(dest)) {
+            fs.listStatus(src).foreach(st => mergeInto(st.getPath, dest))
+            fs.delete(src, false)
+          } else if (fs.exists(dest) && src.getName.startsWith("_")) {
+            fs.delete(src, true)
+          } else {
+            fs.mkdirs(destDir)
+            if (!fs.rename(src, dest))
+              throw new java.io.IOException(s"compaction merge failed: $src -> $dest")
+          }
+        }
+        fs.listStatus(new Path(tmp)).foreach(st => mergeInto(st.getPath, root))
+        fs.delete(new Path(tmp), true)
+      } else {
+        fs.rename(new Path(old), root) // restore
+        throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+      }
+    }
+    // rescue concurrent appends: anything under old that was not in the
+    // pinned scan list arrived during the rewrite — move it into the new
+    // directory (keeping its partition subpath) before deleting old
+    val pinnedRel = pinned.map(_._1).toSet
+    dataFiles(new Path(old)).collect { case (rel, _) if !pinnedRel.contains(rel) =>
+      val dest = new Path(root, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(new Path(old + "/" + rel), dest))
+        throw new java.io.IOException(s"late-file rescue failed: $rel")
     }
     fs.delete(new Path(old), true)
   }

@@ -35,9 +35,11 @@ object FileReplay {
   /** Normalize a wire-schema frame (all strings, any subset of columns
     * present) to the telemetry schema. `asOf` replaces the reference's
     * wall-clock fallback for unparseable timestamps (db.py:134–141) so
-    * replays are deterministic.
+    * replays are deterministic. `keep` names extra input columns to carry
+    * through unchanged (e.g. a wire content hash for ingest dedup).
     */
-  def normalize(wire: DataFrame, asOf: Column = current_timestamp()): DataFrame = {
+  def normalize(wire: DataFrame, asOf: Column = current_timestamp(),
+      keep: Seq[String] = Nil): DataFrame = {
     val withAll = Schemas.telemetryWire.fieldNames.foldLeft(wire) { (df, f) =>
       if (df.columns.contains(f)) df else df.withColumn(f, lit(null).cast("string"))
     }
@@ -45,7 +47,7 @@ object FileReplay {
     // the batch on one malformed wire value — the opposite of this
     // source's lenient contract (waymo_replay.py defaults). try_cast /
     // try_to_timestamp yield null, and coalesce applies the default.
-    withAll.select(
+    withAll.select(keep.map(col) ++ Seq(
       coalesce(try_to_timestamp(col("timestamp"), lit("yyyy-MM-dd HH:mm:ss")), asOf).as("time"),
       // int(float(v)) with default 1 — waymo_replay.py:47
       coalesce(col("vehicle_id").try_cast("double").try_cast("int"), lit(1)).as("vehicle_id"),
@@ -60,7 +62,7 @@ object FileReplay {
       coalesce(!falsy(col("autopilot_engaged")), lit(true)).as("autopilot_engaged"),
       coalesce(col("odometer_km").try_cast("double"), lit(numericDefaults("odometer_km"))).as("odometer_km"),
       coalesce(nullif(trim(col("start_location")), lit("")), lit("Waymo")).as("start_location"),
-      coalesce(nullif(trim(col("destination")), lit("")), lit("Waymo")).as("destination"))
+      coalesce(nullif(trim(col("destination")), lit("")), lit("Waymo")).as("destination")): _*)
   }
 
   /** Read + normalize a telemetry CSV (header row = column names). */

@@ -109,17 +109,34 @@ object Pipeline {
   /** Exactly-once-style ingest dedup (SURVEY §2.9 delivery row: the
     * reference is at-least-once with no dedup — PIPELINE_REAL_DATA.md §4
     * removed ON CONFLICT — so crash-replays duplicate rows; this is the
-    * flagged upgrade). Watermarked `dropDuplicatesWithinWatermark` on the
-    * natural key keeps a bounded state store of seen keys: duplicates
-    * arriving within the watermark horizon are dropped, state older than
-    * the watermark is evicted, so memory is bounded at any scale.
+    * flagged upgrade). Watermarked `dropDuplicatesWithinWatermark` keeps a
+    * bounded state store of seen keys: duplicates arriving within the
+    * watermark horizon are dropped, state older than the watermark is
+    * evicted, so memory is bounded at any scale.
+    *
+    * The dedup key is `(vehicle_id, xxhash64(raw wire columns))`, NOT the
+    * parsed `(vehicle_id, time)`: normalize stamps every
+    * unparseable-timestamp record with the same per-batch fallback, so a
+    * time-keyed dedup would collapse distinct malformed records in one
+    * micro-batch (data loss) while missing crash-replayed malformed
+    * records (whose fallback time changed). Content identity is computed
+    * on the wire bytes, before any lossy normalization.
     */
   def dedupedTelemetryStream(s: SparkSession, dir: String,
       watermark: String = "10 minutes",
-      maxFilesPerTrigger: Int = 10): DataFrame =
-    telemetryFileStream(s, dir, maxFilesPerTrigger)
+      maxFilesPerTrigger: Int = 10): DataFrame = {
+    val wire = s.readStream
+      .schema(Schemas.telemetryWire)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+    val wireCols = Schemas.telemetryWire.fieldNames.toSeq.map(col)
+    FileReplay.normalize(
+        wire.withColumn("wire_hash", xxhash64(wireCols: _*)),
+        keep = Seq("wire_hash"))
       .withWatermark("time", watermark)
-      .dropDuplicatesWithinWatermark("vehicle_id", "time")
+      .dropDuplicatesWithinWatermark("vehicle_id", "wire_hash")
+      .drop("wire_hash")
+  }
 
   /** Deduped alert pipeline: same as [[runAlertPipeline]] but replayed /
     * duplicated wire records within the watermark produce each telemetry

@@ -164,6 +164,22 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.15, s"recall $recall below the probed-fraction floor")
   }
 
+  test("q36b approx percentiles within 5% of exact q36 at sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q36_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val approx = SparkEntry.queries("q36b_percentiles_approx")(spark, sf).collect()
+    assert(approx.length == exact.size, "same groups as the exact form")
+    approx.foreach { r =>
+      val (n, p50, p90) = exact(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - p50) <= 0.05 * math.max(1.0, math.abs(p50)),
+        s"${r.getString(0)} p50 ${r.getDouble(2)} vs exact $p50")
+      assert(math.abs(r.getDouble(3) - p90) <= 0.05 * math.max(1.0, math.abs(p90)),
+        s"${r.getString(0)} p90 ${r.getDouble(3)} vs exact $p90")
+    }
+  }
+
   test("q32 frame features: n_frames matches ceil(bytes/64)") {
     val df = run("q32_media_frame_features")
     val docs = graft.sources.Tables.documents(spark, sf0001)

@@ -39,6 +39,22 @@ class SinksSpec extends SparkSpec {
     assert(after.columns.contains("p_date"), "partition column survives")
   }
 
+  test("compaction rescues files appended by a concurrent writer") {
+    val dir = tmpDir("compact_race") + "/t"
+    val tel = graft.sources.Simulation.telemetry(spark, 4, 50, seed = 7).toDF()
+    (1 to 2).foreach(_ => Sinks.writePartitioned(tel, dir))
+    val base = spark.read.parquet(dir).count()
+    // the seam fires after the compactor pins its file list == a streaming
+    // sink appending mid-rewrite; those rows must survive the swap
+    Sinks.compactImpl(spark, dir, 64L * 1024 * 1024, Seq("p_date"),
+      () => Sinks.writePartitioned(tel, dir))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == base + tel.count(),
+      "rows appended during compaction must not be deleted with __precompact")
+    assert(!new java.io.File(dir + "__precompact").exists())
+    assert(!new java.io.File(dir + "__compacting").exists())
+  }
+
   test("partitioned parquet sink prunes by day") {
     val tel = graft.sources.Simulation.telemetry(spark, 2, 10, seed = 1,
       startMillis = 1700000000000L).toDF()

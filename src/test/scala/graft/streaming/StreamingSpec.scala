@@ -90,6 +90,26 @@ class StreamingSpec extends SparkSpec {
       "the duplicated speeding row alerts exactly once")
   }
 
+  test("ingest dedup keys on wire content: distinct malformed-ts records survive, replayed ones dedup") {
+    import org.apache.spark.sql.functions.col
+    val in = tmpDir("ddm_in")
+    val out = tmpDir("ddm_out")
+    val ckpt = tmpDir("ddm_ckpt")
+    // both records have an unparseable timestamp -> both get the same
+    // per-batch fallback time, but they are DIFFERENT readings and must
+    // both land; the replay of the first (same wire bytes, second file /
+    // later batch, different fallback time) must be dropped
+    val bad1 = """{"vehicle_id":"7","timestamp":"not-a-time","current_speed_kmh":"80","speed_limit_violation":"true"}"""
+    val bad2 = """{"vehicle_id":"7","timestamp":"not-a-time","current_speed_kmh":"55","speed_limit_violation":"false"}"""
+    writeJsonl(in, "a.jsonl", bad1, bad2)
+    writeJsonl(in, "b.jsonl", bad1)
+    Pipeline.runDedupedAlertPipeline(spark, in, out, ckpt).awaitTermination()
+    val tel = spark.read.parquet(s"$out/vehicle_telemetry")
+    assert(tel.count() == 2, "two distinct readings kept, exact replay dropped")
+    assert(tel.filter(col("current_speed_kmh") === 80.0).count() == 1)
+    assert(tel.filter(col("current_speed_kmh") === 55.0).count() == 1)
+  }
+
   test("stateful odometer progress: state survives across availableNow restarts") {
     import org.apache.spark.sql.functions.col
     val in = tmpDir("st_in")
