@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.metrics.FleetMetrics
+import graft.metrics.MetricsRefresh
 import graft.sinks.Sinks
 import graft.sources.Simulation
 import graft.streaming.Pipeline
@@ -62,26 +62,22 @@ object LocalPipeline {
     alerts.groupBy("alert_type").count().orderBy("alert_type").collect()
       .foreach(r => println(s"[pipeline]   ${r.getString(0)}: ${r.getLong(1)}"))
 
-    // 3. export: the nine metric functions + raw summaries as CSVs
-    // (reference scripts/export_results.py:31-75)
+    // 3. serve: persist the event tables into the store, then run the
+    // dashboard refresh loop (reference dashboard.py:41,191-194 — all nine
+    // metric queries re-run per tick; settings.yaml:20 refresh_seconds).
+    // Each tick exports the metric CSVs and appends melted rows to
+    // self_driving_metrics. Tick times step from the data's max event time
+    // so the run is deterministic for a fixed seed.
     val drv = Simulation.driving(spark, nVehicles, nTicks, seed).toDF()
     val per = Simulation.perception(spark, nVehicles, nTicks, seed).toDF()
+    Sinks.writePartitioned(drv, s"$outDir/store/driving_events")
+    Sinks.writePartitioned(per, s"$outDir/store/perception_events")
     val asOf = storedTel.agg(max("time")).head().getTimestamp(0)
-    val asOfCol = lit(asOf.toString).cast("timestamp")
-    val metricFrames = Map(
-      "interventions_per_vehicle" -> FleetMetrics.interventionsPerVehicle(drv, asOf = asOfCol),
-      "alerts_summary" -> FleetMetrics.alertsSummary(alerts),
-      "distinct_vehicles" -> FleetMetrics.distinctVehicleIds(storedTel),
-      "latest_telemetry" -> FleetMetrics.latestTelemetry(storedTel).drop("p_date"),
-      "km_per_intervention" -> FleetMetrics.kmPerIntervention(storedTel, drv, asOf = asOfCol),
-      "perception_summary" -> FleetMetrics.perceptionSummary(per, asOf = asOfCol),
-      "intervention_rate" -> FleetMetrics.interventionRatePer1000Km(storedTel, drv, asOf = asOfCol),
-      "disengagement_rate" -> FleetMetrics.disengagementRatePer1000Km(storedTel, drv, asOf = asOfCol),
-      "fleet_summary" -> FleetMetrics.fleetSelfDrivingSummary(storedTel, drv, asOf = asOfCol),
-      "engagement_rate" -> FleetMetrics.autopilotEngagementRate(storedTel, asOf = asOfCol))
-    metricFrames.foreach { case (name, df) =>
-      Sinks.exportCsv(df, s"$outDir/results/$name")
-    }
+    val refreshTicks = args.lift(4).map(_.toInt).getOrElse(2)
+    MetricsRefresh.runMetricsRefresh(spark, s"$outDir/store", s"$outDir/results",
+      ticks = refreshTicks, intervalMs = 250,
+      tickTimes = i => lit(new java.sql.Timestamp(asOf.getTime + i * 1000L)))
+    println(s"[pipeline] metrics refresh: $refreshTicks ticks served")
     val summary = storedTel.groupBy("vehicle_id")
       .agg(count(lit(1)).as("n"), max("current_speed_kmh").as("max_speed_kmh"))
       .orderBy("vehicle_id")
@@ -89,7 +85,7 @@ object LocalPipeline {
     // the metrics sink dir exists (with _spark_metadata) even when no
     // window finalized; reading a data-file-less FileStreamSink dir
     // throws, so check for actual parquet output first
-    val metricsPath = Paths.get(s"$outDir/store/self_driving_metrics")
+    val metricsPath = Paths.get(s"$outDir/store/speed_metrics_windowed")
     val hasMetricFiles = Files.exists(metricsPath) &&
       Files.list(metricsPath).anyMatch(p => p.toString.endsWith(".parquet"))
     if (hasMetricFiles) {

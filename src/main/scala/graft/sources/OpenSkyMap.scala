@@ -61,8 +61,12 @@ object OpenSkyMap {
     * the 8 neighbors, so the join never goes quadratic however dense the
     * airspace; the exact distance predicate then prunes the cell
     * candidates.
+    *
+    * `groupCols` confines pairing to rows sharing those columns (e.g. a
+    * `poll_time` key when a replay micro-batch carries several polls —
+    * the reference pairs strictly within one poll's states).
     */
-  def proximityPerception(states: DataFrame): DataFrame = {
+  def proximityPerception(states: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
     // Cell widths must cover the maximum coordinate delta a 50 km pair can
     // have under the distance formula below: |Δlat| <= 50/111 ≈ 0.4505°,
     // and |Δlon| <= 50/(111*0.7) ≈ 0.6435° (the 0.7 floor of the
@@ -70,30 +74,29 @@ object OpenSkyMap {
     // silently drop true pairs that land two cells apart.
     val cellLatDeg = 0.46
     val cellLonDeg = 0.65
+    val keep = groupCols ++ Seq("icao24", "time_position", "latitude", "longitude", "velocity")
     val base = states
       .filter(col("latitude").isNotNull && col("longitude").isNotNull)
-      .select(col("icao24"), col("time_position"), col("latitude"), col("longitude"),
-        col("velocity"))
+      .select(keep.map(col): _*)
     val cellLat = floor(col("latitude") / cellLatDeg).cast("long")
     val cellLon = floor(col("longitude") / cellLonDeg).cast("long")
-    val probe = base.select(col("icao24"), col("time_position"),
-        col("latitude"), col("longitude"), col("velocity"),
+    val probe = base.select(keep.map(col) :+
         explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
-          struct((cellLat + dx).as("clat"), (cellLon + dy).as("clon"))): _*)).as("c"))
-      .select(col("icao24"), col("time_position"), col("latitude"), col("longitude"),
-        col("velocity"), col("c.clat").as("clat"), col("c.clon").as("clon"))
-    val build = base.select(col("icao24").as("o_icao24"),
+          struct((cellLat + dx).as("clat"), (cellLon + dy).as("clon"))): _*)).as("c"): _*)
+      .select(keep.map(col) ++ Seq(col("c.clat").as("clat"), col("c.clon").as("clon")): _*)
+    val build = base.select(groupCols.map(col) ++ Seq(
+      col("icao24").as("o_icao24"),
       col("latitude").as("o_lat"), col("longitude").as("o_lon"),
       col("velocity").as("o_velocity"),
-      cellLat.as("clat"), cellLon.as("clon"))
+      cellLat.as("clat"), cellLon.as("clon")): _*)
     val dlat = (col("o_lat") - col("latitude")) * 111000.0
     val dlon = (col("o_lon") - col("longitude")) * 111000.0 *
       greatest(lit(0.7), abs(col("latitude")) / 90.0)
-    val paired = probe.join(build, Seq("clat", "clon"))
+    val paired = probe.join(build, groupCols ++ Seq("clat", "clon"))
       .filter(col("o_icao24") =!= col("icao24"))
       .withColumn("dist_m", sqrt(dlat * dlat + dlon * dlon))
       .filter(col("dist_m") <= 50000.0)
-    val w = Window.partitionBy(col("icao24"))
+    val w = Window.partitionBy((groupCols :+ "icao24").map(col): _*)
       .orderBy(col("dist_m"), col("o_icao24"))
     paired
       .withColumn("rn", row_number().over(w))

@@ -87,9 +87,9 @@ object Pipeline {
       .start()
   }
 
-  /** Watermarked event-time windowed metrics — the incremental
-    * materialization of `self_driving_metrics` the reference declared but
-    * never built (sql/01_schema.sql:61–67; SURVEY §2.9 extension row).
+  /** Watermarked event-time windowed metrics — incremental metric
+    * materialization the reference declared but never built
+    * (sql/01_schema.sql:61–67; SURVEY §2.9 extension row).
     * Works on both batch and streaming frames; with a stream, late data
     * beyond the watermark is dropped and windows finalize incrementally.
     */
@@ -211,14 +211,16 @@ object Pipeline {
   }
 
   /** Streaming metrics leg: windowed speed metrics appended as parquet
-    * once each window finalizes (append mode + watermark).
+    * once each window finalizes (append mode + watermark). Writes its own
+    * wide table; the reference-schema long `self_driving_metrics` table is
+    * populated by [[graft.metrics.MetricsRefresh]].
     */
   def runMetricsPipeline(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     speedMetricsByWindow(telemetryFileStream(s, inDir))
       .writeStream
       .format("parquet")
-      .option("path", s"$outDir/self_driving_metrics")
+      .option("path", s"$outDir/speed_metrics_windowed")
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())

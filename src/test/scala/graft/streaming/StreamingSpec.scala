@@ -60,7 +60,7 @@ class StreamingSpec extends SparkSpec {
       """{"vehicle_id":"2","timestamp":"2026-03-01 08:10:00","current_speed_kmh":"30","speed_limit_violation":"false"}""")
     val q = Pipeline.runMetricsPipeline(spark, in, out, ckpt)
     q.awaitTermination()
-    val m = spark.read.parquet(s"$out/self_driving_metrics")
+    val m = spark.read.parquet(s"$out/speed_metrics_windowed")
     val v1w1 = m.filter(col("vehicle_id") === 1 &&
       col("time_bucket") === lit("2026-03-01 08:00:00").cast("timestamp")).collect()
     assert(v1w1.length == 1)
