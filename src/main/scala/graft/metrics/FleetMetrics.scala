@@ -23,8 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object FleetMetrics {
 
-  private def window(df: DataFrame, asOf: Column, hours: Int): DataFrame =
-    df.filter(col("time") > asOf - expr(s"INTERVAL $hours HOURS"))
+  private def window(df: DataFrame, asOf: Column, hours: Int): DataFrame = {
+    val lower = asOf - expr(s"INTERVAL $hours HOURS")
+    val timed = df.filter(col("time") > lower)
+    // Frames read from the day-partitioned store carry p_date =
+    // to_date(time) (UTC both sides), so time > lower implies
+    // p_date >= to_date(lower). Catalyst can't derive that constraint
+    // across columns on its own; adding it here is what turns the time
+    // window into actual partition pruning (the hypertable
+    // chunk-exclusion analog claimed in Sinks.scala).
+    if (df.columns.contains("p_date")) timed.filter(col("p_date") >= to_date(lower))
+    else timed
+  }
 
   private def forVehicle(df: DataFrame, vehicleId: Option[Int]): DataFrame =
     vehicleId.fold(df)(id => df.filter(col("vehicle_id") === id))

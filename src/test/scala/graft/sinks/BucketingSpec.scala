@@ -55,4 +55,36 @@ class BucketingSpec extends SparkSpec {
       .filter(col("p_date") === to_date(lit("1999-01-01")))
     assert(none.count() == 0)
   }
+
+  test("P5 time-window metric query prunes day partitions on the store") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpDir("prune_p5") + "/driving"
+    // three days of driving events -> three p_date partition directories
+    val day0 = java.sql.Timestamp.valueOf("2023-11-14 12:00:00").getTime
+    (0 until 3).foreach { d =>
+      val drv = graft.sources.Simulation
+        .driving(spark, 4, 400, seed = d, startMillis = day0 + d * 86400000L).toDF()
+      Sinks.writePartitioned(drv, dir)
+    }
+    val store = spark.read.parquet(dir)
+    assert(store.select("p_date").distinct().count() == 3)
+    // the P5 shape: 24 h lookback as of the last day's data
+    val asOf = lit("2023-11-16 12:06:40").cast("timestamp")
+    val q = graft.metrics.FleetMetrics.interventionsPerVehicle(store, hours = 24, asOf = asOf)
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // root whose stages aren't materialized until execution
+    val scans = q.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "p_date")),
+      s"time window must derive a p_date partition filter, got ${scan.partitionFilters}")
+    // 24 h back from day-2 noon reaches into day 1: exactly 2 of 3 read
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned-in day partitions, got ${scan.selectedPartitions.partitionCount}")
+    // and the answer matches the unpartitioned (pruning-free) evaluation
+    val flat = store.drop("p_date")
+    val expected = graft.metrics.FleetMetrics
+      .interventionsPerVehicle(flat, hours = 24, asOf = asOf)
+    assert(q.collect().toSeq == expected.collect().toSeq)
+  }
 }
