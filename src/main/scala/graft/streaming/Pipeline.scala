@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.model.{Schemas, Telemetry, Thresholds}
 import graft.rules.FleetRules
@@ -163,42 +164,61 @@ object Pipeline {
   final case class OdometerUpdate(vehicle_id: Int, n_records: Long, total_km: Double)
 
   /** Custom stateful streaming operator (SURVEY §2.9 "stateful ops"):
-    * per-vehicle cumulative distance via `flatMapGroupsWithState` — the
-    * declarative analog of the reference producer's per-vehicle mutable
-    * walk state (producer.py:147–164), but on the consumer side and
-    * fault-tolerant: state lives in the checkpointed state store, so a
-    * stopped and restarted query resumes the running totals exactly.
+    * per-vehicle cumulative distance — the declarative analog of the
+    * reference producer's per-vehicle mutable walk state
+    * (producer.py:147–164), but on the consumer side and fault-tolerant:
+    * state lives in the checkpointed state store, so a stopped and
+    * restarted query resumes the running totals exactly.
     *
-    * Works on a streaming OR batch `Dataset[Telemetry]` (batch = single
-    * group invocation with no prior state).
+    * Implemented on `transformWithState` (Spark 4's arbitrary-state
+    * processor API, the successor of `flatMapGroupsWithState`): typed
+    * `ValueState` per vehicle, no TTL (fleet cardinality is bounded), no
+    * timers. Requires the RocksDB state store provider —
+    * [[runOdometerProgress]] sets it.
     */
+  final class OdometerProcessor
+      extends StatefulProcessor[Int, Telemetry, OdometerUpdate] {
+    @transient private var progress: ValueState[VehicleProgress] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      progress = getHandle.getValueState[VehicleProgress]("progress",
+        Encoders.product[VehicleProgress], TTLConfig.NONE)
+    override def handleInputRows(vid: Int, rows: Iterator[Telemetry],
+        timers: TimerValues): Iterator[OdometerUpdate] = {
+      val batch = rows.toSeq.sortBy(_.time.getTime)
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val prev =
+          if (progress.exists()) progress.get()
+          else VehicleProgress(batch.head.odometer_km, 0.0, 0L)
+        // odometer is monotone per vehicle: distance this batch is the
+        // gap from the last seen reading to this batch's final reading
+        val km = math.max(0.0, batch.last.odometer_km - prev.lastOdometer)
+        val next = VehicleProgress(batch.last.odometer_km,
+          prev.totalKm + km, prev.nRecords + batch.size)
+        progress.update(next)
+        Iterator.single(OdometerUpdate(vid, next.nRecords, next.totalKm))
+      }
+    }
+  }
+
+  /** Per-vehicle cumulative distance rows, one per vehicle per batch. */
   def odometerProgress(telemetry: Dataset[Telemetry]): Dataset[OdometerUpdate] = {
     import telemetry.sparkSession.implicits._
     telemetry
       .groupByKey(_.vehicle_id)
-      .flatMapGroupsWithState[VehicleProgress, OdometerUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (vid: Int, rows: Iterator[Telemetry], state: GroupState[VehicleProgress]) =>
-          val batch = rows.toSeq.sortBy(_.time.getTime)
-          if (batch.isEmpty) Iterator.empty
-          else {
-            val prev = state.getOption.getOrElse(
-              VehicleProgress(batch.head.odometer_km, 0.0, 0L))
-            // odometer is monotone per vehicle: distance this batch is the
-            // gap from the last seen reading to this batch's final reading
-            val km = math.max(0.0, batch.last.odometer_km - prev.lastOdometer)
-            val next = VehicleProgress(batch.last.odometer_km,
-              prev.totalKm + km, prev.nRecords + batch.size)
-            state.update(next)
-            Iterator.single(OdometerUpdate(vid, next.nRecords, next.totalKm))
-          }
-      }
+      .transformWithState(new OdometerProcessor, TimeMode.None(), OutputMode.Append())
   }
 
-  /** Stateful leg runner: telemetry stream → per-batch cumulative rows. */
+  /** Stateful leg runner: telemetry stream → per-batch cumulative rows.
+    * `transformWithState` runs only on the RocksDB state store; the
+    * provider conf is session-wide, set here before planning (RocksDB is a
+    * correct provider for every other stateful op in this module too).
+    */
   def runOdometerProgress(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery = {
     import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     odometerProgress(telemetryFileStream(s, inDir).as[Telemetry])
       .toDF()
       .writeStream
