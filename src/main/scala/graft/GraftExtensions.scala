@@ -49,5 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "_FUNC_(shingles) - 64-bit SimHash over shingle features"),
       exprs => SimHash64(one("simhash64")(exprs))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "_FUNC_(a, b) - distinct common values of two sorted long arrays"),
+      exprs => {
+        require(exprs.length == 2, "sorted_intersect_count requires exactly 2 arguments")
+        SortedIntersectCount(exprs(0), exprs(1))
+      }))
   }
 }

@@ -277,6 +277,53 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** (array<long>, array<long>) → long: count of DISTINCT values common to
+    * two ascending-sorted long arrays, via a single merge pass (duplicate
+    * runs are skipped on both sides). The set-intersection-size core of
+    * near-dup verification: with shingle sets represented as sorted
+    * xxhash64 arrays, this replaces `size(array_intersect(...))` over
+    * string arrays — no string comparison, no hash-set build per row.
+    * Inputs MUST be sorted ascending (callers build them with
+    * `array_sort`); output on unsorted input is unspecified.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, ArrayType(LongType), "sorted_intersect_count")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, ArrayType(LongType), "sorted_intersect_count")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val m = b.numElements()
+      var i = 0; var j = 0; var c = 0L
+      while (i < n && j < m) {
+        val av = a.getLong(i)
+        val bv = b.getLong(j)
+        if (av < bv) i += 1
+        else if (av > bv) j += 1
+        else {
+          c += 1
+          while (i < n && a.getLong(i) == av) i += 1
+          while (j < m && b.getLong(j) == av) j += 1
+        }
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sic", this, classOf[SortedIntersectCount].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = ((Long) $ref.nullSafeEval($l, $r)).longValue();")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+  }
+
   /** Register the kernels in the session's function registry (idempotent;
     * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
     * Expression→Column constructors are sql-private in Spark 4, so the
@@ -301,6 +348,11 @@ object expressions {
       exprs => WordShingles(one("word_shingles")(exprs), 3), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(one("simhash64")(exprs)), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => {
+        require(exprs.length == 2, "sorted_intersect_count requires exactly 2 arguments")
+        SortedIntersectCount(exprs(0), exprs(1))
+      }, "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —
@@ -315,4 +367,6 @@ object expressions {
     call_function("word_shingles", text)
   def simhash64(shingles: Column): Column =
     call_function("simhash64", shingles)
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

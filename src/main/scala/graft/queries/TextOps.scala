@@ -62,21 +62,36 @@ object TextOps {
       .select($"doc_id", graft.functions.expressions.word_shingles($"text").as("sh"))
       .filter(size($"sh") >= 1)
       .withColumn("n", size($"sh"))
+      // hs: the shingle set as a sorted xxhash64 array, computed once under
+      // the cache. Candidate generation explodes it (no re-hash per stage)
+      // and verification intersects two of them with the native merge
+      // kernel — the strings never leave this projection. n stays the
+      // exact string-distinct count.
+      .withColumn("hs", array_sort(transform($"sh", x => xxhash64(x))))
   }
 
   /** Exact Jaccard verification of candidate pairs (i < j): join the two
     * shingle sets back in and keep pairs with jaccard >= minJaccard.
     * `common` and the set sizes are exact ints, so the single double
     * division is bit-identical across engines.
+    *
+    * Intersection runs on the sorted xxhash64 arrays (`hs`) with the
+    * native merge kernel — no per-row hash-set build, no string compares.
+    * Hash identity is exact up to 64-bit collisions (for a corpus of 10^9
+    * distinct shingles the chance of ANY colliding pair is ~3e-2, and a
+    * collision shifts one pair's `common` by 1 only if the two colliding
+    * shingles land in the same candidate pair — the practical standard
+    * for dedup at scale; `n_i`/`n_j` stay exact string-distinct counts).
     */
   private def verifyPairs(cand: DataFrame, docs: DataFrame, minJaccard: Double): DataFrame = {
     import cand.sparkSession.implicits._
     // candidate pairs are tiny relative to the corpus: broadcast them so
     // the two shingle-set lookups stay shuffle-free map-side joins
     broadcast(cand)
-      .join(docs.select($"doc_id".as("i"), $"sh".as("sh_i"), $"n".as("n_i")), Seq("i"))
-      .join(docs.select($"doc_id".as("j"), $"sh".as("sh_j"), $"n".as("n_j")), Seq("j"))
-      .withColumn("common", size(array_intersect($"sh_i", $"sh_j")).cast("long"))
+      .join(docs.select($"doc_id".as("i"), $"hs".as("hs_i"), $"n".as("n_i")), Seq("i"))
+      .join(docs.select($"doc_id".as("j"), $"hs".as("hs_j"), $"n".as("n_j")), Seq("j"))
+      .withColumn("common",
+        graft.functions.expressions.sorted_intersect_count($"hs_i", $"hs_j"))
       .withColumn("jaccard", $"common".cast("double") / ($"n_i" + $"n_j" - $"common"))
       .filter($"jaccard" >= minJaccard)
       .select($"i", $"j", $"n_i".cast("long").as("n_i"),
@@ -137,9 +152,17 @@ object TextOps {
     * jaccard >= t shares >= ceil(t*n) shingles, hence shares a prefix
     * shingle under a common global order — lossless, while hot shingles
     * (df in the thousands) sit at the end of every ranking and never
-    * generate candidates. A length filter (t*n_i <= n_j) prunes further.
-    * The final answer is exact, so the naive all-pairs SQL is a valid
-    * oracle.
+    * generate candidates. A length filter (t*n_i <= n_j) prunes further,
+    * and the PPJoin position filter prunes per shared shingle: a pair at
+    * jaccard >= t needs overlap alpha = ceil(t/(1+t)*(n_i+n_j)); the first
+    * shingle the pair shares under the global order bounds the achievable
+    * overlap by min(n_i - rk_i, n_j - rk_j) + 1 (every later common
+    * shingle sits after it in both rankings), and that first shared
+    * shingle is provably inside both prefixes, so keeping a pair iff ANY
+    * shared prefix shingle passes the bound is lossless. alpha is computed
+    * in integers (t = 0.5 -> floor((n_i+n_j+2)/3)), so no float rounding
+    * can over-prune. The final answer is exact, so the naive all-pairs SQL
+    * is a valid oracle.
     */
   private val q18 = Q(
     fn = (s, d) => {
@@ -153,31 +176,37 @@ object TextOps {
       // query returns.
       val docs = shingled(s, d).persist()
       try {
-        // Work on 8-byte shingle hashes, not strings: df counting, ranking
-        // and bucketing only need a consistent identity, and a rare hash
-        // collision merely merges two buckets — extra candidates that the
-        // exact verification filters right back out (lossless).
-        val ex = docs.select($"doc_id", $"n", explode($"sh").as("s"))
-          .select($"doc_id", $"n", xxhash64($"s").as("h"))
+        // Work on the 8-byte shingle hashes (`hs`, hashed once under the
+        // cache), not strings: df counting, ranking and bucketing only
+        // need a consistent identity, and a rare hash collision merely
+        // merges two buckets — extra candidates that the verification
+        // filters right back out.
+        val ex = docs.select($"doc_id", $"n", explode($"hs").as("h"))
         val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
         val prefix = ex.join(dfreq, Seq("h"))
           .withColumn("rk", row_number().over(
             Window.partitionBy($"doc_id").orderBy($"df", $"h")))
           .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
-          .select($"doc_id", $"n", $"h")
+          .select($"doc_id", $"n", $"rk", $"h")
         // Bucket-collect pair generation (prefix entries computed once, no
         // self-join): group by shingle hash, explode in-bucket pairs. The
-        // length filter (t*n_i <= n_j) prunes before the exact verification.
+        // length filter (t*n_i <= n_j) and the position filter (see the
+        // Scaladoc proof) prune before the exact verification; both are
+        // symmetric in (x, y) so the least/greatest id ordering never
+        // splits an (n, rk) pair across documents.
         val cand = prefix.groupBy($"h")
-          .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
+          .agg(collect_list(struct($"doc_id", $"n", $"rk")).as("ds"))
           .filter(size($"ds") > 1)
           .withColumn("ds", capBucket($"ds", maxBucket(s)))
           .select(explode(flatten(transform($"ds", (x, ix) =>
             transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
               y => struct(least(x("doc_id"), y("doc_id")).as("a"),
                 greatest(x("doc_id"), y("doc_id")).as("b"),
-                x("n").as("nx"), y("n").as("ny")))))).as("p"))
+                x("n").as("nx"), y("n").as("ny"),
+                x("rk").as("rkx"), y("rk").as("rky")))))).as("p"))
           .filter($"p.ny" >= $"p.nx" * t && $"p.nx" >= $"p.ny" * t)
+          .filter(least($"p.nx" - $"p.rkx", $"p.ny" - $"p.rky") + 1 >=
+            floor(($"p.nx" + $"p.ny" + 2) / 3))
           .select($"p.a".as("i"), $"p.b".as("j"))
           .distinct()
         verifyPairs(cand, docs, t).localCheckpoint()

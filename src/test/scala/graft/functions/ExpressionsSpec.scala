@@ -97,6 +97,24 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 50L).map { id =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).sorted
+      (id, a, b)
+    } :+ ((51L, Seq.empty[Long], Seq(1L, 2L))) :+
+      ((52L, Seq(5L, 5L, 7L), Seq(5L, 7L, 7L, 9L)))
+    val df = rows.toDF("id", "a", "b")
+    val declarative = df.select($"id",
+      size(array_intersect($"a", $"b")).cast("long").as("c"))
+    val native = df.select($"id",
+      expressions.sorted_intersect_count($"a", $"b").as("c"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
