@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "_FUNC_(shingles) - 64-bit SimHash over shingle features"),
       exprs => SimHash64(one("simhash64")(exprs))))
+    e.injectFunction((FunctionIdentifier("hyperplane_sigs"),
+      info("hyperplane_sigs",
+        "_FUNC_(embedding) - 8 random-hyperplane LSH signatures of 6 sign bits"),
+      exprs => HyperplaneSigs(one("hyperplane_sigs")(exprs), 8, 6, 64)))
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
         "_FUNC_(a, b) - distinct common values of two sorted long arrays"),

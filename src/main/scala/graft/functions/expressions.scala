@@ -324,6 +324,63 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** array<float> embedding → array<int> of `nTables` random-hyperplane
+    * LSH signatures (each `nPlanes` sign bits). Signs are the shared
+    * splitmix constants sign(t,p,i) = ±1 by bit 0 of
+    * splitmix((t*nPlanes+p)*64 + i); projections accumulate in ascending
+    * dimension order, so each signature is bit-identical to the
+    * declarative `aggregate(zip_with(...))` form it replaces — which
+    * evaluated 48 interpreted lambda passes per row where this is one
+    * fused multiply-add loop. A null component makes every projection SQL
+    * null in the declarative form, turning every `when(proj > 0, ...)`
+    * bit off — mirrored here by returning all-zero signatures.
+    */
+  case class HyperplaneSigs(child: Expression, nTables: Int, nPlanes: Int, dims: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(FloatType), "hyperplane_sigs")
+    // sign table laid out [t*nPlanes + p][i]
+    @transient private lazy val signs: Array[Array[Double]] =
+      Array.tabulate(nTables * nPlanes, dims)((tp, i) =>
+        if ((splitmix(tp * 64L + i) & 1L) == 1L) 1.0 else -1.0)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dims)
+      val sigs = new Array[Int](nTables)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return new GenericArrayData(new Array[Int](nTables))
+        i += 1
+      }
+      val acc = new Array[Double](nTables * nPlanes)
+      i = 0
+      while (i < n) {
+        val x = arr.getFloat(i).toDouble
+        var tp = 0
+        while (tp < nTables * nPlanes) {
+          acc(tp) += x * signs(tp)(i)
+          tp += 1
+        }
+        i += 1
+      }
+      var tp = 0
+      while (tp < nTables * nPlanes) {
+        if (acc(tp) > 0) sigs(tp / nPlanes) |= 1 << (tp % nPlanes)
+        tp += 1
+      }
+      new GenericArrayData(sigs)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hps", this, classOf[HyperplaneSigs].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
+  }
+
   /** Register the kernels in the session's function registry (idempotent;
     * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
     * Expression→Column constructors are sql-private in Spark 4, so the
@@ -353,6 +410,8 @@ object expressions {
         require(exprs.length == 2, "sorted_intersect_count requires exactly 2 arguments")
         SortedIntersectCount(exprs(0), exprs(1))
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_sigs",
+      exprs => HyperplaneSigs(one("hyperplane_sigs")(exprs), 8, 6, 64), "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —
@@ -369,4 +428,6 @@ object expressions {
     call_function("simhash64", shingles)
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+  def hyperplane_sigs(embedding: Column): Column =
+    call_function("hyperplane_sigs", embedding)
 }

@@ -121,26 +121,15 @@ object VectorOps {
       import s.implicits._
       val nPlanes = 6
       val nTables = 8
-      // Hyperplane component signs are data-independent constants —
-      // precompute them driver-side (shared splitmix64 of
-      // (table, plane, dim)) and ship them as array literals, so the
-      // per-row work is one multiply-add pass per plane instead of hash
-      // evaluations.
-      def signRow(t: Int, p: Int): Seq[Double] =
-        (0 until 64).map(i =>
-          if ((graft.functions.expressions.splitmix(((t * nPlanes + p) * 64L) + i) & 1L) == 1L) 1.0
-          else -1.0)
-      def sigOf(t: Int): Column = (0 until nPlanes).map { p =>
-        val proj = aggregate(
-          zip_with($"embedding", typedlit(signRow(t, p)),
-            (x, sgn) => x.cast("double") * sgn),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
+      // All 48 hyperplane projections in one native fused multiply-add
+      // pass per row (hyperplane_sigs kernel; signs are the shared
+      // splitmix constants of (table, plane, dim)) — bit-identical to the
+      // aggregate(zip_with(...)) declarative form it replaced, which paid
+      // 48 interpreted lambda passes per row.
       val emb = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"embedding",
-          array((0 until nTables).map(sigOf): _*).as("sigs"))
+          graft.functions.expressions.hyperplane_sigs($"embedding").as("sigs"))
       val corpus = emb.select($"vec_id", $"embedding",
         posexplode($"sigs").as(Seq("tbl", "sig")))
       val probes = array(lit(0) +: (0 until nPlanes).map(p => lit(1 << p)): _*)

@@ -115,6 +115,30 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("hyperplane_sigs == declarative aggregate(zip_with) sign bits") {
+    import spark.implicits._
+    val nPlanes = 6
+    val nTables = 8
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 40L).map(id => (id, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "embedding")
+    def signRow(t: Int, p: Int): Seq[Double] =
+      (0 until 64).map(i =>
+        if ((expressions.splitmix(((t * nPlanes + p) * 64L) + i) & 1L) == 1L) 1.0
+        else -1.0)
+    def sigOf(t: Int) = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with($"embedding", typedlit(signRow(t, p)),
+          (x, sgn) => x.cast("double") * sgn),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val declarative = df.select($"id", array((0 until nTables).map(sigOf): _*).as("sigs"))
+    val native = df.select($"id", expressions.hyperplane_sigs($"embedding").as("sigs"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
