@@ -282,18 +282,23 @@ object Relational {
              CASE WHEN key_events > 0 THEN total_value / key_events ELSE NULL END AS value_per_key_event
       FROM tot, key_ev"""))
 
-  /** Q10 — group shares via window-over-aggregate. The unpartitioned window
-    * runs over the 5 post-aggregation rows, not the base table, so the
-    * single-partition window is O(|groups|), fine at any scale.
+  /** Q10 — group shares via aggregate + broadcast grand total. The
+    * SQL-natural form is an unpartitioned `SUM() OVER ()`; that runs over
+    * only the 5 post-aggregation rows here, but an unpartitioned WindowExec
+    * still plans a move-everything-to-one-partition step (and warns), so
+    * the grand total is computed as a 1-row aggregate crossJoined back —
+    * same q09b shape, same values, shuffle-free broadcast at any scale.
     */
   private val q10 = Q(
     fn = (s, d) => {
       import s.implicits._
-      Tables.events(s, d)
+      val byType = Tables.events(s, d)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), decSum($"value").as("total_value"))
-        .withColumn("share_pct",
-          $"n" * lit(100.0) / sum($"n").over(Window.partitionBy()))
+      val grand = byType.agg(sum($"n").as("grand_n"))
+      byType.crossJoin(broadcast(grand))
+        .withColumn("share_pct", $"n" * lit(100.0) / $"grand_n")
+        .drop("grand_n")
         .orderBy($"event_type")
     },
     oracle = Some("""
