@@ -49,17 +49,23 @@ object expressions {
     else TypeCheckResult.TypeCheckFailure(
       s"$what expects ${expected.simpleString}, got ${e.dataType.simpleString}")
 
-  /** array<string> shingles → array<long> MinHash signature: one xxhash64
-    * (seed 42, == SQL `xxhash64`) per element, nPerm (a*h+b) mod P minima
-    * updated in a single pass.
+  /** array<string> shingles (or array<long> of their xxhash64 values) →
+    * array<long> MinHash signature: one xxhash64 (seed 42, == SQL
+    * `xxhash64`) per string element — skipped when the caller passes
+    * pre-hashed longs — then nPerm (a*h+b) mod P minima updated in a
+    * single pass. The min-reduction is exact integer math, so signatures
+    * are identical for a string array and its hashed form in any order.
     */
   case class MinHashSignature(child: Expression, nPerm: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private def overLongs = DataType.equalsIgnoreNullability(child.dataType, ArrayType(LongType))
     override def checkInputDataTypes(): TypeCheckResult =
-      requireType(child, ArrayType(StringType), "minhash_signature")
+      if (overLongs) TypeCheckResult.TypeCheckSuccess
+      else requireType(child, ArrayType(StringType), "minhash_signature")
     @transient private lazy val a = permA(nPerm)
     @transient private lazy val b = permB(nPerm)
+    @transient private lazy val hashed = overLongs
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -69,8 +75,10 @@ object expressions {
       while (i < n) {
         // null elements contribute nothing (SQL arrays may carry them)
         if (!arr.isNullAt(i)) {
-          val s = arr.getUTF8String(i)
-          val h = math.floorMod(XxHash64Function.hash(s, StringType, 42L), P)
+          val h =
+            if (hashed) math.floorMod(arr.getLong(i), P)
+            else math.floorMod(
+              XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L), P)
           var p = 0
           while (p < nPerm) {
             val v = (a(p) * h + b(p)) % P
@@ -229,9 +237,12 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
   }
 
-  /** array<string> shingles → long SimHash: one xxhash64 (seed 42, == SQL
-    * `xxhash64`) per element; 64 signed bit-counters updated in a single
-    * pass; bit i of the result is set iff counter i is positive.
+  /** array<string> shingles (or array<long> of their xxhash64 values) →
+    * long SimHash: one xxhash64 (seed 42, == SQL `xxhash64`) per string
+    * element — skipped for pre-hashed longs; 64 signed bit-counters
+    * updated in a single pass; bit i of the result is set iff counter i is
+    * positive. The counter reduction is exact integer math, so the result
+    * is identical for a string array and its hashed form in any order.
     *
     * Bit-compatible with the declarative form it replaced (64 interpreted
     * `aggregate()` lambda passes over `transform(sh, xxhash64)` — the last
@@ -241,8 +252,11 @@ object expressions {
     */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
+    private def overLongs = DataType.equalsIgnoreNullability(child.dataType, ArrayType(LongType))
     override def checkInputDataTypes(): TypeCheckResult =
-      requireType(child, ArrayType(StringType), "simhash64")
+      if (overLongs) TypeCheckResult.TypeCheckSuccess
+      else requireType(child, ArrayType(StringType), "simhash64")
+    @transient private lazy val hashed = overLongs
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -252,6 +266,7 @@ object expressions {
       while (i < n) {
         val h =
           if (arr.isNullAt(i)) 42L
+          else if (hashed) arr.getLong(i)
           else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
         var b = 0
         while (b < 64) {

@@ -44,7 +44,8 @@ object TextOps {
   private[queries] def maxBucket(s: SparkSession): Int =
     s.conf.get("graft.text.maxBucket", "4096").toInt
 
-  /** documents → (doc_id, sh: array<string>, n: int) with n = |shingles|.
+  /** documents → (doc_id, n: int, hs: array<long>) with n = |shingles| and
+    * hs the sorted xxhash64 values of the distinct word-3-gram shingles.
     *
     * The explicit repartition spreads the per-document work (shingling,
     * hashing — interpreted higher-order lambdas) across all cores: the
@@ -61,13 +62,14 @@ object TextOps {
       // pass; empty array below 3 words replaces the size(w)>=3 guard
       .select($"doc_id", graft.functions.expressions.word_shingles($"text").as("sh"))
       .filter(size($"sh") >= 1)
-      .withColumn("n", size($"sh"))
-      // hs: the shingle set as a sorted xxhash64 array, computed once under
-      // the cache. Candidate generation explodes it (no re-hash per stage)
-      // and verification intersects two of them with the native merge
-      // kernel — the strings never leave this projection. n stays the
-      // exact string-distinct count.
-      .withColumn("hs", array_sort(transform($"sh", x => xxhash64(x))))
+      // hs: the shingle set as a sorted xxhash64 array — the only form the
+      // dedup family needs (candidate generation explodes it, MinHash/
+      // SimHash kernels consume raw hashes, verification merge-intersects
+      // two of them), so the strings never leave this projection and the
+      // cached corpus is ~8 bytes per shingle. n stays the exact
+      // string-distinct count (hash transform preserves length).
+      .select($"doc_id", size($"sh").as("n"),
+        array_sort(transform($"sh", x => xxhash64(x))).as("hs"))
   }
 
   /** Exact Jaccard verification of candidate pairs (i < j): join the two
@@ -239,7 +241,7 @@ object TextOps {
         // permutation minima in a tight primitive loop (interpreted HOF
         // lambdas were the round-1 bottleneck; see graft.functions).
         val withSig = docs.withColumn("sig",
-          graft.functions.expressions.minhash_signature($"sh"))
+          graft.functions.expressions.minhash_signature($"hs"))
         val banded = withSig.select($"doc_id",
             explode(transform(sequence(lit(0), lit(bands - 1)),
               b => struct(b.as("band"),
@@ -281,7 +283,7 @@ object TextOps {
       // interpreted aggregate() passes per document — the last surviving
       // round-1-class HOF bottleneck; see graft.functions.SimHash64)
       val withSim = shingled(s, d)
-        .select($"doc_id", graft.functions.expressions.simhash64($"sh").as("simhash"))
+        .select($"doc_id", graft.functions.expressions.simhash64($"hs").as("simhash"))
       val banded = withSim.select($"doc_id", $"simhash",
           explode(array((0 until 8).map(b => struct(lit(b).as("band"),
             shiftright($"simhash", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
