@@ -50,4 +50,60 @@ class SimulationSpec extends SparkSpec {
     assert(byType.getOrElse("Low Battery", 0L) == expectedBattery)
     assert(expectedSpeed > 0, "seeded walk should produce some violations")
   }
+
+  test("explicit-state LCG is bit-identical to java.util.Random") {
+    for (seed <- Seq(0L, 42L, -9999L, 1000003L * 7 + 3)) {
+      val jr = new java.util.Random(seed)
+      var st = Simulation.Lcg.seeded(seed)
+      for (_ <- 0 until 500) {
+        val (s1, d) = Simulation.Lcg.nextDouble(st)
+        assert(d == jr.nextDouble()); st = s1
+        for (bound <- Seq(3, 4, 6, 100)) {
+          val (s2, v) = Simulation.Lcg.nextInt(st, bound)
+          assert(v == jr.nextInt(bound)); st = s2
+        }
+      }
+    }
+  }
+
+  test("streaming walk == batch walk across micro-batches and a restart") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = tmpDir("simstream") + "/pulses"
+    val out = tmpDir("simstream") + "/out"
+    val ckpt = tmpDir("simstream") + "/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writePulses(name: String, ticks: Seq[Int]): Unit = {
+      val lines = for (v <- 1 to 3; t <- ticks) yield s"""{"vehicle_id":$v,"tick":$t}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        lines.mkString("\n").getBytes)
+    }
+    def drain(): Unit = {
+      val pulses = spark.readStream
+        .schema("vehicle_id INT, tick INT")
+        .option("maxFilesPerTrigger", 1)
+        .json(in).as[Simulation.TickPulse]
+      val q = Simulation.streamingTicks(pulses, seed = 7L)
+        .map(_.telemetry)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // two files -> two micro-batches; then a restart with more pulses,
+    // including a replayed tick (no-op) and a gap (pulse 9 backfills 6-9)
+    writePulses("a.json", 0 until 3)
+    writePulses("b.json", 3 until 6)
+    drain()
+    writePulses("c.json", Seq(5, 9))
+    drain()
+    val streamed = spark.read.parquet(out).as[graft.model.Telemetry]
+      .collect().sortBy(t => (t.vehicle_id, t.time.getTime))
+    val batch = Simulation.telemetry(spark, 3, 10, seed = 7L)
+      .collect().sortBy(t => (t.vehicle_id, t.time.getTime))
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
