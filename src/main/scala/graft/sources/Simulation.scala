@@ -58,7 +58,7 @@ object Simulation {
     * still be bit-identical to the batch generator (asserted against
     * `java.util.Random` in SimulationSpec).
     */
-  private[sources] object Lcg {
+  private[graft] object Lcg {
     private val Mult = 0x5DEECE66DL
     private val Mask = (1L << 48) - 1
     def seeded(seed: Long): Long = (seed ^ Mult) & Mask

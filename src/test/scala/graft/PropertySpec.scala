@@ -116,4 +116,29 @@ class PropertySpec extends SparkSpec {
       assert(fps.distinct.length == fps.length)
     }
   }
+
+  test("property: sorted_intersect_count == distinct-set intersection size") {
+    val arrGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-30L, 30L)).map(_.sorted))
+    forAll2(arrGen, arrGen) { (a, b) =>
+      import spark.implicits._
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.expressions.sorted_intersect_count(col("a"), col("b")))
+        .head().getLong(0)
+      assert(got == (a.toSet intersect b.toSet).size.toLong)
+    }
+  }
+
+  test("property: Lcg matches java.util.Random for arbitrary seeds and bounds") {
+    forAll2(Gen.long, Gen.listOfN(40, Gen.choose(1, 64)), n = 5) { (seed, bounds) =>
+      val jr = new java.util.Random(seed)
+      var st = graft.sources.Simulation.Lcg.seeded(seed)
+      bounds.foreach { bound =>
+        val (s1, v) = graft.sources.Simulation.Lcg.nextInt(st, bound)
+        assert(v == jr.nextInt(bound)); st = s1
+        val (s2, d) = graft.sources.Simulation.Lcg.nextDouble(st)
+        assert(d == jr.nextDouble()); st = s2
+      }
+    }
+  }
 }
