@@ -64,9 +64,49 @@ object Multimodal {
       lower(hex(substring(col("content"), 1, 8))).as("header_hex"),
       ceil(length(col("content")) / 64.0).cast("long").as("n_frames"))
 
+  /** Frame resizer boundary — the per-frame transform a real pipeline
+    * implements with an image library. One instance per partition, pure
+    * per frame.
+    */
+  trait FrameResizer extends Serializable {
+    def resize(frame: Array[Byte]): Array[Byte]
+  }
+
+  /** STUB resizer: truncate-or-zero-pad to `targetBytes`, standing in for
+    * a real scale/crop. Deterministic (pure function of the frame).
+    */
+  final class TruncatePadFakeResizer(targetBytes: Int = 32) extends FrameResizer {
+    def resize(f: Array[Byte]): Array[Byte] =
+      if (f.length >= targetBytes) f.take(targetBytes)
+      else f ++ Array.fill(targetBytes - f.length)(0.toByte)
+  }
+
   /** Row of the decoded-frame feature output. */
   final case class FrameFeatures(doc_id: Long, n_frames: Int, frame_bytes: Int,
       feature_checksum: Long)
+
+  private def checksumOf(frames: Seq[Array[Byte]]): Long =
+    frames.foldLeft(0L) { (acc, f) =>
+      f.foldLeft(acc)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    }
+
+  private def featureRows(media: DataFrame)(
+      frames: Array[Byte] => Seq[Array[Byte]]): Dataset[FrameFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val fs = frames(payload)
+          FrameFeatures(id, fs.size, fs.headOption.map(_.length).getOrElse(0),
+            checksumOf(fs))
+        }
+      }
+  }
+
+  private def framesOf(decoder: FrameDecoder): Array[Byte] => Seq[Array[Byte]] =
+    decoder.decode(_)
 
   /** Partition-parallel decode + per-frame feature extraction through the
     * [[FrameDecoder]] boundary (the `mapPartitions` batch shape: one
@@ -75,19 +115,27 @@ object Multimodal {
     * a stand-in with the same shape as an embedding head.
     */
   def frameFeatures(media: DataFrame, decoder: FrameDecoder = new FixedWidthFakeDecoder())
-      : Dataset[FrameFeatures] = {
-    val s = media.sparkSession
-    import s.implicits._
-    media.select(col("doc_id").cast("long"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val frames = decoder.decode(payload)
-          val checksum = frames.foldLeft(0L) { (acc, f) =>
-            f.foldLeft(acc)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-          }
-          FrameFeatures(id, frames.size, frames.headOption.map(_.length).getOrElse(0), checksum)
-        }
-      }
+      : Dataset[FrameFeatures] =
+    featureRows(media)(framesOf(decoder))
+
+  /** Frame sampling (the video every-nth-frame path): decode, keep frames
+    * 0, n, 2n, …, extract features from the sample only. Sampling happens
+    * inside the task right after decode, so unsampled frames die in the
+    * decoder's batch — nothing ships.
+    */
+  def sampledFrameFeatures(media: DataFrame, everyNth: Int,
+      decoder: FrameDecoder = new FixedWidthFakeDecoder()): Dataset[FrameFeatures] = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    featureRows(media)(p =>
+      framesOf(decoder)(p).zipWithIndex.collect {
+        case (f, i) if i % everyNth == 0 => f
+      })
   }
+
+  /** Frame resize (decode → per-frame resize → features), through both
+    * pluggable boundaries. */
+  def resizedFrameFeatures(media: DataFrame,
+      decoder: FrameDecoder = new FixedWidthFakeDecoder(),
+      resizer: FrameResizer = new TruncatePadFakeResizer()): Dataset[FrameFeatures] =
+    featureRows(media)(p => framesOf(decoder)(p).map(resizer.resize))
 }

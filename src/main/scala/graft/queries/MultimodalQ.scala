@@ -56,8 +56,61 @@ object MultimodalQ {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Q43 — frame sampling (every 3rd frame) through the decoder boundary.
+    * The sampled byte positions are expressible in SQL (frame index
+    * (i-1)//64 ≡ 0 mod 3), so the sampling path gets a full oracle like
+    * q32. Frame 0 is always sampled, so the checksum list is non-empty for
+    * non-empty docs.
+    */
+  private val q43 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Multimodal.sampledFrameFeatures(
+          Multimodal.asMedia(Tables.documents(s, d)), everyNth = 3)
+        .toDF()
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(CEIL(CEIL(strlen(text) / 64.0) / 3.0) AS INT) AS n_frames,
+             CAST(LEAST(64, strlen(text)) AS INT) AS frame_bytes,
+             CAST(list_reduce(list_transform(
+                 list_filter(generate_series(1, strlen(text)),
+                   i -> ((i - 1) // 64) % 3 = 0),
+                 i -> ascii(text[i:i])),
+               (acc, c) -> (CAST(acc AS BIGINT) * 31 + c) % 1000000007) AS BIGINT) AS feature_checksum
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Q44 — per-frame resize (truncate-or-zero-pad to 32 bytes) between
+    * decode and feature extraction. Truncation keeps frame-local byte
+    * offsets 0..31; the final short frame zero-pads, and pad bytes fold
+    * into the checksum as 0 (acc*31 steps) — all reproducible in SQL.
+    */
+  private val q44 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Multimodal.resizedFrameFeatures(Multimodal.asMedia(Tables.documents(s, d)))
+        .toDF()
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(CEIL(strlen(text) / 64.0) AS INT) AS n_frames,
+             CAST(32 AS INT) AS frame_bytes,
+             CAST(list_reduce(list_transform(
+                 generate_series(0, CAST(CEIL(strlen(text) / 64.0) AS INT) * 32 - 1),
+                 g -> CASE WHEN (g // 32) * 64 + (g % 32) + 1 <= strlen(text)
+                           THEN ascii(text[((g // 32) * 64 + (g % 32) + 1):((g // 32) * 64 + (g % 32) + 1)])
+                           ELSE 0 END),
+               (acc, c) -> (CAST(acc AS BIGINT) * 31 + c) % 1000000007) AS BIGINT) AS feature_checksum
+      FROM documents
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q31_media_metadata" -> q31,
     "q32_media_frame_features" -> q32,
+    "q43_media_frame_sample" -> q43,
+    "q44_media_frame_resize" -> q44,
   )
 }
