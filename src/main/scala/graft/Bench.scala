@@ -72,7 +72,41 @@ object Bench {
       "\"" + name + "\":" + f"${runs.max / runs.min}%.2f" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
+
+    // Streaming-ingest throughput leg: wire-format JSONL -> lenient
+    // normalize -> three-rule alert derivation -> day-partitioned parquet
+    // (the reference's E1 path; its producer design point is ~10 rows/s,
+    // BASELINE.md:12). Measured through a bounded availableNow run.
+    val ingestJson = try {
+      import org.apache.spark.sql.functions.{col, date_format, struct, to_json}
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
+      try {
+        val landing = s"$dir/landing"
+        val tel = graft.sources.Simulation.telemetry(spark, 100, 600, seed = 42L).toDF()
+        val wire = tel
+          .withColumn("timestamp", date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+          .drop("time")
+        val nRows = tel.count()
+        wire.select(to_json(struct(wire.columns.map(col): _*)).as("value"))
+          .repartition(8).write.mode("overwrite").text(landing)
+        val t0 = System.nanoTime()
+        graft.streaming.Pipeline
+          .runAlertPipeline(spark, landing, s"$dir/out", s"$dir/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        f"""{"rows":$nRows,"sec":$sec%.3f,"rows_per_sec":${nRows / sec}%.0f}"""
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ingest leg failed: ${e.getMessage}")
+        """{"rows":0,"sec":-1,"rows_per_sec":-1}"""
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"ingest":$ingestJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
