@@ -467,6 +467,33 @@ object TextOps {
       FROM fps
       ORDER BY doc_id"""))
 
+  /** Q45 — deterministic train/val/test split by content-independent id
+    * hash (the training-data staple: assignment must be stable across
+    * runs, machines and engines, and uncorrelated with any feature).
+    * First hex nibble of md5(doc_id): 0–b → train (12/16), c–d → val,
+    * e–f → test. Pure projection — no shuffle, no state, reproducible
+    * anywhere md5 exists.
+    */
+  private val q45 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
+      Tables.documents(s, d)
+        .select($"doc_id", nibble.as("bucket"),
+          when(nibble <= "9" || nibble === "a" || nibble === "b", "train")
+            .when(nibble === "c" || nibble === "d", "val")
+            .otherwise("test").as("split"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                       ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -476,5 +503,6 @@ object TextOps {
     "q22_doc_quality" -> q22,
     "q23_token_stats" -> q23,
     "q24_winnow_fingerprint" -> q24,
+    "q45_dataset_split" -> q45,
   )
 }
