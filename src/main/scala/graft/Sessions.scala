@@ -24,7 +24,12 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  def local(cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt): SparkSession = {
+  /** Cores default to the whole machine (the deployment target is
+    * local[32] — builder brief); `SPARK_GRAFT_CPUS` caps it for
+    * reproducible smaller runs (the verify loop uses 8).
+    */
+  def local(cores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())): SparkSession = {
     val spark = builder(s"local[$cores]", cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.expressions.register(spark)
