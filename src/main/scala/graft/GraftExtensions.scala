@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hyperplane_sigs",
         "_FUNC_(embedding) - 8 random-hyperplane LSH signatures of 6 sign bits"),
       exprs => HyperplaneSigs(one("hyperplane_sigs")(exprs), 8, 6, 64)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "_FUNC_(text) - sorted xxhash64 values of distinct word 3-gram shingles"),
+      exprs => ShingleHashes(one("shingle_hashes")(exprs), 3)))
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
         "_FUNC_(a, b) - distinct common values of two sorted long arrays"),

@@ -292,6 +292,57 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** string → array<long>: the sorted xxhash64 values of the distinct word
+    * k-gram shingles — `array_sort(transform(word_shingles(text),
+    * xxhash64))` fused into one native pass (both `transform`'s lambda and
+    * `array_sort` evaluate interpreted per element as higher-order
+    * functions). Dedup is by shingle STRING (two distinct shingles whose
+    * hashes collide keep both longs), exactly like the composed form; the
+    * bit-parity is spec-asserted.
+    */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "shingle_hashes")
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.toString.split(" ", -1)
+      if (words.length < k) return new GenericArrayData(Array.empty[Long])
+      val seen = new java.util.HashSet[String]()
+      val hashes = new Array[Long](words.length - k + 1)
+      var nh = 0
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val s = sb.toString
+        if (seen.add(s)) {
+          hashes(nh) = XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, 42L)
+          nh += 1
+        }
+        i += 1
+      }
+      val out = java.util.Arrays.copyOf(hashes, nh)
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shh", this, classOf[ShingleHashes].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  }
+
   /** (array<long>, array<long>) → long: count of DISTINCT values common to
     * two ascending-sorted long arrays, via a single merge pass (duplicate
     * runs are skipped on both sides). The set-intersection-size core of
@@ -427,6 +478,8 @@ object expressions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_sigs",
       exprs => HyperplaneSigs(one("hyperplane_sigs")(exprs), 8, 6, 64), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(one("shingle_hashes")(exprs), 3), "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —
@@ -445,4 +498,6 @@ object expressions {
     call_function("sorted_intersect_count", a, b)
   def hyperplane_sigs(embedding: Column): Column =
     call_function("hyperplane_sigs", embedding)
+  def shingle_hashes(text: Column): Column =
+    call_function("shingle_hashes", text)
 }

@@ -58,18 +58,18 @@ object TextOps {
     import s.implicits._
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      // native kernel == array_distinct(transform(...slice...)) but one
-      // pass; empty array below 3 words replaces the size(w)>=3 guard
-      .select($"doc_id", graft.functions.expressions.word_shingles($"text").as("sh"))
-      .filter(size($"sh") >= 1)
       // hs: the shingle set as a sorted xxhash64 array — the only form the
       // dedup family needs (candidate generation explodes it, MinHash/
       // SimHash kernels consume raw hashes, verification merge-intersects
       // two of them), so the strings never leave this projection and the
-      // cached corpus is ~8 bytes per shingle. n stays the exact
-      // string-distinct count (hash transform preserves length).
-      .select($"doc_id", size($"sh").as("n"),
-        array_sort(transform($"sh", x => xxhash64(x))).as("hs"))
+      // cached corpus is ~8 bytes per shingle. One native pass
+      // (split → k-gram → string-distinct → hash → sort); n stays the
+      // exact string-distinct count. Bit-compatible with
+      // array_sort(transform(word_shingles(text), xxhash64)) — parity
+      // spec in ExpressionsSpec.
+      .select($"doc_id", graft.functions.expressions.shingle_hashes($"text").as("hs"))
+      .filter(size($"hs") >= 1)
+      .select($"doc_id", size($"hs").as("n"), $"hs")
   }
 
   /** Exact Jaccard verification of candidate pairs (i < j): join the two

@@ -97,6 +97,18 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("shingle_hashes == array_sort(transform(word_shingles, xxhash64))") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p  q r s"), (4L, "t t t t t"),
+      (5L, "the quick brown fox jumps over the quick brown fox"))
+      .toDF("id", "text")
+    val declarative = df.select($"id",
+      array_sort(transform(expressions.word_shingles($"text"), x => xxhash64(x))).as("hs"))
+    val native = df.select($"id", expressions.shingle_hashes($"text").as("hs"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
   test("sorted_intersect_count == size(array_intersect) on sorted arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
