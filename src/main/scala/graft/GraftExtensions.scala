@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes",
         "_FUNC_(text) - sorted xxhash64 values of distinct word 3-gram shingles"),
       exprs => ShingleHashes(one("shingle_hashes")(exprs), 3)))
+    e.injectFunction((FunctionIdentifier("quantize_vec"),
+      info("quantize_vec", "_FUNC_(v) - exact 2^20 floor quantization of a float vector"),
+      exprs => QuantizeVec(one("quantize_vec")(exprs), 1048576.0)))
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
         "_FUNC_(a, b) - distinct common values of two sorted long arrays"),

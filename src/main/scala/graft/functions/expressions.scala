@@ -343,6 +343,41 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   }
 
+  /** array<float> → array<double>: the exact 2^20 quantization
+    * `transform(v, x => floor(x.cast("double") * 2^20))` as one native
+    * pass (the lambda evaluates interpreted per element as a higher-order
+    * function). Element nulls pass through as nulls, exactly like the
+    * lambda form; output stays double so downstream aggregation dtypes
+    * are unchanged.
+    */
+  case class QuantizeVec(child: Expression, scale: Double)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(FloatType), "quantize_vec")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (arr.isNullAt(i)) null
+          else java.lang.Double.valueOf(math.floor(arr.getFloat(i).toDouble * scale))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("qv", this, classOf[QuantizeVec].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): QuantizeVec = copy(child = c)
+  }
+
   /** (array<long>, array<long>) → long: count of DISTINCT values common to
     * two ascending-sorted long arrays, via a single merge pass (duplicate
     * runs are skipped on both sides). The set-intersection-size core of
@@ -480,6 +515,8 @@ object expressions {
       exprs => HyperplaneSigs(one("hyperplane_sigs")(exprs), 8, 6, 64), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashes(one("shingle_hashes")(exprs), 3), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_vec",
+      exprs => QuantizeVec(one("quantize_vec")(exprs), 1048576.0), "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —
@@ -500,4 +537,6 @@ object expressions {
     call_function("hyperplane_sigs", embedding)
   def shingle_hashes(text: Column): Column =
     call_function("shingle_hashes", text)
+  def quantize_vec(v: Column): Column =
+    call_function("quantize_vec", v)
 }

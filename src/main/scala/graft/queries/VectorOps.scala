@@ -28,11 +28,12 @@ object VectorOps {
 
   private val Scale = 1048576.0 // 2^20
 
-  /** float array → exact int64 quantized array (declarative form; the
-    * per-pair scoring path uses the native kernel
-    * [[graft.functions.expressions.QuantizedCosine]] instead). */
+  /** float array → exact quantized array via the native
+    * [[graft.functions.expressions.QuantizeVec]] pass (the per-pair
+    * scoring path uses [[graft.functions.expressions.QuantizedCosine]]
+    * instead). */
   private def quantize(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * Scale))
+    graft.functions.expressions.quantize_vec(v)
 
   /** Queries = every 50th vector (10 at sf0.01, 100 at sf0.1). */
   private def isQuery(vecId: Column): Column = vecId % 50 === 0

@@ -109,6 +109,18 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("quantize_vec == transform floor(x * 2^20)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 30L).map(id => (id, Seq.fill(16)(rnd.nextFloat() * 4 - 2)))
+      .toDF("id", "v")
+    val declarative = df.select($"id",
+      transform($"v", x => floor(x.cast("double") * 1048576.0)).as("q"))
+    val native = df.select($"id", expressions.quantize_vec($"v").as("q"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
   test("sorted_intersect_count == size(array_intersect) on sorted arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
