@@ -55,6 +55,33 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(dir + "__compacting").exists())
   }
 
+  test("JDBC sink round-trips through an embedded Derby database") {
+    // Derby ships with Spark (hive-metastore dependency), so the JDBC leg
+    // is executable here: write via the production writeJdbc (append mode,
+    // batched statements), read back through Spark's JDBC source, compare.
+    val db = tmpDir("derby") + "/fleetdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val tel = graft.sources.Simulation.telemetry(spark, 3, 20, seed = 11).toDF()
+    Sinks.writeJdbc(tel, url, "vehicle_telemetry", user = "app", password = "app")
+    // append a second batch: mode must accumulate, not replace
+    Sinks.writeJdbc(tel.limit(5), url, "vehicle_telemetry", user = "app", password = "app")
+    val props = new java.util.Properties()
+    props.setProperty("user", "app")
+    props.setProperty("password", "app")
+    val back = spark.read.jdbc(url, "vehicle_telemetry", props)
+    assert(back.count() == tel.count() + 5)
+    val a = tel.orderBy("vehicle_id", "time").collect().toSeq
+    val b = back.except(tel.limit(5)).orderBy("vehicle_id", "time").collect().toSeq
+    assert(b.map(_.getInt(b.head.fieldIndex("vehicle_id"))).toSet ==
+      a.map(_.getInt(a.head.fieldIndex("vehicle_id"))).toSet)
+    val s = back.agg(sum(col("odometer_km"))).head().getDouble(0)
+    val e = tel.agg(sum(col("odometer_km"))).head().getDouble(0) +
+      tel.limit(5).agg(sum(col("odometer_km"))).head().getDouble(0)
+    assert(math.abs(s - e) < 1e-9)
+    try { java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true") }
+    catch { case _: java.sql.SQLException => () } // clean shutdown always throws
+  }
+
   test("partitioned parquet sink prunes by day") {
     val tel = graft.sources.Simulation.telemetry(spark, 2, 10, seed = 1,
       startMillis = 1700000000000L).toDF()
