@@ -494,6 +494,69 @@ object TextOps {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Q46 — benchmark decontamination: training documents that share ≥ 8
+    * word-3-gram shingles with ANY held-out (test-split) document, with
+    * the shared-shingle count. The standard pre-training hygiene pass:
+    * eval data leaking into train skews benchmarks, so overlap is flagged
+    * before training. Split assignment is q45's md5-nibble hash.
+    *
+    * Shape at scale: explode the (already distinct) shingle-hash arrays,
+    * inner-join train-side shingles against the distinct test-side shingle
+    * set on the 8-byte hash, count per train doc — one shuffle keyed by
+    * shingle hash (hot shingles spread across reducers), one count-by-doc.
+    * No pairwise work at all: overlap is against the test SET, not per
+    * test doc.
+    */
+  private val q46 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
+      // scoped persist (q18's pattern): the train and test subtrees would
+      // otherwise each re-run the scan + shingle kernel
+      val docs = shingled(s, d)
+        .withColumn("split",
+          when(nibble <= "9" || nibble === "a" || nibble === "b", "train")
+            .when(nibble === "c" || nibble === "d", "val")
+            .otherwise("test"))
+        .persist()
+      try {
+        val trainEx = docs.filter($"split" === "train")
+          .select($"doc_id", explode($"hs").as("h"))
+        val testH = docs.filter($"split" === "test")
+          .select(explode($"hs").as("h")).distinct()
+        // hs holds string-distinct shingles, so count(*) per doc after the
+        // semi-match == distinct shared shingles
+        trainEx.join(testH, Seq("h"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= 8)
+          .orderBy($"doc_id")
+          .localCheckpoint()
+      } finally docs.unpersist()
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+        FROM w WHERE len(w) >= 3
+      ), split AS (
+        SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                       ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                  ELSE 'test' END AS split
+        FROM documents
+      ), test_sh AS (
+        SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE split = 'test'
+      )
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh JOIN split USING (doc_id) JOIN test_sh USING (s)
+      WHERE split = 'train'
+      GROUP BY sh.doc_id
+      HAVING COUNT(*) >= 8
+      ORDER BY sh.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -504,5 +567,6 @@ object TextOps {
     "q23_token_stats" -> q23,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
+    "q46_decontamination" -> q46,
   )
 }
