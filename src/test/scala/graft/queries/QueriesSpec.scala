@@ -80,6 +80,9 @@ class QueriesSpec extends SparkSpec {
     run("q19_neardup_minhash_lsh").count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "q19 must unpersist its shingled corpus after materializing the result")
+    run("q46_decontamination").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q46 must unpersist its split corpus after materializing the result")
   }
 
   test("capBucket truncates oversized buckets deterministically") {
