@@ -166,10 +166,13 @@ object TextOps {
     * can over-prune. The final answer is exact, so the naive all-pairs SQL
     * is a valid oracle.
     */
-  private val q18 = Q(
-    fn = (s, d) => {
+  /** q18's full pipeline as a reusable building block: the verified exact
+    * near-duplicate pair set at `t` (also the edge list for q47's cluster
+    * construction). Result is materialized (localCheckpoint) with the
+    * corpus cache already released.
+    */
+  private[queries] def nearDupPairs(s: SparkSession, d: String, t: Double = 0.5): DataFrame = {
       import s.implicits._
-      val t = 0.5
       // persist: the shingled corpus feeds candidate generation AND both
       // sides of the verification join — three independent plan subtrees
       // that would otherwise each rerun the scan + shingle kernel. The
@@ -213,8 +216,117 @@ object TextOps {
           .distinct()
         verifyPairs(cand, docs, t).localCheckpoint()
       } finally docs.unpersist()
-    },
+  }
+
+  private val q18 = Q(
+    fn = (s, d) => nearDupPairs(s, d),
     oracle = Some(nearDupOracle))
+
+  /** One alternation step of the large-star/small-star connected-components
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). Edges are undirected, kept with no self-loops.
+    *
+    *  - large-star: for every node u, hook each LARGER neighbor onto the
+    *    minimum of u's closed neighborhood;
+    *  - small-star: orient edges large→small; hook each smaller neighbor
+    *    (and u itself) onto the minimum.
+    *
+    * Both steps are a groupBy-min + a re-join of the edge list — two
+    * shuffles each, no collect_list of neighborhoods, so a celebrity node
+    * with 10^8 neighbors never materializes a bucket. Converges in
+    * O(log^2 n) alternations on any graph (paper Thm 3); near-dup
+    * components are dense and converge in 2–3.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+      .select($"u", least($"u", $"mn").as("m"))
+    // duplicates are tolerated here (smallStar's terminal distinct dedups):
+    // one fewer shuffle per alternation
+    sym.join(mins, "u").filter($"v" > $"u")
+      .select($"v".as("u"), $"m".as("v"))
+      .filter($"u" =!= $"v")
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val lo = sym.filter($"v" < $"u")
+    val mins = lo.groupBy($"u").agg(min($"v").as("m"))
+    lo.join(mins, "u").select($"v".as("u"), $"m".as("v"))
+      .union(mins.select($"u", $"m".as("v")))
+      .filter($"u" =!= $"v").distinct()
+  }
+
+  /** Q47 — near-duplicate CLUSTERS: the pairs→groups step real dedup needs
+    * (a pair list alone can't pick survivors when A~B and B~C but A!~C).
+    * Connected components over q18's verified pair set via iterated
+    * large-star/small-star; each doc maps to its component's minimum
+    * doc_id, `keep` marks the survivor.
+    *
+    * The driver-side loop holds only per-iteration COUNTS (convergence
+    * check on (|E|, xxhash64-sum) — one cheap action per iteration, the
+    * standard shape for iterative graph algorithms); the edge data itself
+    * never leaves the cluster, and localCheckpoint truncates lineage so
+    * plan depth stays O(1) per iteration.
+    */
+  private val q47 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      // set fingerprint (|E|, xor of edge hashes): order-independent and
+      // overflow-free (a SUM of random 64-bit hashes would trip ANSI
+      // overflow); edges are distinct so xor never self-cancels
+      def fingerprint(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      // nearDupPairs is already materialized (localCheckpoint inside), so
+      // the initial projection needs no checkpoint of its own
+      var edges = nearDupPairs(s, d).select($"i".as("u"), $"j".as("v"))
+      var fp = fingerprint(edges)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 16) {
+        val t0 = System.nanoTime()
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        val nfp = fingerprint(next)
+        converged = nfp == fp
+        edges = next; fp = nfp; iter += 1
+        System.err.println(f"[q47] alternation $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=${nfp._1}")
+      }
+      require(converged, s"connected components did not converge in $iter alternations")
+      // converged edges are stars (x → component min); add the roots
+      edges.select($"u".as("doc_id"), $"v".as("cluster_rep"))
+        .union(edges.select($"v".as("doc_id"), $"v".as("cluster_rep")))
+        .distinct()
+        .withColumn("keep", $"doc_id" === $"cluster_rep")
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), edges AS (
+        SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs
+      ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u
+      )
+      SELECT u AS doc_id, MIN(r) AS cluster_rep, u = MIN(r) AS keep
+      FROM reach GROUP BY u ORDER BY doc_id"""))
 
   /** Q19 — MinHash + LSH near-duplicate pairs (brief's scale path for
     * near-dup at 100 TB: no global df pass, candidates only within LSH
@@ -568,5 +680,6 @@ object TextOps {
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q46_decontamination" -> q46,
+    "q47_dedup_clusters" -> q47,
   )
 }

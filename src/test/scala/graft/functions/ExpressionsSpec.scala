@@ -46,6 +46,17 @@ class ExpressionsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(declarative))
   }
 
+  test("quantized_cosine: mismatched dimensionality surfaces null, not a truncated score") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)),          // corrupt pair
+      (2L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("id", "a", "b")
+    val rows = df.select($"id", expressions.quantized_cosine($"a", $"b").as("c"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1), "length mismatch must be null")
+    assert(!rows(1).isNullAt(1) && math.abs(rows(1).getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("winnow_fingerprint == declarative nested-transform form") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
