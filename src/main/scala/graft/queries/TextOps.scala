@@ -669,6 +669,220 @@ object TextOps {
       HAVING COUNT(*) >= 8
       ORDER BY sh.doc_id"""))
 
+  /** Q48 — repetition-based quality filtering (the Gopher/C4 family of
+    * training-corpus filters: Rae et al. 2021 §A1.1 "repetition" signals;
+    * Raffel et al. 2020 §2.2 heuristics). Per document:
+    *
+    *  - `top_word_frac`: occurrences of the most frequent word / total
+    *    words (boilerplate/keyword-stuffing signal);
+    *  - `distinct_frac`: distinct words / total words (vocabulary
+    *    collapse signal);
+    *  - `dup_2gram_frac`: fraction of word-2-gram occurrences that are
+    *    repeats (template/loop signal);
+    *  - `keep`: all three inside their thresholds.
+    *
+    * Shape for 100 TB: the word-frequency leg is explode → two-level
+    * hash agg (map-side combined, 8-byte-ish shuffle rows); the 2-gram
+    * leg never leaves the scan task (one transform pass over ≤doc-length
+    * arrays). Fractions are exact-int divisions, so the doubles (and the
+    * boolean verdict) are bit-identical cross-engine.
+    */
+  private val q48 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val w = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+      val grams = w.select($"doc_id",
+        (size($"w") - 1).as("total2"),
+        size(array_distinct(transform(sequence(lit(1), size($"w") - 1),
+          i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1)))))
+          .as("d2"))
+        .filter($"total2" >= 1)
+      val freq = w.select($"doc_id", explode($"w").as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(
+          sum($"c").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max($"c").as("top_c"))
+      val scored = freq.join(grams, Seq("doc_id"))
+        .select($"doc_id", $"n_words",
+          ($"top_c".cast("double") / $"n_words").as("top_word_frac"),
+          ($"n_distinct".cast("double") / $"n_words").as("distinct_frac"),
+          (($"total2" - $"d2").cast("double") / $"total2").as("dup_2gram_frac"))
+      scored
+        .withColumn("keep",
+          $"top_word_frac" <= 0.12 && $"distinct_frac" >= 0.35 &&
+            $"dup_2gram_frac" <= 0.08)
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), grams AS (
+        SELECT doc_id, len(w)-1 AS total2,
+               len(list_distinct(list_transform(generate_series(1, len(w)-1),
+                 i -> array_to_string(w[i:i+1], ' ')))) AS d2
+        FROM w WHERE len(w) >= 2
+      ), wc AS (
+        SELECT doc_id, unnest(w) AS word FROM w
+      ), cnt AS (
+        SELECT doc_id, word, COUNT(*) AS c FROM wc GROUP BY doc_id, word
+      ), freq AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct, MAX(c) AS top_c
+        FROM cnt GROUP BY doc_id
+      )
+      SELECT f.doc_id, f.n_words,
+             CAST(f.top_c AS DOUBLE) / f.n_words AS top_word_frac,
+             CAST(f.n_distinct AS DOUBLE) / f.n_words AS distinct_frac,
+             CAST(g.total2 - g.d2 AS DOUBLE) / g.total2 AS dup_2gram_frac,
+             (CAST(f.top_c AS DOUBLE) / f.n_words <= 0.12
+              AND CAST(f.n_distinct AS DOUBLE) / f.n_words >= 0.35
+              AND CAST(g.total2 - g.d2 AS DOUBLE) / g.total2 <= 0.08) AS keep
+      FROM freq f JOIN grams g USING (doc_id)
+      ORDER BY f.doc_id"""))
+
+  /** Q49 — stratified deterministic sampling (domain mixing): each
+    * language gets a target retention rate from a mixing table (the
+    * knob a 100 TB pipeline turns to re-weight low-resource languages),
+    * and a document survives iff its content-hash bucket falls under its
+    * language's rate. Sampling is a pure function of doc_id (md5 bucket
+    * in [0, 256)), so the sample is reproducible run-to-run, engine-to-
+    * engine — no rand(), no seed plumbing — and survivors carry the
+    * inverse-probability `weight` for unbiased downstream aggregation.
+    *
+    * Shape for 100 TB: the mixing table joins as a broadcast (5 rows);
+    * the bucket is computed scan-side, so the filter prunes before any
+    * shuffle. Rates are k/256 (two md5 nibbles) — fine-grained enough
+    * for mixing ratios while staying exactly portable SQL (no float
+    * thresholds, no engine hash functions).
+    */
+  private val q49 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val mix = Seq(("en", 128), ("fr", 192), ("de", 192), ("es", 224), ("zh", 256))
+        .toDF("lang", "keep_n")
+      val hexpos = "instr('0123456789abcdef', substr(md5(cast(doc_id as string)), %d, 1))"
+      val bucket = expr(s"(${hexpos.format(1)} - 1) * 16 + ${hexpos.format(2)} - 1")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", bucket.cast("long").as("bucket"))
+        .join(broadcast(mix), Seq("lang"))
+        .filter($"bucket" < $"keep_n")
+        .select($"doc_id", $"lang", $"source",
+          (lit(256.0) / $"keep_n").as("weight"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH mix AS (
+        SELECT * FROM (VALUES ('en', 128), ('fr', 192), ('de', 192),
+                              ('es', 224), ('zh', 256)) m(lang, keep_n)
+      ), bucketed AS (
+        SELECT doc_id, lang, source,
+               (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        FROM documents
+      )
+      SELECT doc_id, lang, source, 256.0 / keep_n AS weight
+      FROM bucketed JOIN mix USING (lang)
+      WHERE bucket < keep_n
+      ORDER BY doc_id"""))
+
+  /** Q51 — TF-IDF keyword extraction: top-3 terms per document ranked by
+    * tf × ln(N/df), ties broken by term. The score itself is
+    * intentionally NOT in the output: Spark's `log` evaluates through
+    * StrictMath (fdlibm) while DuckDB/C engines use the platform libm,
+    * which disagree by 1 ulp on ~9% of this domain — the RANKING is
+    * insensitive to 1-ulp perturbations unless two unequal scores
+    * coincide to 15 significant digits (verified empirically at sf0.01
+    * and sf0.1), but a score column would hash-mismatch outright.
+    *
+    * Shape for 100 TB: tf is a map-side-combined two-key hash agg; df
+    * aggregates the (already tiny) tf frame by word; N is a 1-row agg
+    * broadcast via crossJoin (the q09b/q10 pattern — no unpartitioned
+    * window); per-doc top-3 is a rank-limit window, which Spark 4 runs
+    * as WindowGroupLimit (top-k per key, no full sort of the partition).
+    */
+  private val q51 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select($"doc_id", explode(words($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val ranked = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score", $"tf" * log($"n".cast("double") / $"df"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")))
+        .filter($"rank" <= 3)
+      ranked.select($"doc_id", $"term", $"tf", $"df", $"rank".cast("long").as("rank"))
+        .orderBy($"doc_id", $"rank")
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), tf AS (
+        SELECT doc_id, unnest(w) AS term FROM w
+      ), tfc AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+      ), dfc AS (
+        SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+      ), n AS (
+        SELECT COUNT(*) AS n FROM documents
+      ), ranked AS (
+        SELECT doc_id, term, tf, df,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC, term) AS rank
+        FROM tfc JOIN dfc USING (term) CROSS JOIN n
+      )
+      SELECT doc_id, term, tf, df, rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
+  /** Q50 — sequence packing: assign documents to fixed token-budget bins
+    * (context windows) so training batches waste minimal padding. Bin
+    * packing is NP-hard and inherently sequential, so the distributed
+    * form is two-level: documents are deterministically salted into
+    * `P` independent packing groups (pmod of doc_id — at 100 TB, P
+    * tracks cluster parallelism and each group packs inside one task),
+    * and each group runs first-fit-decreasing imperatively inside
+    * `flatMapGroups` (the one operator family where typed per-group
+    * logic genuinely beats declarative SQL — FFD's open-bin state has
+    * no window-function form). FFD guarantees ≤ 11/9·OPT + 1 bins per
+    * group (Johnson 1973); the invariants spec asserts the capacity
+    * bound and that bound.
+    *
+    * Documents longer than the budget get singleton bins (truncation is
+    * a separate concern — q44's resize shape). Deterministic: group
+    * salt, sort key (tokens desc, doc_id), and fit order are all pure
+    * functions of the input. No SQL oracle (imperative state) — rows
+    * check + QueriesSpec invariants.
+    */
+  private val q50 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val budget = 128
+      val nGroups = 64
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", size(words($"text")).as("n_tokens"),
+          pmod($"doc_id", lit(nGroups)).cast("int").as("grp"))
+      toks.as[(Long, Int, Int)]
+        .groupByKey(_._3)
+        .flatMapGroups { (grp, it) =>
+          val docs = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+          val remaining = scala.collection.mutable.ArrayBuffer.empty[Int]
+          docs.iterator.map { case (id, n, _) =>
+            val fit = remaining.indexWhere(_ >= n)
+            val bin =
+              if (fit >= 0) { remaining(fit) -= n; fit }
+              else { remaining += math.max(budget - n, 0); remaining.length - 1 }
+            (id, grp, bin, n)
+          }
+        }
+        .toDF("doc_id", "grp", "bin", "n_tokens")
+        .orderBy($"doc_id")
+    },
+    oracle = None)
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -681,5 +895,9 @@ object TextOps {
     "q45_dataset_split" -> q45,
     "q46_decontamination" -> q46,
     "q47_dedup_clusters" -> q47,
+    "q48_repetition_filter" -> q48,
+    "q49_stratified_sample" -> q49,
+    "q50_sequence_packing" -> q50,
+    "q51_tfidf_keywords" -> q51,
   )
 }

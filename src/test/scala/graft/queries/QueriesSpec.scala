@@ -183,6 +183,96 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q47 clusters: consistent with q18 pairs (same component <=> connected)") {
+    val pairs = run("q18_neardup_jaccard").select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val label = run("q47_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(label.nonEmpty)
+    // every vertex of every pair is labeled, both ends share a label
+    pairs.foreach { case (i, j) =>
+      assert(label(i) == label(j), s"pair ($i,$j) split across clusters")
+    }
+    // the rep is a member of its own cluster and the cluster minimum
+    label.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keySet.min == rep, s"rep $rep is not the component min")
+    }
+    // reference union-find on the pair list agrees exactly
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) { if (ri < rj) parent(rj) = ri else parent(ri) = rj }
+    }
+    label.foreach { case (v, rep) =>
+      // path-compress fully, then normalize each root to its component min
+      val mine = find(v)
+      val compMin = parent.keys.filter(find(_) == mine).min
+      assert(rep == compMin, s"doc $v labeled $rep, union-find says $compMin")
+    }
+  }
+
+  test("q48 repetition filter: fractions in [0,1], keep matches thresholds") {
+    val rows = run("q48_repetition_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (top, dist, dup) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(top > 0 && top <= 1.0); assert(dist > 0 && dist <= 1.0)
+      assert(dup >= 0 && dup <= 1.0)
+      assert(r.getBoolean(5) == (top <= 0.12 && dist >= 0.35 && dup <= 0.08))
+    }
+  }
+
+  test("q49 stratified sample: realized rate tracks the mixing table") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01" // sf0.001 is too sparse per language
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val total = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("q49_stratified_sample")(spark, sf)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Map("en" -> 0.5, "fr" -> 0.75, "de" -> 0.75, "es" -> 0.875, "zh" -> 1.0)
+    rates.foreach { case (lang, p) =>
+      val realized = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(realized - p) < 0.15, s"$lang realized $realized, target $p")
+    }
+    // zh keeps everything (rate 256/256): exact, not approximate
+    assert(kept("zh") == total("zh"))
+  }
+
+  test("q50 packing: capacity respected, FFD bin-count bound, deterministic") {
+    import spark.implicits._
+    val budget = 128
+    val rows = run("q50_sequence_packing").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._2, t._3)).foreach { case ((grp, bin), docs) =>
+      val tot = docs.map(_._4).sum
+      assert(tot <= budget || docs.size == 1,
+        s"bin ($grp,$bin) holds $tot tokens across ${docs.size} docs")
+    }
+    rows.groupBy(_._2).foreach { case (grp, docs) =>
+      val bins = docs.map(_._3).distinct.size
+      val lower = math.ceil(docs.map(_._4).sum.toDouble / budget)
+      assert(bins >= lower, s"grp $grp: $bins bins below volume bound $lower")
+      assert(bins <= math.ceil(lower * 11.0 / 9.0) + 1,
+        s"grp $grp: $bins bins exceeds FFD guarantee off $lower")
+    }
+    val again = run("q50_sequence_packing").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.toSeq == again.toSeq, "packing must be deterministic")
+  }
+
+  test("q51 tf-idf: 3 ranked keywords per doc, df consistent with corpus") {
+    val df = run("q51_tfidf_keywords")
+    val perDoc = df.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) == 3))
+    assert(df.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+    assert(df.filter(col("tf") < 1 || col("df") < 1).count() == 0)
+  }
+
   test("q32 frame features: n_frames matches ceil(bytes/64)") {
     val df = run("q32_media_frame_features")
     val docs = graft.sources.Tables.documents(spark, sf0001)
