@@ -230,6 +230,59 @@ object Pipeline {
       .start()
   }
 
+  /** Stream-stream interval join (SURVEY §2.4 extension: the reference
+    * evaluates collision rules on perception events alone,
+    * consumer.py:112–124 — it cannot answer "how fast was OUR vehicle
+    * moving when the risky object was seen" without a second lookup; a
+    * native engine joins the two live streams). Each perception event is
+    * enriched with the same vehicle's telemetry samples within
+    * ±`tolerance` of the sighting.
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark provably evicts state: a buffered
+    * telemetry row can be dropped once the perception watermark passes
+    * its time + tolerance (and vice versa) — state stays
+    * O(rate × (watermark + tolerance)) regardless of stream length,
+    * which is what lets this run unbounded on a 1000-executor cluster.
+    * Inner join: state eviction needs no outer-null emission timing.
+    */
+  def perceptionTelemetryJoin(telemetry: DataFrame, perception: DataFrame,
+      tolerance: String = "10 seconds",
+      watermark: String = "2 minutes"): DataFrame = {
+    val tel = telemetry
+      .select(col("vehicle_id").as("tel_vehicle_id"), col("time").as("tel_time"),
+        col("current_speed_kmh"), col("speed_limit_violation"))
+      .withWatermark("tel_time", watermark)
+    val per = perception
+      .select(col("vehicle_id"), col("time").as("per_time"), col("object_class"),
+        col("object_distance_m"), col("object_speed_kmh"), col("confidence"))
+      .withWatermark("per_time", watermark)
+    per.join(tel,
+        col("vehicle_id") === col("tel_vehicle_id") &&
+          col("tel_time") >= col("per_time") - expr(s"INTERVAL $tolerance") &&
+          col("tel_time") <= col("per_time") + expr(s"INTERVAL $tolerance"))
+      .drop("tel_vehicle_id")
+  }
+
+  /** Interval-join runner: perception sightings enriched with concurrent
+    * own-vehicle telemetry, appended as parquet. Both inputs are JSONL
+    * landing dirs (the file twins of the two Kafka topics).
+    */
+  def runPerceptionContext(s: SparkSession, telemetryDir: String,
+      perceptionDir: String, outDir: String, checkpointDir: String,
+      tolerance: String = "10 seconds"): StreamingQuery = {
+    val tel = telemetryFileStream(s, telemetryDir)
+    val per = s.readStream.schema(Schemas.perception).json(perceptionDir)
+    perceptionTelemetryJoin(tel, per, tolerance)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/perception_context")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming metrics leg: windowed speed metrics appended as parquet
     * once each window finalizes (append mode + watermark). Writes its own
     * wide table; the reference-schema long `self_driving_metrics` table is

@@ -72,6 +72,33 @@ class StreamingSpec extends SparkSpec {
       .count() == 0, "open window beyond watermark is not emitted")
   }
 
+  test("stream-stream interval join: perception enriched with ±10s telemetry") {
+    val telIn = tmpDir("ssj_tel")
+    val perIn = tmpDir("ssj_per")
+    val out = tmpDir("ssj_out")
+    val ckpt = tmpDir("ssj_ckpt")
+    writeJsonl(telIn, "t.jsonl",
+      // vehicle 1: samples at 08:00:00, 08:00:08, 08:00:30
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:00","current_speed_kmh":"80","speed_limit_violation":"true"}""",
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:08","current_speed_kmh":"70","speed_limit_violation":"true"}""",
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:30","current_speed_kmh":"60","speed_limit_violation":"false"}""",
+      // vehicle 2: in-tolerance time but different vehicle
+      """{"vehicle_id":"2","timestamp":"2026-03-01 08:00:01","current_speed_kmh":"40","speed_limit_violation":"false"}""")
+    writeJsonl(perIn, "p.jsonl",
+      // sighting at 08:00:05: matches vehicle 1 samples at :00 and :08 only
+      """{"time":"2026-03-01 08:00:05","vehicle_id":1,"object_class":"pedestrian","object_distance_m":4.0,"object_speed_kmh":12.0,"object_relative_direction":"ahead","confidence":0.95}""",
+      // sighting at 08:01:00: nothing within ±10s
+      """{"time":"2026-03-01 08:01:00","vehicle_id":1,"object_class":"car","object_distance_m":30.0,"object_speed_kmh":50.0,"object_relative_direction":"rear","confidence":0.9}""")
+    Pipeline.runPerceptionContext(spark, telIn, perIn, out, ckpt).awaitTermination()
+    val joined = spark.read.parquet(s"$out/perception_context")
+    assert(joined.count() == 2, "one sighting x two in-tolerance samples")
+    val speeds = joined.select("current_speed_kmh")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(speeds == Seq(70.0, 80.0))
+    assert(joined.select("object_class").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("pedestrian"))
+  }
+
   test("watermarked ingest dedup: replayed wire records land exactly once") {
     import org.apache.spark.sql.functions.col
     val in = tmpDir("dd_in")
