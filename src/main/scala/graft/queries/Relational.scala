@@ -528,6 +528,95 @@ object Relational {
           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
       ORDER BY cohort, user_id"""))
 
+  /** Q52 — PIVOT (wide reshape): per-user event counts and exact value
+    * sums, one column pair per event type. The pivot values are declared
+    * explicitly — with an inferred pivot Spark first runs a separate
+    * distinct-scan job to discover them and the output column ORDER
+    * depends on that scan; declared values cost zero extra jobs and pin
+    * the schema, which is what a production pipeline wants at any scale.
+    * Value sums route through decimal (see [[graft.queries.decSum]]) so
+    * the wide cells are bit-stable under partial aggregation.
+    */
+  private val q52 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"), decSum($"value").as("val"))
+        .na.fill(0L).na.fill(0.0)
+        .orderBy($"user_id")
+    },
+    oracle = Some("""
+      SELECT user_id,
+        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
+        COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS click_val,
+        CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error_n,
+        COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS error_val,
+        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n,
+        COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS purchase_val,
+        CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup_n,
+        COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS signup_val,
+        CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_n,
+        COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS view_val
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Q53 — statistical aggregates with EXACT moments: mean, sample
+    * stddev, and corr(value, hour-of-day) per event type. Spark's builtin
+    * stddev/corr accumulate floating moments whose value depends on
+    * partition order — nondeterministic across runs and engines. Here
+    * every moment (Σx, Σx², Σxy) is an exact decimal/integer sum (order-
+    * independent, partial-agg safe); the closed-form combination into
+    * mean/stddev/corr is a fixed sequence of IEEE double ops, so results
+    * are bit-identical on any cluster layout and match DuckDB exactly.
+    * Overflow headroom: Σx² sums decimal(38,8) — ~10^30 absolute, far
+    * beyond 100 TB row counts at these magnitudes.
+    */
+  private val q53 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val x = $"value".cast("decimal(18,4)")
+      val hr = hour($"ts")
+      val m = Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"),
+          sum((x * x).cast("decimal(38,8)")).as("sxx"),
+          sum(hr.cast("long")).as("sy"),
+          sum((hr * hr).cast("long")).as("syy"),
+          sum((x * hr).cast("decimal(38,8)")).as("sxy"))
+        .select($"event_type", $"n",
+          $"sx".cast("double").as("sx"), $"sxx".cast("double").as("sxx"),
+          $"sy".cast("double").as("sy"), $"syy".cast("double").as("syy"),
+          $"sxy".cast("double").as("sxy"))
+      m.select($"event_type", $"n",
+          ($"sx" / $"n").as("mean_value"),
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1)))
+            .as("stddev_value"),
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+              sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_value_hour"))
+        .orderBy($"event_type")
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sx,
+          CAST(CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS sxx,
+          CAST(CAST(SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS DOUBLE) AS sy,
+          CAST(CAST(SUM(CAST(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts) AS BIGINT)) AS BIGINT) AS DOUBLE) AS syy,
+          CAST(CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * EXTRACT(hour FROM ts) AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type
+      )
+      SELECT event_type, n,
+             sx / n AS mean_value,
+             sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_value,
+             (n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
+      FROM m ORDER BY event_type"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -548,5 +637,7 @@ object Relational {
     "q16_high_qty_suppliers" -> q16,
     "q40_orders_cube" -> q40,
     "q41_cohort_set_ops" -> q41,
+    "q52_event_pivot" -> q52,
+    "q53_exact_moments" -> q53,
   )
 }
