@@ -32,6 +32,20 @@ object Sinks {
   def exportCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Day-partitioned ORC table — the same layout contract as
+    * [[writePartitioned]] on Spark's other built-in columnar format
+    * (vectorized reader, predicate pushdown, and partition pruning all
+    * apply identically; interop target for Hive/Trino-side consumers).
+    * Avro is NOT offered: the `avro` DataFrame format needs the external
+    * spark-avro module, absent from this build environment (only the Avro
+    * core libs ship in /opt/spark/jars) — same closure note as the Kafka
+    * leg in README.
+    */
+  def writePartitionedOrc(df: DataFrame, path: String, timeCol: String = "time",
+      mode: String = "append"): Unit =
+    df.withColumn("p_date", to_date(col(timeCol)))
+      .write.mode(mode).partitionBy("p_date").orc(path)
+
   /** Small-file compaction for a parquet table: rewrite to
     * ceil(bytes / targetFileBytes) files (per partition directory when
     * `partitionCols` is set), preserving rows and partitioning. Streaming

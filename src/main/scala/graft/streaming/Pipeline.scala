@@ -230,6 +230,39 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming sessionization (the streaming twin of batch q35): telemetry
+    * grouped into driving sessions split on `gap` of silence, via Spark's
+    * native `session_window` — state merges windows as rows arrive and a
+    * session finalizes (appears in append output) once the watermark
+    * passes its end. Batch q35 uses the cumulative-flag window form
+    * because batch has no state store; both implement the same 30-min-gap
+    * semantics at their respective lifecycles. State per key is one open
+    * session range, evicted at finalization — bounded by fleet
+    * cardinality, not history.
+    */
+  def sessionizedTelemetry(telemetry: DataFrame, gap: String = "30 seconds",
+      watermark: String = "2 minutes"): DataFrame =
+    telemetry
+      .withWatermark("time", watermark)
+      .groupBy(session_window(col("time"), gap), col("vehicle_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        max(col("current_speed_kmh")).as("max_speed_kmh"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("vehicle_id"), col("n_samples"), col("max_speed_kmh"))
+
+  /** Session-window runner: finalized driving sessions appended as parquet. */
+  def runSessionPipeline(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, gap: String = "30 seconds"): StreamingQuery =
+    sessionizedTelemetry(telemetryFileStream(s, inDir), gap)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/driving_sessions")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join (SURVEY §2.4 extension: the reference
     * evaluates collision rules on perception events alone,
     * consumer.py:112–124 — it cannot answer "how fast was OUR vehicle

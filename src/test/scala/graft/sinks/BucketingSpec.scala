@@ -42,6 +42,37 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    // filtered (creation) side and pushes might_contain onto the probe
+    // side's scan — at 100 TB this is the difference between shuffling
+    // the full fact table and shuffling the ~matching fraction. The size
+    // gates are tuned for real tables (creation side must be SMALL
+    // enough to build a filter from, probe scan LARGE enough to be worth
+    // filtering); relax the probe-side minimum so the tiny test data
+    // takes the same code path the cluster would.
+    val d = sf0001
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side, plan:\n$plan")
+      assert(joined.count() == 1)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("day-partitioned parquet prunes partitions under a date predicate") {
     val dir = tmpDir("prune") + "/t"
     val tel = graft.sources.Simulation.telemetry(spark, 2, 10, seed = 1).toDF()

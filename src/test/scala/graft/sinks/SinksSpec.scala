@@ -18,6 +18,22 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv")) == 1)
   }
 
+  test("ORC sink: day-partitioned round-trip with partition pruning") {
+    val dir = tmpDir("orc_out") + "/t"
+    val tel = graft.sources.Simulation.telemetry(spark, 3, 40, seed = 7).toDF()
+    Sinks.writePartitionedOrc(tel, dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == tel.count())
+    assert(back.columns.contains("p_date"))
+    // a p_date predicate prunes at the partition level, same as parquet
+    val pruned = back.filter(col("p_date") === back.select(min("p_date")).head().getDate(0))
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "ORC scan node present")
+    assert(scan.get.partitionFilters.nonEmpty, "p_date filter reached partition pruning")
+  }
+
   test("compaction collapses small files, preserves rows and partitioning") {
     val dir = tmpDir("compact") + "/t"
     val tel = graft.sources.Simulation.telemetry(spark, 4, 50, seed = 3).toDF()

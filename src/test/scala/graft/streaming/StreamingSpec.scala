@@ -72,6 +72,33 @@ class StreamingSpec extends SparkSpec {
       .count() == 0, "open window beyond watermark is not emitted")
   }
 
+  test("session windows: gap-split sessions finalize past the watermark") {
+    val in = tmpDir("sess_in")
+    val out = tmpDir("sess_out")
+    val ckpt = tmpDir("sess_ckpt")
+    writeJsonl(in, "b.jsonl",
+      // vehicle 1: two rows 10s apart (one session, 30s gap), then a row
+      // 2 min later (second session)
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:00","current_speed_kmh":"60","speed_limit_violation":"false"}""",
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:10","current_speed_kmh":"80","speed_limit_violation":"true"}""",
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:02:00","current_speed_kmh":"40","speed_limit_violation":"false"}""",
+      // vehicle 2: advances the watermark to 08:08 so the above finalize;
+      // its own session stays open and must not be emitted
+      """{"vehicle_id":"2","timestamp":"2026-03-01 08:10:00","current_speed_kmh":"30","speed_limit_violation":"false"}""")
+    Pipeline.runSessionPipeline(spark, in, out, ckpt).awaitTermination()
+    val sessions = spark.read.parquet(s"$out/driving_sessions")
+      .orderBy("vehicle_id", "session_start").collect()
+    assert(sessions.length == 2, "two finalized vehicle-1 sessions, open one withheld")
+    val s1 = sessions(0)
+    assert(s1.getAs[java.sql.Timestamp]("session_start").toString == "2026-03-01 08:00:00.0")
+    assert(s1.getAs[java.sql.Timestamp]("session_end").toString == "2026-03-01 08:00:40.0",
+      "session end = last event + gap")
+    assert(s1.getAs[Long]("n_samples") == 2 && s1.getAs[Double]("max_speed_kmh") == 80.0)
+    val s2 = sessions(1)
+    assert(s2.getAs[java.sql.Timestamp]("session_start").toString == "2026-03-01 08:02:00.0")
+    assert(s2.getAs[Long]("n_samples") == 1)
+  }
+
   test("stream-stream interval join: perception enriched with ±10s telemetry") {
     val telIn = tmpDir("ssj_tel")
     val perIn = tmpDir("ssj_per")
