@@ -617,6 +617,41 @@ object Relational {
                (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
       FROM m ORDER BY event_type"""))
 
+  /** Q54 — NTILE decile profiling: per event type, split values into 10
+    * equal-frequency buckets and report each bucket's row count and exact
+    * min/max bounds (the data-profiling shape behind quantile-bucketed
+    * feature engineering). The window's ORDER BY carries `event_id` as a
+    * unique tiebreak — without it, rows with equal `value` straddle
+    * bucket boundaries in a nondeterministic order and the hash compare
+    * is meaningless (SURVEY §5 determinism rule). One shuffle on
+    * event_type; min/max of doubles are exact, so no decimal routing is
+    * needed.
+    */
+  private val q54 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type", $"event_id", $"value")
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+        .groupBy($"event_type", $"decile")
+        .agg(count(lit(1)).as("n"),
+          min($"value").as("lo"), max($"value").as("hi"))
+        .withColumn("decile", $"decile".cast("long"))
+        .orderBy($"event_type", $"decile")
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT event_type, value,
+               NTILE(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS decile
+        FROM events
+      )
+      SELECT event_type, decile, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(value) AS lo, MAX(value) AS hi
+      FROM t GROUP BY event_type, decile
+      ORDER BY event_type, decile"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -639,5 +674,6 @@ object Relational {
     "q41_cohort_set_ops" -> q41,
     "q52_event_pivot" -> q52,
     "q53_exact_moments" -> q53,
+    "q54_value_deciles" -> q54,
   )
 }

@@ -261,9 +261,10 @@ object TextOps {
 
   /** Q47 — near-duplicate CLUSTERS: the pairs→groups step real dedup needs
     * (a pair list alone can't pick survivors when A~B and B~C but A!~C).
-    * Connected components over q18's verified pair set via iterated
-    * large-star/small-star; each doc maps to its component's minimum
-    * doc_id, `keep` marks the survivor.
+    * Connected components over the verified near-dup pair set (generated
+    * by the LSH pipeline — equal to q18's exact pair set, spec-asserted)
+    * via iterated large-star/small-star; each doc maps to its component's
+    * minimum doc_id, `keep` marks the survivor.
     *
     * The driver-side loop holds only per-iteration COUNTS (convergence
     * check on (|E|, xxhash64-sum) — one cheap action per iteration, the
@@ -282,9 +283,12 @@ object TextOps {
           coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
         (r.getLong(0), r.getLong(1))
       }
-      // nearDupPairs is already materialized (localCheckpoint inside), so
-      // the initial projection needs no checkpoint of its own
-      var edges = nearDupPairs(s, d).select($"i".as("u"), $"j".as("v"))
+      // the LSH pipeline produces the same verified pair set as the exact
+      // q18 path (QueriesSpec asserts equality) without its global
+      // document-frequency shuffle — the right edge generator at 100 TB,
+      // and already materialized (localCheckpoint inside), so the initial
+      // projection needs no checkpoint of its own
+      var edges = nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v"))
       var fp = fingerprint(edges)
       var converged = false
       var iter = 0
@@ -339,8 +343,7 @@ object TextOps {
     * (>= 0.8) is 1 - (1 - 0.8^4)^16 ≈ 0.9998 — the output equals Q18's
     * exact pair set on the test corpora (asserted in TextOpsSpec).
     */
-  private val q19 = Q(
-    fn = (s, d) => {
+  private[queries] def nearDupPairsLsh(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val nPerm = 64
       val bands = 16
@@ -374,7 +377,10 @@ object TextOps {
           .distinct()
         verifyPairs(cand, docs, 0.5).localCheckpoint()
       } finally docs.unpersist()
-    },
+  }
+
+  private val q19 = Q(
+    fn = (s, d) => nearDupPairsLsh(s, d),
     oracle = Some(nearDupOracle))
 
   /** Q20 — SimHash fingerprints + Hamming-distance pairs (brief's SimHash
