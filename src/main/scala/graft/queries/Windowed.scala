@@ -236,6 +236,92 @@ object Windowed {
       WHERE rank <= 3
       ORDER BY query_id, rank"""))
 
+  /** Q55 — gap-fill resampling with linear interpolation: each user's
+    * irregular event values are resampled onto a regular daily grid; each
+    * grid point takes `v_prev + (v_next - v_prev) · Δt_frac` between its
+    * two surrounding samples (only interior points emit — no
+    * extrapolation). The classic time-series regularization step before
+    * windowed feature extraction, absent from SQL engines as a builtin.
+    *
+    * Implementation is the sweep idiom (q34's as-of pattern, doubled):
+    * union the grid rows with the sample rows, one window per user
+    * ordered by (time, is_grid) — `last_value IGNORE NULLS` looking back
+    * supplies the previous sample, `first_value IGNORE NULLS` looking
+    * forward the next, so ONE shuffle on user_id serves every grid point;
+    * no per-grid-point join, no range join. The global day range comes
+    * from a 1-row agg broadcast (q09b pattern). Interpolation arithmetic
+    * runs on exact epoch-micros longs cast to double (micros < 2^53 —
+    * exact), so results are bit-identical across engines.
+    */
+  private val q55 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val span = ev.agg(to_date(min($"ts")).as("d0"), to_date(max($"ts")).as("d1"))
+      val grid = ev.select($"user_id").distinct()
+        .crossJoin(broadcast(span))
+        .select($"user_id",
+          explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+        .select($"user_id", $"day".cast("timestamp").as("gts"))
+        .select($"user_id", unix_micros($"gts").as("t"),
+          lit(null).cast("double").as("v"), lit(1).as("is_grid"), $"gts")
+      val samples = ev.select($"user_id", unix_micros($"ts").as("t"),
+        $"value".as("v"), lit(0).as("is_grid"), lit(null).cast("timestamp").as("gts"))
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"is_grid")
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      samples.unionByName(grid)
+        .withColumn("pt", last(when($"is_grid" === 0, $"t"), ignoreNulls = true).over(back))
+        .withColumn("pv", last($"v", ignoreNulls = true).over(back))
+        .withColumn("nt", first(when($"is_grid" === 0, $"t"), ignoreNulls = true).over(fwd))
+        .withColumn("nv", first($"v", ignoreNulls = true).over(fwd))
+        .filter($"is_grid" === 1 && $"pt".isNotNull && $"nt".isNotNull)
+        .withColumn("value", when($"nt" === $"pt", $"pv")
+          .otherwise($"pv" + ($"nv" - $"pv") *
+            (($"t" - $"pt").cast("double") / ($"nt" - $"pt").cast("double"))))
+        .select($"user_id", $"gts".as("grid_ts"), $"value")
+        .orderBy($"user_id", $"grid_ts")
+    },
+    oracle = Some("""
+      WITH span AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+      ), grid AS (
+        SELECT u.user_id, CAST(g.day AS TIMESTAMP) AS gts
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN span
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS day) g
+      ), unioned AS (
+        SELECT user_id, epoch_us(ts) AS t, value AS v, 0 AS is_grid,
+               CAST(NULL AS TIMESTAMP) AS gts
+        FROM events
+        UNION ALL
+        SELECT user_id, epoch_us(gts) AS t, NULL AS v, 1 AS is_grid, gts
+        FROM grid
+      ), swept AS (
+        SELECT *,
+          last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_grid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          last_value(v IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_grid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_grid
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+          first_value(v IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_grid
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        FROM unioned
+      )
+      SELECT user_id, gts AS grid_ts,
+             CASE WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             END AS value
+      FROM swept
+      WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL
+      ORDER BY user_id, grid_ts"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -243,5 +329,6 @@ object Windowed {
     "q36_percentiles" -> q36,
     "q36b_percentiles_approx" -> q36b,
     "q37_timeseries_knn" -> q37,
+    "q55_gapfill_resample" -> q55,
   )
 }

@@ -69,6 +69,61 @@ object Sinks {
       partitionCols: Seq[String] = Seq.empty): Unit =
     compactImpl(spark, path, targetFileBytes, partitionCols, () => ())
 
+  /** Keyed upsert into a day-partitioned parquet table — the ON CONFLICT
+    * semantics the reference's schema once had and its pipeline removed
+    * (results/PIPELINE_REAL_DATA.md §4), restored set-oriented: rows in
+    * `updates` replace existing rows with the same `keyCols`; on a key
+    * collision the later `timeCol` wins, and an update beats an existing
+    * row at equal time.
+    *
+    * Partition-scoped: only the day partitions that `updates` touches are
+    * read and rewritten (dynamic partition overwrite), so upsert cost
+    * scales with the update's day span, not table history. The distinct
+    * touched-date list collected to the driver is partition METADATA
+    * (days, not rows) — bounded and tiny by construction.
+    *
+    * Not transactional: a crash mid-write can leave touched partitions
+    * partially rewritten (the table-format caveat as compact()); use
+    * Delta/Iceberg MERGE where atomicity is required. The key must pin
+    * the row's day (e.g. include `timeCol`, as (vehicle_id, time) does) —
+    * a key whose day CHANGES between versions lives in two partitions,
+    * and reconciling that is a table-format MERGE, not a partition
+    * overwrite.
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+      updates: DataFrame, path: String, keyCols: Seq[String],
+      timeCol: String = "time"): Unit = {
+    require(keyCols.nonEmpty, "upsert needs a key")
+    import org.apache.spark.sql.expressions.Window
+    val up = updates.withColumn("p_date", to_date(col(timeCol)))
+    val touched = up.select("p_date").distinct().collect().map(_.getDate(0))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(root)) null
+      else spark.read.parquet(path).filter(col("p_date").isin(touched.map(_.toString): _*))
+    val tagged = up.withColumn("__is_update", lit(1))
+    val merged =
+      if (existing == null) tagged
+      else existing.withColumn("__is_update", lit(0)).unionByName(tagged)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).desc, col("__is_update").desc)
+    val winner = merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__is_update")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // localCheckpoint: the plan reads the same partitions it overwrites
+      winner.localCheckpoint()
+        .write.mode("overwrite").partitionBy("p_date").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** `afterPin` is a test seam: invoked once right after the file list is
     * pinned (i.e. "during the rewrite" from a concurrent writer's view),
     * letting specs simulate a mid-compaction append deterministically.

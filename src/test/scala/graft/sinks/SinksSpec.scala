@@ -18,6 +18,34 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv")) == 1)
   }
 
+  test("upsert: same-key rows replaced, new keys appended, only touched partitions rewritten") {
+    import spark.implicits._
+    val dir = tmpDir("upsert") + "/t"
+    val day1 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val day2 = java.sql.Timestamp.valueOf("2026-01-02 10:00:00")
+    val base = Seq((1, day1, 50.0), (2, day1, 60.0), (3, day2, 70.0))
+      .toDF("vehicle_id", "time", "speed")
+    Sinks.writePartitioned(base, dir)
+    def day1Files = new java.io.File(s"$dir/p_date=2026-01-01").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val day1Before = day1Files
+    // update vehicle 3's day-2 row, insert vehicle 4 on day 2
+    val updates = Seq((3, day2, 75.0), (4, day2, 80.0))
+      .toDF("vehicle_id", "time", "speed")
+    Sinks.upsertPartitioned(spark, updates, dir, Seq("vehicle_id", "time"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 4)
+    assert(after.filter($"vehicle_id" === 3).head().getDouble(2) == 75.0,
+      "colliding key takes the update's value")
+    assert(after.filter($"vehicle_id" === 4).count() == 1)
+    assert(after.filter($"vehicle_id" === 1).head().getDouble(2) == 50.0)
+    assert(day1Files == day1Before, "untouched day-1 partition must not be rewritten")
+    // upsert into a not-yet-existing table works (first write path)
+    val dir2 = tmpDir("upsert2") + "/t"
+    Sinks.upsertPartitioned(spark, updates, dir2, Seq("vehicle_id", "time"))
+    assert(spark.read.parquet(dir2).count() == 2)
+  }
+
   test("ORC sink: day-partitioned round-trip with partition pruning") {
     val dir = tmpDir("orc_out") + "/t"
     val tel = graft.sources.Simulation.telemetry(spark, 3, 40, seed = 7).toDF()

@@ -72,6 +72,25 @@ class StreamingSpec extends SparkSpec {
       .count() == 0, "open window beyond watermark is not emitted")
   }
 
+  test("progress listener records per-batch input rows without touching the query") {
+    val in = tmpDir("obs_in")
+    val out = tmpDir("obs_out")
+    val ckpt = tmpDir("obs_ckpt")
+    writeJsonl(in, "b1.jsonl", row1, row2)
+    writeJsonl(in, "b2.jsonl", row3)
+    val rec = Observability.record(spark)
+    try {
+      Pipeline.runAlertPipeline(spark, in, out, ckpt).awaitTermination()
+      // listener bus delivery is async — poll briefly for the events
+      val deadline = System.nanoTime() + 30L * 1000000000
+      while (rec.totalInputRows < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(rec.totalInputRows == 3,
+        s"expected 3 wire rows accounted, got ${rec.batches}")
+      assert(rec.batches.forall(_.durationMs > 0))
+    } finally spark.streams.removeListener(rec)
+  }
+
   test("session windows: gap-split sessions finalize past the watermark") {
     val in = tmpDir("sess_in")
     val out = tmpDir("sess_out")
