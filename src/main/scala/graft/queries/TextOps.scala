@@ -625,8 +625,17 @@ object TextOps {
     * No pairwise work at all: overlap is against the test SET, not per
     * test doc.
     */
-  private val q46 = Q(
-    fn = (s, d) => {
+  /** Shared decontamination core: for every TRAIN document that shares at
+    * least one word-3-gram shingle with the held-out test split, its
+    * total shingle count `n` and distinct shared count `n_shared`.
+    * Callers choose the contamination criterion: q46 reports the
+    * reference absolute threshold (≥ 8 shared), q56 gates on the
+    * fractional overlap n_shared/n — the absolute count degrades as the
+    * corpus (and thus the test shingle set) grows, while the fraction
+    * measures how much of THIS doc is covered by eval data, which is the
+    * scale-stable leakage signal.
+    */
+  private[queries] def trainTestOverlap(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
       // scoped persist (q18's pattern): the train and test subtrees would
@@ -639,18 +648,25 @@ object TextOps {
         .persist()
       try {
         val trainEx = docs.filter($"split" === "train")
-          .select($"doc_id", explode($"hs").as("h"))
+          .select($"doc_id", $"n", explode($"hs").as("h"))
         val testH = docs.filter($"split" === "test")
           .select(explode($"hs").as("h")).distinct()
         // hs holds string-distinct shingles, so count(*) per doc after the
         // semi-match == distinct shared shingles
         trainEx.join(testH, Seq("h"))
           .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_shared"))
-          .filter($"n_shared" >= 8)
-          .orderBy($"doc_id")
+          .agg(first($"n").as("n"), count(lit(1)).as("n_shared"))
           .localCheckpoint()
       } finally docs.unpersist()
+  }
+
+  private val q46 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      trainTestOverlap(s, d)
+        .filter($"n_shared" >= 8)
+        .select($"doc_id", $"n_shared")
+        .orderBy($"doc_id")
     },
     oracle = Some("""
       WITH w AS (
@@ -693,8 +709,7 @@ object TextOps {
     * arrays). Fractions are exact-int divisions, so the doubles (and the
     * boolean verdict) are bit-identical cross-engine.
     */
-  private val q48 = Q(
-    fn = (s, d) => {
+  private[queries] def repetitionScores(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val w = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
       val grams = w.select($"doc_id",
@@ -715,9 +730,18 @@ object TextOps {
           ($"n_distinct".cast("double") / $"n_words").as("distinct_frac"),
           (($"total2" - $"d2").cast("double") / $"total2").as("dup_2gram_frac"))
       scored
-        .withColumn("keep",
-          $"top_word_frac" <= 0.12 && $"distinct_frac" >= 0.35 &&
-            $"dup_2gram_frac" <= 0.08)
+  }
+
+  /** The q48 quality verdict as a reusable predicate column. */
+  private def qualityKeep: Column =
+    col("top_word_frac") <= 0.12 && col("distinct_frac") >= 0.35 &&
+      col("dup_2gram_frac") <= 0.08
+
+  private val q48 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      repetitionScores(s, d)
+        .withColumn("keep", qualityKeep)
         .orderBy($"doc_id")
     },
     oracle = Some("""
@@ -889,6 +913,103 @@ object TextOps {
     },
     oracle = None)
 
+  /** Q56 — the flagship composition: materialize the cleaned TRAINING
+    * SPLIT end to end, the query a pre-training data pipeline actually
+    * ships. Stages (each individually oracled by its own query):
+    *
+    *  1. quality gate — q48's repetition thresholds;
+    *  2. split assignment — q45's deterministic md5-nibble, keep 'train';
+    *  3. decontamination — drop docs whose shingle set is ≥ 80% covered
+    *     by the held-out test split (the fractional form of q46's
+    *     overlap — scale-stable where the absolute count is not), as a
+    *     LEFT ANTI join;
+    *  4. feature join — attach the embedding row (vec_id = doc_id).
+    *
+    * Shape at scale: stages 1–3 are filters/anti-joins keyed on doc_id
+    * (the anti join's right side is the small contaminated-id set —
+    * broadcast); the embedding join is the only big-big equi-join,
+    * shuffling both sides once on the shared key. Every stage is
+    * deterministic, so the materialized split is reproducible bit-for-bit
+    * anywhere — which is the property that makes training runs
+    * comparable.
+    */
+  private val q56 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
+      val keepers = repetitionScores(s, d)
+        .filter(qualityKeep)
+        .select($"doc_id", $"n_words".as("n_tokens"))
+      val train = Tables.documents(s, d)
+        .filter(nibble <= "9" || nibble === "a" || nibble === "b")
+        .select($"doc_id", $"lang", $"source")
+      // fractional criterion (≥ 80% of the doc's own shingles covered by
+      // the test set): near-verbatim leakage, stable as the corpus grows —
+      // see trainTestOverlap
+      val contaminated = trainTestOverlap(s, d)
+        .filter($"n_shared".cast("double") / $"n" >= 0.8)
+        .select($"doc_id")
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id".as("doc_id"), $"embedding")
+      train
+        .join(keepers, Seq("doc_id"))
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .join(emb, Seq("doc_id"))
+        .select($"doc_id", $"lang", $"source", $"n_tokens", $"embedding")
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), grams AS (
+        SELECT doc_id, len(w)-1 AS total2,
+               len(list_distinct(list_transform(generate_series(1, len(w)-1),
+                 i -> array_to_string(w[i:i+1], ' ')))) AS d2
+        FROM w WHERE len(w) >= 2
+      ), wc AS (
+        SELECT doc_id, unnest(w) AS word FROM w
+      ), cnt AS (
+        SELECT doc_id, word, COUNT(*) AS c FROM wc GROUP BY doc_id, word
+      ), freq AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct, MAX(c) AS top_c
+        FROM cnt GROUP BY doc_id
+      ), keepers AS (
+        SELECT f.doc_id, f.n_words AS n_tokens
+        FROM freq f JOIN grams g USING (doc_id)
+        WHERE CAST(f.top_c AS DOUBLE) / f.n_words <= 0.12
+          AND CAST(f.n_distinct AS DOUBLE) / f.n_words >= 0.35
+          AND CAST(g.total2 - g.d2 AS DOUBLE) / g.total2 <= 0.08
+      ), split AS (
+        SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                       ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                  ELSE 'test' END AS split
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s,
+               len(list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS n
+        FROM w WHERE len(w) >= 3
+      ), test_sh AS (
+        SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE split = 'test'
+      ), contaminated AS (
+        SELECT sh.doc_id
+        FROM sh JOIN split USING (doc_id) JOIN test_sh USING (s)
+        WHERE split = 'train'
+        GROUP BY sh.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / any_value(n) >= 0.8
+      )
+      SELECT d.doc_id, d.lang, d.source, k.n_tokens, e.embedding
+      FROM documents d
+      JOIN split USING (doc_id)
+      JOIN keepers k ON k.doc_id = d.doc_id
+      JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE split.split = 'train'
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY d.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -905,5 +1026,6 @@ object TextOps {
     "q49_stratified_sample" -> q49,
     "q50_sequence_packing" -> q50,
     "q51_tfidf_keywords" -> q51,
+    "q56_training_split_materialize" -> q56,
   )
 }
