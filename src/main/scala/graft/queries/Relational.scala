@@ -652,6 +652,57 @@ object Relational {
       FROM t GROUP BY event_type, decile
       ORDER BY event_type, decile"""))
 
+  /** Q57 — ranking-function family beyond row_number/ntile: suppliers
+    * ranked by exact revenue within their nation using `rank` (gaps on
+    * ties), `dense_rank` (no gaps), and `percent_rank` (= (rank-1)/(n-1),
+    * exact ints divided once — deterministic cross-engine). Revenue
+    * routes through decimal so ties (and therefore all three rank
+    * columns) are exact, not float-accidental. Top-5 per nation via the
+    * rank filter compiles to WindowGroupLimit.
+    */
+  private val q57 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(18,4)")).as("revenue"))
+      val sup = Tables.supplier(s, d).select($"s_suppkey", $"s_name", $"s_nationkey")
+      // no unique tiebreak in the WINDOW order: equal revenues must
+      // share a rank (that's what rank/dense_rank demonstrate) — rank
+      // values are deterministic under ties, and the unique final
+      // ORDER BY keeps the output row order stable
+      val w = Window.partitionBy($"s_nationkey").orderBy($"revenue".desc)
+      sup.join(rev, $"s_suppkey" === $"l_suppkey")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("dense_rnk", dense_rank().over(w))
+        .withColumn("pct_rnk", percent_rank().over(w))
+        .filter($"rnk" <= 5)
+        .select($"s_nationkey", $"s_suppkey", $"s_name",
+          $"revenue".cast("double").as("revenue"),
+          $"rnk".cast("long").as("rnk"),
+          $"dense_rnk".cast("long").as("dense_rnk"), $"pct_rnk")
+        .orderBy($"s_nationkey", $"rnk", $"s_suppkey")
+    },
+    oracle = Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        FROM lineitem GROUP BY l_suppkey
+      ), ranked AS (
+        SELECT s_nationkey, s_suppkey, s_name, revenue,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS dense_rnk,
+               PERCENT_RANK() OVER w AS pct_rnk
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY revenue DESC)
+      )
+      SELECT s_nationkey, s_suppkey, s_name,
+             CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+             rnk, dense_rnk, pct_rnk
+      FROM ranked WHERE rnk <= 5
+      ORDER BY s_nationkey, rnk, s_suppkey"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -675,5 +726,6 @@ object Relational {
     "q52_event_pivot" -> q52,
     "q53_exact_moments" -> q53,
     "q54_value_deciles" -> q54,
+    "q57_supplier_rank" -> q57,
   )
 }
