@@ -272,39 +272,50 @@ object TextOps {
     * never leaves the cluster, and localCheckpoint truncates lineage so
     * plan depth stays O(1) per iteration.
     */
+  /** Connected components over an undirected (u, v) edge list: every
+    * vertex that appears in an edge is labeled with its component's
+    * minimum vertex id. Iterated large-star/small-star with a
+    * (count, bit_xor) set-fingerprint convergence check — see
+    * [[largeStar]]. `maxIters` caps runaway graphs (O(log² n) alternations
+    * suffice; 24 covers any practical n; a SUM of random 64-bit hashes
+    * would trip ANSI overflow, hence xor).
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 24): DataFrame = {
+    import pairs.sparkSession.implicits._
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs
+    var fp = fingerprint(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next; fp = nfp; iter += 1
+      System.err.println(f"[cc] alternation $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=${nfp._1}")
+    }
+    require(converged, s"connected components did not converge in $iter alternations")
+    // converged edges are stars (x → component min); add the roots
+    edges.select($"u".as("vertex"), $"v".as("rep"))
+      .union(edges.select($"v".as("vertex"), $"v".as("rep")))
+      .distinct()
+  }
+
   private val q47 = Q(
     fn = (s, d) => {
       import s.implicits._
-      // set fingerprint (|E|, xor of edge hashes): order-independent and
-      // overflow-free (a SUM of random 64-bit hashes would trip ANSI
-      // overflow); edges are distinct so xor never self-cancels
-      def fingerprint(e: DataFrame): (Long, Long) = {
-        val r = e.agg(count(lit(1)),
-          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      }
       // the LSH pipeline produces the same verified pair set as the exact
       // q18 path (QueriesSpec asserts equality) without its global
       // document-frequency shuffle — the right edge generator at 100 TB,
       // and already materialized (localCheckpoint inside), so the initial
       // projection needs no checkpoint of its own
-      var edges = nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v"))
-      var fp = fingerprint(edges)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 16) {
-        val t0 = System.nanoTime()
-        val next = smallStar(largeStar(edges)).localCheckpoint()
-        val nfp = fingerprint(next)
-        converged = nfp == fp
-        edges = next; fp = nfp; iter += 1
-        System.err.println(f"[q47] alternation $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=${nfp._1}")
-      }
-      require(converged, s"connected components did not converge in $iter alternations")
-      // converged edges are stars (x → component min); add the roots
-      edges.select($"u".as("doc_id"), $"v".as("cluster_rep"))
-        .union(edges.select($"v".as("doc_id"), $"v".as("cluster_rep")))
-        .distinct()
+      connectedComponents(nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v")))
+        .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
         .withColumn("keep", $"doc_id" === $"cluster_rep")
         .orderBy($"doc_id")
     },

@@ -104,6 +104,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connected components equals union-find on random graphs") {
+    import spark.implicits._
+    // random undirected edge lists, including path-like graphs (the
+    // worst case for naive label propagation) and self-contained cliques
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      nV <- Gen.choose(2, 40)
+      nE <- Gen.choose(1, 50)
+      edges <- Gen.listOfN(nE, for {
+        a <- Gen.choose(0L, nV.toLong - 1)
+        b <- Gen.choose(0L, nV.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    forAll(edgeGen, n = 6) { edges =>
+      if (edges.nonEmpty) {
+        val got = graft.queries.TextOps
+          .connectedComponents(edges.toDF("u", "v"), maxIters = 24)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference union-find
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = verts.map { v =>
+          val root = find(v)
+          v -> verts.filter(find(_) == root).min
+        }.toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
   test("property: winnow fingerprints are within the hash modulus") {
     forAll(Gen.choose(11, 120).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))) { text =>
