@@ -39,10 +39,9 @@ object Bench {
 
     // best-of-N: single-run timings on this box vary ±50% (JIT, page
     // cache, co-tenant load); the minimum is the stable estimate of plan
-    // cost. Two runs baseline; a spread above 3x means at least one run
-    // was contention-inflated, so measure once more — both runs being
-    // contended is exactly the failure mode that poisoned round 2's
-    // numbers (a 0.9 s rollup reported as 14 s).
+    // cost. Three runs baseline (ALL runs of a query being contended is
+    // exactly the failure mode that poisoned round 2's numbers — a 0.9 s
+    // rollup reported as 14 s); a spread above 3x still buys one more.
     var failed = List.empty[String]
     val raw = SparkEntry.queries.toSeq.map { case (name, fn) =>
       def timed(): (Either[String, Unit], Double) = {
@@ -50,7 +49,7 @@ object Bench {
         val r = runOnce(spark, name, fn, sfDir)
         (r, (System.nanoTime() - t0) / 1e9)
       }
-      var times = (1 to 2).map(_ => timed())
+      var times = (1 to 3).map(_ => timed())
       if (times.forall(_._1.isRight)) {
         val secs = times.map(_._2)
         if (secs.max / secs.min > 3.0) times :+= timed()
