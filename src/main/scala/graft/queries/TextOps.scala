@@ -902,7 +902,10 @@ object TextOps {
     fn = (s, d) => {
       import s.implicits._
       val budget = 128
-      val nGroups = 64
+      // a packing group must fit one task's memory (it is sorted and
+      // packed imperatively): size P to corpus_rows / rows-per-task, not
+      // to a constant — session-tunable for deployments
+      val nGroups = s.conf.get("graft.pack.groups", "64").toInt
       val toks = Tables.documents(s, d)
         .select($"doc_id", size(words($"text")).as("n_tokens"),
           pmod($"doc_id", lit(nGroups)).cast("int").as("grp"))
