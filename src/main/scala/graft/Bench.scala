@@ -69,13 +69,14 @@ object Bench {
     // the driver keeps only the LAST 2000 chars of stdout (measured across
     // rounds 1-3; round 3's line was clipped mid-queries and the judge lost
     // the early timings), so the one-line contract must stay compact:
-    // 3-decimal timings on stdout, full spread detail on stderr only.
+    // 2-decimal timings on stdout, full spread detail on stderr only.
     // 2-decimal timings: sf0.1 queries run >= 0.2 s, so 10 ms resolution
     // loses nothing and keeps the line comfortably under the tail window
     // as the query inventory grows
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    raw.collect { case (name, best, runs) if best >= 0 && runs.max / runs.min > 2.0 =>
-      System.err.println(f"[bench] spread>2x $name%-28s ${runs.max / runs.min}%.2fx")
+    raw.foreach { case (name, best, runs) =>
+      if (best >= 0 && runs.max / runs.min > 2.0)
+        System.err.println(f"[bench] spread>2x $name%-28s ${runs.max / runs.min}%.2fx")
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -545,7 +545,7 @@ object Relational {
         .groupBy($"user_id")
         .pivot("event_type", types)
         .agg(count(lit(1)).as("n"), decSum($"value").as("val"))
-        .na.fill(0L).na.fill(0.0)
+        .na.fill(0L) // fills ALL numeric null cells: long *_n and double *_val
         .orderBy($"user_id")
     },
     oracle = Some("""
@@ -593,7 +593,8 @@ object Relational {
           $"sxy".cast("double").as("sxy"))
       m.select($"event_type", $"n",
           ($"sx" / $"n").as("mean_value"),
-          sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1)))
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") /
+            ($"n".cast("double") * ($"n" - 1)))
             .as("stddev_value"),
           (($"n" * $"sxy" - $"sx" * $"sy") /
             (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
@@ -612,7 +613,7 @@ object Relational {
       )
       SELECT event_type, n,
              sx / n AS mean_value,
-             sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_value,
+             sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_value,
              (n * sxy - sx * sy) /
                (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
       FROM m ORDER BY event_type"""))
@@ -664,8 +665,17 @@ object Relational {
     * ties), `dense_rank` (no gaps), and `percent_rank` (= (rank-1)/(n-1),
     * exact ints divided once — deterministic cross-engine). Revenue
     * routes through decimal so ties (and therefore all three rank
-    * columns) are exact, not float-accidental. Top-5 per nation via the
-    * rank filter compiles to WindowGroupLimit.
+    * columns) are exact, not float-accidental.
+    *
+    * percent_rank is computed ARITHMETICALLY — (rank−1)/(n_nation−1)
+    * from a per-nation count join — not with the builtin window
+    * function: Catalyst's InferWindowGroupLimit only fires when every
+    * expression over the window is rank/dense_rank/row_number, so a
+    * percent_rank in the same window silently turns the top-5 filter
+    * into a full per-partition sort (verified on this Spark build).
+    * With rank-only windows the plan keeps WindowGroupLimit (top-k
+    * pruning before the sort), and the arithmetic form is the
+    * definition of percent_rank, bit-identical on exact ints.
     */
   private val q57 = Q(
     fn = (s, d) => {
@@ -675,16 +685,21 @@ object Relational {
         .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
           .cast("decimal(18,4)")).as("revenue"))
       val sup = Tables.supplier(s, d).select($"s_suppkey", $"s_name", $"s_nationkey")
+      val joined = sup.join(rev, $"s_suppkey" === $"l_suppkey")
+      val perNation = joined.groupBy($"s_nationkey").agg(count(lit(1)).as("n_nat"))
       // no unique tiebreak in the WINDOW order: equal revenues must
       // share a rank (that's what rank/dense_rank demonstrate) — rank
       // values are deterministic under ties, and the unique final
       // ORDER BY keeps the output row order stable
       val w = Window.partitionBy($"s_nationkey").orderBy($"revenue".desc)
-      sup.join(rev, $"s_suppkey" === $"l_suppkey")
+      joined
         .withColumn("rnk", rank().over(w))
         .withColumn("dense_rnk", dense_rank().over(w))
-        .withColumn("pct_rnk", percent_rank().over(w))
         .filter($"rnk" <= 5)
+        .join(broadcast(perNation), Seq("s_nationkey"))
+        .withColumn("pct_rnk",
+          when($"n_nat" === 1, lit(0.0))
+            .otherwise(($"rnk" - 1).cast("double") / ($"n_nat" - 1)))
         .select($"s_nationkey", $"s_suppkey", $"s_name",
           $"revenue".cast("double").as("revenue"),
           $"rnk".cast("long").as("rnk"),
@@ -696,18 +711,25 @@ object Relational {
         SELECT l_suppkey,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
         FROM lineitem GROUP BY l_suppkey
+      ), joined AS (
+        SELECT s_nationkey, s_suppkey, s_name, revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      ), per_nation AS (
+        SELECT s_nationkey, COUNT(*) AS n_nat FROM joined GROUP BY s_nationkey
       ), ranked AS (
         SELECT s_nationkey, s_suppkey, s_name, revenue,
                RANK() OVER w AS rnk,
-               DENSE_RANK() OVER w AS dense_rnk,
-               PERCENT_RANK() OVER w AS pct_rnk
-        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+               DENSE_RANK() OVER w AS dense_rnk
+        FROM joined
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY revenue DESC)
       )
       SELECT s_nationkey, s_suppkey, s_name,
              CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
-             rnk, dense_rnk, pct_rnk
-      FROM ranked WHERE rnk <= 5
+             rnk, dense_rnk,
+             CASE WHEN n_nat = 1 THEN 0.0
+                  ELSE CAST(rnk - 1 AS DOUBLE) / (n_nat - 1) END AS pct_rnk
+      FROM ranked JOIN per_nation USING (s_nationkey)
+      WHERE rnk <= 5
       ORDER BY s_nationkey, rnk, s_suppkey"""))
 
   val all: Map[String, Q] = Map(

@@ -264,10 +264,17 @@ object Windowed {
           explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
         .select($"user_id", $"day".cast("timestamp").as("gts"))
         .select($"user_id", unix_micros($"gts").as("t"),
-          lit(null).cast("double").as("v"), lit(1).as("is_grid"), $"gts")
+          lit(null).cast("double").as("v"), lit(1).as("is_grid"), $"gts",
+          lit(-1L).as("event_id"))
       val samples = ev.select($"user_id", unix_micros($"ts").as("t"),
-        $"value".as("v"), lit(0).as("is_grid"), lit(null).cast("timestamp").as("gts"))
-      val w = Window.partitionBy($"user_id").orderBy($"t", $"is_grid")
+        $"value".as("v"), lit(0).as("is_grid"), lit(null).cast("timestamp").as("gts"),
+        $"event_id")
+      // event_id completes the total order (SURVEY §5): two same-user
+      // samples at an identical timestamp would otherwise make pv/nv
+      // nondeterministic. Grid rows use -1, not null — Spark sorts nulls
+      // first where DuckDB sorts them last, so a null tiebreak would
+      // itself diverge.
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"is_grid", $"event_id")
       val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       samples.unionByName(grid)
@@ -293,24 +300,25 @@ object Windowed {
                             CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS day) g
       ), unioned AS (
         SELECT user_id, epoch_us(ts) AS t, value AS v, 0 AS is_grid,
-               CAST(NULL AS TIMESTAMP) AS gts
+               CAST(NULL AS TIMESTAMP) AS gts, event_id
         FROM events
         UNION ALL
-        SELECT user_id, epoch_us(gts) AS t, NULL AS v, 1 AS is_grid, gts
+        SELECT user_id, epoch_us(gts) AS t, NULL AS v, 1 AS is_grid, gts,
+               -1 AS event_id
         FROM grid
       ), swept AS (
         SELECT *,
           last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY t, is_grid
+            OVER (PARTITION BY user_id ORDER BY t, is_grid, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
           last_value(v IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY t, is_grid
+            OVER (PARTITION BY user_id ORDER BY t, is_grid, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
           first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY t, is_grid
+            OVER (PARTITION BY user_id ORDER BY t, is_grid, event_id
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
           first_value(v IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY t, is_grid
+            OVER (PARTITION BY user_id ORDER BY t, is_grid, event_id
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
         FROM unioned
       )

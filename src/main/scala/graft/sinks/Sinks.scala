@@ -97,10 +97,27 @@ object Sinks {
     import org.apache.spark.sql.expressions.Window
     val up = updates.withColumn("p_date", to_date(col(timeCol)))
     val touched = up.select("p_date").distinct().collect().map(_.getDate(0))
+    // a null timeCol has no partition to land in — reject it with the
+    // column name instead of an opaque NPE at the toString below
+    require(!touched.contains(null),
+      s"upsert: `$timeCol` is null on some update rows — every row needs a partition day")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "table exists" must mean "holds data files": a bare directory left
+    // by a crashed first write would otherwise fail schema inference on
+    // every subsequent upsert instead of taking the first-write branch
+    def hasDataFiles: Boolean = {
+      val it = fs.listFiles(root, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        found = f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
     val existing =
-      if (!fs.exists(root)) null
+      if (!fs.exists(root) || !hasDataFiles) null
       else spark.read.parquet(path).filter(col("p_date").isin(touched.map(_.toString): _*))
     val tagged = up.withColumn("__is_update", lit(1))
     val merged =

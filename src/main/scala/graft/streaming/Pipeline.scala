@@ -240,7 +240,7 @@ object Pipeline {
     * session range, evicted at finalization — bounded by fleet
     * cardinality, not history.
     */
-  def sessionizedTelemetry(telemetry: DataFrame, gap: String = "30 seconds",
+  def sessionizedTelemetry(telemetry: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 minutes"): DataFrame =
     telemetry
       .withWatermark("time", watermark)
@@ -253,7 +253,7 @@ object Pipeline {
 
   /** Session-window runner: finalized driving sessions appended as parquet. */
   def runSessionPipeline(s: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String, gap: String = "30 seconds"): StreamingQuery =
+      checkpointDir: String, gap: String = "30 minutes"): StreamingQuery =
     sessionizedTelemetry(telemetryFileStream(s, inDir), gap)
       .writeStream
       .format("parquet")

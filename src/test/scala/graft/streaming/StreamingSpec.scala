@@ -104,7 +104,8 @@ class StreamingSpec extends SparkSpec {
       // vehicle 2: advances the watermark to 08:08 so the above finalize;
       // its own session stays open and must not be emitted
       """{"vehicle_id":"2","timestamp":"2026-03-01 08:10:00","current_speed_kmh":"30","speed_limit_violation":"false"}""")
-    Pipeline.runSessionPipeline(spark, in, out, ckpt).awaitTermination()
+    Pipeline.runSessionPipeline(spark, in, out, ckpt, gap = "30 seconds")
+      .awaitTermination()
     val sessions = spark.read.parquet(s"$out/driving_sessions")
       .orderBy("vehicle_id", "session_start").collect()
     assert(sessions.length == 2, "two finalized vehicle-1 sessions, open one withheld")
