@@ -39,20 +39,27 @@ object Bench {
 
     // best-of-N: single-run timings on this box vary ±50% (JIT, page
     // cache, co-tenant load); the minimum is the stable estimate of plan
-    // cost. Three runs baseline (ALL runs of a query being contended is
-    // exactly the failure mode that poisoned round 2's numbers — a 0.9 s
-    // rollup reported as 14 s); a spread above 3x still buys one more.
+    // cost. The three reps run as ROUND-ROBIN SWEEPS of the whole suite —
+    // not back-to-back per query — so reps of one query are separated by
+    // minutes and a transient co-tenant spike poisons at most one rep of
+    // each affected query instead of all three reps of one (r04's q16
+    // 0.31->1.41 s was exactly that failure). A spread still above 3x
+    // after the sweeps buys one extra rep.
     var failed = List.empty[String]
-    val raw = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      def timed(): (Either[String, Unit], Double) = {
-        val t0 = System.nanoTime()
-        val r = runOnce(spark, name, fn, sfDir)
-        (r, (System.nanoTime() - t0) / 1e9)
-      }
-      var times = (1 to 3).map(_ => timed())
+    val qseq = SparkEntry.queries.toSeq
+    def timed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Either[String, Unit], Double) = {
+      val t0 = System.nanoTime()
+      val r = runOnce(spark, name, fn, sfDir)
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val sweeps = (1 to 3).map(_ => qseq.map { case (name, fn) => timed(name, fn) })
+    val raw = qseq.zipWithIndex.map { case ((name, fn), i) =>
+      var times = sweeps.map(_(i))
       if (times.forall(_._1.isRight)) {
         val secs = times.map(_._2)
-        if (secs.max / secs.min > 3.0) times :+= timed()
+        if (secs.max / secs.min > 3.0) times :+= timed(name, fn)
       }
       times.collectFirst { case (Left(err), _) => err } match {
         case Some(err) =>

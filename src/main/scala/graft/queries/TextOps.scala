@@ -965,11 +965,21 @@ object TextOps {
         .select($"doc_id")
       val emb = Tables.embeddings(s, d)
         .select($"vec_id".as("doc_id"), $"embedding")
+      // The materialized split carries the embedding as a scalar digest,
+      // not the raw array: md5 over the comma-joined exact-quantized
+      // components (the q25 quantization, so both engines see identical
+      // int64 strings). A digest is what a reproducibility check wants
+      // anyway — bit-level drift in the feature join shows up as a hash
+      // mismatch without shipping 64 floats per row through the compare.
+      val digest = md5(array_join(
+        transform(graft.functions.expressions.quantize_vec($"embedding"),
+          x => x.cast("long").cast("string")), ","))
       train
         .join(keepers, Seq("doc_id"))
         .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .join(emb, Seq("doc_id"))
-        .select($"doc_id", $"lang", $"source", $"n_tokens", $"embedding")
+        .select($"doc_id", $"lang", $"source", $"n_tokens",
+          digest.as("emb_digest"))
         .orderBy($"doc_id")
     },
     oracle = Some("""
@@ -1015,7 +1025,10 @@ object TextOps {
         GROUP BY sh.doc_id
         HAVING CAST(COUNT(*) AS DOUBLE) / any_value(n) >= 0.8
       )
-      SELECT d.doc_id, d.lang, d.source, k.n_tokens, e.embedding
+      SELECT d.doc_id, d.lang, d.source, k.n_tokens,
+             md5(array_to_string(list_transform(e.embedding,
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS VARCHAR)),
+               ',')) AS emb_digest
       FROM documents d
       JOIN split USING (doc_id)
       JOIN keepers k ON k.doc_id = d.doc_id
