@@ -223,8 +223,12 @@ object VectorOps {
     * the 3 nearest cells by exact centroid distance, and only those
     * cells' members are scored with the exact quantized cosine. The
     * centroid table is tiny and broadcast twice (assignment + probe).
-    * Engine-derived structure → rows-only; recall vs Q25 asserted in
-    * QueriesSpec.
+    * Unlike the LSH/SimHash family there is no engine-specific hashing
+    * anywhere in this pipeline — centroid averages are exact integer
+    * sums, the float cast is IEEE round-to-nearest on both engines, and
+    * probe selection and scoring are the q25 quantized arithmetic — so
+    * the whole IVF structure is reproduced in SQL and hash-verified,
+    * not just rows-checked. Recall vs Q25 additionally pinned in specs.
     */
   private val q39 = Q(
     fn = (s, d) => {
@@ -238,9 +242,13 @@ object VectorOps {
           .agg((sum($"qx") / count(lit(1))).cast("double").as("c"))
           .groupBy($"label")
           .agg(map_from_entries(collect_list(struct($"pos", $"c"))).as("m"))
+          // descale the centroid mean back from quantized space to
+          // embedding space before it re-enters the quantizing kernel —
+          // leaving it at ~x*2^20 would quantize twice (components ~2^40)
+          // and silently wrap the int64 norm inside QuantizedCosine
           .select($"label".as("c_label"),
             transform(sequence(lit(0), lit(63)),
-              p => element_at($"m", p)).as("cvec")))
+              p => element_at($"m", p) / Scale).as("cvec")))
       // probe cells: 3 nearest centroids per query by exact quantized
       // distance over the centroid vector (float-cast for the kernel)
       val toF = (c: Column) => transform(c, x => x.cast("float"))
@@ -260,8 +268,58 @@ object VectorOps {
         .distinct()
       topK(scored, 5)
     },
-    oracle = None,
-    doc = "IVF coarse-quantizer ANN (label cells, 3-probe); recall vs q25 pinned in tests")
+    oracle = Some("""
+      WITH qv AS (
+        SELECT vec_id, label, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ), qn AS (
+        SELECT vec_id, label, qv,
+               list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
+        FROM qv
+      ), cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+        GROUP BY label, pos
+      ), cn AS (
+        SELECT c_label, cqv,
+               list_sum(list_transform(generate_series(1, len(cqv)), i -> cqv[i] * cqv[i])) AS cc
+        FROM (
+          SELECT label AS c_label,
+                 list(CAST(FLOOR(CAST(CAST(c / 1048576.0 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)
+                      ORDER BY pos) AS cqv
+          FROM cent GROUP BY label)
+      ), probes AS (
+        SELECT query_id, label FROM (
+          SELECT q.vec_id AS query_id, c.c_label AS label,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] * c.cqv[i])) AS DOUBLE)
+                     / (SQRT(CAST(q.qq AS DOUBLE)) * SQRT(CAST(c.cc AS DOUBLE))) DESC,
+                   c.c_label) AS pr
+          FROM qn q CROSS JOIN cn c
+          WHERE q.vec_id % 50 = 0
+        ) WHERE pr <= 3
+      ), scored AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(s.qv)),
+                    i -> s.qv[i] * e.qv[i])) AS DOUBLE)
+                 / (SQRT(CAST(s.qq AS DOUBLE)) * SQRT(CAST(e.qq AS DOUBLE))) AS score
+        FROM probes p
+        JOIN qn e ON e.label = p.label
+        JOIN qn s ON s.vec_id = p.query_id
+        WHERE e.vec_id <> p.query_id
+      ), ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
 
   val all: Map[String, Q] = Map(
     "q25_knn_cosine_exact" -> q25,
