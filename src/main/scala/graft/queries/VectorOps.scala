@@ -175,45 +175,134 @@ object VectorOps {
       GROUP BY label, pos
       ORDER BY label, pos"""))
 
+  /** Shared IVF coarse quantizer (Q38/Q39): per-label centroid vectors in
+    * EMBEDDING space — exact quantized component means, descaled by 1/2^20
+    * before they re-enter the quantizing kernel (leaving them at ~x*2^20
+    * would quantize twice, components ~2^40, silently wrapping the int64
+    * norm inside QuantizedCosine). (c_label, cvec array<double>); tiny
+    * (|labels| rows) — callers broadcast it.
+    */
+  private def ivfCentroids(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"label", posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"qx") / count(lit(1))).cast("double").as("c"))
+      .groupBy($"label")
+      .agg(map_from_entries(collect_list(struct($"pos", $"c"))).as("m"))
+      .select($"label".as("c_label"),
+        transform(sequence(lit(0), lit(63)),
+          p => element_at($"m", p) / Scale).as("cvec"))
+  }
+
+  private def toF(c: Column): Column = transform(c, x => x.cast("float"))
+
   /** Q38 — embedding-cosine near-duplicate pairs (brief's fifth dedup
-    * method), blocked by label: candidate pairs only within a block (the
-    * classic dedup blocking key — at 100 TB the block is a coarse cluster
-    * id, exactly the IVF cell of Q39), exact quantized cosine >= 0.4,
-    * top-100 by similarity. Scores are the Q25 quantized pipeline, so the
-    * all-pairs-within-block SQL is a bitwise oracle.
+    * method), blocked on the IVF coarse-quantizer cell (Q39's cells):
+    * every vector is assigned to its argmax-cosine centroid, and
+    * candidate pairs are generated only within a cell — so at 100 TB the
+    * block is a data-driven cluster id, not a fixed-cardinality category
+    * whose members grow linearly with the corpus. Cells above
+    * `graft.vec.maxCell` members (default 4096) are further sub-split by
+    * a deterministic md5 hash of the id, capBucket-style, which bounds
+    * any block's pair count at maxCell^2 no matter how skewed the
+    * clustering gets; the truncated cross-cell/cross-sub candidates are
+    * the standard blocking-recall trade (pinned in QueriesSpec).
+    *
+    * Cell assignment is pure map-side: the centroid table collapses into
+    * ONE broadcast row and each vector argmaxes over it with an in-row
+    * comparator sort — no shuffle, no window; the only corpus shuffle is
+    * the (cell, sub) equi-join for pair generation. Every stage (centroid
+    * means, float cast, argmax, md5 sub-split, exact quantized cosine
+    * >= 0.4, top-100) is deterministic and mirrored in the oracle SQL, so
+    * the blocking structure itself is hash-verified.
     */
   private val q38 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
+      val maxCell = s.conf.get("graft.vec.maxCell", "4096").toInt
+      val base = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding")
-      val a = emb.select($"vec_id".as("i"), $"label", $"embedding".as("e_i"))
-      val b = emb.select($"vec_id".as("j"), $"label", $"embedding".as("e_j"))
-      a.join(b, Seq("label")).filter($"i" < $"j")
-        .select($"label", $"i", $"j",
+      val centArr = ivfCentroids(base)
+        .agg(collect_list(struct($"c_label", $"cvec")).as("cents"))
+      val assigned = base.crossJoin(broadcast(centArr))
+        .withColumn("ranked", array_sort(
+          transform($"cents", c => struct(
+            graft.functions.expressions.quantized_cosine($"embedding", toF(c("cvec"))).as("csim"),
+            c("c_label").as("cell"))),
+          (l, r) => when(l("csim") > r("csim"), lit(-1))
+            .when(l("csim") < r("csim"), lit(1))
+            .when(l("cell") < r("cell"), lit(-1))
+            .when(l("cell") > r("cell"), lit(1))
+            .otherwise(lit(0))))
+        .select($"vec_id", $"embedding", $"ranked"(0)("cell").as("cell"))
+      val sizes = assigned.groupBy($"cell").agg(count(lit(1)).as("cn"))
+      val subbed = assigned.join(broadcast(sizes), Seq("cell"))
+        .withColumn("nsubs", floor(($"cn" + lit(maxCell - 1)) / lit(maxCell.toDouble)))
+        .withColumn("sub",
+          conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long") % $"nsubs")
+        .select($"cell", $"sub", $"vec_id", $"embedding")
+      val a = subbed.select($"cell", $"sub", $"vec_id".as("i"), $"embedding".as("e_i"))
+      val b = subbed.select($"cell", $"sub", $"vec_id".as("j"), $"embedding".as("e_j"))
+      a.join(b, Seq("cell", "sub")).filter($"i" < $"j")
+        .select($"cell", $"i", $"j",
           graft.functions.expressions.quantized_cosine($"e_i", $"e_j").as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy($"cos".desc, $"i", $"j")
         .limit(100)
     },
     oracle = Some("""
-      WITH q AS (
+      WITH qv AS (
         SELECT vec_id, label, list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
         FROM embeddings
-      ), n AS (
+      ), qn AS (
         SELECT vec_id, label, qv,
                list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
-        FROM q)
-      SELECT a.label, a.vec_id AS i, b.vec_id AS j,
-             CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
-                  k -> a.qv[k] * b.qv[k])) AS DOUBLE)
-               / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) AS cos
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
-                k -> a.qv[k] * b.qv[k])) AS DOUBLE)
-              / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) >= 0.4
+        FROM qv
+      ), cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+        GROUP BY label, pos
+      ), cn AS (
+        SELECT c_label, cqv,
+               list_sum(list_transform(generate_series(1, len(cqv)), i -> cqv[i] * cqv[i])) AS cc
+        FROM (
+          SELECT label AS c_label,
+                 list(CAST(FLOOR(CAST(CAST(c / 1048576.0 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)
+                      ORDER BY pos) AS cqv
+          FROM cent GROUP BY label)
+      ), asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT q.vec_id, c.c_label AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] * c.cqv[i])) AS DOUBLE)
+                     / (SQRT(CAST(q.qq AS DOUBLE)) * SQRT(CAST(c.cc AS DOUBLE))) DESC,
+                   c.c_label) AS rn
+          FROM qn q CROSS JOIN cn c
+        ) WHERE rn = 1
+      ), sz AS (
+        SELECT cell, COUNT(*) AS n FROM asg GROUP BY cell
+      ), sub AS (
+        SELECT a.vec_id, a.cell,
+               CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % CAST(FLOOR((s.n + 4095) / 4096.0) AS BIGINT) AS sub
+        FROM asg a JOIN sz s USING (cell)
+      )
+      SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
+             CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
+                  k -> x.qv[k] * y.qv[k])) AS DOUBLE)
+               / (SQRT(CAST(x.qq AS DOUBLE)) * SQRT(CAST(y.qq AS DOUBLE))) AS cos
+      FROM sub a
+      JOIN sub b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+      JOIN qn x ON x.vec_id = a.vec_id
+      JOIN qn y ON y.vec_id = b.vec_id
+      WHERE CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
+                k -> x.qv[k] * y.qv[k])) AS DOUBLE)
+              / (SQRT(CAST(x.qq AS DOUBLE)) * SQRT(CAST(y.qq AS DOUBLE))) >= 0.4
       ORDER BY cos DESC, i, j
       LIMIT 100"""))
 
@@ -236,22 +325,9 @@ object VectorOps {
       val emb = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding")
-      val centroids = broadcast(
-        emb.select($"label", posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
-          .groupBy($"label", $"pos")
-          .agg((sum($"qx") / count(lit(1))).cast("double").as("c"))
-          .groupBy($"label")
-          .agg(map_from_entries(collect_list(struct($"pos", $"c"))).as("m"))
-          // descale the centroid mean back from quantized space to
-          // embedding space before it re-enters the quantizing kernel —
-          // leaving it at ~x*2^20 would quantize twice (components ~2^40)
-          // and silently wrap the int64 norm inside QuantizedCosine
-          .select($"label".as("c_label"),
-            transform(sequence(lit(0), lit(63)),
-              p => element_at($"m", p) / Scale).as("cvec")))
+      val centroids = broadcast(ivfCentroids(emb))
       // probe cells: 3 nearest centroids per query by exact quantized
-      // distance over the centroid vector (float-cast for the kernel)
-      val toF = (c: Column) => transform(c, x => x.cast("float"))
+      // cosine over the centroid vector (float-cast for the kernel)
       val queries = emb.filter(isQuery($"vec_id"))
         .crossJoin(centroids)
         .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"c_label",

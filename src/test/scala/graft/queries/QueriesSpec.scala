@@ -148,11 +148,25 @@ class QueriesSpec extends SparkSpec {
     assert(run("q28_alert_rules_union").count() == expected)
   }
 
-  test("q38 embedding near-dup: pairs share a label, cos in [0.4, 1]") {
+  test("q38 embedding near-dup: IVF-cell blocking, cos in [0.4, 1]") {
     val rows = run("q38_neardup_embedding").collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getDouble(3) >= 0.4 && r.getDouble(3) <= 1.0 + 1e-9))
     assert(rows.forall(r => r.getLong(1) < r.getLong(2)), "pairs are ordered i < j")
+  }
+
+  test("q38 sub-split cap only prunes: capped pairs are a subset, never invented") {
+    def pairs() = SparkEntry.queries("q38_neardup_embedding")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val uncapped = pairs()
+    assert(uncapped.size < 100, "limit must not truncate or subset check is invalid")
+    spark.conf.set("graft.vec.maxCell", "2")
+    try {
+      val capped = pairs()
+      assert(capped.subsetOf(uncapped),
+        "sub-splitting a cell may drop candidate pairs but must never add any")
+      assert(pairs() == capped, "sub-split assignment is deterministic across runs")
+    } finally spark.conf.unset("graft.vec.maxCell")
   }
 
   test("q39 IVF ANN: recall consistent with probing 3 of 10 cells") {
