@@ -545,7 +545,10 @@ object Relational {
         .groupBy($"user_id")
         .pivot("event_type", types)
         .agg(count(lit(1)).as("n"), decSum($"value").as("val"))
-        .na.fill(0L) // fills ALL numeric null cells: long *_n and double *_val
+        // fill only the pivoted measure cells (long *_n and double *_val):
+        // an unscoped fill would also rewrite a NULL user_id group key to
+        // 0, silently merging it with a real user 0
+        .na.fill(0L, types.flatMap(t => Seq(s"${t}_n", s"${t}_val")))
         .orderBy($"user_id")
     },
     oracle = Some("""

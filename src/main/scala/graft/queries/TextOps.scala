@@ -293,9 +293,15 @@ object TextOps {
     var iter = 0
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
+      val prev = edges
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nfp = fingerprint(next)
-      converged = nfp == fp
+      // the (count, bit_xor) fingerprint is a ~2^-64 probabilistic check;
+      // on a match, confirm with ONE exact set difference before declaring
+      // convergence (counts are exact via the fingerprint's first half, so
+      // an empty one-sided anti-join implies set equality). Runs once per
+      // convergence, not per iteration — the && short-circuits.
+      converged = nfp == fp && next.join(prev, Seq("u", "v"), "left_anti").isEmpty
       edges = next; fp = nfp; iter += 1
       System.err.println(f"[cc] alternation $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=${nfp._1}")
     }

@@ -123,8 +123,13 @@ object Sinks {
     val merged =
       if (existing == null) tagged
       else existing.withColumn("__is_update", lit(0)).unionByName(tagged)
+    // final content-hash tiebreak: two DISTINCT update rows sharing the
+    // same key and timeCol would otherwise tie completely and row_number
+    // would pick a shuffle-order-dependent winner (identical rows still
+    // tie, but then every winner is identical too)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).desc, col("__is_update").desc)
+      .orderBy(col(timeCol).desc, col("__is_update").desc,
+        xxhash64(merged.columns.sorted.map(col): _*).desc)
     val winner = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -87,7 +87,11 @@ class StreamingSpec extends SparkSpec {
         Thread.sleep(50)
       assert(rec.totalInputRows == 3,
         s"expected 3 wire rows accounted, got ${rec.batches}")
-      assert(rec.batches.forall(_.durationMs > 0))
+      // >= 0, not > 0: a sub-millisecond micro-batch (e.g. the empty
+      // AvailableNow finalization batch) can legally report 0 ms
+      assert(rec.batches.forall(_.durationMs >= 0))
+      assert(rec.batches.exists(_.durationMs > 0),
+        "the batch that carried the input rows takes measurable time")
     } finally spark.streams.removeListener(rec)
   }
 
