@@ -109,7 +109,7 @@ object Bench {
           .runAlertPipeline(spark, landing, s"$dir/out", s"$dir/ckpt")
           .awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        f"""{"rows":$nRows,"sec":$sec%.3f,"rows_per_sec":${nRows / sec}%.0f}"""
+        f"""{"rows":$nRows,"rows_per_sec":${nRows / sec}%.0f}"""
       } finally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -121,7 +121,11 @@ object Bench {
         """{"rows":0,"sec":-1,"rows_per_sec":-1}"""
     }
 
-    val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"ingest":$ingestJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // sf as basename, not full path — every byte on this line competes
+    // with query timings for the driver's 2000-char stdout tail
+    val sfName = sfDir.split('/').last
+    val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+    val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"ingest":$ingestJson$failedField,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may be clipped by the driver's 2000-char stdout tail")
     println(line)

@@ -663,6 +663,43 @@ object Relational {
       FROM t GROUP BY event_type, decile
       ORDER BY event_type, decile"""))
 
+  /** Q54b — the declared 100 TB sibling of q54 (the Scaladoc's promised
+    * sketch path): decile profiling WITHOUT the per-group global sort.
+    * `approx_percentile` computes the 9 interior decile boundaries per
+    * event type as a mergeable quantile sketch (map-side combined,
+    * constant memory per group); every row is then bucketed by counting
+    * the broadcast boundaries strictly below its value — one scan, one
+    * tiny broadcast, one partial-aggregated groupBy, no window anywhere.
+    * The plan scales with rows, not with per-group cardinality.
+    *
+    * Sketch boundaries are engine-specific → rows-only in CORRECTNESS;
+    * QueriesSpec pins every approximate decile's population within ε of
+    * the exact equal-frequency 10ths and its bounds monotone.
+    */
+  private val q54b = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val bounds = Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(approx_percentile($"value",
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("bs"))
+      Tables.events(s, d)
+        .select($"event_type", $"value")
+        .join(broadcast(bounds), Seq("event_type"))
+        // decile = 1 + #boundaries strictly below the value (ties land in
+        // the lower bucket); aggregate over the 9-element array stays in
+        // the row — no explode, no join fan-out
+        .withColumn("decile",
+          (aggregate($"bs", lit(0),
+            (acc, b) => acc + when($"value" > b, 1).otherwise(0)) + 1).cast("long"))
+        .groupBy($"event_type", $"decile")
+        .agg(count(lit(1)).as("n"),
+          min($"value").as("lo"), max($"value").as("hi"))
+        .orderBy($"event_type", $"decile")
+    },
+    oracle = None,
+    doc = "approx_percentile-boundary decile bucketing — sketch boundaries engine-specific → rows-only")
+
   /** Q57 — ranking-function family beyond row_number/ntile: suppliers
     * ranked by exact revenue within their nation using `rank` (gaps on
     * ties), `dense_rank` (no gaps), and `percent_rank` (= (rank-1)/(n-1),
@@ -758,6 +795,7 @@ object Relational {
     "q52_event_pivot" -> q52,
     "q53_exact_moments" -> q53,
     "q54_value_deciles" -> q54,
+    "q54b_value_deciles_approx" -> q54b,
     "q57_supplier_rank" -> q57,
   )
 }

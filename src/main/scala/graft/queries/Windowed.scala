@@ -330,6 +330,54 @@ object Windowed {
       WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL
       ORDER BY user_id, grid_ts"""))
 
+  /** Q58 — interval (range) join, the batch twin of the streaming
+    * perception×telemetry join ([[graft.streaming.Pipeline
+    * .perceptionTelemetryJoin]], whose ±tolerance semantics were
+    * previously only spec-tested through the streaming runner): every
+    * 'error' event paired with the same user's 'click' events within
+    * ±4 hours.
+    *
+    * The range predicate executes as a BANDED EQUI-JOIN (q13's
+    * de-quadratic idiom applied to time): both sides are keyed by
+    * (user_id, floor(ts / tol)); the error side probes its own and both
+    * adjacent bands, so every qualifying pair matches in EXACTLY one
+    * band (the probe band equal to the click's single band — no dedup
+    * pass needed) and the join is a plain shuffle equi-join with a
+    * residual |Δt| filter. Never a per-user cross product: a user with a
+    * year of history still only pairs rows band-by-band. The DuckDB
+    * oracle is the raw range join, so the banding's exact equivalence to
+    * the declarative form is hash-verified.
+    */
+  private val q58 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val tolUs = 4L * 3600 * 1000000
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"event_type", $"value")
+      val err = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id".as("err_id"), $"ts_us".as("err_us"),
+          explode(array((-1 to 1).map(o => expr(s"ts_us div $tolUs") + o): _*)).as("band"))
+      val clk = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("clk_id"), $"ts_us".as("clk_us"),
+          $"value".as("clk_value"), expr(s"ts_us div $tolUs").as("band"))
+      err.join(clk, Seq("user_id", "band"))
+        .filter(abs($"clk_us" - $"err_us") <= tolUs)
+        .select($"user_id", $"err_id", $"clk_id",
+          ($"clk_us" - $"err_us").as("lag_us"), $"clk_value")
+        .orderBy($"user_id", $"err_id", $"clk_id")
+    },
+    oracle = Some("""
+      SELECT e.user_id, e.event_id AS err_id, c.event_id AS clk_id,
+             CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS lag_us,
+             c.value AS clk_value
+      FROM events e
+      JOIN events c ON e.user_id = c.user_id
+       AND e.event_type = 'error' AND c.event_type = 'click'
+       AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 14400000000
+                              AND epoch_us(e.ts) + 14400000000
+      ORDER BY e.user_id, err_id, clk_id"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -338,5 +386,6 @@ object Windowed {
     "q36b_percentiles_approx" -> q36b,
     "q37_timeseries_knn" -> q37,
     "q55_gapfill_resample" -> q55,
+    "q58_interval_join" -> q58,
   )
 }

@@ -197,6 +197,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q54b approx deciles: populations within ε of exact 10ths, bounds monotone") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q54b_value_deciles_approx")(spark, sf).collect()
+    val totals = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    totals.foreach { case (et, total) =>
+      val deciles = rows.filter(_.getString(0) == et).sortBy(_.getLong(1))
+      assert(deciles.length == 10, s"$et: expected 10 buckets, got ${deciles.length}")
+      deciles.foreach { r =>
+        val frac = r.getLong(2).toDouble / total
+        assert(math.abs(frac - 0.1) <= 0.03,
+          s"$et decile ${r.getLong(1)} holds ${frac * 100}%% of rows (exact: 10%%)")
+      }
+      // bucket [lo, hi] ranges must be disjoint and increasing
+      deciles.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3),
+          s"$et: decile ${a.getLong(1)} hi overlaps decile ${b.getLong(1)} lo")
+      }
+    }
+    // cross-check totals against the exact q54 populations
+    val exactTotals = SparkEntry.queries("q54_value_deciles")(spark, sf).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(totals.toMap == exactTotals.toMap, "both forms bucket every row exactly once")
+  }
+
   test("q47 clusters: consistent with q18 pairs (same component <=> connected)") {
     val pairs = run("q18_neardup_jaccard").select("i", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
