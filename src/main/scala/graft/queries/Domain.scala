@@ -137,10 +137,108 @@ object Domain {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Q59 — unified three-mode ingestion (SURVEY §2.7's one declared use
+    * of union: the reference's three producers — simulation
+    * producer.py:147–199, OpenSky poller opensky_source.py:146–177,
+    * CSV/JSONL replay waymo_replay.py:95–160 — all write one telemetry
+    * table). Three wire-shaped legs are derived deterministically from
+    * `events` (each with a DIFFERENT column subset, like the real
+    * producers), pushed through the REAL [[graft.sources.FileReplay
+    * .normalize]] lenient-schema path (P14 coercions, P15 timestamp
+    * parse with asOf fallback, per-column defaults), then tagged and
+    * merged by [[graft.sources.UnifiedIngest.unify]]. The oracle mirrors
+    * every coercion and default in SQL, so the union AND the
+    * normalization contract are hash-verified — not just spec-asserted.
+    *
+    * The file leg deliberately carries malformed wire values (bad
+    * timestamps, empty vehicle ids, yes/no booleans) to pin the fallback
+    * semantics; numeric wire strings are integer-valued so no
+    * double→string formatting ever crosses engines. Zero-shuffle plan:
+    * three narrow projections over one table union'd logically.
+    */
+  private val q59 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val wireFmt = "yyyy-MM-dd HH:mm:ss"
+      val asOf = to_timestamp(lit("2024-02-01 00:00:00"))
+      val ev = Tables.events(s, d)
+      val simWire = ev.filter($"event_type" === "view").select(
+        $"event_id",
+        date_format($"ts", wireFmt).as("timestamp"),
+        pmod($"user_id", lit(100)).cast("string").as("vehicle_id"),
+        floor($"value").cast("long").cast("string").as("current_speed_kmh"),
+        when($"value" > 150, "true").otherwise("false").as("speed_limit_violation"),
+        floor($"value" * 100).cast("long").cast("string").as("odometer_km"))
+      val osWire = ev.filter($"event_type" === "click").select(
+        $"event_id",
+        date_format($"ts", wireFmt).as("timestamp"),
+        (pmod($"user_id", lit(9999)) + 1).cast("string").as("vehicle_id"),
+        floor($"value" * 3.6).cast("long").cast("string").as("current_speed_kmh"),
+        pmod($"user_id", lit(90)).cast("string").as("latitude"),
+        pmod($"user_id", lit(180)).cast("string").as("longitude"),
+        concat(lit(" FLT"), $"user_id", lit(" ")).as("destination"))
+      val fileWire = ev.filter($"event_type" === "purchase").select(
+        $"event_id",
+        when($"event_id" % 2 === 0, date_format($"ts", wireFmt))
+          .otherwise(lit("not-a-time")).as("timestamp"),
+        when($"event_id" % 3 === 0, lit(""))
+          .otherwise(pmod($"user_id", lit(50)).cast("string")).as("vehicle_id"),
+        when($"event_id" % 2 === 0, "yes").otherwise("no").as("speed_limit_violation"),
+        when($"event_id" % 5 === 0, "0").otherwise("1").as("autopilot_engaged"),
+        lit("").as("start_location"))
+      val keep = Seq("event_id")
+      graft.sources.UnifiedIngest.unify(
+          "simulation" -> graft.sources.FileReplay.normalize(simWire, asOf, keep),
+          "opensky" -> graft.sources.FileReplay.normalize(osWire, asOf, keep),
+          "file_replay" -> graft.sources.FileReplay.normalize(fileWire, asOf, keep))
+        .select($"source_mode", $"event_id", $"vehicle_id",
+          unix_micros($"time").as("time_us"), $"current_speed_kmh",
+          $"speed_limit_violation", $"latitude", $"longitude",
+          $"battery_level_pct", $"remaining_range_km", $"autopilot_engaged",
+          $"odometer_km", $"start_location", $"destination")
+        .orderBy($"source_mode", $"event_id")
+    },
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT 'simulation' AS source_mode, event_id,
+               CAST(user_id % 100 AS INT) AS vehicle_id,
+               epoch_us(date_trunc('second', ts)) AS time_us,
+               FLOOR(value) AS current_speed_kmh,
+               value > 150 AS speed_limit_violation,
+               0.0 AS latitude, 0.0 AS longitude,
+               85.0 AS battery_level_pct, 400.0 AS remaining_range_km,
+               true AS autopilot_engaged,
+               FLOOR(value * 100) AS odometer_km,
+               'Waymo' AS start_location, 'Waymo' AS destination
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT 'opensky', event_id,
+               CAST(user_id % 9999 + 1 AS INT),
+               epoch_us(date_trunc('second', ts)),
+               FLOOR(value * 3.6),
+               false,
+               CAST(user_id % 90 AS DOUBLE), CAST(user_id % 180 AS DOUBLE),
+               85.0, 400.0, true, 0.0,
+               'Waymo', 'FLT' || user_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'file_replay', event_id,
+               CASE WHEN event_id % 3 = 0 THEN 1 ELSE CAST(user_id % 50 AS INT) END,
+               CASE WHEN event_id % 2 = 0 THEN epoch_us(date_trunc('second', ts))
+                    ELSE epoch_us(TIMESTAMP '2024-02-01 00:00:00') END,
+               0.0,
+               event_id % 2 = 0,
+               0.0, 0.0, 85.0, 400.0,
+               NOT (event_id % 5 = 0),
+               0.0, 'Waymo', 'Waymo'
+        FROM events WHERE event_type = 'purchase')
+      ORDER BY source_mode, event_id"""))
+
   val all: Map[String, Q] = Map(
     "q28_alert_rules_union" -> q28,
     "q29_trajectory_steps" -> q29,
     "q30_event_type_ranking" -> q30,
     "q42_json_extraction" -> q42,
+    "q59_ingest_union" -> q59,
   )
 }
