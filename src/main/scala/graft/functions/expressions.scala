@@ -140,6 +140,58 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** string → struct<n_words, n_distinct, top_c, total2, d2> (all long):
+    * the per-document repetition statistics of q48/q56 in ONE native
+    * pass — total word tokens, distinct tokens, the most frequent token's
+    * count, 2-gram slots (n−1) and distinct 2-grams. Token semantics are
+    * exactly `split(text, " ")` (single space, trailing empties kept —
+    * Java `split(sep, -1)`), so every count is bit-identical to the
+    * declarative form this replaces: an explode → two-level groupBy that
+    * shuffled one row PER WORD OCCURRENCE across the cluster plus an
+    * interpreted 2-gram lambda pass. This kernel never leaves the scan
+    * task — per-document quality scoring at 100 TB is embarrassingly
+    * parallel and now costs zero shuffle bytes.
+    */
+  case class WordStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("top_c", LongType, nullable = false),
+      StructField("total2", LongType, nullable = false),
+      StructField("d2", LongType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "word_stats")
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.toString.split(" ", -1)
+      val counts = new java.util.HashMap[String, Long]()
+      var top = 0L
+      var i = 0
+      while (i < toks.length) {
+        val c = counts.getOrDefault(toks(i), 0L) + 1L
+        counts.put(toks(i), c)
+        if (c > top) top = c
+        i += 1
+      }
+      val grams = new java.util.HashSet[String]()
+      i = 0
+      while (i < toks.length - 1) {
+        grams.add(toks(i) + " " + toks(i + 1))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks.length.toLong, counts.size.toLong, top,
+          (toks.length - 1).toLong, grams.size.toLong))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wst", this, classOf[WordStats].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordStats = copy(child = c)
+  }
+
   /** (array<float>, array<float>) → double: cosine over 2^20-quantized
     * int64 vectors (bit-compatible with the `floor(x*2^20)` declarative
     * form and its DuckDB oracle — see VectorOps).
@@ -517,6 +569,8 @@ object expressions {
       exprs => ShingleHashes(one("shingle_hashes")(exprs), 3), "scala_udf")
     reg.createOrReplaceTempFunction("quantize_vec",
       exprs => QuantizeVec(one("quantize_vec")(exprs), 1048576.0), "scala_udf")
+    reg.createOrReplaceTempFunction("word_stats",
+      exprs => WordStats(one("word_stats")(exprs)), "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —
@@ -539,4 +593,6 @@ object expressions {
     call_function("shingle_hashes", text)
   def quantize_vec(v: Column): Column =
     call_function("quantize_vec", v)
+  def word_stats(text: Column): Column =
+    call_function("word_stats", text)
 }

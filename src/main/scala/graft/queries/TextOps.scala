@@ -720,33 +720,23 @@ object TextOps {
     *    repeats (template/loop signal);
     *  - `keep`: all three inside their thresholds.
     *
-    * Shape for 100 TB: the word-frequency leg is explode → two-level
-    * hash agg (map-side combined, 8-byte-ish shuffle rows); the 2-gram
-    * leg never leaves the scan task (one transform pass over ≤doc-length
-    * arrays). Fractions are exact-int divisions, so the doubles (and the
+    * Shape for 100 TB: ALL five per-document counts come from the
+    * [[graft.functions.expressions.WordStats]] native kernel in one pass
+    * that never leaves the scan task — zero shuffle bytes (the previous
+    * form explode-shuffled one row per word occurrence through a
+    * two-level hash agg; per-document statistics don't need a shuffle at
+    * all). Fractions are exact-int divisions, so the doubles (and the
     * boolean verdict) are bit-identical cross-engine.
     */
   private[queries] def repetitionScores(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
-      val w = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
-      val grams = w.select($"doc_id",
-        (size($"w") - 1).as("total2"),
-        size(array_distinct(transform(sequence(lit(1), size($"w") - 1),
-          i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1)))))
-          .as("d2"))
-        .filter($"total2" >= 1)
-      val freq = w.select($"doc_id", explode($"w").as("word"))
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(
-          sum($"c").as("n_words"),
-          count(lit(1)).as("n_distinct"),
-          max($"c").as("top_c"))
-      val scored = freq.join(grams, Seq("doc_id"))
-        .select($"doc_id", $"n_words",
-          ($"top_c".cast("double") / $"n_words").as("top_word_frac"),
-          ($"n_distinct".cast("double") / $"n_words").as("distinct_frac"),
-          (($"total2" - $"d2").cast("double") / $"total2").as("dup_2gram_frac"))
-      scored
+      Tables.documents(s, d)
+        .select($"doc_id", graft.functions.expressions.word_stats($"text").as("st"))
+        .filter($"st.total2" >= 1)
+        .select($"doc_id", $"st.n_words".as("n_words"),
+          ($"st.top_c".cast("double") / $"st.n_words").as("top_word_frac"),
+          ($"st.n_distinct".cast("double") / $"st.n_words").as("distinct_frac"),
+          (($"st.total2" - $"st.d2").cast("double") / $"st.total2").as("dup_2gram_frac"))
   }
 
   /** The q48 quality verdict as a reusable predicate column. */

@@ -120,6 +120,39 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("word_stats == declarative explode/groupBy + 2-gram transform") {
+    import spark.implicits._
+    // covers: repeats, single word, repeated-space empty tokens, trailing
+    // space, empty string, all-identical, repeated 2-grams
+    val df = Seq((1L, "a b a b c"), (2L, "x"), (3L, "p  q r"), (4L, "t t t t t"),
+      (5L, "a b "), (6L, ""), (7L, "the quick the quick the"))
+      .toDF("id", "text")
+    val w = df.select($"id", split($"text", " ").as("w"))
+    // guard: sequence(1, 0) is a DESCENDING sequence in Spark, so the
+    // unguarded transform would element_at out of bounds on 1-word docs
+    val grams = w.select($"id", (size($"w") - 1).as("total2"),
+      when(size($"w") >= 2,
+        size(array_distinct(transform(sequence(lit(1), size($"w") - 1),
+          i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1))))))
+        .otherwise(0L).as("d2"))
+      .filter($"total2" >= 1)
+    val freq = w.select($"id", explode($"w").as("word"))
+      .groupBy($"id", $"word").agg(count(lit(1)).as("c"))
+      .groupBy($"id").agg(sum($"c").as("n_words"),
+        count(lit(1)).as("n_distinct"), max($"c").as("top_c"))
+    val declarative = freq.join(grams, Seq("id"))
+      .select($"id", $"n_words", $"n_distinct", $"top_c", $"total2".cast("long"),
+        $"d2".cast("long"))
+    val native = df.select($"id", expressions.word_stats($"text").as("st"))
+      .filter($"st.total2" >= 1)
+      .select($"id", $"st.n_words", $"st.n_distinct", $"st.top_c", $"st.total2", $"st.d2")
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+    // single-word and empty docs have no 2-gram slot and are filtered by
+    // total2 >= 1 in both forms
+    assert(native.count() == 5)
+  }
+
   test("quantize_vec == transform floor(x * 2^20)") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
