@@ -1033,6 +1033,53 @@ object TextOps {
         AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
       ORDER BY d.doc_id"""))
 
+  /** Q61 — weighted sample via PRIORITY SAMPLING (Duffield, Lund & Thorup,
+    * JACM 2007): each document gets priority w/u with weight w = its token
+    * count and u a uniform in (0,1]; the top-64 by priority form a sample
+    * whose subset-sum estimates are provably near-optimal — the standard
+    * way to downsample a corpus by quality/length weight without a global
+    * shuffle (vs q49's equal-probability strata).
+    *
+    * Determinism across engines, by construction: u is an md5-derived
+    * 32-bit integer (never 0 after +1), and the priority is
+    * `(w·2^32) / (h+1)` — the product is an exact double (< 2^52) and a
+    * single IEEE division is correctly rounded on every engine, so the
+    * ranking is bit-identical (pow/ln-based exponential keys would NOT
+    * be: libm vs Math.pow differ in ulps). Top-k executes as
+    * TakeOrderedAndProject (per-partition heads, then one k-row merge);
+    * the rank window runs over the 64 survivors only.
+    */
+  private val q61 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val keyed = Tables.documents(s, d)
+        .select($"doc_id",
+          graft.functions.expressions.word_stats($"text").getField("n_words").as("n_words"))
+        .withColumn("h",
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long"))
+        .select($"doc_id", $"n_words",
+          (($"n_words".cast("double") * 4294967296.0) / ($"h" + 1).cast("double"))
+            .as("priority"))
+      keyed.orderBy($"priority".desc, $"doc_id").limit(64)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"priority".desc, $"doc_id")))
+        .select($"doc_id", $"n_words", $"priority", $"rank")
+        .orderBy($"rank")
+    },
+    oracle = Some("""
+      WITH keyed AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) * 4294967296.0
+                 / CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 1 AS DOUBLE) AS priority
+        FROM documents)
+      SELECT doc_id, n_words, priority,
+             CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank
+      FROM keyed
+      ORDER BY priority DESC, doc_id
+      LIMIT 64"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -1050,5 +1097,6 @@ object TextOps {
     "q50_sequence_packing" -> q50,
     "q51_tfidf_keywords" -> q51,
     "q56_training_split_materialize" -> q56,
+    "q61_priority_sample" -> q61,
   )
 }

@@ -1,0 +1,218 @@
+package graft.streaming
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.OpenSkyReplay
+
+/** The reference's live poll loop (opensky_source.py:146–177: driver-side
+  * `GET /api/states/all` every poll_interval, one batch per poll) as a
+  * real Spark DataSource V2 `MicroBatchStream` — the piece
+  * `OpenSkyReplay` deliberately left to the built-in file source. One
+  * micro-batch == one poll, exactly the reference's cadence; the trigger
+  * interval plays poll_interval_sec.
+  *
+  * The FETCH is a seam, selected by the `mode` option:
+  *  - `dir`  — each trigger consumes the next captured-payload file from
+  *    `location` (lexicographic order). This is the offline/zero-egress
+  *    form and what the specs exercise end to end.
+  *  - `url`  — each trigger issues one HTTP GET to `location`. Compiles
+  *    and ships for live deployments; NOT exercised in this environment
+  *    (zero egress — same documented stance as the Kafka leg, README).
+  *
+  * Durability: every fetched payload is SPOOLED under
+  * `<checkpointLocation>/spool/<n>.json` before its offset is published,
+  * so a batch replayed after failure re-reads the identical bytes from
+  * the spool instead of re-polling a live API that has since moved on —
+  * offsets are (re)playable, which is what makes this an honest
+  * streaming source rather than a side-effecting poll inside
+  * `latestOffset`. Recovery derives the next offset from the spool
+  * listing itself.
+  *
+  * Scale shape: a poll payload is one driver-side string (the reference
+  * observed ~5,600 states ≈ a few MB); the heavy work — positional state
+  * parse, per-poll proximity pairing — happens AFTER `parseStates`
+  * explodes it across executors. The source itself is deliberately
+  * 1-row-per-batch.
+  */
+object OpenSkyPoll {
+
+  val wireSchema: StructType = StructType(Seq(
+    StructField("poll", LongType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  /** Raw (poll, payload) micro-batch stream. */
+  def payloadStream(s: SparkSession, mode: String, location: String): DataFrame =
+    s.readStream.format(classOf[OpenSkyPollProvider].getName)
+      .option("mode", mode).option("location", location).load()
+
+  /** Parsed state-vector stream — the same downstream contract as
+    * [[graft.sources.OpenSkyReplay.stateStream]], so the whole
+    * telemetry/proximity/alert pipeline runs unchanged on a live poller.
+    */
+  def stateStream(s: SparkSession, mode: String, location: String,
+      maxVehicles: Int = 20): DataFrame =
+    OpenSkyReplay.parseStates(
+      payloadStream(s, mode, location)
+        .select(from_json(col("payload"), OpenSkyReplay.payloadSchema).as("p"))
+        .select(col("p.time").as("time"), col("p.states").as("states")),
+      maxVehicles)
+}
+
+/** V2 provider — instantiate via
+  * `format(classOf[OpenSkyPollProvider].getName)`. */
+class OpenSkyPollProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OpenSkyPoll.wireSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new OpenSkyPollTable(properties.asScala.toMap)
+}
+
+private class OpenSkyPollTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"opensky_poll(${props.getOrElse("mode", "dir")})"
+  override def schema(): StructType = OpenSkyPoll.wireSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = OpenSkyPoll.wireSchema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new OpenSkyPollStream(
+          props.getOrElse("mode", "dir"),
+          props.getOrElse("location",
+            throw new IllegalArgumentException("opensky_poll requires a `location` option")),
+          checkpointLocation)
+    }
+}
+
+private case class PollOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private case class PollPartition(spoolFile: String, n: Long) extends InputPartition
+
+/** Driver-side poller + spool. One fetch per trigger in `latestOffset`
+  * (the only place the streaming engine lets a source discover new data);
+  * the payload is durably spooled BEFORE the offset that exposes it is
+  * returned, so planInputPartitions never races the fetch.
+  */
+private class OpenSkyPollStream(mode: String, location: String,
+    checkpointLocation: String) extends MicroBatchStream {
+
+  private val spoolDir = new Path(checkpointLocation, "spool")
+  private val fs = spoolDir.getFileSystem(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+  if (!fs.exists(spoolDir)) fs.mkdirs(spoolDir)
+
+  private def spoolPath(n: Long) = new Path(spoolDir, f"$n%020d.json")
+
+  // recovery: the spool listing IS the source of truth for how many polls
+  // this query has ever captured
+  private var nextN: Long = fs.listStatus(spoolDir).count(_.getPath.getName.endsWith(".json"))
+
+  private def readFully(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** One poll. `None` = nothing new this trigger (dir drained / GET failed). */
+  private def fetch(): Option[String] = mode match {
+    case "dir" =>
+      val files = fs.listStatus(new Path(location))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath).sortBy(_.getName)
+      if (nextN < files.length) Some(readFully(files(nextN.toInt))) else None
+    case "url" =>
+      // live leg: one GET per trigger. Zero-egress environment → never
+      // exercised here; failures are skipped-not-fatal, like the
+      // reference's requests try/except (opensky_source.py:60-67).
+      try {
+        val conn = new java.net.URI(location).toURL.openConnection()
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        val in = conn.getInputStream
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    case other =>
+      throw new IllegalArgumentException(s"opensky_poll mode must be dir|url, got $other")
+  }
+
+  override def initialOffset(): Offset = PollOffset(0L)
+  override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    fetch().foreach { payload =>
+      val tmp = new Path(spoolDir, s".tmp-$nextN")
+      val out = fs.create(tmp, true)
+      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(tmp, spoolPath(nextN))
+      nextN += 1
+    }
+    PollOffset(nextN)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PollOffset].n
+    val e = end.asInstanceOf[PollOffset].n
+    (s until e).map(n => PollPartition(spoolPath(n).toString, n): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[PollPartition]
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        private var row: InternalRow = _
+        override def next(): Boolean =
+          if (emitted) false
+          else {
+            // executor side: default Hadoop conf resolves the same FS
+            // kinds the checkpoint itself lives on
+            val path = new Path(p.spoolFile)
+            val pfs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val in = pfs.open(path)
+            val content =
+              try {
+                val out = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](8192)
+                var r = in.read(buf)
+                while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+                new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+              } finally in.close()
+            row = InternalRow(p.n, UTF8String.fromString(content))
+            emitted = true
+            true
+          }
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
