@@ -177,6 +177,41 @@ object Windowed {
     oracle = None,
     doc = "approx_percentile scale sibling of q36 — sketch values engine-specific → rows-only")
 
+  /** Q36c — MERGEABLE sketch materialization: per-day HLL sketches of the
+    * user set, then a sketch-union roll-up per event type — the
+    * incremental-distinct pattern that makes `self_driving_metrics`-style
+    * tables maintainable at 100 TB: each day aggregates once into a
+    * ~KB sketch row, and any later question ("distinct users this
+    * quarter?") merges sketches without re-touching raw data. Spark's
+    * Datasketches HLL (hll_sketch_agg / hll_union_agg) is map-side
+    * combined and associative, so the daily and roll-up levels are the
+    * same partial-aggregation machinery.
+    *
+    * Sketch bytes and estimates are engine-specific → rows-only in
+    * CORRECTNESS; the exact distinct rides along and WindowedSpec pins
+    * the estimate within 5%. The exact column shows the price being
+    * avoided: countDistinct shuffles every (type, user) pair, the sketch
+    * path shuffles |days|·|types| kilobyte rows.
+    */
+  private val q36c = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      val merged = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("approx_users"))
+      val exact = Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      merged.join(exact, Seq("event_type"))
+        .select($"event_type", $"n_days", $"approx_users", $"exact_users")
+        .orderBy($"event_type")
+    },
+    oracle = None,
+    doc = "per-day HLL sketches merged per type — sketch estimates engine-specific → rows-only; ε pinned in spec")
+
   /** Q37 — time-series similarity search (PAPERS.md: "Time Series
     * Similarity Search for Streaming Data in Distributed Systems",
     * EDBT 2019 shape): each entity's event stream is resampled to a
@@ -384,6 +419,7 @@ object Windowed {
     "q35_sessionization" -> q35,
     "q36_percentiles" -> q36,
     "q36b_percentiles_approx" -> q36b,
+    "q36c_hll_daily_merge" -> q36c,
     "q37_timeseries_knn" -> q37,
     "q55_gapfill_resample" -> q55,
     "q58_interval_join" -> q58,

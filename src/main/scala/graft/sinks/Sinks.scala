@@ -46,6 +46,55 @@ object Sinks {
     df.withColumn("p_date", to_date(col(timeCol)))
       .write.mode(mode).partitionBy("p_date").orc(path)
 
+  /** Z-order clustered write: lay rows out along a space-filling curve
+    * over up to 4 numeric columns so parquet min/max statistics stay
+    * TIGHT on EVERY z column in EVERY file — a filter on any one of them
+    * skips most files/row groups, where a plain sort only serves its
+    * leading column. This is the layout lever behind Delta/Iceberg
+    * `OPTIMIZE ZORDER`, built from public Spark primitives:
+    *
+    *  1. one `approx_percentile` pass computes 2^bits−1 quantile
+    *     boundaries per z column (mergeable sketch, map-side combined —
+    *     the q54b pattern), broadcast as a single row;
+    *  2. each row maps every z column to its quantile bucket by an
+    *     in-row boundary count (equal-frequency, so skew can't pile the
+    *     curve into few buckets);
+    *  3. bucket bits are interleaved into the Morton z-value, and
+    *     `repartitionByRange(__z)` + `sortWithinPartitions(__z)` produce
+    *     range-disjoint, internally-sorted files.
+    *
+    * Cost: one sketch pass + one range shuffle — the same price as a
+    * global sort by one column, but the locality benefits all z columns.
+    * At 100 TB this is the difference between scanning a fleet-day and
+    * scanning the lake for a `(vehicle, speed-band)` probe.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 8, nFiles: Int = 0, mode: String = "overwrite"): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 4, "z-order over 1..4 columns")
+    val nb = 1 << bits
+    val fracs = array((1 until nb).map(i => lit(i.toDouble / nb)): _*)
+    val bounds = df.select(zCols.map(c =>
+      approx_percentile(col(c).cast("double"), fracs, lit(10000)).as(s"__zb_$c")): _*)
+    val withB = df.crossJoin(broadcast(bounds))
+    val buckets = zCols.map { c =>
+      aggregate(col(s"__zb_$c"), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") > b, 1).otherwise(0))
+    }
+    val z = zCols.indices.foldLeft(lit(0L)) { (acc, ci) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(buckets(ci), i).bitwiseAND(lit(1)).cast("long"),
+          i * zCols.size + ci))
+      }
+    }
+    val zed = withB.withColumn("__z", z)
+    (if (nFiles > 0) zed.repartitionByRange(nFiles, col("__z"))
+     else zed.repartitionByRange(col("__z")))
+      .sortWithinPartitions("__z")
+      .drop(zCols.map(c => s"__zb_$c") :+ "__z": _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** Small-file compaction for a parquet table: rewrite to
     * ceil(bytes / targetFileBytes) files (per partition directory when
     * `partitionCols` is set), preserving rows and partitioning. Streaming

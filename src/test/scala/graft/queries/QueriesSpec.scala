@@ -197,6 +197,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q36c HLL daily-merge estimate within 5% of exact distinct") {
+    val rows = SparkEntry.queries("q36c_hll_daily_merge")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(2).toDouble, r.getLong(3))
+      assert(math.abs(approx - exact) <= 0.05 * exact,
+        s"${r.getString(0)}: HLL $approx vs exact $exact")
+      assert(r.getLong(1) >= 28, "a month of days contributed sketches")
+    }
+  }
+
   test("q54b approx deciles: populations within ε of exact 10ths, bounds monotone") {
     val sf = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("q54b_value_deciles_approx")(spark, sf).collect()

@@ -18,6 +18,32 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv")) == 1)
   }
 
+  test("writeZOrdered: per-file min/max tighten on EVERY z column, content unchanged") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .select("user_id", "value", "event_id")
+    val base = tmpDir("z_base")
+    val zdir = tmpDir("z_opt")
+    ev.repartition(8).write.mode("overwrite").parquet(base)
+    Sinks.writeZOrdered(ev, zdir, Seq("user_id", "value"), nFiles = 32)
+
+    // clustering is a layout change, never a content change
+    val back = spark.read.parquet(zdir)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+
+    // per-file value spans: the z layout must tighten BOTH columns at
+    // once (a plain sort would only tighten its leading column)
+    def avgRange(dir: String, c: String): Double =
+      spark.read.parquet(dir).groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("r"))
+        .agg(avg("r")).head().getDouble(0)
+    val uRatio = avgRange(zdir, "user_id") / avgRange(base, "user_id")
+    val vRatio = avgRange(zdir, "value") / avgRange(base, "value")
+    assert(uRatio < 0.5, s"user_id per-file range ratio $uRatio not tightened")
+    assert(vRatio < 0.5, s"value per-file range ratio $vRatio not tightened")
+  }
+
   test("upsert: same-key rows replaced, new keys appended, only touched partitions rewritten") {
     import spark.implicits._
     val dir = tmpDir("upsert") + "/t"
