@@ -80,7 +80,13 @@ object Bench {
     // 2-decimal timings: sf0.1 queries run >= 0.2 s, so 10 ms resolution
     // loses nothing and keeps the line comfortably under the tail window
     // as the query inventory grows
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    // 2-decimal timings with trailing zeros stripped ("0.30" -> "0.3",
+    // "1.00" -> "1"): still valid JSON numbers, ~1 char per query back
+    def fmt(v: Double): String =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     raw.foreach { case (name, best, runs) =>
       if (best >= 0 && runs.max / runs.min > 2.0)
         System.err.println(f"[bench] spread>2x $name%-28s ${runs.max / runs.min}%.2fx")
@@ -109,7 +115,7 @@ object Bench {
           .runAlertPipeline(spark, landing, s"$dir/out", s"$dir/ckpt")
           .awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        f"""{"rows":$nRows,"rows_per_sec":${nRows / sec}%.0f}"""
+        f"""{"rows_per_sec":${nRows / sec}%.0f}"""
       } finally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -125,7 +131,7 @@ object Bench {
     // with query timings for the driver's 2000-char stdout tail
     val sfName = sfDir.split('/').last
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-    val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"ingest":$ingestJson$failedField,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"ingest":$ingestJson$failedField,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may be clipped by the driver's 2000-char stdout tail")
     println(line)
