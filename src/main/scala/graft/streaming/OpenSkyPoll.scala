@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -113,7 +113,8 @@ private case class PollPartition(spoolFile: String, n: Long) extends InputPartit
   * returned, so planInputPartitions never races the fetch.
   */
 private class OpenSkyPollStream(mode: String, location: String,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val spoolDir = new Path(checkpointLocation, "spool")
   private val fs = spoolDir.getFileSystem(
@@ -161,19 +162,38 @@ private class OpenSkyPollStream(mode: String, location: String,
       throw new IllegalArgumentException(s"opensky_poll mode must be dir|url, got $other")
   }
 
+  private def spool(payload: String): Unit = {
+    val tmp = new Path(spoolDir, s".tmp-$nextN")
+    val out = fs.create(tmp, true)
+    try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(tmp, spoolPath(nextN))
+    nextN += 1
+  }
+
+  // Trigger.AvailableNow: drain everything fetchable at prepare time into
+  // the spool and pin the end offset there — the bounded-run contract
+  // (dir mode drains the capture directory; url mode takes one final poll)
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    var more = true
+    while (more) fetch() match {
+      case Some(p) => spool(p)
+      case None => more = false
+    }
+    availableNowEnd = Some(nextN)
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+
   override def initialOffset(): Offset = PollOffset(0L)
   override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
 
-  override def latestOffset(): Offset = {
-    fetch().foreach { payload =>
-      val tmp = new Path(spoolDir, s".tmp-$nextN")
-      val out = fs.create(tmp, true)
-      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      fs.rename(tmp, spoolPath(nextN))
-      nextN += 1
-    }
-    PollOffset(nextN)
+  override def latestOffset(): Offset = availableNowEnd match {
+    case Some(end) => PollOffset(end)
+    case None =>
+      fetch().foreach(spool)
+      PollOffset(nextN)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

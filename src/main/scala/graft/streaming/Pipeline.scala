@@ -40,6 +40,28 @@ object Pipeline {
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .json(dir))
 
+  /** Unified streaming ingest: any number of telemetry-schema STREAMING
+    * legs (file wire, OpenSky poll/replay, simulation — each a different
+    * source kind with its own offsets) tagged and union'd by
+    * [[graft.sources.UnifiedIngest.unify]] into ONE store, partitioned by
+    * `(p_date, source_mode)` so per-mode reads prune at the directory
+    * level. One streaming query, one checkpoint, N sources — Structured
+    * Streaming tracks each leg's offsets independently inside the shared
+    * checkpoint, so a restart resumes every mode exactly where it
+    * stopped. The streaming form of the reference's
+    * three-producers-one-table topology (SURVEY §2.7).
+    */
+  def runUnifiedIngest(s: SparkSession, legs: Seq[(String, DataFrame)],
+      outDir: String, checkpointDir: String): StreamingQuery =
+    graft.sources.UnifiedIngest.unify(legs: _*)
+      .withColumn("p_date", to_date(col("time")))
+      .writeStream.format("parquet")
+      .partitionBy("p_date", "source_mode")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Kafka telemetry stream (reference consumer.py:51–60: three topics,
     * earliest offsets, JSON values). Compiles against core Spark; running
     * it requires the spark-sql-kafka connector on the cluster classpath

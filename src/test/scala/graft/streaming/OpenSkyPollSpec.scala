@@ -57,6 +57,52 @@ class OpenSkyPollSpec extends SparkSpec {
     assert(second.filter(col("icao24") === "c3").count() == 1)
   }
 
+  test("unified streaming ingest: three source kinds, one query, one provenance-partitioned store") {
+    val simDir = tmpDir("uni_sim")
+    val pollDir = tmpDir("uni_poll")
+    val csvDir = tmpDir("uni_csv")
+    val out = tmpDir("uni_out")
+    val ckpt = tmpDir("uni_ckpt")
+
+    // leg 1 (simulation twin): JSONL wire rows through the file stream
+    Files.writeString(Paths.get(simDir, "b.jsonl"),
+      """{"vehicle_id":"1","timestamp":"2026-03-01 08:00:00","current_speed_kmh":"80","speed_limit_violation":"true"}""" + "\n" +
+      """{"vehicle_id":"2","timestamp":"2026-03-01 08:00:01","current_speed_kmh":"40","speed_limit_violation":"false"}""" + "\n")
+    // leg 2 (live poller): a captured payload through the V2 poll source
+    Files.writeString(Paths.get(pollDir, "poll.json"),
+      payload(1764576000L, st("a1", 10.0, 10.0, 50.0)))
+    // leg 3 (CSV replay): a headered CSV through the streaming csv reader
+    Files.writeString(Paths.get(csvDir, "r.csv"),
+      "vehicle_id,timestamp,current_speed_kmh\n7,2026-03-01 09:00:00,33\n")
+
+    val simLeg = Pipeline.telemetryFileStream(spark, simDir)
+    val pollLeg = graft.sources.OpenSkyMap.toTelemetry(
+      OpenSkyPoll.stateStream(spark, "dir", pollDir),
+      asOf = lit("2026-03-01 10:00:00").cast("timestamp"))
+    val csvLeg = graft.sources.FileReplay.normalize(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vehicle_id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("current_speed_kmh", org.apache.spark.sql.types.StringType))))
+        .option("header", "true").csv(csvDir),
+      asOf = lit("2026-03-01 10:00:00").cast("timestamp"))
+
+    Pipeline.runUnifiedIngest(spark,
+      Seq("simulation" -> simLeg, "opensky" -> pollLeg, "file_replay" -> csvLeg),
+      out, ckpt).awaitTermination()
+
+    val back = spark.read.parquet(out)
+    val byMode = back.groupBy("source_mode").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMode == Map("simulation" -> 2L, "opensky" -> 1L, "file_replay" -> 1L), s"got $byMode")
+    // provenance is a PARTITION column: per-mode reads prune directories
+    val modeDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName).toSet
+    assert(modeDirs.exists(_.contains("source_mode=opensky")), s"layout: $modeDirs")
+    assert(back.filter(col("source_mode") === "opensky").head().getAs[Double]("current_speed_kmh") == 180.0)
+  }
+
   test("per-poll truncation applies within each poll independently") {
     val capture = tmpDir("poll_trunc_in")
     val out = tmpDir("poll_trunc_out")
