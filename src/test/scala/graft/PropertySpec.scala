@@ -104,6 +104,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: word_stats matches a naive Scala reference on arbitrary token lists") {
+    val word = Gen.oneOf("a", "bb", "ccc", "d", "")
+    forAll(Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, word)), n = 15) { ws =>
+      import spark.implicits._
+      val text = ws.mkString(" ")
+      val toks = text.split(" ", -1).toSeq // reference tokenization incl. empties
+      val row = Seq(text).toDF("t")
+        .select(graft.functions.expressions.word_stats(col("t")).as("st"))
+        .select("st.n_words", "st.n_distinct", "st.top_c", "st.total2", "st.d2")
+        .head()
+      assert(row.getLong(0) == toks.length.toLong)
+      assert(row.getLong(1) == toks.distinct.length.toLong)
+      assert(row.getLong(2) == toks.groupBy(identity).values.map(_.size).max.toLong)
+      assert(row.getLong(3) == (toks.length - 1).toLong)
+      assert(row.getLong(4) == toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq.distinct.length.toLong)
+    }
+  }
+
   test("property: connected components equals union-find on random graphs") {
     import spark.implicits._
     // random undirected edge lists, including path-like graphs (the
