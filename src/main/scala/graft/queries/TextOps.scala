@@ -891,8 +891,11 @@ object TextOps {
     * Documents longer than the budget get singleton bins (truncation is
     * a separate concern — q44's resize shape). Deterministic: group
     * salt, sort key (tokens desc, doc_id), and fit order are all pure
-    * functions of the input. No SQL oracle (imperative state) — rows
-    * check + QueriesSpec invariants.
+    * functions of the input — so even this imperative operator is
+    * hash-verified: the oracle replays FFD sequentially as a DuckDB
+    * recursive CTE whose per-group state is the bin-capacity list
+    * (one recursion step per document, first-fit via list_position).
+    * QueriesSpec keeps the capacity/FFD-bound/determinism invariants.
     */
   private val q50 = Q(
     fn = (s, d) => {
@@ -921,7 +924,35 @@ object TextOps {
         .toDF("doc_id", "grp", "bin", "n_tokens")
         .orderBy($"doc_id")
     },
-    oracle = None)
+    oracle = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n,
+               CAST(doc_id % 64 AS INT) AS grp
+        FROM documents
+      ), ordered AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n DESC, doc_id) AS INT) AS rn
+        FROM docs
+      ), steps AS (
+        SELECT grp, 0 AS rn, CAST([] AS INT[]) AS bins,
+               CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin, CAST(NULL AS INT) AS n
+        FROM (SELECT DISTINCT grp FROM ordered)
+        UNION ALL
+        SELECT o.grp, o.rn,
+               CASE WHEN COALESCE(list_position(list_transform(s.bins, b -> b >= o.n), true), 0) = 0
+                    THEN list_append(s.bins, GREATEST(128 - o.n, 0))
+                    ELSE list_transform(generate_series(1, len(s.bins)),
+                           i -> CASE WHEN i = list_position(list_transform(s.bins, b -> b >= o.n), true)
+                                     THEN s.bins[i] - o.n ELSE s.bins[i] END) END,
+               o.doc_id,
+               CAST(CASE WHEN COALESCE(list_position(list_transform(s.bins, b -> b >= o.n), true), 0) = 0
+                    THEN len(s.bins)
+                    ELSE list_position(list_transform(s.bins, b -> b >= o.n), true) - 1 END AS INT),
+               o.n
+        FROM steps s JOIN ordered o ON o.grp = s.grp AND o.rn = s.rn + 1
+      )
+      SELECT doc_id, grp, bin, n AS n_tokens
+      FROM steps WHERE doc_id IS NOT NULL
+      ORDER BY doc_id"""))
 
   /** Q56 — the flagship composition: materialize the cleaned TRAINING
     * SPLIT end to end, the query a pre-training data pipeline actually
