@@ -115,7 +115,8 @@ object Bench {
           .runAlertPipeline(spark, landing, s"$dir/out", s"$dir/ckpt")
           .awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        f"""{"rows_per_sec":${nRows / sec}%.0f}"""
+        System.err.println(f"[bench] ingest rows=$nRows sec=$sec%.3f rows_per_sec=${nRows / sec}%.0f")
+        f"""{"rps":${nRows / sec}%.0f}"""
       } finally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -124,7 +125,7 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ingest leg failed: ${e.getMessage}")
-        """{"rows":0,"sec":-1,"rows_per_sec":-1}"""
+        """{"rps":-1}"""
     }
 
     // sf as basename, not full path — every byte on this line competes

@@ -772,6 +772,52 @@ object Relational {
       WHERE rnk <= 5
       ORDER BY s_nationkey, rnk, s_suppkey"""))
 
+  /** Q63 — data-quality conformance audit (the engine form of the
+    * reference's infrastructure check, scripts/verify.py:13–119, and of
+    * SURVEY §5's schema-assertion strategy): one long-format row per
+    * check over the lineitem/orders pair — row count, null key count,
+    * referential orphans (left ANTI join), duplicate primary keys,
+    * domain-range violations. Each check is an independent aggregate
+    * over one scan leg; the union is logical; the anti-join is the only
+    * join and shuffles once on the key. This is the audit a 100 TB
+    * ingest runs per partition-day before publishing it downstream.
+    */
+  private val q63 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      def check(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.select(lit(name).as("check"), $"n".cast("long").as("n_bad"))
+      check("dup_pk", li.groupBy($"l_orderkey", $"l_linenumber")
+          .agg(count(lit(1)).as("c")).filter($"c" > 1).agg(count(lit(1)).as("n")))
+        .unionByName(check("null_keys", li.agg(
+          sum(when($"l_orderkey".isNull || $"l_partkey".isNull || $"l_suppkey".isNull, 1L)
+            .otherwise(0L)).as("n"))))
+        .unionByName(check("orphans",
+          li.join(ord, $"l_orderkey" === $"o_orderkey", "left_anti").agg(count(lit(1)).as("n"))))
+        .unionByName(check("qty_domain", li.agg(
+          sum(when($"l_quantity" < 1.0 || $"l_quantity" > 50.0, 1L).otherwise(0L)).as("n"))))
+        .unionByName(check("rowcount", li.agg(count(lit(1)).as("n"))))
+        .orderBy($"check")
+    },
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT 'dup_pk' AS check, CAST(COUNT(*) AS BIGINT) AS n_bad FROM (
+          SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'null_keys', CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+                   OR l_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'orphans', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'qty_domain', CAST(COALESCE(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'rowcount', CAST(COUNT(*) AS BIGINT) FROM lineitem)
+      ORDER BY "check""""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -797,5 +843,6 @@ object Relational {
     "q54_value_deciles" -> q54,
     "q54b_value_deciles_approx" -> q54b,
     "q57_supplier_rank" -> q57,
+    "q63_qc_audit" -> q63,
   )
 }

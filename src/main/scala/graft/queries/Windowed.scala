@@ -365,6 +365,63 @@ object Windowed {
       WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL
       ORDER BY user_id, grid_ts"""))
 
+  /** Q64 — SCD2 interval construction (slowly-changing-dimension
+    * history): collapse each user's event stream into contiguous
+    * [valid_from, valid_to) intervals of a tracked attribute (the value
+    * band), `valid_to` = next interval's start, NULL while current — the
+    * standard change-data-capture materialization an upsert-only store
+    * (Sinks.upsertPartitioned keeps latest-wins) cannot answer
+    * ("what was the state AT time t?"). Shape: one shuffle on user_id
+    * serves the change-flag window, the per-segment aggregate, and the
+    * lead window — no self-join, no range join.
+    */
+  private val q64 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val order = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val segs = Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          floor($"value" / 50.0).cast("long").as("band"))
+        .withColumn("chg",
+          when(lag($"band", 1).over(order).isNull ||
+            $"band" =!= lag($"band", 1).over(order), 1L).otherwise(0L))
+        .withColumn("seg", sum($"chg").over(running))
+        .groupBy($"user_id", $"seg")
+        .agg(first($"band").as("band"), min($"ts_us").as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+      segs
+        .withColumn("valid_to_us",
+          lead($"valid_from_us", 1).over(Window.partitionBy($"user_id").orderBy($"seg")))
+        .select($"user_id", $"seg", $"band", $"valid_from_us", $"valid_to_us", $"n_events")
+        .orderBy($"user_id", $"seg")
+    },
+    oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(FLOOR(value / 50.0) AS BIGINT) AS band,
+               CASE WHEN LAG(CAST(FLOOR(value / 50.0) AS BIGINT), 1) OVER w IS NULL
+                      OR CAST(FLOOR(value / 50.0) AS BIGINT)
+                         <> LAG(CAST(FLOOR(value / 50.0) AS BIGINT), 1) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ), segd AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+        FROM flagged
+      ), segs AS (
+        SELECT user_id, seg, ANY_VALUE(band) AS band,
+               CAST(MIN(ts_us) AS BIGINT) AS valid_from_us,
+               COUNT(*) AS n_events
+        FROM segd GROUP BY user_id, seg
+      )
+      SELECT user_id, seg, band, valid_from_us,
+             LEAD(valid_from_us, 1) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to_us,
+             n_events
+      FROM segs
+      ORDER BY user_id, seg"""))
+
   /** Q58 — interval (range) join, the batch twin of the streaming
     * perception×telemetry join ([[graft.streaming.Pipeline
     * .perceptionTelemetryJoin]], whose ±tolerance semantics were
@@ -423,5 +480,6 @@ object Windowed {
     "q37_timeseries_knn" -> q37,
     "q55_gapfill_resample" -> q55,
     "q58_interval_join" -> q58,
+    "q64_scd2" -> q64,
   )
 }
