@@ -809,8 +809,13 @@ object Relational {
         SELECT 'null_keys', CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
                    OR l_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
         UNION ALL
-        SELECT 'orphans', CAST(COUNT(*) AS BIGINT) FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        -- LEFT JOIN ... IS NULL, not NOT IN: a NULL l_orderkey must COUNT
+        -- as an orphan (matching Spark's left_anti), and one NULL
+        -- o_orderkey must not collapse the whole check to 0 via NOT IN's
+        -- three-valued logic
+        SELECT 'orphans', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
         UNION ALL
         SELECT 'qty_domain', CAST(COALESCE(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
                    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem

@@ -896,6 +896,8 @@ object TextOps {
     * recursive CTE whose per-group state is the bin-capacity list
     * (one recursion step per document, first-fit via list_position).
     * QueriesSpec keeps the capacity/FFD-bound/determinism invariants.
+    * NOTE: the oracle pins the DEFAULT group count (64) — the session
+    * knob is for deployments/specs; CORRECTNESS runs use the default.
     */
   private val q50 = Q(
     fn = (s, d) => {

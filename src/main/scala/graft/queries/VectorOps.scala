@@ -215,6 +215,10 @@ object VectorOps {
     * means, float cast, argmax, md5 sub-split, exact quantized cosine
     * >= 0.4, top-100) is deterministic and mirrored in the oracle SQL, so
     * the blocking structure itself is hash-verified.
+    *
+    * NOTE: the oracle pins the DEFAULT maxCell (4096) — the session knob
+    * exists for deployments and for the sub-split spec; CORRECTNESS runs
+    * must use the default (same contract as q50's packing-group count).
     */
   private val q38 = Q(
     fn = (s, d) => {
@@ -236,20 +240,27 @@ object VectorOps {
             .when(l("cell") > r("cell"), lit(1))
             .otherwise(lit(0))))
         .select($"vec_id", $"embedding", $"ranked"(0)("cell").as("cell"))
-      val sizes = assigned.groupBy($"cell").agg(count(lit(1)).as("cn"))
-      val subbed = assigned.join(broadcast(sizes), Seq("cell"))
-        .withColumn("nsubs", floor(($"cn" + lit(maxCell - 1)) / lit(maxCell.toDouble)))
-        .withColumn("sub",
-          conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long") % $"nsubs")
-        .select($"cell", $"sub", $"vec_id", $"embedding")
-      val a = subbed.select($"cell", $"sub", $"vec_id".as("i"), $"embedding".as("e_i"))
-      val b = subbed.select($"cell", $"sub", $"vec_id".as("j"), $"embedding".as("e_j"))
-      a.join(b, Seq("cell", "sub")).filter($"i" < $"j")
-        .select($"cell", $"i", $"j",
-          graft.functions.expressions.quantized_cosine($"e_i", $"e_j").as("cos"))
-        .filter($"cos" >= 0.4)
-        .orderBy($"cos".desc, $"i", $"j")
-        .limit(100)
+      // scoped persist (q18's pattern): assigned feeds the cell-sizes agg
+      // AND both self-join sides — without it the per-row argmax over all
+      // centroids (the most expensive map stage) re-runs up to 4x
+      val cached = assigned.persist()
+      try {
+        val sizes = cached.groupBy($"cell").agg(count(lit(1)).as("cn"))
+        val subbed = cached.join(broadcast(sizes), Seq("cell"))
+          .withColumn("nsubs", floor(($"cn" + lit(maxCell - 1)) / lit(maxCell.toDouble)))
+          .withColumn("sub",
+            conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long") % $"nsubs")
+          .select($"cell", $"sub", $"vec_id", $"embedding")
+        val a = subbed.select($"cell", $"sub", $"vec_id".as("i"), $"embedding".as("e_i"))
+        val b = subbed.select($"cell", $"sub", $"vec_id".as("j"), $"embedding".as("e_j"))
+        a.join(b, Seq("cell", "sub")).filter($"i" < $"j")
+          .select($"cell", $"i", $"j",
+            graft.functions.expressions.quantized_cosine($"e_i", $"e_j").as("cos"))
+          .filter($"cos" >= 0.4)
+          .orderBy($"cos".desc, $"i", $"j")
+          .limit(100)
+          .localCheckpoint()
+      } finally cached.unpersist()
     },
     oracle = Some("""
       WITH qv AS (

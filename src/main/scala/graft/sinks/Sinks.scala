@@ -71,6 +71,10 @@ object Sinks {
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       bits: Int = 8, nFiles: Int = 0, mode: String = "overwrite"): Unit = {
     require(zCols.nonEmpty && zCols.size <= 4, "z-order over 1..4 columns")
+    // Java shifts are mod 64: bits*nCols > 63 would silently wrap the
+    // interleave into a garbled curve rather than fail
+    require(bits >= 1 && bits * zCols.size <= 63,
+      s"bits * zCols.size must be in [1, 63], got $bits * ${zCols.size}")
     val nb = 1 << bits
     val fracs = array((1 until nb).map(i => lit(i.toDouble / nb)): _*)
     val bounds = df.select(zCols.map(c =>

@@ -107,27 +107,10 @@ private case class PollOffset(n: Long) extends Offset {
 
 private case class PollPartition(spoolFile: String, n: Long) extends InputPartition
 
-/** Driver-side poller + spool. One fetch per trigger in `latestOffset`
-  * (the only place the streaming engine lets a source discover new data);
-  * the payload is durably spooled BEFORE the offset that exposes it is
-  * returned, so planInputPartitions never races the fetch.
-  */
-private class OpenSkyPollStream(mode: String, location: String,
-    checkpointLocation: String)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
-
-  private val spoolDir = new Path(checkpointLocation, "spool")
-  private val fs = spoolDir.getFileSystem(
-    SparkSession.active.sparkContext.hadoopConfiguration)
-  if (!fs.exists(spoolDir)) fs.mkdirs(spoolDir)
-
-  private def spoolPath(n: Long) = new Path(spoolDir, f"$n%020d.json")
-
-  // recovery: the spool listing IS the source of truth for how many polls
-  // this query has ever captured
-  private var nextN: Long = fs.listStatus(spoolDir).count(_.getPath.getName.endsWith(".json"))
-
-  private def readFully(p: Path): String = {
+/** Stream-drain shared by the driver-side spooler and the executor-side
+  * reader — one copy, both call sites. */
+private object OpenSkyPollIO {
+  def readFully(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -137,15 +120,59 @@ private class OpenSkyPollStream(mode: String, location: String,
       new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
+}
 
-  /** One poll. `None` = nothing new this trigger (dir drained / GET failed). */
-  private def fetch(): Option[String] = mode match {
+/** Driver-side poller + spool. One fetch per trigger in `latestOffset`
+  * (the only place the streaming engine lets a source discover new data);
+  * the payload is durably spooled BEFORE the offset that exposes it is
+  * returned, so planInputPartitions never races the fetch.
+  *
+  * Spool file names are `<n>__<source-name>.json`: the counter gives the
+  * dense offset sequence, and the embedded source name is the durable
+  * HIGH-WATER MARK for dir mode — consumption order is "first unconsumed
+  * name ABOVE the watermark", never a positional index into the live
+  * listing, so a capture file that arrives late but sorts below already-
+  * consumed names is skipped deterministically (the file-source
+  * convention) instead of silently double-reading its neighbor, and the
+  * watermark survives restarts inside the spool listing itself.
+  */
+private class OpenSkyPollStream(mode: String, location: String,
+    checkpointLocation: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val spoolDir = new Path(checkpointLocation, "spool")
+  private val hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
+  // executors must resolve the spool with the SESSION's FS settings
+  // (credentials, defaultFS) — a bare `new Configuration()` would drop
+  // every spark.hadoop.* entry; carried as a plain map (serializable)
+  private val hadoopConfMap: Map[String, String] =
+    hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  private val fs = spoolDir.getFileSystem(hadoopConf)
+  if (!fs.exists(spoolDir)) fs.mkdirs(spoolDir)
+
+  // spool name carries the FULL source file name after "__" (or "url"),
+  // so watermark comparisons use identical strings on both sides
+  private def spoolPath(n: Long, srcName: String) =
+    new Path(spoolDir, f"$n%020d__$srcName")
+
+  // recovery: the spool listing is the source of truth — both for how
+  // many polls this query ever captured and for the dir-mode watermark
+  private def spooledFiles(): Array[String] =
+    fs.listStatus(spoolDir).map(_.getPath.getName).filter(!_.startsWith(".")).sorted
+  private var nextN: Long = spooledFiles().length
+  private var watermark: String = spooledFiles().lastOption
+    .map(n => n.substring(n.indexOf("__") + 2)).getOrElse("")
+
+  /** One poll. `None` = nothing new this trigger (dir drained / GET
+    * failed). Returns (source-name, payload). */
+  private def fetch(): Option[(String, String)] = mode match {
     case "dir" =>
       val files = fs.listStatus(new Path(location))
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
           !s.getPath.getName.startsWith("."))
         .map(_.getPath).sortBy(_.getName)
-      if (nextN < files.length) Some(readFully(files(nextN.toInt))) else None
+      files.find(_.getName > watermark)
+        .map(p => p.getName -> OpenSkyPollIO.readFully(fs, p))
     case "url" =>
       // live leg: one GET per trigger. Zero-egress environment → never
       // exercised here; failures are skipped-not-fatal, like the
@@ -155,31 +182,37 @@ private class OpenSkyPollStream(mode: String, location: String,
         conn.setConnectTimeout(10000)
         conn.setReadTimeout(30000)
         val in = conn.getInputStream
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        try Some("url" -> scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     case other =>
       throw new IllegalArgumentException(s"opensky_poll mode must be dir|url, got $other")
   }
 
-  private def spool(payload: String): Unit = {
+  private def spool(srcName: String, payload: String): Unit = {
     val tmp = new Path(spoolDir, s".tmp-$nextN")
     val out = fs.create(tmp, true)
     try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(tmp, spoolPath(nextN))
+    fs.rename(tmp, spoolPath(nextN, srcName))
     nextN += 1
+    if (srcName > watermark) watermark = srcName
   }
 
-  // Trigger.AvailableNow: drain everything fetchable at prepare time into
-  // the spool and pin the end offset there — the bounded-run contract
-  // (dir mode drains the capture directory; url mode takes one final poll)
+  // Trigger.AvailableNow: pin a bounded end offset at prepare time. Dir
+  // mode drains the capture directory (finite); url mode takes exactly
+  // ONE poll — a live API answers every GET, so "drain until None" would
+  // busy-loop against it forever.
   private var availableNowEnd: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit = {
-    var more = true
-    while (more) fetch() match {
-      case Some(p) => spool(p)
-      case None => more = false
+    mode match {
+      case "url" => fetch().foreach { case (n, p) => spool(n, p) }
+      case _ =>
+        var more = true
+        while (more) fetch() match {
+          case Some((n, p)) => spool(n, p)
+          case None => more = false
+        }
     }
     availableNowEnd = Some(nextN)
   }
@@ -192,17 +225,20 @@ private class OpenSkyPollStream(mode: String, location: String,
   override def latestOffset(): Offset = availableNowEnd match {
     case Some(end) => PollOffset(end)
     case None =>
-      fetch().foreach(spool)
+      fetch().foreach { case (n, p) => spool(n, p) }
       PollOffset(nextN)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PollOffset].n
     val e = end.asInstanceOf[PollOffset].n
-    (s until e).map(n => PollPartition(spoolPath(n).toString, n): InputPartition).toArray
+    val byN = spooledFiles().map(f => f.substring(0, 20).toLong -> f).toMap
+    (s until e).map(n =>
+      PollPartition(new Path(spoolDir, byN(n)).toString, n): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confMap = hadoopConfMap // serialized into the factory closure
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[PollPartition]
       new PartitionReader[InternalRow] {
@@ -211,19 +247,10 @@ private class OpenSkyPollStream(mode: String, location: String,
         override def next(): Boolean =
           if (emitted) false
           else {
-            // executor side: default Hadoop conf resolves the same FS
-            // kinds the checkpoint itself lives on
+            val conf = new org.apache.hadoop.conf.Configuration()
+            confMap.foreach { case (k, v) => conf.set(k, v) }
             val path = new Path(p.spoolFile)
-            val pfs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            val in = pfs.open(path)
-            val content =
-              try {
-                val out = new java.io.ByteArrayOutputStream()
-                val buf = new Array[Byte](8192)
-                var r = in.read(buf)
-                while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-                new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-              } finally in.close()
+            val content = OpenSkyPollIO.readFully(path.getFileSystem(conf), path)
             row = InternalRow(p.n, UTF8String.fromString(content))
             emitted = true
             true
@@ -232,6 +259,7 @@ private class OpenSkyPollStream(mode: String, location: String,
         override def close(): Unit = ()
       }
     }
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -57,6 +57,28 @@ class OpenSkyPollSpec extends SparkSpec {
     assert(second.filter(col("icao24") === "c3").count() == 1)
   }
 
+  test("dir-mode watermark: a late file sorting below consumed names is skipped, never double-read") {
+    val capture = tmpDir("poll_wm_in")
+    val out = tmpDir("poll_wm_out")
+    val ckpt = tmpDir("poll_wm_ckpt")
+    Files.writeString(Paths.get(capture, "poll_b.json"),
+      payload(1700000000L, st("b1", 1, 1, 1)))
+    runToDrain(capture, out, ckpt)
+    assert(spark.read.parquet(out).count() == 1)
+
+    // arrives late, sorts BEFORE the consumed poll_b.json: the watermark
+    // (file-source convention) skips it deterministically — the broken
+    // alternative was positional indexing, which would re-read poll_b
+    // and never read poll_z
+    Files.writeString(Paths.get(capture, "poll_a.json"),
+      payload(1700000010L, st("a9", 2, 2, 2)))
+    Files.writeString(Paths.get(capture, "poll_z.json"),
+      payload(1700000020L, st("z1", 3, 3, 3)))
+    runToDrain(capture, out, ckpt)
+    val got = spark.read.parquet(out).select("icao24").collect().map(_.getString(0)).toSet
+    assert(got == Set("b1", "z1"), s"poll_a skipped, poll_z consumed once: $got")
+  }
+
   test("unified streaming ingest: three source kinds, one query, one provenance-partitioned store") {
     val simDir = tmpDir("uni_sim")
     val pollDir = tmpDir("uni_poll")
