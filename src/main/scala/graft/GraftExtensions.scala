@@ -67,5 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "sorted_intersect_count requires exactly 2 arguments")
         SortedIntersectCount(exprs(0), exprs(1))
       }))
+    e.injectFunction((FunctionIdentifier("word_stats"),
+      info("word_stats",
+        "_FUNC_(text) - struct(n_words, n_distinct, top_c, total2, d2) in one pass"),
+      exprs => WordStats(one("word_stats")(exprs))))
   }
 }
