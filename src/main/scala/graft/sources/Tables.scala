@@ -45,4 +45,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so the engine is drivable from
+    * plain `spark.sql(...)` — the surface the reference's users actually
+    * write (src/metrics/queries.py is ~250 lines of SQL strings). Views
+    * go through the same typed loaders (so `events.ts` nanos handling
+    * applies), are lazy (no scan until queried), and compose with the
+    * kernel functions GraftExtensions injects — a SQL user gets
+    * `SELECT word_stats(text) FROM documents` on a stock session.
+    */
+  def registerViews(s: SparkSession, sfDir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] =
+      Map("events" -> events)
+    names.foreach { n =>
+      loaders.getOrElse(n, (ss: SparkSession, d: String) => load(ss, d, n))(s, sfDir)
+        .createOrReplaceTempView(n)
+    }
+  }
 }

@@ -299,11 +299,19 @@ object Pipeline {
     * its time + tolerance (and vice versa) — state stays
     * O(rate × (watermark + tolerance)) regardless of stream length,
     * which is what lets this run unbounded on a 1000-executor cluster.
-    * Inner join: state eviction needs no outer-null emission timing.
+    *
+    * `joinType` "inner" (default) or "leftOuter": left-outer KEEPS
+    * perception sightings with no concurrent telemetry (a perception unit
+    * reporting while the telemetry feed is down is precisely the row an
+    * operator wants to see) — the null-padded row is emitted only once
+    * the watermark proves no matching telemetry can still arrive, which
+    * is the same eviction bound as the inner form, just surfaced instead
+    * of discarded.
     */
   def perceptionTelemetryJoin(telemetry: DataFrame, perception: DataFrame,
       tolerance: String = "10 seconds",
-      watermark: String = "2 minutes"): DataFrame = {
+      watermark: String = "2 minutes",
+      joinType: String = "inner"): DataFrame = {
     val tel = telemetry
       .select(col("vehicle_id").as("tel_vehicle_id"), col("time").as("tel_time"),
         col("current_speed_kmh"), col("speed_limit_violation"))
@@ -315,7 +323,8 @@ object Pipeline {
     per.join(tel,
         col("vehicle_id") === col("tel_vehicle_id") &&
           col("tel_time") >= col("per_time") - expr(s"INTERVAL $tolerance") &&
-          col("tel_time") <= col("per_time") + expr(s"INTERVAL $tolerance"))
+          col("tel_time") <= col("per_time") + expr(s"INTERVAL $tolerance"),
+        joinType)
       .drop("tel_vehicle_id")
   }
 

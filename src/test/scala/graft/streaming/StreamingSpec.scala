@@ -150,6 +150,41 @@ class StreamingSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("pedestrian"))
   }
 
+  test("LEFT OUTER interval join: unmatched sighting emits null-padded once watermark proves no match") {
+    import org.apache.spark.sql.streaming.Trigger
+    val telIn = tmpDir("ssjo_tel")
+    val perIn = tmpDir("ssjo_per")
+    val out = tmpDir("ssjo_out")
+    val ckpt = tmpDir("ssjo_ckpt")
+    def tRow(ts: String, v: Int, kmh: Int) =
+      s"""{"vehicle_id":"$v","timestamp":"$ts","current_speed_kmh":"$kmh","speed_limit_violation":"false"}"""
+    def pRow(ts: String, v: Int, cls: String) =
+      s"""{"time":"$ts","vehicle_id":$v,"object_class":"$cls","object_distance_m":4.0,"object_speed_kmh":12.0,"object_relative_direction":"ahead","confidence":0.9}"""
+    // one file per micro-batch on each side so the watermark advances
+    // across batches and the final no-data batch can flush outer state
+    writeJsonl(telIn, "t1.jsonl", tRow("2026-03-01 08:00:00", 1, 80))
+    writeJsonl(telIn, "t2.jsonl", tRow("2026-03-01 08:10:00", 1, 70))
+    writeJsonl(telIn, "t3.jsonl", tRow("2026-03-01 08:20:00", 1, 60))
+    writeJsonl(perIn, "p1.jsonl", pRow("2026-03-01 08:01:00", 9, "ghost"))
+    writeJsonl(perIn, "p2.jsonl", pRow("2026-03-01 08:10:00", 1, "car"))
+    writeJsonl(perIn, "p3.jsonl", pRow("2026-03-01 08:20:00", 1, "bus"))
+    val tel = Pipeline.telemetryFileStream(spark, telIn, maxFilesPerTrigger = 1)
+    val per = spark.readStream.schema(graft.model.Schemas.perception)
+      .option("maxFilesPerTrigger", 1).json(perIn)
+    Pipeline.perceptionTelemetryJoin(tel, per, joinType = "leftOuter")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val joined = spark.read.parquet(out)
+    val matched = joined.filter(col("current_speed_kmh").isNotNull)
+    assert(matched.count() == 2, "car@08:10 and bus@08:20 each match one sample")
+    val ghost = joined.filter(col("object_class") === "ghost").collect()
+    assert(ghost.length == 1, "the unmatched sighting IS emitted (inner would drop it)")
+    assert(ghost.head.isNullAt(ghost.head.fieldIndex("current_speed_kmh")),
+      "null-padded telemetry side")
+  }
+
   test("watermarked ingest dedup: replayed wire records land exactly once") {
     import org.apache.spark.sql.functions.col
     val in = tmpDir("dd_in")
