@@ -53,13 +53,18 @@ object Tables {
     * applies), are lazy (no scan until queried), and compose with the
     * kernel functions GraftExtensions injects — a SQL user gets
     * `SELECT word_stats(text) FROM documents` on a stock session.
+    *
+    * Stock sessions lack `spark.sql.legacy.parquet.nanosAsLong`, without
+    * which the `events.parquet` TIMESTAMP(NANOS) footer is rejected at
+    * schema inference (ILLEGAL_PARQUET_TYPE) — it is a runtime SQL conf,
+    * so set it here rather than require every caller to know about it.
     */
   def registerViews(s: SparkSession, sfDir: String): Unit = {
-    val loaders: Map[String, (SparkSession, String) => DataFrame] =
-      Map("events" -> events)
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach { n =>
-      loaders.getOrElse(n, (ss: SparkSession, d: String) => load(ss, d, n))(s, sfDir)
-        .createOrReplaceTempView(n)
+      val df = if (n == "events") events(s, sfDir) else load(s, sfDir, n)
+      df.createOrReplaceTempView(n)
     }
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stock-cluster path: a session built through [[GraftExtensions]]
+  * (as `spark-submit --conf spark.sql.extensions=graft.GraftExtensions`
+  * would), with NO imperative `expressions.register` call, must resolve
+  * every injected kernel from SQL. Every other suite goes through
+  * `Sessions.local`, which registers imperatively — a broken injection
+  * would stay green there.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private def withExtensionSession[A](f: SparkSession => A): A = {
+    val base = Sessions.local(4) // ensure the shared SparkContext exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // the exact loading contract spark-submit uses: no-arg reflective
+      // construction of a Function1[SparkSessionExtensions, Unit]
+      val ext = Class.forName("graft.GraftExtensions")
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[SparkSessionExtensions => Unit]
+      val s = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(ext)
+        .getOrCreate()
+      assert(s ne base, "a fresh session, not the shared one")
+      f(s)
+    } finally {
+      prevDefault.fold(SparkSession.clearDefaultSession())(SparkSession.setDefaultSession)
+      prevActive.fold(SparkSession.clearActiveSession())(SparkSession.setActiveSession)
+    }
+  }
+
+  test("every injected function resolves from SQL with no imperative registration") {
+    withExtensionSession { s =>
+      val ws = s.sql("SELECT word_stats('a b a').n_words AS n").head().getLong(0)
+      assert(ws == 3L)
+      val cos = s.sql(
+        "SELECT quantized_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+        .head().getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-6)
+      // the remaining injections: resolution is the regression surface
+      // (name typo / arity / dropped block), so a parse+analyze suffices
+      val resolveOnly = Seq(
+        "SELECT minhash_signature(word_shingles('a b c d'))",
+        "SELECT simhash64(word_shingles('a b c d'))",
+        "SELECT winnow_fingerprint('abcdefghijkl')",
+        "SELECT shingle_hashes('a b c d')",
+        "SELECT hyperplane_sigs(array(1.0F, 2.0F))",
+        "SELECT quantize_vec(array(0.5F))",
+        "SELECT sorted_intersect_count(array(1L, 2L), array(2L, 3L))")
+      resolveOnly.foreach(q => assert(s.sql(q).count() == 1, q))
+    }
+  }
+
+  test("registerViews is self-sufficient on a session missing the nanos conf") {
+    withExtensionSession { s =>
+      // simulate a stock session: the legacy conf inherited from the
+      // shared SparkContext is explicitly absent
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      graft.sources.Tables.registerViews(s, "/root/testdata/sf0.001")
+      val t = s.sql("SELECT ts FROM events LIMIT 1").schema.head.dataType
+      assert(t == org.apache.spark.sql.types.TimestampType, s"events.ts is $t")
+      assert(s.sql("SELECT word_stats(text).n_words FROM documents LIMIT 1")
+        .head().getLong(0) > 0)
+    }
+  }
+}

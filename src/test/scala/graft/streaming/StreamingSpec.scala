@@ -168,6 +168,14 @@ class StreamingSpec extends SparkSpec {
     writeJsonl(perIn, "p1.jsonl", pRow("2026-03-01 08:01:00", 9, "ghost"))
     writeJsonl(perIn, "p2.jsonl", pRow("2026-03-01 08:10:00", 1, "car"))
     writeJsonl(perIn, "p3.jsonl", pRow("2026-03-01 08:20:00", 1, "bus"))
+    // FileStreamSource admits files in mtime order; sequential writes can
+    // land in the same mtime tick, which would let a late file (08:20)
+    // into batch 1 and advance the watermark past the early rows. Pin
+    // strictly increasing mtimes so batch order matches event-time order.
+    for ((dir, stems) <- Seq(telIn -> Seq("t1", "t2", "t3"), perIn -> Seq("p1", "p2", "p3"));
+         (stem, i) <- stems.zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(dir, s"$stem.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     val tel = Pipeline.telemetryFileStream(spark, telIn, maxFilesPerTrigger = 1)
     val per = spark.readStream.schema(graft.model.Schemas.perception)
       .option("maxFilesPerTrigger", 1).json(perIn)
