@@ -1113,6 +1113,63 @@ object TextOps {
       ORDER BY priority DESC, doc_id
       LIMIT 64"""))
 
+  /** Q65 — duplicate-span detection: for every document, how many of its
+    * word-8-gram positions are corpus-duplicated (the 8-gram also occurs
+    * in at least one OTHER document). This is span-level dedup signal in
+    * the sense of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022) — doc-level dedup (q17–q20) misses the
+    * boilerplate an 8-gram filter catches, and the per-doc dup fraction
+    * is the standard gate for "mostly-duplicated" pages.
+    *
+    * Scale shape: the explode emits n−7 grams per document, but each
+    * shuffles as a fixed 32-byte md5 key, not the ~50-byte gram text, and
+    * both legs (document frequency and the flag join) are plain
+    * hash-partitioned aggregates with map-side partials — no all-pairs
+    * anywhere, cost is O(total tokens), the same as a tokenize pass. The
+    * dup flag needs `df ≥ 2` over DISTINCT docs, so a gram repeated
+    * within one document only does not count (position count and
+    * distinct-doc count differ exactly there).
+    *
+    * `dup_frac` is one IEEE division of two exact integers — bit-identical
+    * on any engine, no rounding needed.
+    */
+  private val q65 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= 8)
+        .select($"doc_id", explode(transform(sequence(lit(0), size($"ws") - 8),
+          i => concat_ws(" ", slice($"ws", i + 1, lit(8))))).as("gram"))
+        .select($"doc_id", md5($"gram").as("gk"))
+      val docFreq = grams.groupBy($"gk")
+        .agg(countDistinct($"doc_id").as("df"))
+      grams.join(docFreq, "gk")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac",
+          $"n_dup_spans".cast("double") / $"n_spans".cast("double"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      pos AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+      g AS (
+        SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS gk FROM pos),
+      df AS (
+        SELECT gk, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gk)
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+             CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+      FROM g JOIN df USING (gk)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -1131,5 +1188,6 @@ object TextOps {
     "q51_tfidf_keywords" -> q51,
     "q56_training_split_materialize" -> q56,
     "q61_priority_sample" -> q61,
+    "q65_dup_ngram_spans" -> q65,
   )
 }

@@ -408,11 +408,58 @@ object VectorOps {
       WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q66 — per-dimension corpus statistics of the embedding column
+    * (count, mean, standard deviation), the inputs to whitening /
+    * z-normalization before ANN indexing and to embedding-drift
+    * monitoring between corpus snapshots.
+    *
+    * Cross-engine exactness, same recipe as q27: components are floor-
+    * quantized to 2^20 ints, so Σq and Σq² are exact integers under any
+    * partial-aggregation order. Variance uses the integer identity
+    * n·Σq² − (Σq)² — computed in decimal(38,0) because (Σq)² overflows
+    * int64 — and only then divides twice and takes one sqrt, all
+    * correctly-rounded IEEE ops, so the doubles are bit-identical to the
+    * oracle's. Scale shape: one map-side-combined hash aggregate on a
+    * 64-value key; the explode is the same one every scan already pays.
+    */
+  private val q66 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      Tables.embeddings(s, d)
+        .select(posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
+        .groupBy($"pos")
+        .agg(count(lit(1)).as("n"), sum($"qx").as("sq"),
+          sum($"qx".cast(dec) * $"qx".cast(dec)).as("sq2"))
+        .select($"pos", $"n".as("n_vecs"),
+          ($"sq".cast("double") / ($"n".cast("double") * Scale)).as("mean_c"),
+          (sqrt(($"n".cast(dec) * $"sq2" - $"sq".cast(dec) * $"sq".cast(dec))
+              .cast("double") / ($"n" * $"n").cast("double")) / Scale).as("std_c"))
+        .orderBy($"pos")
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT pos,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)),
+      a AS (
+        SELECT pos, COUNT(*) AS n, SUM(qx) AS sq,
+               SUM(CAST(qx AS HUGEINT) * qx) AS sq2
+        FROM q GROUP BY pos)
+      SELECT CAST(pos - 1 AS INT) AS pos,
+             CAST(n AS BIGINT) AS n_vecs,
+             CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mean_c,
+             sqrt(CAST(CAST(n * sq2 - CAST(sq AS HUGEINT) * sq AS VARCHAR) AS DOUBLE)
+                  / CAST(n * n AS DOUBLE)) / 1048576.0 AS std_c
+      FROM a
+      ORDER BY pos"""))
+
   val all: Map[String, Q] = Map(
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
     "q27_label_centroids" -> q27,
     "q38_neardup_embedding" -> q38,
     "q39_knn_ann_ivf" -> q39,
+    "q66_embedding_dim_stats" -> q66,
   )
 }

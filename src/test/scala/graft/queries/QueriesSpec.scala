@@ -323,6 +323,53 @@ class QueriesSpec extends SparkSpec {
     assert(df.filter(col("tf") < 1 || col("df") < 1).count() == 0)
   }
 
+  test("q65 dup spans: fractions in [0,1], exact-duplicate docs score 1.0") {
+    val df = run("q65_dup_ngram_spans").cache()
+    try {
+      assert(df.filter(col("n_dup_spans") > col("n_spans")).count() == 0)
+      assert(df.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+      assert(df.agg(sum("n_dup_spans")).head().getLong(0) > 0,
+        "corpus contains at least one duplicated 8-gram span")
+      // naive recomputation grouping on the RAW gram strings (no md5
+      // shuffle key): the hashed path must be value-identical
+      val naive = graft.sources.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 8),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(8))))).as("gram"))
+      val docFreq = naive.groupBy("gram").agg(countDistinct("doc_id").as("ndocs"))
+      val expected = naive.join(docFreq, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("e_spans"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("e_dup"))
+      val cmp = df.join(expected, "doc_id")
+      assert(cmp.count() == df.count())
+      assert(cmp.filter(col("n_spans") =!= col("e_spans") ||
+        col("n_dup_spans") =!= col("e_dup")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("q66 dim stats: 64 dims, stds non-negative, agrees with naive doubles") {
+    val df = run("q66_embedding_dim_stats").cache()
+    try {
+      val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      assert(df.count() == 64)
+      assert(df.filter(col("n_vecs") =!= emb.count()).count() == 0)
+      assert(df.filter(col("std_c") < 0).count() == 0)
+      // quantization error is bounded by 2^-20 per component; a plain
+      // double mean/std must agree to well within 1e-5
+      val naive = emb
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(avg(col("x").cast("double")).as("m"),
+          stddev_pop(col("x").cast("double")).as("sd"))
+      val joined = df.join(naive, "pos")
+      assert(joined.filter(abs(col("mean_c") - col("m")) > 1e-5).count() == 0)
+      assert(joined.filter(abs(col("std_c") - col("sd")) > 1e-5).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("q32 frame features: n_frames matches ceil(bytes/64)") {
     val df = run("q32_media_frame_features")
     val docs = graft.sources.Tables.documents(spark, sf0001)
