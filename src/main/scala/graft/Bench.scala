@@ -86,7 +86,13 @@ object Bench {
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // keys abbreviated to the query id (the prefix before the first '_',
+    // unique by construction: q01, q09b, q36c, ...): at 68+ queries the
+    // full names alone are ~1300 chars, overflowing the 2000-char tail
+    // window; full name -> id mapping is SparkEntry.queries/stderr
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     raw.foreach { case (name, best, runs) =>
       if (best >= 0 && runs.max / runs.min > 2.0)
         System.err.println(f"[bench] spread>2x $name%-28s ${runs.max / runs.min}%.2fx")

@@ -71,5 +71,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_stats",
         "_FUNC_(text) - struct(n_words, n_distinct, top_c, total2, d2) in one pass"),
       exprs => WordStats(one("word_stats")(exprs))))
+    e.injectFunction((FunctionIdentifier("freq_sketch"),
+      info("freq_sketch",
+        "_FUNC_(token) - Misra-Gries top-256 heavy-hitter sketch: array<struct(token, est)>"),
+      exprs => FreqSketch(one("freq_sketch")(exprs), 256)))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "_FUNC_(xxhash64_value, est_items) - serialized bloom filter"),
+      exprs => {
+        require(exprs.length == 2, "bloom_agg requires exactly 2 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "_FUNC_(bloom, xxhash64_value) - bloom membership probe"),
+      exprs => {
+        require(exprs.length == 2, "bloom_might_contain requires exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      }))
   }
 }

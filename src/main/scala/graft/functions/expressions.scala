@@ -534,6 +534,139 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
   }
 
+  /** Misra–Gries heavy-hitter sketch over a string column: at most `k`
+    * (token, est) counters in O(k) space, one stream pass, mergeable
+    * partials — the frequent-items summary of Misra & Gries 1982 with the
+    * merge rule of Agarwal et al., "Mergeable Summaries" (PODS 2012):
+    * pointwise-sum two sketches, then subtract the (k+1)-th largest count
+    * from every counter and drop the non-positives.
+    *
+    * Guarantees after any update/merge tree over a stream of N items
+    * (what FreqSketchSpec pins):
+    *   - `est <= true count` (counts only ever lose decrements);
+    *   - `true count - est <= N/(k+1)`;
+    *   - hence every token with true count > N/(k+1) is present.
+    *
+    * Scale shape: this is a partial-aggregable `TypedImperativeAggregate`,
+    * so a corpus-wide heavy-hitter pass ships one <= k-entry sketch per
+    * task to the driver instead of shuffling one row per token occurrence
+    * (the exact q67 plan). The result is order-dependent (bounds above are
+    * not), so callers wanting a deterministic answer re-count the
+    * candidate set exactly — q67b's two-pass pattern.
+    */
+  case class FreqSketch(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+        java.util.HashMap[String, Long]]
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("token", StringType, nullable = false),
+        StructField("est", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "freq_sketch")
+
+    override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+      new java.util.HashMap[String, Long](k * 2)
+
+    override def update(
+        buf: java.util.HashMap[String, Long],
+        input: org.apache.spark.sql.catalyst.InternalRow): java.util.HashMap[String, Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val t = v.toString // UTF8String backing bytes may be row-buffer reused
+        if (buf.containsKey(t)) buf.put(t, buf.get(t) + 1L)
+        else if (buf.size < k) buf.put(t, 1L)
+        else {
+          // classic MG decrement-all; amortized O(1) per stream item
+          val it = buf.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      buf
+    }
+
+    override def merge(
+        buf: java.util.HashMap[String, Long],
+        other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+      other.forEach { (t, c) =>
+        val cur = buf.get(t)
+        buf.put(t, if (buf.containsKey(t)) cur + c else c)
+      }
+      if (buf.size > k) {
+        // subtract the (k+1)-th largest count, drop non-positives
+        val counts = new Array[Long](buf.size)
+        var i = 0
+        val vit = buf.values().iterator()
+        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val sub = counts(counts.length - (k + 1)) // (k+1)-th largest
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= sub) it.remove() else e.setValue(e.getValue - sub)
+        }
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[String, Long]): Any = {
+      val entries = new Array[(String, Long)](buf.size)
+      var i = 0
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+      // deterministic presentation order: est desc, token asc
+      val sorted = entries.sortBy { case (t, c) => (-c, t) }
+      new GenericArrayData(sorted.map { case (t, c) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), c)
+      })
+    }
+
+    override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.forEach { (t, c) =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b); out.writeLong(c)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = new java.util.HashMap[String, Long](k * 2)
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        buf.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): FreqSketch =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): FreqSketch =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): FreqSketch =
+      copy(child = c)
+  }
+
   /** Register the kernels in the session's function registry (idempotent;
     * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
     * Expression→Column constructors are sql-private in Spark 4, so the
@@ -571,6 +704,24 @@ object expressions {
       exprs => QuantizeVec(one("quantize_vec")(exprs), 1048576.0), "scala_udf")
     reg.createOrReplaceTempFunction("word_stats",
       exprs => WordStats(one("word_stats")(exprs)), "scala_udf")
+    reg.createOrReplaceTempFunction("freq_sketch",
+      exprs => FreqSketch(one("freq_sketch")(exprs), 256), "scala_udf")
+    // Spark's own runtime-filter bloom pair (catalyst aggregate +
+    // scalar probe, a matched serialization), surfaced as callable
+    // functions: build once over the small side, probe as a broadcast
+    // literal — the engine's semi-join pre-filter at 100 TB (q68)
+    reg.createOrReplaceTempFunction("bloom_agg",
+      exprs => {
+        require(exprs.length == 2, "bloom_agg requires exactly 2 arguments (xxhash64 value, est items)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1))
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => {
+        require(exprs.length == 2, "bloom_might_contain requires exactly 2 arguments (bloom, xxhash64 value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      }, "scala_udf")
   }
 
   // Column-API wrappers (session must have passed through register —
@@ -595,4 +746,10 @@ object expressions {
     call_function("quantize_vec", v)
   def word_stats(text: Column): Column =
     call_function("word_stats", text)
+  def freq_sketch(token: Column): Column =
+    call_function("freq_sketch", token)
+  def bloom_agg(hashed: Column, estItems: Column): Column =
+    call_function("bloom_agg", hashed, estItems)
+  def bloom_might_contain(bloom: Column, hashed: Column): Column =
+    call_function("bloom_might_contain", bloom, hashed)
 }

@@ -1170,6 +1170,166 @@ object TextOps {
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
 
+  /** Q67 — corpus-wide heavy hitters, exact: top-64 tokens by occurrence
+    * count. The canonical explode → hash-agg shape: partial aggregation
+    * collapses each scan task's occurrences to its local vocabulary
+    * before the shuffle (the shuffle carries distinct-tokens-per-task
+    * rows, not one row per occurrence), and the final top-64 is a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 64-row
+    * heads, never a global sort). Deterministic total order
+    * (cnt desc, token) so the LIMIT boundary is stable cross-engine.
+    */
+  private val q67 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(words($"text")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token")
+        .limit(64)
+    },
+    oracle = Some("""
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY cnt DESC, token
+      LIMIT 64"""))
+
+  /** Q67b — guaranteed heavy hitters via the Misra–Gries sketch
+    * ([[graft.functions.expressions.FreqSketch]], k = 256), two passes:
+    *
+    *  1. sketch pass: one `freq_sketch` aggregate (+ the exact total N in
+    *     the same job) — partials are <= 256-entry maps merged up the
+    *     normal aggregation tree, so NOTHING per-token is shuffled; the
+    *     driver receives one sketch-sized row (the bounded-collect
+    *     category: <= k entries by construction, like upsert's partition
+    *     metadata);
+    *  2. recount pass: the MG guarantee says every token with true count
+    *     c > N/(k+1) is in the sketch, so the sketch entries are a
+    *     complete candidate set — re-count exactly ONLY those (a
+    *     broadcast IN filter of <= 256 tokens, then a <= 256-key agg) and
+    *     keep c > N/(k+1).
+    *
+    * The sketch's counts are stream-order-dependent (Spark merge order is
+    * not deterministic) but the FINAL output is exact and deterministic —
+    * it equals "all tokens with count > N/257" — so a sketch-based plan
+    * still gets a full hash-match oracle. At 100 TB this replaces q67's
+    * full-vocabulary shuffle with one sketch per task; the guarantee
+    * (not just heuristics) is what makes the second pass sufficient.
+    * Bounds (est <= c, c − est <= N/(k+1), merge-safe) pinned in
+    * FreqSketchSpec against exact counts.
+    */
+  private val q67b = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(words($"text")).as("token"))
+      val row = toks
+        .agg(graft.functions.expressions.freq_sketch($"token").as("sk"),
+          count(lit(1)).as("n"))
+        .collect()(0)
+      val n = row.getLong(1)
+      val thr = n / 257L // k = 256: every token with c > thr is in the sketch
+      val cand = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      toks.filter($"token".isin(cand: _*))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > thr)
+        .orderBy($"cnt".desc, $"token")
+    },
+    oracle = Some("""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      tot AS (SELECT COUNT(*) AS n FROM t)
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t
+      GROUP BY token
+      HAVING COUNT(*) > (SELECT n // 257 FROM tot)
+      ORDER BY cnt DESC, token"""))
+
+  /** Q68 — decontamination with a broadcast bloom pre-filter: q46's
+    * declared semantics (train docs sharing >= 8 distinct word-3-gram
+    * shingles with the test split) through the 100 TB physical plan:
+    *
+    *  1. build ONE bloom filter over the test split's shingle hashes
+    *     (Spark's own matched BloomFilterAggregate/BloomFilterMightContain
+    *     pair — the runtime-filter machinery, surfaced as functions);
+    *     the serialized filter is driver-held and broadcast as a literal,
+    *     exactly like a broadcast dim (~1.2 MB per 10⁶ distinct shingles
+    *     at the default 3 % FPP — eval suites are small by definition;
+    *     a test set so big the filter stops fitting has stopped being a
+    *     held-out set);
+    *  2. probe every train doc's shingle array SCAN-SIDE (a codegen'd
+    *     `filter(hs, h -> might_contain(...))` — no join, no shuffle) and
+    *     keep docs with >= 8 probable hits. Bloom has no false negatives,
+    *     so bloom-hits >= true-shared per doc and every truly contaminated
+    *     doc survives the prune — the filter only sheds clean docs (the
+    *     overwhelming majority of a real corpus);
+    *  3. exact set-semi-join verification (q46's shuffle) over the pruned
+    *     remnant only, so the expensive exchange carries candidate docs
+    *     instead of the whole corpus.
+    *
+    * Output is bit-identical to the exact plan — same oracle as q46 —
+    * which is the point: the bloom is a prune, not an approximation of
+    * the answer. FPP only costs extra verification work, never wrong
+    * rows. Prune effectiveness pinned in QueriesSpec.
+    */
+  private val q68 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val E = graft.functions.expressions
+      val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
+      val docs = shingled(s, d)
+        .withColumn("split",
+          when(nibble <= "9" || nibble === "a" || nibble === "b", "train")
+            .when(nibble === "c" || nibble === "d", "val")
+            .otherwise("test"))
+        .persist()
+      try {
+        val testH = docs.filter($"split" === "test")
+          .select(explode($"hs").as("h")).distinct()
+        val nTest = math.max(testH.count(), 1L)
+        val bloom = testH
+          .agg(E.bloom_agg($"h", lit(nTest)).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        require(bloom != null, "empty test split: no bloom filter built")
+        val candidates = docs.filter($"split" === "train")
+          .withColumn("n_hit",
+            size(filter($"hs", h => E.bloom_might_contain(lit(bloom), h)))
+              .cast("long"))
+          .filter($"n_hit" >= 8)
+        candidates.select($"doc_id", explode($"hs").as("h"))
+          .join(testH, Seq("h"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= 8)
+          .select($"doc_id", $"n_shared")
+          .orderBy($"doc_id")
+      } finally docs.unpersist()
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS s
+        FROM w WHERE len(w) >= 3
+      ), split AS (
+        SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                       ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                  ELSE 'test' END AS split
+        FROM documents
+      ), test_sh AS (
+        SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE split = 'test'
+      )
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh JOIN split USING (doc_id) JOIN test_sh USING (s)
+      WHERE split = 'train'
+      GROUP BY sh.doc_id
+      HAVING COUNT(*) >= 8
+      ORDER BY sh.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -1189,5 +1349,8 @@ object TextOps {
     "q56_training_split_materialize" -> q56,
     "q61_priority_sample" -> q61,
     "q65_dup_ngram_spans" -> q65,
+    "q67_heavy_hitters" -> q67,
+    "q67b_heavy_hitters_sketch" -> q67b,
+    "q68_decontaminate_bloom" -> q68,
   )
 }

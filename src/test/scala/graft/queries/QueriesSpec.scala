@@ -377,4 +377,38 @@ class QueriesSpec extends SparkSpec {
     val joined = df.join(docs, "doc_id")
     assert(joined.filter(col("n_frames") =!= col("exp_frames")).count() == 0)
   }
+
+  test("q67b sketch-verified heavies == brute-force tokens with c > N/257") {
+    import spark.implicits._
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("token"))
+    val n = toks.count()
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > n / 257L)
+    val got = run("q67b_heavy_hitters_sketch")
+    assert(got.count() == exact.count())
+    assert(got.join(exact, Seq("token", "cnt"), "left_anti").count() == 0)
+  }
+
+  test("q68 bloom decontamination == q46-style exact, and the bloom prunes") {
+    import spark.implicits._
+    // output equivalence at the declared >= 8 threshold: q68 must agree
+    // with the exact plan (q46) row-for-row
+    val exact = run("q46_decontamination")
+    val bloomed = run("q68_decontaminate_bloom")
+    assert(bloomed.count() == exact.count())
+    assert(bloomed.join(exact, Seq("doc_id", "n_shared"), "left_anti").count() == 0)
+
+    // the bloom pair itself: no false negatives — every inserted hash
+    // must probe true (false positives are allowed and expected)
+    val E = graft.functions.expressions
+    val hs = (1L to 1000L).toDF("h")
+    val bf = hs.agg(E.bloom_agg($"h", lit(1000L))).collect()(0).getAs[Array[Byte]](0)
+    val misses = hs.filter(!E.bloom_might_contain(lit(bf), $"h")).count()
+    assert(misses == 0, s"bloom false negatives: $misses")
+    // prune effectiveness: absent values mostly probe false at 3% FPP
+    val absent = (100001L to 101000L).toDF("h")
+    val fp = absent.filter(E.bloom_might_contain(lit(bf), $"h")).count()
+    assert(fp < 200, s"bloom passes $fp of 1000 absent values — not pruning")
+  }
 }
