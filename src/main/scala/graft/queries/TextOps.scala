@@ -1330,6 +1330,97 @@ object TextOps {
       HAVING COUNT(*) >= 8
       ORDER BY sh.doc_id"""))
 
+  /** Q69 — sliding-window document chunking (context-length preparation:
+    * split each document into 32-token chunks on a 24-token stride, 8
+    * tokens of overlap — the standard pre-tokenization step before
+    * sequence packing, cf. q50). Entirely SCAN-LOCAL: `sequence` builds
+    * the chunk starts, `posexplode` + `slice` cut the windows — chunk
+    * generation never leaves the scan task, no shuffle at any scale.
+    * The final ORDER BY is presentation-only (driver compare sorts).
+    */
+  private val q69 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .select($"doc_id", $"w",
+          posexplode(sequence(lit(1), size($"w"), lit(24))).as(Seq("pos", "start")))
+        .select(
+          $"doc_id",
+          $"pos".cast("long").as("chunk_id"),
+          $"start".cast("long").as("start_tok"),
+          array_join(slice($"w", $"start", lit(32)), " ").as("chunk_text"),
+          size(slice($"w", $"start", lit(32))).cast("long").as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    oracle = Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS start FROM w)
+      SELECT doc_id,
+             (start - 1) // 24 AS chunk_id,
+             start AS start_tok,
+             array_to_string(w[start:start+31], ' ') AS chunk_text,
+             len(w[start:start+31]) AS n_tokens
+      FROM s
+      ORDER BY doc_id, chunk_id"""))
+
+  /** Q70 — per-source token-budget trim (data-mixing recipes cap each
+    * domain's contribution in tokens, not documents): keep each source's
+    * documents in doc_id order while the running token total stays within
+    * budget (800 tokens).
+    *
+    * The running total is a DISTRIBUTED PREFIX SUM, not one window sort
+    * per source (which serializes a 100 TB source through a single
+    * reducer — q54's declared caveat):
+    *
+    *  1. coarse buckets of 256 doc_ids; per-(source, bucket) subtotals
+    *     are a tiny table (rows / 256);
+    *  2. bucket offsets = window over THAT table (per-source sort of
+    *     rows/256 entries — repeat the bucketing for another 256× if a
+    *     source ever outgrows it);
+    *  3. within-bucket running sum joins the offset back — each sort is
+    *     <= 256 rows, parallel across buckets.
+    *
+    * Exact integer arithmetic end-to-end, so the two-level decomposition
+    * is bit-identical to the flat window the oracle runs.
+    */
+  private val q70 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val budget = 800L
+      val base = Tables.documents(s, d)
+        .select($"source", $"doc_id",
+          size(words($"text")).cast("long").as("n_tokens"))
+        .withColumn("bucket", ($"doc_id" / 256L).cast("long"))
+      val offsets = base.groupBy($"source", $"bucket")
+        .agg(sum($"n_tokens").as("bsum"))
+        .withColumn("offset",
+          coalesce(sum($"bsum").over(
+            Window.partitionBy($"source").orderBy($"bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"source", $"bucket", $"offset")
+      base.join(offsets, Seq("source", "bucket"))
+        .withColumn("cum_tokens",
+          $"offset" + sum($"n_tokens").over(
+            Window.partitionBy($"source", $"bucket").orderBy($"doc_id")))
+        .filter($"cum_tokens" <= budget)
+        .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+        .orderBy($"source", $"doc_id")
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c WHERE cum_tokens <= 800
+      ORDER BY source, doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -1352,5 +1443,7 @@ object TextOps {
     "q67_heavy_hitters" -> q67,
     "q67b_heavy_hitters_sketch" -> q67b,
     "q68_decontaminate_bloom" -> q68,
+    "q69_chunk_documents" -> q69,
+    "q70_token_budget_trim" -> q70,
   )
 }

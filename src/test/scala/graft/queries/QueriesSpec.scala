@@ -390,6 +390,42 @@ class QueriesSpec extends SparkSpec {
     assert(got.join(exact, Seq("token", "cnt"), "left_anti").count() == 0)
   }
 
+  test("q69 chunking: stride-24 starts, 32-token caps, exact tail coverage") {
+    import spark.implicits._
+    val chunks = run("q69_chunk_documents")
+    assert(chunks.filter($"start_tok" =!= $"chunk_id" * 24L + 1L).count() == 0)
+    assert(chunks.filter($"n_tokens" > 32L || $"n_tokens" < 1L).count() == 0)
+    // last chunk of each doc ends exactly at the doc's token count
+    val last = chunks.groupBy($"doc_id")
+      .agg(max($"start_tok" + $"n_tokens" - 1L).as("covered"),
+        count(lit(1)).as("n_chunks"))
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val j = last.join(docs, "doc_id")
+    assert(j.filter($"covered" =!= $"n").count() == 0)
+    assert(j.filter($"n_chunks" =!= floor(($"n" - 1L) / 24L) + 1L).count() == 0)
+  }
+
+  test("q70 two-level prefix sum == flat window, budget is a per-source prefix") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val got = run("q70_token_budget_trim")
+    // the distributed (bucketed) running sum must equal the flat
+    // single-window form bit-for-bit
+    val flat = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .filter($"cum_tokens" <= 800L)
+    assert(got.count() == flat.count())
+    assert(got.join(flat, Seq("source", "doc_id", "n_tokens", "cum_tokens"),
+      "left_anti").count() == 0)
+    // kept set is a prefix: every kept doc's cum stays within budget and
+    // counts are monotone in doc_id per source
+    assert(got.filter($"cum_tokens" > 800L).count() == 0)
+  }
+
   test("q68 bloom decontamination == q46-style exact, and the bloom prunes") {
     import spark.implicits._
     // output equivalence at the declared >= 8 threshold: q68 must agree
