@@ -1136,18 +1136,31 @@ object TextOps {
   private val q65 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val grams = Tables.documents(s, d)
+      // collapse to (doc, gram) granularity FIRST: the explode's
+      // one-row-per-position stream dies in its scan task (map-side
+      // partial combine of the count); everything downstream — the df
+      // agg, the join, the final per-doc roll-up — runs on distinct
+      // doc-grams, and `c` carries the position multiplicity. Both
+      // consumers of the collapsed frame share an identical
+      // scan+explode+partial-agg exchange subtree, which AQE's runtime
+      // stage reuse materializes once (a scoped persist was measured
+      // slower — it forces full materialization where stage reuse
+      // pipelines).
+      val docGrams = Tables.documents(s, d)
         .select($"doc_id", split($"text", " ").as("ws"))
         .filter(size($"ws") >= 8)
         .select($"doc_id", explode(transform(sequence(lit(0), size($"ws") - 8),
           i => concat_ws(" ", slice($"ws", i + 1, lit(8))))).as("gram"))
-        .select($"doc_id", md5($"gram").as("gk"))
-      val docFreq = grams.groupBy($"gk")
-        .agg(countDistinct($"doc_id").as("df"))
-      grams.join(docFreq, "gk")
+        .groupBy($"doc_id", md5($"gram").as("gk"))
+        .agg(count(lit(1)).as("c"))
+      // rows are distinct (doc, gram), so a plain count IS the
+      // distinct-doc frequency — no countDistinct state needed
+      val docFreq = docGrams.groupBy($"gk")
+        .agg(count(lit(1)).as("df"))
+      docGrams.join(docFreq, "gk")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .agg(sum($"c").as("n_spans"),
+          sum(when($"df" >= 2, $"c").otherwise(0L)).as("n_dup_spans"))
         .withColumn("dup_frac",
           $"n_dup_spans".cast("double") / $"n_spans".cast("double"))
         .orderBy($"doc_id")
