@@ -352,6 +352,47 @@ object Pipeline {
     * wide table; the reference-schema long `self_driving_metrics` table is
     * populated by [[graft.metrics.MetricsRefresh]].
     */
+  /** Streaming corpus heavy hitters: the Misra–Gries aggregate
+    * ([[graft.functions.expressions.FreqSketch]]) as STREAMING STATE — a
+    * mergeable sketch is exactly what a streaming global aggregate needs,
+    * so the same kernel that powers q67b's batch pass materializes a
+    * continuously-updated top-token summary here. Each micro-batch's
+    * partial sketch merges into the ≤ k-entry state-store buffer
+    * (complete-mode global agg: state is ONE serialized sketch + a count,
+    * bounded at any corpus size); every trigger overwrites the snapshot
+    * parquet with the current (token, est) rows plus the exact running
+    * token total. The q67b bounds (est ≤ c, c − est ≤ N/257, no heavy
+    * hitter lost) hold across batch boundaries and checkpoint restarts —
+    * pinned in StreamingSpec, including an incremental restart.
+    *
+    * One doc per input line (whitespace-tokenized), mirroring the batch
+    * corpus shape.
+    */
+  def runTokenHeavyHitters(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val docs = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(inDir)
+    docs
+      .select(explode(split(col("value"), " ")).as("token"))
+      .agg(graft.functions.expressions.freq_sketch(col("token")).as("sk"),
+        count(lit(1)).as("n_tokens"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(explode(col("sk")).as("e"), col("n_tokens"))
+          .select(col("e.token"), col("e.est"), col("n_tokens"))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/token_heavy_hitters")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runMetricsPipeline(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     speedMetricsByWindow(telemetryFileStream(s, inDir))

@@ -273,4 +273,51 @@ class StreamingSpec extends SparkSpec {
     val total = m.agg(sum("n_samples")).head().getLong(0)
     assert(total == 360L)
   }
+
+  test("streaming heavy hitters: MG bounds hold across micro-batches and a restart") {
+    import spark.implicits._
+    val in = tmpDir("hh_in")
+    val out = tmpDir("hh_out")
+    val ckpt = tmpDir("hh_ckpt")
+
+    def docLine(tokens: Seq[String]) = tokens.mkString(" ")
+    // three micro-batches (maxFilesPerTrigger=1) with a skewed vocabulary
+    Files.writeString(Paths.get(in, "d1.txt"),
+      docLine(Seq.fill(50)("alpha") ++ (1 to 30).map(i => s"r$i")) + "\n")
+    Files.writeString(Paths.get(in, "d2.txt"),
+      docLine(Seq.fill(40)("beta") ++ Seq.fill(20)("alpha")) + "\n")
+    Files.writeString(Paths.get(in, "d3.txt"),
+      docLine((1 to 40).map(i => s"s$i") ++ Seq.fill(25)("gamma")) + "\n")
+
+    def checkBounds(): Unit = {
+      val snap = spark.read.parquet(s"$out/token_heavy_hitters")
+      val exact = spark.read.text(in)
+        .select(explode(split($"value", " ")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      val err = n / 257L
+      val est = snap.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = snap.head().getLong(2)
+      assert(total == n, s"running token total $total != exact $n")
+      est.foreach { case (t, e) =>
+        val c = exact.getOrElse(t, 0L)
+        assert(e <= c && c - e <= err, s"$t est=$e true=$c err>$err")
+      }
+      exact.foreach { case (t, c) =>
+        if (c > err) assert(est.contains(t), s"heavy hitter lost: $t")
+      }
+    }
+
+    Pipeline.runTokenHeavyHitters(spark, in, out, ckpt).awaitTermination()
+    checkBounds()
+
+    // restart with one more file: the serialized sketch state must
+    // restore from the checkpoint and keep merging (complete mode
+    // reprocesses nothing — only d4 is read)
+    Files.writeString(Paths.get(in, "d4.txt"),
+      docLine(Seq.fill(60)("alpha") ++ Seq.fill(15)("delta")) + "\n")
+    Pipeline.runTokenHeavyHitters(spark, in, out, ckpt).awaitTermination()
+    checkBounds()
+  }
 }
