@@ -55,6 +55,26 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT quantize_vec(array(0.5F))",
         "SELECT sorted_intersect_count(array(1L, 2L), array(2L, 3L))")
       resolveOnly.foreach(q => assert(s.sql(q).count() == 1, q))
+      // aggregates inject too: MG sketch end-to-end, bloom build+probe
+      // round-trip (build over xxhash64'd values, probe one present and
+      // one absent)
+      val hh = s.sql(
+        "SELECT freq_sketch(t) AS sk FROM VALUES ('a'),('b'),('a') AS v(t)")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("a" -> 2L, "b" -> 1L))
+      // the probe's bloom argument must be a constant or scalar subquery
+      // (the engine passes a collected literal; SQL users use a subquery)
+      val probes = s.sql(
+        """SELECT bloom_might_contain(
+               (SELECT bloom_agg(xxhash64(t), 10L) FROM VALUES ('x'),('y') AS v(t)),
+               xxhash64('x')),
+             bloom_might_contain(
+               (SELECT bloom_agg(xxhash64(t), 10L) FROM VALUES ('x'),('y') AS v(t)),
+               xxhash64('zzz-absent'))""")
+        .head()
+      assert(probes.getBoolean(0))
+      assert(!probes.getBoolean(1))
     }
   }
 
