@@ -107,10 +107,64 @@ object MultimodalQ {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Q73 — cross-media frame-level dedup: hash every fixed-64-byte frame
+    * of every payload and report, per medium, how many of its frames also
+    * occur in at least one OTHER medium (q65's duplicate-span signal at
+    * the binary-frame granularity — repeated intros/watermarks/silence in
+    * media corpora). Pure metadata-path: frames are cut with `substring`
+    * on the binary column and keyed by md5 — no decoder, codegen
+    * throughout, and the q65 collapse shape (per-(doc, frame-hash) counts
+    * die in the scan task; df is a count over distinct doc-frame rows;
+    * both consumers share one exchange via AQE stage reuse).
+    */
+  private val q73 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val media = Multimodal.asMedia(Tables.documents(s, d))
+      val docFrames = media
+        .select($"doc_id", $"content",
+          explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
+            .as("start"))
+        .select($"doc_id",
+          md5(expr("substring(content, start, 64)")).as("fk"))
+        .groupBy($"doc_id", $"fk")
+        .agg(count(lit(1)).as("c"))
+      val dfreq = docFrames.groupBy($"fk")
+        .agg(count(lit(1)).as("df"))
+      docFrames.join(dfreq, "fk")
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_frames"),
+          sum(when($"df" >= 2, $"c").otherwise(0L)).as("n_dup_frames"))
+        .withColumn("dup_frac",
+          $"n_dup_frames".cast("double") / $"n_frames".cast("double"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id,
+               md5(substr(text, start, 64)) AS fk
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(strlen(text), 1), 64)) AS start
+              FROM documents)),
+      g AS (
+        SELECT doc_id, fk, CAST(COUNT(*) AS BIGINT) AS c
+        FROM f GROUP BY doc_id, fk),
+      df AS (
+        SELECT fk, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY fk)
+      SELECT g.doc_id,
+             CAST(SUM(g.c) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN df.df >= 2 THEN g.c ELSE 0 END) AS BIGINT) AS n_dup_frames,
+             CAST(SUM(CASE WHEN df.df >= 2 THEN g.c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(g.c) AS DOUBLE) AS dup_frac
+      FROM g JOIN df USING (fk)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q31_media_metadata" -> q31,
     "q32_media_frame_features" -> q32,
     "q43_media_frame_sample" -> q43,
     "q44_media_frame_resize" -> q44,
+    "q73_frame_dedup" -> q73,
   )
 }

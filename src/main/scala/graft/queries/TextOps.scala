@@ -1301,7 +1301,11 @@ object TextOps {
       try {
         val testH = docs.filter($"split" === "test")
           .select(explode($"hs").as("h")).distinct()
-        val nTest = math.max(testH.count(), 1L)
+        // size the bloom from sum(n) — an upper bound on distinct test
+        // shingles that needs only the tiny per-doc counts (no explode,
+        // no distinct job); an oversized estimate only lowers the FPP
+        val nTest = math.max(docs.filter($"split" === "test")
+          .agg(coalesce(sum($"n"), lit(0L))).head().getLong(0), 1L)
         val bloom = testH
           .agg(E.bloom_agg($"h", lit(nTest)).as("bf"))
           .collect()(0).getAs[Array[Byte]](0)
@@ -1434,6 +1438,104 @@ object TextOps {
       FROM c WHERE cum_tokens <= 800
       ORDER BY source, doc_id"""))
 
+  /** Q71 — inverted-index construction (the retrieval-side artifact a
+    * corpus pipeline materializes next to the training set): per token,
+    * its document frequency and a capped posting list (first 32 doc_ids
+    * ascending).
+    *
+    * Scale shape: postings go through `row_number <= 32` BEFORE
+    * `collect_list`, which Spark executes as WindowGroupLimit — a
+    * map-side per-token top-32 heap on every partition, so a stop-word
+    * token shuffles at most 32·partitions rows, never its full posting
+    * set; the collected array is bounded at 32 by construction. The df
+    * leg is a plain map-side-combined count at token granularity. Both
+    * legs shuffle by token; the join is small-by-small.
+    */
+  private val q71 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docTokens = Tables.documents(s, d)
+        .select($"doc_id", explode(array_distinct(words($"text"))).as("token"))
+      val dfreq = docTokens.groupBy($"token")
+        .agg(count(lit(1)).as("df"))
+      val postings = docTokens
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"token").orderBy($"doc_id")))
+        .filter($"rk" <= 32)
+        .groupBy($"token")
+        .agg(sort_array(collect_list($"doc_id")).as("postings"))
+      dfreq.join(postings, "token")
+        .select($"token", $"df", $"postings")
+        .orderBy($"token")
+    },
+    oracle = Some("""
+      WITH dt AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents)
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+             (list(doc_id ORDER BY doc_id))[1:32] AS postings
+      FROM dt
+      GROUP BY token
+      ORDER BY token"""))
+
+  /** Q72 — corpus QC audit: q63's conformance-check pattern (long-format
+    * check/violation rows) over the LLM-pipeline tables — documents and
+    * embeddings must agree before any training run. Checks: docs missing
+    * an embedding row, orphan embeddings, wrong dimensionality, NaN
+    * components, empty documents, duplicate doc_ids. Anti-joins are
+    * expressed LEFT JOIN ... IS NULL (q63's note: NOT IN's three-valued
+    * logic silently zeroes a check on dirty data); each check is one
+    * scan-local predicate or one equi-join — no all-pairs anywhere.
+    */
+  private val q72 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      def check(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("check"), $"n".cast("long").as("n_violations"))
+      check("docs_missing_embedding",
+          docs.join(emb.select($"vec_id"),
+            docs("doc_id") === emb("vec_id"), "left_anti")
+            .agg(count(lit(1)).as("n")))
+        .unionByName(check("orphan_embeddings",
+          emb.join(docs.select($"doc_id"),
+            emb("vec_id") === docs("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n"))))
+        .unionByName(check("bad_dimension",
+          emb.agg(sum(when(size($"embedding") =!= 64, 1L).otherwise(0L)).as("n"))))
+        .unionByName(check("nan_component",
+          emb.agg(sum(when(exists($"embedding", x => isnan(x)), 1L)
+            .otherwise(0L)).as("n"))))
+        .unionByName(check("empty_document",
+          docs.agg(sum(when(length($"text") === 0, 1L).otherwise(0L)).as("n"))))
+        .unionByName(check("duplicate_doc_id",
+          docs.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+            .filter($"c" > 1).agg(count(lit(1)).as("n"))))
+        .orderBy($"check")
+    },
+    oracle = Some("""
+      SELECT 'docs_missing_embedding' AS check, CAST(COUNT(*) AS BIGINT) AS n_violations
+      FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE e.vec_id IS NULL
+      UNION ALL
+      SELECT 'orphan_embeddings', CAST(COUNT(*) AS BIGINT)
+      FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.doc_id IS NULL
+      UNION ALL
+      SELECT 'bad_dimension', CAST(COUNT(*) AS BIGINT)
+      FROM embeddings WHERE len(embedding) != 64
+      UNION ALL
+      SELECT 'nan_component', CAST(COUNT(*) AS BIGINT)
+      FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x))) > 0
+      UNION ALL
+      SELECT 'empty_document', CAST(COUNT(*) AS BIGINT)
+      FROM documents WHERE strlen(text) = 0
+      UNION ALL
+      SELECT 'duplicate_doc_id', CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
+      ORDER BY "check""""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -1458,5 +1560,7 @@ object TextOps {
     "q68_decontaminate_bloom" -> q68,
     "q69_chunk_documents" -> q69,
     "q70_token_budget_trim" -> q70,
+    "q71_inverted_index" -> q71,
+    "q72_corpus_qc" -> q72,
   )
 }

@@ -426,6 +426,49 @@ class QueriesSpec extends SparkSpec {
     assert(got.filter($"cum_tokens" > 800L).count() == 0)
   }
 
+  test("q71 inverted index: postings capped sorted prefixes, df >= posting len") {
+    import spark.implicits._
+    val idx = run("q71_inverted_index")
+    val rows = idx.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val postings = r.getSeq[Long](2)
+      assert(postings.nonEmpty && postings.length <= 32)
+      assert(postings == postings.sorted, s"unsorted postings for ${r.getString(0)}")
+      assert(df >= postings.length)
+      assert(if (df < 32) postings.length == df else postings.length == 32)
+    }
+    // df agrees with a direct distinct-doc count per token
+    val direct = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("df2"))
+    assert(idx.join(direct, "token").filter($"df" =!= $"df2").count() == 0)
+  }
+
+  test("q73 frame dedup: frame counts exact, binary path == string path") {
+    import spark.implicits._
+    val fd = run("q73_frame_dedup")
+    assert(fd.filter($"dup_frac" < 0.0 || $"dup_frac" > 1.0).count() == 0)
+    assert(fd.filter($"n_dup_frames" > $"n_frames").count() == 0)
+    // frame count is exactly ceil(bytes/64) (min 1 for empty payloads)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        greatest(ceil(length($"text") / 64.0), lit(1)).cast("long").as("exp"))
+    assert(fd.join(docs, "doc_id").filter($"n_frames" =!= $"exp").count() == 0)
+    // the binary substring path must agree with a STRING recomputation of
+    // the duplicated-frame counts (ascii corpus: byte frames == char frames)
+    val sframes = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(length($"text"), lit(1)), lit(64))).as("st"))
+      .select($"doc_id", md5(expr("substring(text, st, 64)")).as("fk"))
+      .groupBy($"doc_id", $"fk").agg(count(lit(1)).as("c"))
+    val sdf = sframes.groupBy($"fk").agg(count(lit(1)).as("df"))
+    val sdup = sframes.join(sdf, "fk").groupBy($"doc_id")
+      .agg(sum(when($"df" >= 2, $"c").otherwise(0L)).as("n_dup2"))
+    assert(fd.join(sdup, "doc_id").filter($"n_dup_frames" =!= $"n_dup2").count() == 0)
+  }
+
   test("q68 bloom decontamination == q46-style exact, and the bloom prunes") {
     import spark.implicits._
     // output equivalence at the declared >= 8 threshold: q68 must agree
