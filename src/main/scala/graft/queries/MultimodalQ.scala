@@ -116,28 +116,26 @@ object MultimodalQ {
     * throughout, and the q65 collapse shape (per-(doc, frame-hash) counts
     * die in the scan task; df is a count over distinct doc-frame rows;
     * both consumers share one exchange via AQE stage reuse).
+    *
+    * Oracle parity note: the oracle cuts frames with character `substr`
+    * while the engine cuts bytes — equal because this corpus is ASCII
+    * (the standing convention of the q31/q32 oracles, which md5 the text
+    * directly). Real multi-byte media payloads have no text twin at all;
+    * the engine's byte-frame semantics are the defined behavior.
     */
   private val q73 = Q(
     fn = (s, d) => {
       import s.implicits._
       val media = Multimodal.asMedia(Tables.documents(s, d))
-      val docFrames = media
-        .select($"doc_id", $"content",
-          explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
-            .as("start"))
-        .select($"doc_id",
-          md5(expr("substring(content, start, 64)")).as("fk"))
-        .groupBy($"doc_id", $"fk")
-        .agg(count(lit(1)).as("c"))
-      val dfreq = docFrames.groupBy($"fk")
-        .agg(count(lit(1)).as("df"))
-      docFrames.join(dfreq, "fk")
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("n_frames"),
-          sum(when($"df" >= 2, $"c").otherwise(0L)).as("n_dup_frames"))
-        .withColumn("dup_frac",
-          $"n_dup_frames".cast("double") / $"n_frames".cast("double"))
-        .orderBy($"doc_id")
+      TextOps.dupFraction(
+          media
+            .select($"doc_id", $"content",
+              explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
+                .as("start"))
+            .select($"doc_id",
+              md5(expr("substring(content, start, 64)")).as("key")))
+        .withColumnRenamed("n_spans", "n_frames")
+        .withColumnRenamed("n_dup_spans", "n_dup_frames")
     },
     oracle = Some("""
       WITH f AS (

@@ -1136,34 +1136,13 @@ object TextOps {
   private val q65 = Q(
     fn = (s, d) => {
       import s.implicits._
-      // collapse to (doc, gram) granularity FIRST: the explode's
-      // one-row-per-position stream dies in its scan task (map-side
-      // partial combine of the count); everything downstream — the df
-      // agg, the join, the final per-doc roll-up — runs on distinct
-      // doc-grams, and `c` carries the position multiplicity. Both
-      // consumers of the collapsed frame share an identical
-      // scan+explode+partial-agg exchange subtree, which AQE's runtime
-      // stage reuse materializes once (a scoped persist was measured
-      // slower — it forces full materialization where stage reuse
-      // pipelines).
-      val docGrams = Tables.documents(s, d)
-        .select($"doc_id", split($"text", " ").as("ws"))
-        .filter(size($"ws") >= 8)
-        .select($"doc_id", explode(transform(sequence(lit(0), size($"ws") - 8),
-          i => concat_ws(" ", slice($"ws", i + 1, lit(8))))).as("gram"))
-        .groupBy($"doc_id", md5($"gram").as("gk"))
-        .agg(count(lit(1)).as("c"))
-      // rows are distinct (doc, gram), so a plain count IS the
-      // distinct-doc frequency — no countDistinct state needed
-      val docFreq = docGrams.groupBy($"gk")
-        .agg(count(lit(1)).as("df"))
-      docGrams.join(docFreq, "gk")
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("n_spans"),
-          sum(when($"df" >= 2, $"c").otherwise(0L)).as("n_dup_spans"))
-        .withColumn("dup_frac",
-          $"n_dup_spans".cast("double") / $"n_spans".cast("double"))
-        .orderBy($"doc_id")
+      dupFraction(
+        Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .filter(size($"ws") >= 8)
+          .select($"doc_id", explode(transform(sequence(lit(0), size($"ws") - 8),
+            i => concat_ws(" ", slice($"ws", i + 1, lit(8))))).as("gram"))
+          .select($"doc_id", md5($"gram").as("key")))
     },
     oracle = Some("""
       WITH w AS (
@@ -1182,6 +1161,37 @@ object TextOps {
       FROM g JOIN df USING (gk)
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
+
+  /** Shared duplicate-occurrence roll-up (q65's word 8-grams, q73's
+    * binary frames): given one (doc_id, key) row per span occurrence,
+    * collapse to per-(doc, key) counts FIRST — the exploded
+    * one-row-per-position stream dies in its scan task via map-side
+    * partial combine — then count each key's distinct-doc frequency (a
+    * plain count: collapsed rows are distinct (doc, key)), join back at
+    * collapsed granularity, and report per doc the total occurrence
+    * count, the corpus-duplicated count (df >= 2 — the key occurs in at
+    * least one OTHER document), and their exact-IEEE ratio. Both
+    * consumers of the collapsed frame share an identical
+    * scan+explode+partial-agg exchange subtree, which AQE's runtime
+    * stage reuse materializes once (a scoped persist was measured
+    * slower — it forces full materialization where stage reuse
+    * pipelines).
+    */
+  private[queries] def dupFraction(occ: DataFrame): DataFrame = {
+    val s = occ.sparkSession
+    import s.implicits._
+    val collapsed = occ.groupBy($"doc_id", $"key")
+      .agg(count(lit(1)).as("c"))
+    val dfreq = collapsed.groupBy($"key")
+      .agg(count(lit(1)).as("df"))
+    collapsed.join(dfreq, "key")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_spans"),
+        sum(when($"df" >= 2, $"c").otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        $"n_dup_spans".cast("double") / $"n_spans".cast("double"))
+      .orderBy($"doc_id")
+  }
 
   /** Q67 — corpus-wide heavy hitters, exact: top-64 tokens by occurrence
     * count. The canonical explode → hash-agg shape: partial aggregation
@@ -1400,6 +1410,14 @@ object TextOps {
     *
     * Exact integer arithmetic end-to-end, so the two-level decomposition
     * is bit-identical to the flat window the oracle runs.
+    *
+    * The bucket key here is a fixed-width value split of the order key,
+    * which sizes buckets at ~256 docs only for dense id spaces (true of
+    * this corpus's sequential ids). Sparse or hashed 64-bit ids make
+    * fixed-width buckets degenerate (~1 doc each, collapsing step 2 back
+    * into the flat window) — there, derive the bucket bounds from range
+    * statistics (approx_percentile over doc_id) instead of a fixed
+    * width; the two-level decomposition itself is unchanged.
     */
   private val q70 = Q(
     fn = (s, d) => {
@@ -1418,8 +1436,12 @@ object TextOps {
         .select($"source", $"bucket", $"offset")
       base.join(offsets, Seq("source", "bucket"))
         .withColumn("cum_tokens",
+          // explicit ROWS frame: the default RANGE frame would lump
+          // tied doc_ids into one cumulative step, diverging from the
+          // oracle's ROWS UNBOUNDED PRECEDING on duplicate ids
           $"offset" + sum($"n_tokens").over(
-            Window.partitionBy($"source", $"bucket").orderBy($"doc_id")))
+            Window.partitionBy($"source", $"bucket").orderBy($"doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .filter($"cum_tokens" <= budget)
         .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
         .orderBy($"source", $"doc_id")

@@ -347,11 +347,6 @@ object Pipeline {
       .start()
   }
 
-  /** Streaming metrics leg: windowed speed metrics appended as parquet
-    * once each window finalizes (append mode + watermark). Writes its own
-    * wide table; the reference-schema long `self_driving_metrics` table is
-    * populated by [[graft.metrics.MetricsRefresh]].
-    */
   /** Streaming corpus heavy hitters: the Misra–Gries aggregate
     * ([[graft.functions.expressions.FreqSketch]]) as STREAMING STATE — a
     * mergeable sketch is exactly what a streaming global aggregate needs,
@@ -381,7 +376,9 @@ object Pipeline {
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch
-          .select(explode(col("sk")).as("e"), col("n_tokens"))
+          // explode_outer: an empty sketch (no input yet) must still
+          // snapshot one row carrying the running total, not an empty file
+          .select(explode_outer(col("sk")).as("e"), col("n_tokens"))
           .select(col("e.token"), col("e.est"), col("n_tokens"))
           .coalesce(1)
           .write.mode("overwrite")
@@ -393,6 +390,11 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming metrics leg: windowed speed metrics appended as parquet
+    * once each window finalizes (append mode + watermark). Writes its own
+    * wide table; the reference-schema long `self_driving_metrics` table is
+    * populated by [[graft.metrics.MetricsRefresh]].
+    */
   def runMetricsPipeline(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     speedMetricsByWindow(telemetryFileStream(s, inDir))

@@ -416,7 +416,8 @@ class QueriesSpec extends SparkSpec {
       .select($"source", $"doc_id",
         size(split($"text", " ")).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum($"n_tokens").over(
-        Window.partitionBy($"source").orderBy($"doc_id")))
+        Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter($"cum_tokens" <= 800L)
     assert(got.count() == flat.count())
     assert(got.join(flat, Seq("source", "doc_id", "n_tokens", "cum_tokens"),
