@@ -35,13 +35,19 @@ object Relational {
         .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          decSum($"l_quantity").as("sum_qty"),
-          decSum($"l_extendedprice").as("sum_base_price"),
-          sum($"l_extendedprice".cast("decimal(18,4)") *
-            (lit(1.0) - $"l_discount").cast("decimal(8,4)"))
+          decSumFast($"l_quantity").as("sum_qty"),
+          decSumFast($"l_extendedprice").as("sum_base_price"),
+          // scaled-long form of dec(18,4)·dec(8,4): k1·10⁻⁴ × m2·10⁻² with
+          // both factors exact ≤2-decimal ints — the double product
+          // (≤1.05·10¹¹ < 2⁵³) is exact, the long sum is exact, and the
+          // final ÷10⁶ decimal division + double cast round once, matching
+          // the decimal-product sum bit-for-bit (headroom note: decSumFast)
+          (sum((round($"l_extendedprice" * 10000) *
+              round((lit(1.0) - $"l_discount") * 100)).cast("long"))
+            .cast("decimal(38,0)") / lit(1000000L))
             .cast("double").as("sum_disc_price"),
-          decAvg($"l_quantity").as("avg_qty"),
-          decAvg($"l_discount").as("avg_disc"),
+          decAvgFast($"l_quantity").as("avg_qty"),
+          decAvgFast($"l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -94,7 +100,7 @@ object Relational {
       import s.implicits._
       val byCust = Tables.orders(s, d)
         .groupBy($"o_custkey")
-        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("total_spent"))
+        .agg(count(lit(1)).as("n_orders"), decSumFast($"o_totalprice").as("total_spent"))
       Tables.customer(s, d)
         .join(byCust, $"c_custkey" === $"o_custkey", "left")
         .select($"c_custkey", $"c_name",
@@ -127,7 +133,7 @@ object Relational {
         .join(dims, $"c_nationkey" === $"n_nationkey")
         .join(Tables.orders(s, d), $"o_custkey" === $"c_custkey")
         .groupBy($"r_name")
-        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), decSumFast($"o_totalprice").as("revenue"))
         .orderBy($"r_name")
     },
     oracle = Some("""
@@ -344,7 +350,7 @@ object Relational {
       import s.implicits._
       Tables.orders(s, d)
         .rollup($"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("total_price"))
+        .agg(count(lit(1)).as("n_orders"), decSumFast($"o_totalprice").as("total_price"))
         .select(
           coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
           coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
@@ -484,7 +490,7 @@ object Relational {
       import s.implicits._
       Tables.orders(s, d)
         .cube($"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("total_price"))
+        .agg(count(lit(1)).as("n_orders"), decSumFast($"o_totalprice").as("total_price"))
         .select(
           coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
           coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),

@@ -42,4 +42,29 @@ package object queries {
   /** Exact mean: exact decimal sum, one deterministic double division. */
   def decAvg(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double") / count(c)
+
+  /** [[decSum]] at long-sum speed, for columns CONTRACTED to at most 4
+    * decimal digits (TPC-H money/quantity/discount: decimal(15,2) by
+    * spec). `sum(decimal(18,4))` widens to decimal(28,4), past Spark's
+    * compact-long range, so every row update boxes a BigDecimal; here
+    * each value becomes its exact unscaled long (`round(x*10000)` — for a
+    * k/100 double the product sits within ε·10⁴ ≪ 0.5 of the integer, so
+    * the round recovers exactly what the decimal cast produces), the
+    * aggregation is one codegen'd long sum, and ONLY the final row per
+    * group pays a decimal op: unscaled/10⁴ as an exact decimal division
+    * (result scale 6 ≥ 4, so no rounding), then one correctly-rounded
+    * cast to double — bit-identical to [[decSum]] by construction.
+    *
+    * NOT for arbitrary doubles (a 5th decimal digit ties differently than
+    * BigDecimal HALF_UP) — events.value stays on [[decSum]]. Overflow
+    * headroom: 9.2·10¹⁸ unscaled = ~10¹² rows of 10⁶-magnitude money;
+    * ANSI mode raises rather than wrapping if a deployment ever trips it.
+    */
+  def decSumFast(c: Column): Column =
+    (sum(round(c * 10000).cast("long")).cast("decimal(38,0)") / lit(10000L))
+      .cast("double")
+
+  /** [[decAvg]]'s fast twin under the same ≤4-decimal contract. */
+  def decAvgFast(c: Column): Column =
+    decSumFast(c) / count(c)
 }
