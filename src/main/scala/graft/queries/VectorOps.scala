@@ -454,6 +454,130 @@ object VectorOps {
       FROM a
       ORDER BY pos"""))
 
+  /** Q74 — distributed k-means (Lloyd's algorithm, k=8, two recenter
+    * rounds) over the embeddings — the clustering primitive behind
+    * SemDeDup-style semantic curation (Abbas et al. 2023: cluster, then
+    * dedup within clusters — q38's within-cell near-dup is the second
+    * half; this is the first). Every quantity is EXACT INTEGER math, so
+    * an iterative ML algorithm still gets a bit-exact DuckDB oracle:
+    *
+    *  - components quantized to int64 (the q25/q39 QuantizeVec pattern);
+    *  - distances are Σ(x−c)² in long arithmetic (≤ 2⁴⁴·64 ≪ 2⁶³);
+    *  - argmin by `least(struct(dist, cid))` — ties to the lowest cid,
+    *    mirrored by the oracle's ORDER BY dist, cid;
+    *  - recentered components are TRUNCATED integer means (Java long
+    *    division == DuckDB `//`, both toward zero) — centroids stay
+    *    integer vectors, so no double ever enters the pipeline; the
+    *    ≤1-unit (≈2⁻²⁰) centroid quantization per round is noise
+    *    relative to Lloyd's own convergence;
+    *  - seeds = the k lowest-vec_id vectors (deterministic init).
+    *
+    * Scale shape: each round is one scan with a broadcast centroid
+    * literal (k·64 longs), one posexplode partial-agg shuffle for the
+    * sums, and a k·64-row collect (bounded — the broadcast pattern);
+    * empty clusters keep their previous centroid. The interpreted
+    * zip_with/aggregate lambdas cost k·dims per row; at real scale the
+    * same loop swaps in a QuantizedCosine-style native kernel.
+    */
+  private val q74 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val k = 8
+      val emb = Tables.embeddings(s, d)
+        // QuantizeVec emits integral doubles (floor semantics); the long
+        // cast is exact and keeps every distance in pure long arithmetic
+        .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
+        .persist()
+      try {
+        var cents: Seq[Array[Long]] = emb.orderBy($"vec_id").limit(k)
+          .select($"xq").collect().toSeq
+          .map(_.getSeq[Long](0).toArray)
+        def assigned: org.apache.spark.sql.DataFrame = {
+          val scored = cents.zipWithIndex.map { case (c, i) =>
+            struct(
+              aggregate(
+                zip_with($"xq", typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, v) => acc + v).as("dist"),
+              lit(i).as("cid"))
+          }
+          emb.withColumn("a", least(scored: _*))
+            .select($"vec_id", $"xq",
+              $"a.cid".cast("long").as("cluster"), $"a.dist".as("dist"))
+        }
+        for (_ <- 1 to 2) {
+          val sums = assigned
+            .select($"cluster", posexplode($"xq").as(Seq("pos", "qx")))
+            .groupBy($"cluster", $"pos")
+            .agg(sum($"qx").as("s"), count(lit(1)).as("n"))
+            .collect()
+          val byCluster = sums.groupBy(_.getLong(0).toInt)
+          cents = cents.zipWithIndex.map { case (old, i) =>
+            byCluster.get(i).fold(old) { rows =>
+              val next = new Array[Long](64)
+              rows.foreach { r =>
+                next(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+              }
+              next
+            }
+          }
+        }
+        assigned.select($"vec_id", $"cluster", $"dist")
+          .orderBy($"vec_id")
+          .localCheckpoint()
+      } finally emb.unpersist()
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+        FROM embeddings),
+      init AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xq AS c
+        FROM q ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT q.vec_id, q.xq, i.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 t -> (q.xq[t] - i.c[t]) * (q.xq[t] - i.c[t]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN init i),
+      a1 AS (
+        SELECT vec_id, xq, cid, dist FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+      m1 AS (
+        SELECT a1.cid, t.d, SUM(xq[t.d]) // COUNT(*) AS m
+        FROM a1 CROSS JOIN generate_series(1, 64) t(d)
+        GROUP BY a1.cid, t.d),
+      c1 AS (
+        SELECT i.cid, COALESCE(mm.c, i.c) AS c
+        FROM init i LEFT JOIN (
+          SELECT cid, list(m ORDER BY d) AS c FROM m1 GROUP BY cid) mm
+          ON i.cid = mm.cid),
+      d2 AS (
+        SELECT q.vec_id, q.xq, c1.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 t -> (q.xq[t] - c1.c[t]) * (q.xq[t] - c1.c[t]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c1),
+      a2 AS (
+        SELECT vec_id, xq, cid, dist FROM d2
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+      m2 AS (
+        SELECT a2.cid, t.d, SUM(xq[t.d]) // COUNT(*) AS m
+        FROM a2 CROSS JOIN generate_series(1, 64) t(d)
+        GROUP BY a2.cid, t.d),
+      c2 AS (
+        SELECT c1.cid, COALESCE(mm.c, c1.c) AS c
+        FROM c1 LEFT JOIN (
+          SELECT cid, list(m ORDER BY d) AS c FROM m2 GROUP BY cid) mm
+          ON c1.cid = mm.cid),
+      d3 AS (
+        SELECT q.vec_id, c2.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 t -> (q.xq[t] - c2.c[t]) * (q.xq[t] - c2.c[t]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c2)
+      SELECT vec_id, cid AS cluster, dist FROM d3
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+      ORDER BY vec_id"""))
+
   val all: Map[String, Q] = Map(
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
@@ -461,5 +585,6 @@ object VectorOps {
     "q38_neardup_embedding" -> q38,
     "q39_knn_ann_ivf" -> q39,
     "q66_embedding_dim_stats" -> q66,
+    "q74_kmeans_lloyd" -> q74,
   )
 }

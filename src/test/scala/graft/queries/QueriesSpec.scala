@@ -470,6 +470,32 @@ class QueriesSpec extends SparkSpec {
     assert(fd.join(sdup, "doc_id").filter($"n_dup_frames" =!= $"n_dup2").count() == 0)
   }
 
+  test("q74 k-means: deterministic, valid assignment, inertia below init") {
+    import spark.implicits._
+    val a = run("q74_kmeans_lloyd").collect()
+    val b = run("q74_kmeans_lloyd").collect()
+    assert(a.toSeq == b.toSeq, "two runs must be bit-identical")
+    assert(a.length == 500)
+    assert(a.forall(r => r.getLong(2) >= 0L))
+    assert(a.map(_.getLong(1)).distinct.length <= 8)
+    // Lloyd must not end worse than the seed assignment: recompute the
+    // round-0 inertia exactly (seeds = 8 lowest-id quantized vectors)
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id",
+        graft.functions.expressions.quantize_vec($"embedding")
+          .cast("array<bigint>").as("xq"))
+      .orderBy($"vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val seeds = vecs.take(8).map(_._2)
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.zip(c).map { case (xi, ci) => (xi - ci) * (xi - ci) }.sum
+    val initInertia = vecs.map { case (_, x) => seeds.map(c => d2(x, c)).min }
+      .map(BigInt(_)).sum
+    val finalInertia = a.map(r => BigInt(r.getLong(2))).sum
+    assert(finalInertia <= initInertia,
+      s"inertia grew: $finalInertia > $initInertia")
+  }
+
   test("q68 bloom decontamination == q46-style exact, and the bloom prunes") {
     import spark.implicits._
     // output equivalence at the declared >= 8 threshold: q68 must agree
