@@ -71,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_stats",
         "_FUNC_(text) - struct(n_words, n_distinct, top_c, total2, d2) in one pass"),
       exprs => WordStats(one("word_stats")(exprs))))
+    e.injectFunction((FunctionIdentifier("sq_dist"),
+      info("sq_dist", "_FUNC_(a, b) - sum of squared differences of two long arrays"),
+      exprs => {
+        require(exprs.length == 2, "sq_dist requires exactly 2 arguments")
+        SqDistLong(exprs(0), exprs(1))
+      }))
     e.injectFunction((FunctionIdentifier("freq_sketch"),
       info("freq_sketch",
         "_FUNC_(token) - Misra-Gries top-256 heavy-hitter sketch: array<struct(token, est)>"),

@@ -534,6 +534,48 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
   }
 
+  /** Two array<long> vectors → Σ(a−b)², one tight primitive loop (the
+    * distance kernel of q74's Lloyd iterations; bit-compatible with the
+    * declarative `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)))` form
+    * the oracle mirrors). Arrays shorter on one side contribute only the
+    * common prefix — callers guarantee equal dims. Null elements make the
+    * whole distance null in the declarative form; mirrored here.
+    */
+  case class SqDistLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, ArrayType(LongType), "sq_dist")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, ArrayType(LongType), "sq_dist")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var i = 0
+      var acc = 0L
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getLong(i) - b.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sqd", this, classOf[SqDistLong].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) => s"""
+        Object sqdRes = $ref.nullSafeEval($l, $r);
+        if (sqdRes == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((Long) sqdRes).longValue(); }""")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistLong =
+      copy(left = l, right = r)
+  }
+
   /** Misra–Gries heavy-hitter sketch over a string column: at most `k`
     * (token, est) counters in O(k) space, one stream pass, mergeable
     * partials — the frequent-items summary of Misra & Gries 1982 with the
@@ -704,6 +746,11 @@ object expressions {
       exprs => QuantizeVec(one("quantize_vec")(exprs), 1048576.0), "scala_udf")
     reg.createOrReplaceTempFunction("word_stats",
       exprs => WordStats(one("word_stats")(exprs)), "scala_udf")
+    reg.createOrReplaceTempFunction("sq_dist",
+      exprs => {
+        require(exprs.length == 2, "sq_dist requires exactly 2 arguments")
+        SqDistLong(exprs(0), exprs(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("freq_sketch",
       exprs => FreqSketch(one("freq_sketch")(exprs), 256), "scala_udf")
     // Spark's own runtime-filter bloom pair (catalyst aggregate +
@@ -746,6 +793,8 @@ object expressions {
     call_function("quantize_vec", v)
   def word_stats(text: Column): Column =
     call_function("word_stats", text)
+  def sq_dist(a: Column, b: Column): Column =
+    call_function("sq_dist", a, b)
   def freq_sketch(token: Column): Column =
     call_function("freq_sketch", token)
   def bloom_agg(hashed: Column, estItems: Column): Column =

@@ -495,9 +495,7 @@ object VectorOps {
         def assigned: org.apache.spark.sql.DataFrame = {
           val scored = cents.zipWithIndex.map { case (c, i) =>
             struct(
-              aggregate(
-                zip_with($"xq", typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
-                lit(0L), (acc, v) => acc + v).as("dist"),
+              graft.functions.expressions.sq_dist($"xq", typedlit(c.toSeq)).as("dist"),
               lit(i).as("cid"))
           }
           emb.withColumn("a", least(scored: _*))

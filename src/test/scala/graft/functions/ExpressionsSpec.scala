@@ -207,6 +207,21 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("sq_dist == declarative aggregate(zip_with) squared distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1L, -5L, 3L), Seq(4L, 0L, 3L)),
+      (2L, Seq(0L, 0L, 0L), Seq(0L, 0L, 0L)),
+      (3L, Seq(1048576L, -1048576L, 7L), Seq(-1048576L, 1048576L, 7L)))
+      .toDF("id", "a", "b")
+    val declarative = df.select($"id",
+      aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("d"))
+    val native = df.select($"id", expressions.sq_dist($"a", $"b").as("d"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
