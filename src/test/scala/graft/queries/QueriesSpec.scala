@@ -496,6 +496,34 @@ class QueriesSpec extends SparkSpec {
       s"inertia grew: $finalInertia > $initInertia")
   }
 
+  test("q75 SemDeDup: kept == exact non-dominated complement, dropped have a kept dominator") {
+    import spark.implicits._
+    val kept = run("q75_semantic_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recomputation of the domination rule over the same
+    // cluster assignment
+    val assign = VectorOps.kmeansAssign(spark, sf0001)
+      .select($"vec_id", $"cluster")
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val v = assign.join(emb, "vec_id")
+    val pairs = v.select($"cluster", $"vec_id".as("i"), $"embedding".as("ei"))
+      .join(v.select($"cluster", $"vec_id".as("j"), $"embedding".as("ej")), Seq("cluster"))
+      .filter($"i" < $"j")
+      .filter(graft.functions.expressions.quantized_cosine($"ei", $"ej") >= 0.4)
+      .select($"i", $"j").collect()
+    val dominated = pairs.map(_.getLong(1)).toSet
+    val allVecs = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == allVecs.keySet -- dominated)
+    assert(kept.forall { case (id, c) => allVecs(id) == c })
+    // every dropped vector is dominated by some LOWER id (not necessarily
+    // kept — greedy chains are the documented caveat); spot the rule held
+    val lowestDominators = pairs.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(0)).min)
+    dominated.foreach { j => assert(lowestDominators(j) < j) }
+    assert(dominated.nonEmpty, "fixture should produce at least one semantic dup")
+  }
+
   test("q68 bloom decontamination == q46-style exact, and the bloom prunes") {
     import spark.implicits._
     // output equivalence at the declared >= 8 threshold: q68 must agree
