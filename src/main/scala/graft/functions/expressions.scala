@@ -537,13 +537,15 @@ object expressions {
   /** Two array<long> vectors → Σ(a−b)², one tight primitive loop (the
     * distance kernel of q74's Lloyd iterations; bit-compatible with the
     * declarative `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)))` form
-    * the oracle mirrors). Arrays shorter on one side contribute only the
-    * common prefix — callers guarantee equal dims. Null elements make the
-    * whole distance null in the declarative form; mirrored here.
+    * the oracle mirrors — including the null semantics: a null element
+    * OR mismatched dimensionality yields SQL null, never a
+    * plausible-but-wrong truncated distance).
     */
   case class SqDistLong(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
+    // null-on-null-element / dim-mismatch, beyond child nullability
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult = {
       val l = requireType(left, ArrayType(LongType), "sq_dist")
       if (l != TypeCheckResult.TypeCheckSuccess) l
@@ -553,7 +555,10 @@ object expressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      // zip_with pads the shorter array with nulls, making the
+      // declarative distance null — mirror that for corrupt/mixed dims
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
       var i = 0
       var acc = 0L
       while (i < n) {
@@ -567,10 +572,11 @@ object expressions {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("sqd", this, classOf[SqDistLong].getName)
+      val res = ctx.freshName("sqdRes")
       nullSafeCodeGen(ctx, ev, (l, r) => s"""
-        Object sqdRes = $ref.nullSafeEval($l, $r);
-        if (sqdRes == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = ((Long) sqdRes).longValue(); }""")
+        Object $res = $ref.nullSafeEval($l, $r);
+        if ($res == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((Long) $res).longValue(); }""")
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistLong =
       copy(left = l, right = r)

@@ -479,144 +479,13 @@ object VectorOps {
     * zip_with/aggregate lambdas cost k·dims per row; at real scale the
     * same loop swaps in a QuantizedCosine-style native kernel.
     */
-  /** Reusable Lloyd core (q74 reports it, q75 dedups within its
-    * clusters): returns the MATERIALIZED final assignment
-    * `(vec_id, cluster, dist)` — localCheckpoint'd before the scoped
-    * persist releases, so callers compose it freely. */
-  private[queries] def kmeansAssign(s: SparkSession, d: String,
-      k: Int = 8, rounds: Int = 2): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      // QuantizeVec emits integral doubles (floor semantics); the long
-      // cast is exact and keeps every distance in pure long arithmetic
-      .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
-      .persist()
-    try {
-      var cents: Seq[Array[Long]] = emb.orderBy($"vec_id").limit(k)
-        .select($"xq").collect().toSeq
-        .map(_.getSeq[Long](0).toArray)
-      def assigned: org.apache.spark.sql.DataFrame = {
-        val scored = cents.zipWithIndex.map { case (c, i) =>
-          struct(
-            graft.functions.expressions.sq_dist($"xq", typedlit(c.toSeq)).as("dist"),
-            lit(i).as("cid"))
-        }
-        emb.withColumn("a", least(scored: _*))
-          .select($"vec_id", $"xq",
-            $"a.cid".cast("long").as("cluster"), $"a.dist".as("dist"))
-      }
-      for (_ <- 1 to rounds) {
-        val sums = assigned
-          .select($"cluster", posexplode($"xq").as(Seq("pos", "qx")))
-          .groupBy($"cluster", $"pos")
-          .agg(sum($"qx").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val byCluster = sums.groupBy(_.getLong(0).toInt)
-        cents = cents.zipWithIndex.map { case (old, i) =>
-          byCluster.get(i).fold(old) { rows =>
-            val next = new Array[Long](64)
-            rows.foreach { r =>
-              next(r.getInt(1)) = r.getLong(2) / r.getLong(3)
-            }
-            next
-          }
-        }
-      }
-      assigned.select($"vec_id", $"cluster", $"dist").localCheckpoint()
-    } finally emb.unpersist()
-  }
-
-  private val q74 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      kmeansAssign(s, d).orderBy($"vec_id")
-    },
-    oracle = Some("""
-      WITH q AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
-        FROM embeddings),
-      init AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xq AS c
-        FROM q ORDER BY vec_id LIMIT 8),
-      d1 AS (
-        SELECT q.vec_id, q.xq, i.cid,
-               CAST(list_sum(list_transform(generate_series(1, 64),
-                 t -> (q.xq[t] - i.c[t]) * (q.xq[t] - i.c[t]))) AS BIGINT) AS dist
-        FROM q CROSS JOIN init i),
-      a1 AS (
-        SELECT vec_id, xq, cid, dist FROM d1
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
-      m1 AS (
-        SELECT a1.cid, t.d, SUM(xq[t.d]) // COUNT(*) AS m
-        FROM a1 CROSS JOIN generate_series(1, 64) t(d)
-        GROUP BY a1.cid, t.d),
-      c1 AS (
-        SELECT i.cid, COALESCE(mm.c, i.c) AS c
-        FROM init i LEFT JOIN (
-          SELECT cid, list(m ORDER BY d) AS c FROM m1 GROUP BY cid) mm
-          ON i.cid = mm.cid),
-      d2 AS (
-        SELECT q.vec_id, q.xq, c1.cid,
-               CAST(list_sum(list_transform(generate_series(1, 64),
-                 t -> (q.xq[t] - c1.c[t]) * (q.xq[t] - c1.c[t]))) AS BIGINT) AS dist
-        FROM q CROSS JOIN c1),
-      a2 AS (
-        SELECT vec_id, xq, cid, dist FROM d2
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
-      m2 AS (
-        SELECT a2.cid, t.d, SUM(xq[t.d]) // COUNT(*) AS m
-        FROM a2 CROSS JOIN generate_series(1, 64) t(d)
-        GROUP BY a2.cid, t.d),
-      c2 AS (
-        SELECT c1.cid, COALESCE(mm.c, c1.c) AS c
-        FROM c1 LEFT JOIN (
-          SELECT cid, list(m ORDER BY d) AS c FROM m2 GROUP BY cid) mm
-          ON c1.cid = mm.cid),
-      d3 AS (
-        SELECT q.vec_id, c2.cid,
-               CAST(list_sum(list_transform(generate_series(1, 64),
-                 t -> (q.xq[t] - c2.c[t]) * (q.xq[t] - c2.c[t]))) AS BIGINT) AS dist
-        FROM q CROSS JOIN c2)
-      SELECT vec_id, cid AS cluster, dist FROM d3
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
-      ORDER BY vec_id"""))
-
-  /** Q75 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
-    * deduplication = k-means clustering + within-cluster cosine
-    * near-dup removal, composed from q74's Lloyd core and q25's exact
-    * quantized cosine. A vector is DROPPED when a lower-id vector in
-    * the SAME cluster has cosine ≥ 0.4 with it (greedy keep-lowest-id —
-    * the paper's keep-one-per-ε-ball with a deterministic
-    * representative; chains across kept members are the standard greedy
-    * caveat). Output: the kept vectors with their cluster.
-    *
-    * Scale shape: the quadratic leg is WITHIN-CLUSTER only — exactly
-    * the blocking that makes SemDeDup tractable (clusters play q38's
-    * IVF-cell role; a production run sub-splits oversized clusters
-    * capBucket-style, and k grows with the corpus so cluster size stays
-    * bounded). The whole pipeline — iterative centroids, assignment,
-    * cosine, domination — is deterministic, so even this composed
-    * algorithm hash-matches its DuckDB oracle.
+  /** The k-means oracle pipeline (quantize, seed, two assign/recenter
+    * rounds, final distances) shared VERBATIM by q74's and q75's
+    * oracles — one source of truth so the two can never silently
+    * validate against different clusterings. Ends at CTE `d3`
+    * (vec_id, xq, cid, dist); callers append their projection.
     */
-  private val q75 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val assign = kmeansAssign(s, d).select($"vec_id", $"cluster")
-      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      val v = assign.join(emb, "vec_id")
-      val a = v.select($"cluster", $"vec_id".as("i"), $"embedding".as("ei"))
-      val b = v.select($"cluster", $"vec_id".as("j"), $"embedding".as("ej"))
-      val dominated = a.join(b, Seq("cluster"))
-        .filter($"i" < $"j")
-        .filter(graft.functions.expressions.quantized_cosine($"ei", $"ej") >= 0.4)
-        .select($"j".as("vec_id")).distinct()
-      assign.join(dominated, Seq("vec_id"), "left_anti")
-        .select($"vec_id", $"cluster")
-        .orderBy($"vec_id")
-    },
-    oracle = Some("""
+  private val kmeansOracleCtes: String = """
       WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -663,7 +532,99 @@ object VectorOps {
         SELECT q.vec_id, q.xq, c2.cid,
                CAST(list_sum(list_transform(generate_series(1, 64),
                  t -> (q.xq[t] - c2.c[t]) * (q.xq[t] - c2.c[t]))) AS BIGINT) AS dist
-        FROM q CROSS JOIN c2),
+        FROM q CROSS JOIN c2)"""
+
+  /** Reusable Lloyd core (q74 reports it, q75 dedups within its
+    * clusters): returns the MATERIALIZED final assignment
+    * `(vec_id, cluster, dist)` — localCheckpoint'd before the scoped
+    * persist releases, so callers compose it freely. */
+  private[queries] def kmeansAssign(s: SparkSession, d: String,
+      k: Int = 8, rounds: Int = 2): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      // QuantizeVec emits integral doubles (floor semantics); the long
+      // cast is exact and keeps every distance in pure long arithmetic
+      .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
+      .persist()
+    try {
+      var cents: Seq[Array[Long]] = emb.orderBy($"vec_id").limit(k)
+        .select($"xq").collect().toSeq
+        .map(_.getSeq[Long](0).toArray)
+      def assigned: org.apache.spark.sql.DataFrame = {
+        val scored = cents.zipWithIndex.map { case (c, i) =>
+          struct(
+            graft.functions.expressions.sq_dist($"xq", typedlit(c.toSeq)).as("dist"),
+            lit(i).as("cid"))
+        }
+        emb.withColumn("a", least(scored: _*))
+          .select($"vec_id", $"xq",
+            $"a.cid".cast("long").as("cluster"), $"a.dist".as("dist"))
+      }
+      for (_ <- 1 to rounds) {
+        val sums = assigned
+          .select($"cluster", posexplode($"xq").as(Seq("pos", "qx")))
+          .groupBy($"cluster", $"pos")
+          .agg(sum($"qx").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCluster = sums.groupBy(_.getLong(0).toInt)
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          byCluster.get(i).fold(old) { rows =>
+            val next = new Array[Long](old.length)
+            rows.foreach { r =>
+              next(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+            }
+            next
+          }
+        }
+      }
+      assigned.select($"vec_id", $"cluster", $"dist").localCheckpoint()
+    } finally emb.unpersist()
+  }
+
+  private val q74 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      kmeansAssign(s, d).orderBy($"vec_id")
+    },
+    oracle = Some(kmeansOracleCtes + """
+      SELECT vec_id, cid AS cluster, dist FROM d3
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+      ORDER BY vec_id"""))
+
+  /** Q75 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means clustering + within-cluster cosine
+    * near-dup removal, composed from q74's Lloyd core and q25's exact
+    * quantized cosine. A vector is DROPPED when a lower-id vector in
+    * the SAME cluster has cosine ≥ 0.4 with it (greedy keep-lowest-id —
+    * the paper's keep-one-per-ε-ball with a deterministic
+    * representative; chains across kept members are the standard greedy
+    * caveat). Output: the kept vectors with their cluster.
+    *
+    * Scale shape: the quadratic leg is WITHIN-CLUSTER only — exactly
+    * the blocking that makes SemDeDup tractable (clusters play q38's
+    * IVF-cell role; a production run sub-splits oversized clusters
+    * capBucket-style, and k grows with the corpus so cluster size stays
+    * bounded). The whole pipeline — iterative centroids, assignment,
+    * cosine, domination — is deterministic, so even this composed
+    * algorithm hash-matches its DuckDB oracle.
+    */
+  private val q75 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val assign = kmeansAssign(s, d).select($"vec_id", $"cluster")
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val v = assign.join(emb, "vec_id")
+      val a = v.select($"cluster", $"vec_id".as("i"), $"embedding".as("ei"))
+      val b = v.select($"cluster", $"vec_id".as("j"), $"embedding".as("ej"))
+      val dominated = a.join(b, Seq("cluster"))
+        .filter($"i" < $"j")
+        .filter(graft.functions.expressions.quantized_cosine($"ei", $"ej") >= 0.4)
+        .select($"j".as("vec_id")).distinct()
+      assign.join(dominated, Seq("vec_id"), "left_anti")
+        .select($"vec_id", $"cluster")
+        .orderBy($"vec_id")
+    },
+    oracle = Some(kmeansOracleCtes + """,
       a3 AS (
         SELECT vec_id, xq, cid AS cluster FROM d3
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),

@@ -230,5 +230,10 @@ class ExpressionsSpec extends SparkSpec {
       """SELECT size(minhash_signature(sh)) AS n, size(winnow_fingerprint(t)) AS f
          FROM k_test""").head()
     assert(r.getInt(0) == 64 && r.getInt(1) > 0)
+    val sq = spark.sql(
+      "SELECT sq_dist(array(1L, 2L), array(4L, 6L)) AS d, " +
+        "sq_dist(array(1L, 2L), array(4L)) AS mismatch").head()
+    assert(sq.getLong(0) == 25L)
+    assert(sq.isNullAt(1), "dim mismatch must be SQL null")
   }
 }

@@ -516,11 +516,11 @@ class QueriesSpec extends SparkSpec {
     val allVecs = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kept.keySet == allVecs.keySet -- dominated)
     assert(kept.forall { case (id, c) => allVecs(id) == c })
-    // every dropped vector is dominated by some LOWER id (not necessarily
-    // kept — greedy chains are the documented caveat); spot the rule held
-    val lowestDominators = pairs.groupBy(_.getLong(1)).view
-      .mapValues(_.map(_.getLong(0)).min)
-    dominated.foreach { j => assert(lowestDominators(j) < j) }
+    // the LOWEST id of every cluster can never be dominated, so it must
+    // always be kept — the deterministic-representative property
+    allVecs.groupBy(_._2).values.foreach { cluster =>
+      assert(kept.contains(cluster.keys.min))
+    }
     assert(dominated.nonEmpty, "fixture should produce at least one semantic dup")
   }
 
