@@ -1558,6 +1558,54 @@ object TextOps {
       FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
       ORDER BY "check""""))
 
+  /** Q76 — deterministic epoch sharding: the data-ordering step between
+    * a curated corpus and a distributed training run. For each of two
+    * epochs, every document gets (shard, position): the shard from the
+    * top nibble of md5(doc_id # epoch) (8 shards ≈ data-loader workers),
+    * the position by ranking the same hash within the shard — a
+    * different, deterministic, uniformly-mixed permutation per epoch,
+    * reproducible from (doc_id, epoch) alone (resumable training).
+    *
+    * Scale shape: this is how a global "shuffle" avoids a global sort —
+    * hash-bucket to shards FIRST, then sort only within each shard
+    * (row_number per (epoch, shard): bounded, parallel sorts of
+    * corpus/8, vs one total-order sort of the corpus). Same two-level
+    * idea as q70's prefix sum; shard count scales with the cluster.
+    */
+  private val q76 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val epochs = Seq(1, 2).map { e =>
+        Tables.documents(s, d)
+          .select(lit(e.toLong).as("epoch"), $"doc_id",
+            md5(concat($"doc_id".cast("string"), lit(s"#$e"))).as("ek"))
+      }.reduce(_ unionByName _)
+      epochs
+        .withColumn("shard",
+          floor(conv(substring($"ek", 1, 1), 16, 10).cast("long") / 2L).cast("long"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"epoch", $"shard").orderBy($"ek", $"doc_id")).cast("long"))
+        .select($"epoch", $"shard", $"pos", $"doc_id")
+        .orderBy($"epoch", $"shard", $"pos")
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT epoch, doc_id,
+               md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)) AS ek
+        FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS epoch))
+      SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+             row_number() OVER (PARTITION BY epoch, shard ORDER BY ek, doc_id) AS pos,
+             doc_id
+      FROM (
+        SELECT epoch, doc_id, ek,
+               CASE substr(ek, 1, 1)
+                 WHEN '0' THEN 0 WHEN '1' THEN 0 WHEN '2' THEN 1 WHEN '3' THEN 1
+                 WHEN '4' THEN 2 WHEN '5' THEN 2 WHEN '6' THEN 3 WHEN '7' THEN 3
+                 WHEN '8' THEN 4 WHEN '9' THEN 4 WHEN 'a' THEN 5 WHEN 'b' THEN 5
+                 WHEN 'c' THEN 6 WHEN 'd' THEN 6 ELSE 7 END AS shard
+        FROM e)
+      ORDER BY epoch, shard, pos"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -1584,5 +1632,6 @@ object TextOps {
     "q70_token_budget_trim" -> q70,
     "q71_inverted_index" -> q71,
     "q72_corpus_qc" -> q72,
+    "q76_epoch_shards" -> q76,
   )
 }

@@ -524,6 +524,26 @@ class QueriesSpec extends SparkSpec {
     assert(dominated.nonEmpty, "fixture should produce at least one semantic dup")
   }
 
+  test("q76 epoch shards: each epoch is a full permutation, epochs differ") {
+    import spark.implicits._
+    val df = run("q76_epoch_shards")
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    // every epoch covers every doc exactly once
+    assert(df.groupBy($"epoch").count().collect().forall(_.getLong(1) == nDocs))
+    assert(df.groupBy($"epoch", $"doc_id").count().filter($"count" > 1).count() == 0)
+    // positions are contiguous 1..n within each (epoch, shard)
+    val bad = df.groupBy($"epoch", $"shard")
+      .agg(min($"pos").as("lo"), max($"pos").as("hi"), count(lit(1)).as("n"))
+      .filter($"lo" =!= 1L || $"hi" =!= $"n")
+    assert(bad.count() == 0)
+    // the two epochs order documents differently (different permutation)
+    val e1 = df.filter($"epoch" === 1L).select($"doc_id", $"shard", $"pos")
+    val e2 = df.filter($"epoch" === 2L).select($"doc_id", $"shard".as("s2"), $"pos".as("p2"))
+    val same = e1.join(e2, "doc_id")
+      .filter($"shard" === $"s2" && $"pos" === $"p2").count()
+    assert(same < nDocs / 2, s"epochs nearly identical: $same of $nDocs fixed points")
+  }
+
   test("q68 bloom decontamination == q46-style exact, and the bloom prunes") {
     import spark.implicits._
     // output equivalence at the declared >= 8 threshold: q68 must agree
