@@ -1177,7 +1177,7 @@ object TextOps {
     * slower — it forces full materialization where stage reuse
     * pipelines).
     */
-  private[queries] def dupFraction(occ: DataFrame): DataFrame = {
+  private[graft] def dupFraction(occ: DataFrame): DataFrame = {
     val s = occ.sparkSession
     import s.implicits._
     val collapsed = occ.groupBy($"doc_id", $"key")

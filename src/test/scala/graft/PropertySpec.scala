@@ -185,6 +185,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: decSumFast/decAvgFast == decSum/decAvg on arbitrary 2-decimal money") {
+    // the fast path's whole claim is bit-identity under the <=4-decimal
+    // contract; pin it on random 2-decimal values of money-like magnitude
+    // (positives and negatives, many partitions so partial-agg order varies)
+    val moneyGen = Gen.listOfN(300,
+      Gen.choose(-50000000L, 50000000L).map(c => c / 100.0))
+    forAll(moneyGen, n = 5) { vals =>
+      import spark.implicits._
+      val df = vals.toDF("x").repartition(7)
+      val r = df.agg(
+        graft.queries.decSum(col("x")).as("slow"),
+        graft.queries.decSumFast(col("x")).as("fast"),
+        graft.queries.decAvg(col("x")).as("aslow"),
+        graft.queries.decAvgFast(col("x")).as("afast")).head()
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"sum diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        s"avg diverged: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
+  test("property: dupFraction matches a naive in-memory reference") {
+    val occGen = Gen.listOfN(120, for {
+      doc <- Gen.choose(0L, 8L)
+      key <- Gen.choose(0, 12).map(i => s"k$i")
+    } yield (doc, key))
+    forAll(occGen, n = 5) { occ =>
+      import spark.implicits._
+      val got = graft.queries.TextOps.dupFraction(occ.toDF("doc_id", "key"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val byKeyDocs = occ.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+      val exp = occ.groupBy(_._1).map { case (doc, rows) =>
+        doc -> (rows.size.toLong,
+          rows.count(r => byKeyDocs(r._2) >= 2).toLong)
+      }
+      assert(got == exp)
+    }
+  }
+
   test("property: Lcg matches java.util.Random for arbitrary seeds and bounds") {
     forAll2(Gen.long, Gen.listOfN(40, Gen.choose(1, 64)), n = 5) { (seed, bounds) =>
       val jr = new java.util.Random(seed)
