@@ -188,11 +188,19 @@ object TextOps {
         // filters right back out.
         val ex = docs.select($"doc_id", $"n", explode($"hs").as("h"))
         val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+        // prefix selection via per-doc in-row sort (ObjectHashAggregate
+        // + array_sort) instead of a sort-based window: the exchange by
+        // doc_id is the same, but the partition-wide sort of every
+        // (doc, shingle) row is replaced by ~shingles-per-doc-sized
+        // in-row sorts, and only the prefix survives the explode
         val prefix = ex.join(dfreq, Seq("h"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"df", $"h")))
-          .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
-          .select($"doc_id", $"n", $"rk", $"h")
+          .groupBy($"doc_id")
+          .agg(first($"n").as("n"),
+            array_sort(collect_list(struct($"df", $"h"))).as("sh"))
+          .select($"doc_id", $"n",
+            posexplode(slice($"sh", lit(1),
+              ($"n" - ceil($"n" * t) + 1).cast("int"))).as(Seq("p0", "e")))
+          .select($"doc_id", $"n", ($"p0" + 1).as("rk"), $"e.h".as("h"))
         // Bucket-collect pair generation (prefix entries computed once, no
         // self-join): group by shingle hash, explode in-bucket pairs. The
         // length filter (t*n_i <= n_j) and the position filter (see the
