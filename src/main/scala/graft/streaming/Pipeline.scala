@@ -390,6 +390,47 @@ object Pipeline {
       .start()
   }
 
+  /** Windowed streaming heavy hitters: [[runTokenHeavyHitters]]'s global
+    * sketch, per event-time window — `freq_sketch` under a watermarked
+    * `groupBy(window(...))`, so each window holds ONE ≤k-entry sketch in
+    * the state store and the watermark evicts finalized windows
+    * (bounded state in BOTH dimensions: per-window by k, across windows
+    * by the watermark horizon). Append mode: a window's top tokens are
+    * emitted exactly once, when the watermark passes it — the
+    * trending-terms materialization over a document stream.
+    *
+    * Input rows: JSONL `{"ts": "...", "text": "..."}` (one document per
+    * line, whitespace-tokenized).
+    */
+  def runWindowedHeavyHitters(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, windowLen: String = "1 minute",
+      watermark: String = "2 minutes"): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.expressions.freq_sketch(col("token")).as("sk"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("window.start").as("window_start"),
+        explode(col("sk")).as("e"), col("n_tokens"))
+      .select(col("window_start"), col("e.token"), col("e.est"), col("n_tokens"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/windowed_heavy_hitters")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming metrics leg: windowed speed metrics appended as parquet
     * once each window finalizes (append mode + watermark). Writes its own
     * wide table; the reference-schema long `self_driving_metrics` table is

@@ -274,6 +274,41 @@ class StreamingSpec extends SparkSpec {
     assert(total == 360L)
   }
 
+  test("windowed heavy hitters: per-window sketches finalize past the watermark") {
+    import spark.implicits._
+    val in = tmpDir("whh_in")
+    val out = tmpDir("whh_out")
+    val ckpt = tmpDir("whh_ckpt")
+    def doc(ts: String, toks: Seq[String]) =
+      s"""{"ts":"$ts","text":"${toks.mkString(" ")}"}"""
+    // window 1 (08:00): 'alpha' heavy; window 2 (08:01): 'beta' heavy;
+    // late row at 08:10 pushes the watermark past both
+    writeJsonl(in, "w1.jsonl",
+      doc("2026-03-01 08:00:05", Seq.fill(30)("alpha") ++ Seq("x", "y")),
+      doc("2026-03-01 08:00:40", Seq.fill(10)("alpha")))
+    writeJsonl(in, "w2.jsonl",
+      doc("2026-03-01 08:01:10", Seq.fill(25)("beta") ++ Seq("z")))
+    writeJsonl(in, "w3.jsonl", doc("2026-03-01 08:10:00", Seq("tail")))
+    // pin strictly increasing mtimes (see interval-join test): batch order
+    // must match event-time order or the late file advances the watermark
+    // first and the early windows' rows are dropped as late
+    for ((stem, i) <- Seq("w1", "w2", "w3").zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(in, s"$stem.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+
+    Pipeline.runWindowedHeavyHitters(spark, in, out, ckpt).awaitTermination()
+    val snap = spark.read.parquet(s"$out/windowed_heavy_hitters")
+    val w1 = snap.filter($"window_start" === "2026-03-01 08:00:00")
+    val w2 = snap.filter($"window_start" === "2026-03-01 08:01:00")
+    // both early windows finalized; per-window counts are exact here
+    // (vocab << k): alpha 40 in w1 only, beta 25 in w2 only
+    assert(w1.filter($"token" === "alpha").head().getLong(2) == 40L)
+    assert(w1.head().getLong(3) == 42L)
+    assert(w2.filter($"token" === "beta").head().getLong(2) == 25L)
+    assert(w1.filter($"token" === "beta").count() == 0)
+    assert(w2.filter($"token" === "alpha").count() == 0)
+  }
+
   test("streaming heavy hitters: MG bounds hold across micro-batches and a restart") {
     import spark.implicits._
     val in = tmpDir("hh_in")
