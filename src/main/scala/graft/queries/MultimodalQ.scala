@@ -133,7 +133,7 @@ object MultimodalQ {
               explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
                 .as("start"))
             .select($"doc_id",
-              md5(expr("substring(content, start, 64)")).as("key")))
+              unhex(md5(expr("substring(content, start, 64)"))).as("key")))
         .withColumnRenamed("n_spans", "n_frames")
         .withColumnRenamed("n_dup_spans", "n_dup_frames")
     },

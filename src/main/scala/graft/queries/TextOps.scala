@@ -1150,7 +1150,9 @@ object TextOps {
           .filter(size($"ws") >= 8)
           .select($"doc_id", explode(transform(sequence(lit(0), size($"ws") - 8),
             i => concat_ws(" ", slice($"ws", i + 1, lit(8))))).as("gram"))
-          .select($"doc_id", md5($"gram").as("key")))
+          // 16-byte binary key (unhex(md5)): same 128-bit identity at
+          // half the shuffle width of the hex string
+          .select($"doc_id", unhex(md5($"gram")).as("key")))
     },
     oracle = Some("""
       WITH w AS (

@@ -414,13 +414,17 @@ object VectorOps {
     * monitoring between corpus snapshots.
     *
     * Cross-engine exactness, same recipe as q27: components are floor-
-    * quantized to 2^20 ints, so Σq and Σq² are exact integers under any
-    * partial-aggregation order. Variance uses the integer identity
-    * n·Σq² − (Σq)² — computed in decimal(38,0) because (Σq)² overflows
-    * int64 — and only then divides twice and takes one sqrt, all
-    * correctly-rounded IEEE ops, so the doubles are bit-identical to the
-    * oracle's. Scale shape: one map-side-combined hash aggregate on a
-    * 64-value key; the explode is the same one every scan already pays.
+    * quantized to 2^20 ints and Σq is an exact LONG sum (quantize_vec
+    * emits integral doubles; summing the raw doubles would start
+    * rounding past 2^53, i.e. ~8.6·10⁹ vectors per dimension — the long
+    * sum is exact to 9.2·10¹⁸ and ANSI raises beyond). Variance uses the
+    * integer identity n·Σq² − (Σq)² in decimal(38,0) (both (Σq)² and n²
+    * overflow int64 inside the 100 TB envelope), then divides and takes
+    * one sqrt — correctly-rounded IEEE ops over identical integers, so
+    * the doubles are bit-identical to the oracle's (whose big-int →
+    * double conversions go through the VARCHAR bridge; decSum note).
+    * Scale shape: one map-side-combined hash aggregate on a 64-value
+    * key; the explode is the same one every scan already pays.
     */
   private val q66 = Q(
     fn = (s, d) => {
@@ -429,12 +433,13 @@ object VectorOps {
       Tables.embeddings(s, d)
         .select(posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
         .groupBy($"pos")
-        .agg(count(lit(1)).as("n"), sum($"qx").as("sq"),
+        .agg(count(lit(1)).as("n"), sum($"qx".cast("long")).as("sq"),
           sum($"qx".cast(dec) * $"qx".cast(dec)).as("sq2"))
         .select($"pos", $"n".as("n_vecs"),
           ($"sq".cast("double") / ($"n".cast("double") * Scale)).as("mean_c"),
           (sqrt(($"n".cast(dec) * $"sq2" - $"sq".cast(dec) * $"sq".cast(dec))
-              .cast("double") / ($"n" * $"n").cast("double")) / Scale).as("std_c"))
+              .cast("double") /
+            ($"n".cast(dec) * $"n".cast(dec)).cast("double")) / Scale).as("std_c"))
         .orderBy($"pos")
     },
     oracle = Some("""
@@ -448,9 +453,9 @@ object VectorOps {
         FROM q GROUP BY pos)
       SELECT CAST(pos - 1 AS INT) AS pos,
              CAST(n AS BIGINT) AS n_vecs,
-             CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mean_c,
+             CAST(CAST(sq AS VARCHAR) AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mean_c,
              sqrt(CAST(CAST(n * sq2 - CAST(sq AS HUGEINT) * sq AS VARCHAR) AS DOUBLE)
-                  / CAST(n * n AS DOUBLE)) / 1048576.0 AS std_c
+                  / CAST(CAST(CAST(n AS HUGEINT) * n AS VARCHAR) AS DOUBLE)) / 1048576.0 AS std_c
       FROM a
       ORDER BY pos"""))
 
