@@ -607,21 +607,32 @@ object VectorOps {
     *
     * Scale shape: the quadratic leg is WITHIN-CLUSTER only — exactly
     * the blocking that makes SemDeDup tractable (clusters play q38's
-    * IVF-cell role; a production run sub-splits oversized clusters
-    * capBucket-style, and k grows with the corpus so cluster size stays
-    * bounded). The whole pipeline — iterative centroids, assignment,
+    * IVF-cell role) — and clusters over `graft.vec.maxCell` members are
+    * further sub-split by the SAME deterministic md5 rule as q38, which
+    * bounds any block's pair count at maxCell² however skewed the
+    * clustering gets (missed cross-sub dominations mean extra kept
+    * docs — the standard blocking-recall trade, pinned in QueriesSpec;
+    * k also grows with the corpus so clusters rarely reach the cap).
+    * The whole pipeline — iterative centroids, assignment, sub-split,
     * cosine, domination — is deterministic, so even this composed
-    * algorithm hash-matches its DuckDB oracle.
+    * algorithm hash-matches its DuckDB oracle. As with q38/q50, the
+    * oracle pins the DEFAULT maxCell; CORRECTNESS runs use the default.
     */
   private val q75 = Q(
     fn = (s, d) => {
       import s.implicits._
+      val maxCell = s.conf.get("graft.vec.maxCell", "4096").toInt
       val assign = kmeansAssign(s, d).select($"vec_id", $"cluster")
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val sizes = assign.groupBy($"cluster").agg(count(lit(1)).as("cn"))
       val v = assign.join(emb, "vec_id")
-      val a = v.select($"cluster", $"vec_id".as("i"), $"embedding".as("ei"))
-      val b = v.select($"cluster", $"vec_id".as("j"), $"embedding".as("ej"))
-      val dominated = a.join(b, Seq("cluster"))
+        .join(broadcast(sizes), Seq("cluster"))
+        .withColumn("nsubs", floor(($"cn" + lit(maxCell - 1)) / lit(maxCell.toDouble)))
+        .withColumn("sub",
+          conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long") % $"nsubs")
+      val a = v.select($"cluster", $"sub", $"vec_id".as("i"), $"embedding".as("ei"))
+      val b = v.select($"cluster", $"sub", $"vec_id".as("j"), $"embedding".as("ej"))
+      val dominated = a.join(b, Seq("cluster", "sub"))
         .filter($"i" < $"j")
         .filter(graft.functions.expressions.quantized_cosine($"ei", $"ej") >= 0.4)
         .select($"j".as("vec_id")).distinct()
@@ -633,14 +644,18 @@ object VectorOps {
       a3 AS (
         SELECT vec_id, xq, cid AS cluster FROM d3
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+      sz AS (
+        SELECT cluster, COUNT(*) AS n FROM a3 GROUP BY cluster),
       withn AS (
-        SELECT vec_id, xq, cluster,
+        SELECT a3.vec_id, a3.xq, a3.cluster,
+               CAST(concat('0x', substr(md5(CAST(a3.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % CAST(FLOOR((s.n + 4095) / 4096.0) AS BIGINT) AS sub,
                list_sum(list_transform(generate_series(1, 64), i -> xq[i] * xq[i])) AS qq
-        FROM a3),
+        FROM a3 JOIN sz s USING (cluster)),
       dominated AS (
         SELECT DISTINCT b.vec_id
         FROM withn a JOIN withn b
-          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
         WHERE CAST(list_sum(list_transform(generate_series(1, 64),
                 i -> a.xq[i] * b.xq[i])) AS DOUBLE)
               / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) >= 0.4)

@@ -544,6 +544,20 @@ class QueriesSpec extends SparkSpec {
     assert(same < nDocs / 2, s"epochs nearly identical: $same of $nDocs fixed points")
   }
 
+  test("q75 sub-split cap only prunes dominations: capped kept is a superset") {
+    val dflt = run("q75_semantic_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.vec.maxCell", "8")
+    try {
+      val capped = run("q75_semantic_dedup").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sub-splitting can only MISS dominations (cross-sub pairs), so
+      // every default-kept vector stays kept, clusters unchanged
+      assert(dflt.keySet.subsetOf(capped.keySet))
+      assert(dflt.forall { case (id, c) => capped(id) == c })
+    } finally spark.conf.unset("graft.vec.maxCell")
+  }
+
   test("q68 bloom decontamination == q46-style exact, and the bloom prunes") {
     import spark.implicits._
     // output equivalence at the declared >= 8 threshold: q68 must agree
