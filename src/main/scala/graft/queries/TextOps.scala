@@ -620,12 +620,10 @@ object TextOps {
   private val q45 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
       Tables.documents(s, d)
-        .select($"doc_id", nibble.as("bucket"),
-          when(nibble <= "9" || nibble === "a" || nibble === "b", "train")
-            .when(nibble === "c" || nibble === "d", "val")
-            .otherwise("test").as("split"))
+        .select($"doc_id",
+          substring(md5($"doc_id".cast("string")), 1, 1).as("bucket"),
+          splitOf($"doc_id").as("split"))
         .orderBy($"doc_id")
     },
     oracle = Some("""
@@ -662,14 +660,10 @@ object TextOps {
     */
   private[queries] def trainTestOverlap(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
-      val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
       // scoped persist (q18's pattern): the train and test subtrees would
       // otherwise each re-run the scan + shingle kernel
       val docs = shingled(s, d)
-        .withColumn("split",
-          when(nibble <= "9" || nibble === "a" || nibble === "b", "train")
-            .when(nibble === "c" || nibble === "d", "val")
-            .otherwise("test"))
+        .withColumn("split", splitOf($"doc_id"))
         .persist()
       try {
         val trainEx = docs.filter($"split" === "train")
@@ -987,12 +981,11 @@ object TextOps {
   private val q56 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
       val keepers = repetitionScores(s, d)
         .filter(qualityKeep)
         .select($"doc_id", $"n_words".as("n_tokens"))
       val train = Tables.documents(s, d)
-        .filter(nibble <= "9" || nibble === "a" || nibble === "b")
+        .filter(splitOf($"doc_id") === "train")
         .select($"doc_id", $"lang", $"source")
       // fractional criterion (≥ 80% of the doc's own shingles covered by
       // the test set): near-verbatim leakage, stable as the corpus grows —
@@ -1172,6 +1165,19 @@ object TextOps {
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
 
+  /** q45's deterministic split assignment, shared by every consumer
+    * (q45, trainTestOverlap/q46/q56, q68): first hex nibble of
+    * md5(doc_id) — 0–b train (12/16), c–d val (2/16), e–f test (2/16).
+    * One definition so the split can never silently diverge between the
+    * split query and the decontamination/materialization stages.
+    */
+  private def splitOf(docId: Column): Column = {
+    val nibble = substring(md5(docId.cast("string")), 1, 1)
+    when(nibble <= "9" || nibble === "a" || nibble === "b", "train")
+      .when(nibble === "c" || nibble === "d", "val")
+      .otherwise("test")
+  }
+
   /** Shared duplicate-occurrence roll-up (q65's word 8-grams, q73's
     * binary frames): given one (doc_id, key) row per span occurrence,
     * collapse to per-(doc, key) counts FIRST — the exploded
@@ -1311,12 +1317,8 @@ object TextOps {
     fn = (s, d) => {
       import s.implicits._
       val E = graft.functions.expressions
-      val nibble = substring(md5($"doc_id".cast("string")), 1, 1)
       val docs = shingled(s, d)
-        .withColumn("split",
-          when(nibble <= "9" || nibble === "a" || nibble === "b", "train")
-            .when(nibble === "c" || nibble === "d", "val")
-            .otherwise("test"))
+        .withColumn("split", splitOf($"doc_id"))
         .persist()
       try {
         val testH = docs.filter($"split" === "test")
