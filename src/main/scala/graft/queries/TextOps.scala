@@ -192,7 +192,12 @@ object TextOps {
         // + array_sort) instead of a sort-based window: the exchange by
         // doc_id is the same, but the partition-wide sort of every
         // (doc, shingle) row is replaced by ~shingles-per-doc-sized
-        // in-row sorts, and only the prefix survives the explode
+        // in-row sorts, and only the prefix survives the explode.
+        // Memory trade: collect_list holds one doc's full (df, h) array
+        // in the agg buffer (~16 B/shingle) where the window form
+        // spilled — bounded because documents are length-bounded
+        // upstream (q48's quality gate); a corpus of pathological
+        // multi-GB "documents" should keep the window form instead
         val prefix = ex.join(dfreq, Seq("h"))
           .groupBy($"doc_id")
           .agg(first($"n").as("n"),
@@ -1123,7 +1128,7 @@ object TextOps {
     * is the standard gate for "mostly-duplicated" pages.
     *
     * Scale shape: the explode emits n−7 grams per document, but each
-    * shuffles as a fixed 32-byte md5 key, not the ~50-byte gram text, and
+    * shuffles as a fixed 16-byte unhex(md5) key, not the ~50-byte gram text, and
     * both legs (document frequency and the flag join) are plain
     * hash-partitioned aggregates with map-side partials — no all-pairs
     * anywhere, cost is O(total tokens), the same as a tokenize pass. The

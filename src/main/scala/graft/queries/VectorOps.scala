@@ -245,11 +245,7 @@ object VectorOps {
       // centroids (the most expensive map stage) re-runs up to 4x
       val cached = assigned.persist()
       try {
-        val sizes = cached.groupBy($"cell").agg(count(lit(1)).as("cn"))
-        val subbed = cached.join(broadcast(sizes), Seq("cell"))
-          .withColumn("nsubs", floor(($"cn" + lit(maxCell - 1)) / lit(maxCell.toDouble)))
-          .withColumn("sub",
-            conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long") % $"nsubs")
+        val subbed = subSplit(cached, "cell", maxCell)
           .select($"cell", $"sub", $"vec_id", $"embedding")
         val a = subbed.select($"cell", $"sub", $"vec_id".as("i"), $"embedding".as("e_i"))
         val b = subbed.select($"cell", $"sub", $"vec_id".as("j"), $"embedding".as("e_j"))
@@ -299,8 +295,7 @@ object VectorOps {
         SELECT cell, COUNT(*) AS n FROM asg GROUP BY cell
       ), sub AS (
         SELECT a.vec_id, a.cell,
-               CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                 % CAST(FLOOR((s.n + 4095) / 4096.0) AS BIGINT) AS sub
+               """ + subSplitSql + """ AS sub
         FROM asg a JOIN sz s USING (cell)
       )
       SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
@@ -484,6 +479,29 @@ object VectorOps {
     * zip_with/aggregate lambdas cost k·dims per row; at real scale the
     * same loop swaps in a QuantizedCosine-style native kernel.
     */
+  /** q38/q75's shared deterministic block sub-split: blocks of `blockCol`
+    * over `maxCell` members split into ceil(size/maxCell) sub-blocks by
+    * md5(vec_id) — ONE definition of the blocking rule (hash width,
+    * ceil-div) so the two dedup queries can never silently diverge; the
+    * SQL twin is [[subSplitSql]]. Adds `sub` (and the broadcast size
+    * join) to `df`, which must carry `vec_id` and `blockCol`. */
+  private def subSplit(df: DataFrame, blockCol: String, maxCell: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("cn"))
+    df.join(broadcast(sizes), Seq(blockCol))
+      .withColumn("nsubs", floor(($"cn" + lit(maxCell - 1)) / lit(maxCell.toDouble)))
+      .withColumn("sub",
+        conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long") % $"nsubs")
+  }
+
+  /** DuckDB twin of [[subSplit]] at the DEFAULT cap (4096 — the pinned
+    * oracle contract): emits the `% CAST(FLOOR((n + 4095) / 4096.0) AS
+    * BIGINT)` sub expression for a row aliased `a` joined to a size
+    * table aliased `s`. */
+  private def subSplitSql: String =
+    """CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % CAST(FLOOR((s.n + 4095) / 4096.0) AS BIGINT)"""
+
   /** The k-means oracle pipeline (quantize, seed, two assign/recenter
     * rounds, final distances) shared VERBATIM by q74's and q75's
     * oracles — one source of truth so the two can never silently
@@ -624,12 +642,7 @@ object VectorOps {
       val maxCell = s.conf.get("graft.vec.maxCell", "4096").toInt
       val assign = kmeansAssign(s, d).select($"vec_id", $"cluster")
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      val sizes = assign.groupBy($"cluster").agg(count(lit(1)).as("cn"))
-      val v = assign.join(emb, "vec_id")
-        .join(broadcast(sizes), Seq("cluster"))
-        .withColumn("nsubs", floor(($"cn" + lit(maxCell - 1)) / lit(maxCell.toDouble)))
-        .withColumn("sub",
-          conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long") % $"nsubs")
+      val v = subSplit(assign.join(emb, "vec_id"), "cluster", maxCell)
       val a = v.select($"cluster", $"sub", $"vec_id".as("i"), $"embedding".as("ei"))
       val b = v.select($"cluster", $"sub", $"vec_id".as("j"), $"embedding".as("ej"))
       val dominated = a.join(b, Seq("cluster", "sub"))
@@ -647,11 +660,10 @@ object VectorOps {
       sz AS (
         SELECT cluster, COUNT(*) AS n FROM a3 GROUP BY cluster),
       withn AS (
-        SELECT a3.vec_id, a3.xq, a3.cluster,
-               CAST(concat('0x', substr(md5(CAST(a3.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                 % CAST(FLOOR((s.n + 4095) / 4096.0) AS BIGINT) AS sub,
+        SELECT a.vec_id, a.xq, a.cluster,
+               """ + subSplitSql + """ AS sub,
                list_sum(list_transform(generate_series(1, 64), i -> xq[i] * xq[i])) AS qq
-        FROM a3 JOIN sz s USING (cluster)),
+        FROM a3 a JOIN sz s USING (cluster)),
       dominated AS (
         SELECT DISTINCT b.vec_id
         FROM withn a JOIN withn b

@@ -405,13 +405,8 @@ object Pipeline {
   def runWindowedHeavyHitters(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, windowLen: String = "1 minute",
       watermark: String = "2 minutes"): StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.TimestampType, nullable = true),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType, nullable = true)))
     s.readStream
-      .schema(schema)
+      .schema("ts TIMESTAMP, text STRING")
       .option("maxFilesPerTrigger", 1)
       .json(inDir)
       .withWatermark("ts", watermark)
