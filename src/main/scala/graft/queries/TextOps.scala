@@ -1623,6 +1623,48 @@ object TextOps {
         FROM e)
       ORDER BY epoch, shard, pos"""))
 
+  /** Q77 — per-source heavy hitters: q67b's sketch-then-recount pattern
+    * as a GROUPED aggregate — one ≤256-entry Misra–Gries buffer PER
+    * SOURCE in the hash-aggregate state (the per-domain top-terms shape
+    * a mixing pipeline monitors), merged partials per key, one
+    * bounded collect (sources × ≤k entries). The MG guarantee holds per
+    * group over its own stream, so each group's candidate set is
+    * complete for its own threshold n_g/257 and the exact recount —
+    * a broadcast (source, token) semi-filter, then a ≤ sources·k-key
+    * agg — yields the deterministic exact answer per source.
+    */
+  private val q77 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"source", explode(words($"text")).as("token"))
+      val sketches = toks.groupBy($"source")
+        .agg(graft.functions.expressions.freq_sketch($"token").as("sk"),
+          count(lit(1)).as("n"))
+        .collect()
+      val cands = sketches.flatMap { r =>
+        val thr = r.getLong(2) / 257L
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (r.getString(0), e.getString(0), thr))
+      }.toSeq
+      val candDf = broadcast(cands.toDF("source", "token", "thr"))
+      toks.join(candDf, Seq("source", "token"))
+        .groupBy($"source", $"token")
+        .agg(first($"thr").as("thr"), count(lit(1)).as("cnt"))
+        .filter($"cnt" > $"thr")
+        .select($"source", $"token", $"cnt")
+        .orderBy($"source", $"cnt".desc, $"token")
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      tot AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source)
+      SELECT t.source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t JOIN tot USING (source)
+      GROUP BY t.source, token, tot.n
+      HAVING COUNT(*) > tot.n // 257
+      ORDER BY source, cnt DESC, token"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -1650,5 +1692,6 @@ object TextOps {
     "q71_inverted_index" -> q71,
     "q72_corpus_qc" -> q72,
     "q76_epoch_shards" -> q76,
+    "q77_heavy_hitters_by_source" -> q77,
   )
 }

@@ -558,6 +558,20 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.unset("graft.vec.maxCell")
   }
 
+  test("q77 per-source heavies == per-source brute force at c > n_g/257") {
+    import spark.implicits._
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", explode(split($"text", " ")).as("token"))
+    val totals = toks.groupBy($"source").agg(count(lit(1)).as("n"))
+    val exact = toks.groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
+      .join(totals, "source")
+      .filter($"cnt" > $"n" / 257L)
+      .select($"source", $"token", $"cnt")
+    val got = run("q77_heavy_hitters_by_source")
+    assert(got.count() == exact.count())
+    assert(got.join(exact, Seq("source", "token", "cnt"), "left_anti").count() == 0)
+  }
+
   test("q68 bloom decontamination == q46-style exact, and the bloom prunes") {
     import spark.implicits._
     // output equivalence at the declared >= 8 threshold: q68 must agree
