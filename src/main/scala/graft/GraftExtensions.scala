@@ -12,11 +12,15 @@ import graft.functions.expressions._
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
   *
-  * so SQL users on a stock cluster get `minhash_signature`,
-  * `quantized_cosine`, `winnow_fingerprint`, `word_shingles`,
-  * `simhash64` without any
+  * so SQL users on a stock cluster get the full kernel surface —
+  * `minhash_signature`, `quantized_cosine`, `winnow_fingerprint`,
+  * `word_shingles`, `simhash64`, `hyperplane_sigs`, `shingle_hashes`,
+  * `quantize_vec`, `sorted_intersect_count`, `word_stats`, `sq_dist`,
+  * the `freq_sketch` heavy-hitter aggregate, and the
+  * `bloom_agg`/`bloom_might_contain` build/probe pair — without any
   * driver-side registration call. (`Sessions.local` additionally
-  * registers them imperatively for programmatic sessions.)
+  * registers them imperatively for programmatic sessions; ExtensionsSpec
+  * exercises this injection path on a stock session.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
