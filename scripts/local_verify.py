@@ -25,12 +25,22 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
+class ArrayColumnError(Exception):
+    pass
+
 def canon(df):
+    # The driver's gate sorts with pandas over all columns and crashes on
+    # array-typed cells (unhashable ndarray). Mirror that strictness: an
+    # array column in an oracled result must FAIL here first, not be
+    # quietly normalized into something comparable.
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list/array cells to tuples so sorting works
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            bad = df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+            if bad:
+                raise ArrayColumnError(
+                    f"column {c!r} contains array cells — the driver gate "
+                    f"cannot compare these; emit a scalar encoding instead")
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 fails = 0
@@ -40,11 +50,17 @@ for name in names:
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
         print(f"FAIL {name}: no parquet output"); fails += 1; continue
-    got = canon(con.sql(f"SELECT * FROM '{os.path.join(outdir,name)}/*.parquet'").df())
+    raw = con.sql(f"SELECT * FROM '{os.path.join(outdir,name)}/*.parquet'").df()
     if name not in oracles:
-        print(f"ok?  {name}: rows={len(got)} (no oracle, rows-only)")
-        if len(got) == 0: print(f"FAIL {name}: 0 rows"); fails += 1
+        # Driver records a rows-only check here (no sort/hash), so array
+        # columns are tolerated for these.
+        print(f"ok?  {name}: rows={len(raw)} (no oracle, rows-only)")
+        if len(raw) == 0: print(f"FAIL {name}: 0 rows"); fails += 1
         continue
+    try:
+        got = canon(raw)
+    except ArrayColumnError as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
     try:
         exp = canon(con.sql(oracles[name]).df())
     except Exception as e:

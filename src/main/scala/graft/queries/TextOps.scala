@@ -1489,6 +1489,11 @@ object TextOps {
     * set; the collected array is bounded at 32 by construction. The df
     * leg is a plain map-side-combined count at token granularity. Both
     * legs shuffle by token; the join is small-by-small.
+    *
+    * The posting list is emitted space-joined (one scalar string per
+    * token, bounded at 32 ids) rather than as an array column: the
+    * correctness gate compares flat cells, and a scalar encoding keeps
+    * the output hashable everywhere.
     */
   private val q71 = Q(
     fn = (s, d) => {
@@ -1502,7 +1507,9 @@ object TextOps {
           Window.partitionBy($"token").orderBy($"doc_id")))
         .filter($"rk" <= 32)
         .groupBy($"token")
-        .agg(sort_array(collect_list($"doc_id")).as("postings"))
+        .agg(array_join(
+          transform(sort_array(collect_list($"doc_id")), _.cast("string")),
+          " ").as("postings"))
       dfreq.join(postings, "token")
         .select($"token", $"df", $"postings")
         .orderBy($"token")
@@ -1512,7 +1519,7 @@ object TextOps {
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
         FROM documents)
       SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
-             (list(doc_id ORDER BY doc_id))[1:32] AS postings
+             array_to_string((list(doc_id ORDER BY doc_id))[1:32], ' ') AS postings
       FROM dt
       GROUP BY token
       ORDER BY token"""))

@@ -434,7 +434,8 @@ class QueriesSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getLong(1)
-      val postings = r.getSeq[Long](2)
+      // postings is a space-joined scalar string (gate-comparable encoding)
+      val postings = r.getString(2).split(' ').toSeq.map(_.toLong)
       assert(postings.nonEmpty && postings.length <= 32)
       assert(postings == postings.sorted, s"unsorted postings for ${r.getString(0)}")
       assert(df >= postings.length)
