@@ -715,6 +715,42 @@ object expressions {
       copy(child = c)
   }
 
+  /** Probe a `bloom_agg`-serialized filter shipped as a BROADCAST
+    * VARIABLE instead of a plan literal. `lit(bloomBytes)` is correct but
+    * embeds the filter in every plan representation — explain strings,
+    * the UI, the serialized logical plan — which at 100 TB (a multi-MB
+    * filter over a large held-out set) bloats the driver and every plan
+    * copy. Here the expression carries only the broadcast HANDLE (a few
+    * bytes: serialized `Broadcast` is just its id); executors fetch the
+    * payload once via the torrent protocol and deserialize the filter
+    * once per task thread ([[filter]] is a transient lazy).
+    *
+    * Mirrors `BloomFilterMightContain`'s semantics exactly (same
+    * `BloomFilter.readFrom` + `mightContainLong`), so swapping it in
+    * changes no results — q68 pins bit-identity against the exact plan.
+    */
+  case class BloomProbeBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, LongType, "bloom_probe_bc")
+    @transient private lazy val filter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value))
+    def probe(v: Long): Boolean = filter.mightContainLong(v)
+    override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("bloomProbe", this,
+        classOf[BloomProbeBroadcast].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.probe($v);")
+    }
+    override def toString: String = s"bloom_probe_bc(broadcast#${bc.id}, $child)"
+    override protected def withNewChildInternal(c: Expression): BloomProbeBroadcast =
+      copy(child = c)
+  }
+
   /** Register the kernels in the session's function registry (idempotent;
     * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
     * Expression→Column constructors are sql-private in Spark 4, so the
@@ -807,4 +843,26 @@ object expressions {
     call_function("bloom_agg", hashed, estItems)
   def bloom_might_contain(bloom: Column, hashed: Column): Column =
     call_function("bloom_might_contain", bloom, hashed)
+
+  /** [[BloomProbeBroadcast]] as a Column. Expression→Column constructors
+    * are sql-private in Spark 4, so this routes through the function
+    * registry like everything else — but the broadcast is per-call state,
+    * so the builder is (re-)registered here, capturing `bc`. The binding
+    * happens at ANALYSIS of the returned Column, so a caller that defers
+    * its action past another registration would bind the wrong filter:
+    * force analysis eagerly (e.g. `df.queryExecution.analyzed`) before
+    * building a second probe, as q68 does.
+    */
+  def bloom_probe_broadcast(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      hashed: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_probe_bc",
+      exprs => {
+        require(exprs.length == 1, "bloom_probe_bc requires exactly 1 argument")
+        BloomProbeBroadcast(bc, exprs.head)
+      }, "scala_udf")
+    call_function("bloom_probe_bc", hashed)
+  }
 }

@@ -1298,11 +1298,11 @@ object TextOps {
     *  1. build ONE bloom filter over the test split's shingle hashes
     *     (Spark's own matched BloomFilterAggregate/BloomFilterMightContain
     *     pair — the runtime-filter machinery, surfaced as functions);
-    *     the serialized filter is driver-held and broadcast as a literal,
-    *     exactly like a broadcast dim (~1.2 MB per 10⁶ distinct shingles
-    *     at the default 3 % FPP — eval suites are small by definition;
-    *     a test set so big the filter stops fitting has stopped being a
-    *     held-out set);
+    *     the serialized filter (~1.2 MB per 10⁶ distinct shingles at the
+    *     default 3 % FPP) ships as a BROADCAST VARIABLE probed by
+    *     `BloomProbeBroadcast`, so the plan carries only the broadcast
+    *     handle and plan size stays O(1) however large the held-out set
+    *     grows — executors fetch the payload once via torrent;
     *  2. probe every train doc's shingle array SCAN-SIDE (a codegen'd
     *     `filter(hs, h -> might_contain(...))` — no join, no shuffle) and
     *     keep docs with >= 8 probable hits. Bloom has no false negatives,
@@ -1336,19 +1336,31 @@ object TextOps {
         val bloom = testH
           .agg(E.bloom_agg($"h", lit(nTest)).as("bf"))
           .collect()(0).getAs[Array[Byte]](0)
-        require(bloom != null, "empty test split: no bloom filter built")
-        val candidates = docs.filter($"split" === "train")
-          .withColumn("n_hit",
-            size(filter($"hs", h => E.bloom_might_contain(lit(bloom), h)))
-              .cast("long"))
-          .filter($"n_hit" >= 8)
-        candidates.select($"doc_id", explode($"hs").as("h"))
-          .join(testH, Seq("h"))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_shared"))
-          .filter($"n_shared" >= 8)
-          .select($"doc_id", $"n_shared")
-          .orderBy($"doc_id")
+        if (bloom == null) {
+          // empty test split → nothing can be contaminated; the exact
+          // plan (and the oracle) return the empty set, so we must too,
+          // not fail the query
+          Seq.empty[(Long, Long)].toDF("doc_id", "n_shared")
+        } else {
+          // ship the filter as a broadcast variable, not a plan literal:
+          // plan size stays O(1) as the held-out set grows (see
+          // BloomProbeBroadcast scaladoc); ExpressionsSpec pins this
+          val bc = s.sparkContext.broadcast(bloom)
+          val candidates = docs.filter($"split" === "train")
+            .withColumn("n_hit",
+              size(filter($"hs", h => E.bloom_probe_broadcast(s, bc, h)))
+                .cast("long"))
+            .filter($"n_hit" >= 8)
+          val out = candidates.select($"doc_id", explode($"hs").as("h"))
+            .join(testH, Seq("h"))
+            .groupBy($"doc_id")
+            .agg(count(lit(1)).as("n_shared"))
+            .filter($"n_shared" >= 8)
+            .select($"doc_id", $"n_shared")
+            .orderBy($"doc_id")
+          out.queryExecution.analyzed // bind bloom_probe_bc to THIS bc now
+          out
+        }
       } finally docs.unpersist()
     },
     oracle = Some("""

@@ -222,6 +222,36 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("bloom_probe_broadcast == literal probe; plan size O(1) in filter size") {
+    import spark.implicits._
+    val hs = (1L to 5000L).toDF("h")
+    val bf = hs.agg(expressions.bloom_agg($"h", lit(5000L)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(bf)
+    val probeRange = (4000L to 6000L).toDF("h")
+    // bit-identical verdicts vs the literal form on hits AND misses
+    val viaBc = probeRange
+      .filter(expressions.bloom_probe_broadcast(spark, bc, $"h"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaLit = probeRange
+      .filter(expressions.bloom_might_contain(lit(bf), $"h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaBc == viaLit)
+    // plan representations carry the broadcast handle, not the payload:
+    // the filter is ~KBs, every plan string must stay far below it
+    val planned = probeRange.filter(expressions.bloom_probe_broadcast(spark, bc, $"h"))
+    val qe = planned.queryExecution
+    assert(bf.length > 4000, s"test filter unexpectedly small: ${bf.length}")
+    for (p <- Seq(qe.analyzed.toString, qe.optimizedPlan.toString, qe.executedPlan.toString))
+      assert(p.length < 4000, s"plan string grew with the bloom payload: ${p.length} chars")
+    // and the lambda path (how q68 uses it) agrees with the scalar path
+    val arr = Seq((1L, Seq(1L, 2L, 9999999L))).toDF("id", "hs")
+      .select($"id", size(filter($"hs",
+        h => expressions.bloom_probe_broadcast(spark, bc, h))).as("n_hit"))
+      .head().getInt(1)
+    assert(arr == 2)
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
