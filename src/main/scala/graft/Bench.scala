@@ -90,6 +90,10 @@ object Bench {
     // unique by construction: q01, q09b, q36c, ...): at 68+ queries the
     // full names alone are ~1300 chars, overflowing the 2000-char tail
     // window; full name -> id mapping is SparkEntry.queries/stderr
+    val ids = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    require(ids.distinct.size == ids.size,
+      s"duplicate query-id prefixes would silently collapse JSON keys: " +
+        ids.groupBy(identity).collect { case (id, g) if g.size > 1 => id }.mkString(", "))
     val qs = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -57,8 +57,13 @@ package object queries {
     *
     * NOT for arbitrary doubles (a 5th decimal digit ties differently than
     * BigDecimal HALF_UP) — events.value stays on [[decSum]]. Overflow
-    * headroom: 9.2·10¹⁸ unscaled = ~10¹² rows of 10⁶-magnitude money;
-    * ANSI mode raises rather than wrapping if a deployment ever trips it.
+    * headroom: 9.2·10¹⁸ unscaled = ~10¹² rows of 10⁶-magnitude money per
+    * GROUP. Past that the long sum WRAPS SILENTLY under Spark's default
+    * non-ANSI arithmetic — only `spark.sql.ansi.enabled=true` turns the
+    * wrap into an error. Deployments whose per-group row counts could
+    * approach the headroom must either run ANSI or use [[decSum]]; this
+    * engine's call sites (TPC-H money at ≤10⁹ rows/group even at 100 TB)
+    * sit ≥3 orders of magnitude inside it.
     */
   def decSumFast(c: Column): Column =
     (sum(round(c * 10000).cast("long")).cast("decimal(38,0)") / lit(10000L))
