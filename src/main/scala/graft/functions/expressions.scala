@@ -751,6 +751,94 @@ object expressions {
       copy(child = c)
   }
 
+  /** PPJoin in-bucket pair generation: array<struct<doc_id:long, n:int,
+    * rk:int>> (one bucket's prefix entries) → array<struct<a:long,
+    * b:long>> of the candidate pairs surviving the cap, length and
+    * position filters — the one tight loop replacing q18's
+    * nested-`transform` pair explosion (6-field struct construction per
+    * raw pair through interpreted HOF lambdas was the q18 bench ceiling).
+    *
+    * Bit-identical semantics to the declarative form it replaced:
+    *  - cap: buckets larger than `maxBucket` are sorted ascending and
+    *    truncated (entries are unique by doc_id within a bucket, so
+    *    doc_id order == full struct order) — `capBucket`'s rule;
+    *  - length filter: `ny >= nx*t && nx >= ny*t` in the same int×double
+    *    arithmetic as the Column form;
+    *  - position filter: `min(nx-rkx, ny-rky) + 1 >= floor((nx+ny+2)/3)`
+    *    — the integer alpha for t = 0.5 (callers with t > 0.5 get a
+    *    weaker-but-lossless bound; t < 0.5 would over-prune, same
+    *    contract as the expression this replaces);
+    *  - pair orientation: a = min(doc_id), b = max(doc_id).
+    */
+  case class PPJoinPairs(child: Expression, t: Double, maxBucket: Int)
+      extends UnaryExpression {
+    private val entryType = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n", IntegerType),
+      StructField("rk", IntegerType)))
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))),
+      containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(entryType), "ppjoin_pairs")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      var m = arr.numElements()
+      // unpack once: primitive columns beat repeated struct accessor calls
+      var ids = new Array[Long](m)
+      var ns = new Array[Int](m)
+      var rks = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val e = arr.getStruct(i, 3)
+        ids(i) = e.getLong(0); ns(i) = e.getInt(1); rks(i) = e.getInt(2)
+        i += 1
+      }
+      if (m > maxBucket) {
+        val order = Array.range(0, m).sortBy(ids)
+        val (ids2, ns2, rks2) =
+          (new Array[Long](maxBucket), new Array[Int](maxBucket), new Array[Int](maxBucket))
+        i = 0
+        while (i < maxBucket) {
+          val o = order(i)
+          ids2(i) = ids(o); ns2(i) = ns(o); rks2(i) = rks(o)
+          i += 1
+        }
+        ids = ids2; ns = ns2; rks = rks2; m = maxBucket
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < m) {
+        val nx = ns(i)
+        var j = i + 1
+        while (j < m) {
+          val ny = ns(j)
+          if (ny >= nx * t && nx >= ny * t) {
+            val pos = math.min(nx - rks(i), ny - rks(j)) + 1
+            if (pos >= (nx + ny + 2) / 3) {
+              val a = math.min(ids(i), ids(j))
+              val b = math.max(ids(i), ids(j))
+              out += org.apache.spark.sql.catalyst.InternalRow(a, b)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ppj", this, classOf[PPJoinPairs].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): PPJoinPairs =
+      copy(child = c)
+  }
+
   /** Register the kernels in the session's function registry (idempotent;
     * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
     * Expression→Column constructors are sql-private in Spark 4, so the
@@ -795,6 +883,16 @@ object expressions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("freq_sketch",
       exprs => FreqSketch(one("freq_sketch")(exprs), 256), "scala_udf")
+    reg.createOrReplaceTempFunction("ppjoin_pairs",
+      exprs => {
+        require(exprs.length == 3,
+          "ppjoin_pairs requires exactly 3 arguments (bucket, t, maxBucket)")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "ppjoin_pairs t/maxBucket must be literals")
+        PPJoinPairs(exprs(0),
+          exprs(1).eval().toString.toDouble,
+          exprs(2).eval().toString.toInt)
+      }, "scala_udf")
     // Spark's own runtime-filter bloom pair (catalyst aggregate +
     // scalar probe, a matched serialization), surfaced as callable
     // functions: build once over the small side, probe as a broadcast
@@ -839,6 +937,10 @@ object expressions {
     call_function("sq_dist", a, b)
   def freq_sketch(token: Column): Column =
     call_function("freq_sketch", token)
+  def ppjoin_pairs(bucket: Column, t: Double, maxBucket: Int): Column =
+    call_function("ppjoin_pairs", bucket,
+      org.apache.spark.sql.functions.lit(t),
+      org.apache.spark.sql.functions.lit(maxBucket))
   def bloom_agg(hashed: Column, estItems: Column): Column =
     call_function("bloom_agg", hashed, estItems)
   def bloom_might_contain(bloom: Column, hashed: Column): Column =

@@ -54,7 +54,7 @@ object TextOps {
     * scale the corpus arrives as many splits and this is a cheap
     * round-robin of ~1 task's data.
     */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
+  private[queries] def shingled(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -84,8 +84,17 @@ object TextOps {
     * collision shifts one pair's `common` by 1 only if the two colliding
     * shingles land in the same candidate pair — the practical standard
     * for dedup at scale; `n_i`/`n_j` stay exact string-distinct counts).
+    *
+    * `cand` MAY CONTAIN DUPLICATES (a pair found via several shared
+    * prefix shingles / LSH bands): duplicate candidates verify to
+    * bit-identical rows, and the `distinct()` here dedups the verified
+    * SURVIVORS — orders of magnitude fewer rows than the candidate set,
+    * so deduplicating after verification saves the candidate-side
+    * shuffle both q18 and q19 used to pay. The extra verification work
+    * on duplicate candidates is a per-row array merge against a
+    * broadcast — cheaper than the exchange it replaces.
     */
-  private def verifyPairs(cand: DataFrame, docs: DataFrame, minJaccard: Double): DataFrame = {
+  private[queries] def verifyPairs(cand: DataFrame, docs: DataFrame, minJaccard: Double): DataFrame = {
     import cand.sparkSession.implicits._
     // candidate pairs are tiny relative to the corpus: broadcast them so
     // the two shingle-set lookups stay shuffle-free map-side joins
@@ -98,6 +107,7 @@ object TextOps {
       .filter($"jaccard" >= minJaccard)
       .select($"i", $"j", $"n_i".cast("long").as("n_i"),
         $"n_j".cast("long").as("n_j"), $"common", $"jaccard")
+      .distinct()
       .orderBy($"i", $"j")
   }
 
@@ -180,7 +190,20 @@ object TextOps {
       // before the cache is released, so nothing stays pinned after the
       // query returns.
       val docs = shingled(s, d).persist()
-      try {
+      try verifyPairs(ppjoinCandidates(docs, t), docs, t).localCheckpoint()
+      finally docs.unpersist()
+  }
+
+  /** q18's candidate-generation leg (PPJoin prefix + length + position
+    * filters over a shingled corpus), exposed for reuse and leg-level
+    * profiling. Returns (i, j) candidate pairs, i < j — possibly with
+    * duplicates (one per shared prefix shingle); [[verifyPairs]] dedups
+    * after verification, where the row count is far smaller.
+    */
+  private[queries] def ppjoinCandidates(docs: DataFrame, t: Double): DataFrame = {
+      import docs.sparkSession.implicits._
+      {
+        val s = docs.sparkSession
         // Work on the 8-byte shingle hashes (`hs`, hashed once under the
         // cache), not strings: df counting, ranking and bucketing only
         // need a consistent identity, and a rare hash collision merely
@@ -205,30 +228,32 @@ object TextOps {
           .select($"doc_id", $"n",
             posexplode(slice($"sh", lit(1),
               ($"n" - ceil($"n" * t) + 1).cast("int"))).as(Seq("p0", "e")))
+          // rare-first ranking puts the df=1 shingles at the FRONT of
+          // every prefix, and a df=1 shingle's bucket has exactly one
+          // entry — it can never produce a pair. Dropping them AFTER the
+          // slice (ranks are already assigned, so the position filter's
+          // rk values are unchanged) typically sheds the majority of the
+          // bucket-shuffle volume. Lossless: `size(ds) > 1` discarded the
+          // same rows a shuffle later.
+          .filter($"e.df" > 1)
           .select($"doc_id", $"n", ($"p0" + 1).as("rk"), $"e.h".as("h"))
         // Bucket-collect pair generation (prefix entries computed once, no
-        // self-join): group by shingle hash, explode in-bucket pairs. The
-        // length filter (t*n_i <= n_j) and the position filter (see the
-        // Scaladoc proof) prune before the exact verification; both are
-        // symmetric in (x, y) so the least/greatest id ordering never
-        // splits an (n, rk) pair across documents.
+        // self-join): group by shingle hash, then one native kernel pass
+        // per bucket (PPJoinPairs) applies the cap, the length filter
+        // (t*n_i <= n_j) and the position filter (see the Scaladoc proof)
+        // in a tight primitive loop — the nested-transform explosion it
+        // replaced built a 6-field struct per raw pair through
+        // interpreted lambdas and was the q18 bench ceiling. Both filters
+        // are symmetric in (x, y) so the kernel's min/max id ordering
+        // never splits an (n, rk) pair across documents.
         val cand = prefix.groupBy($"h")
           .agg(collect_list(struct($"doc_id", $"n", $"rk")).as("ds"))
           .filter(size($"ds") > 1)
-          .withColumn("ds", capBucket($"ds", maxBucket(s)))
-          .select(explode(flatten(transform($"ds", (x, ix) =>
-            transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
-              y => struct(least(x("doc_id"), y("doc_id")).as("a"),
-                greatest(x("doc_id"), y("doc_id")).as("b"),
-                x("n").as("nx"), y("n").as("ny"),
-                x("rk").as("rkx"), y("rk").as("rky")))))).as("p"))
-          .filter($"p.ny" >= $"p.nx" * t && $"p.nx" >= $"p.ny" * t)
-          .filter(least($"p.nx" - $"p.rkx", $"p.ny" - $"p.rky") + 1 >=
-            floor(($"p.nx" + $"p.ny" + 2) / 3))
+          .select(explode(graft.functions.expressions
+            .ppjoin_pairs($"ds", t, maxBucket(s))).as("p"))
           .select($"p.a".as("i"), $"p.b".as("j"))
-          .distinct()
-        verifyPairs(cand, docs, t).localCheckpoint()
-      } finally docs.unpersist()
+        cand
+      }
   }
 
   private val q18 = Q(
@@ -404,7 +429,6 @@ object TextOps {
             transform(slice($"ids", ix + 2, greatest(size($"ids") - ix - 1, lit(0))),
               y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
           .select($"p.a".as("i"), $"p.b".as("j"))
-          .distinct()
         verifyPairs(cand, docs, 0.5).localCheckpoint()
       } finally docs.unpersist()
   }

@@ -252,6 +252,44 @@ class ExpressionsSpec extends SparkSpec {
     assert(arr == 2)
   }
 
+  test("ppjoin_pairs == declarative cap+explode+length+position form") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val t = 0.5
+    val cap = 4
+    // buckets: normal, cap-triggering (6 > 4, unsorted input order),
+    // singleton, and one where the filters disagree per pair
+    val buckets = Seq(
+      Seq((10L, 40, 3), (7L, 42, 1), (30L, 80, 2), (12L, 41, 20)),
+      Seq((9L, 50, 2), (3L, 50, 1), (6L, 50, 3), (1L, 50, 4), (8L, 50, 5), (2L, 50, 6)),
+      Seq((5L, 30, 1)),
+      Seq((100L, 10, 1), (101L, 21, 1), (102L, 20, 9), (103L, 20, 2)))
+      .toDF("raw")
+      .select(transform($"raw", e =>
+        struct(e("_1").as("doc_id"), e("_2").as("n"), e("_3").as("rk"))).as("ds"))
+    def declPairs(ds: Column): org.apache.spark.sql.DataFrame = {
+      val capped = when(size(ds) > cap, slice(array_sort(ds), 1, cap)).otherwise(ds)
+      buckets.select(capped.as("ds"))
+        .select(explode(flatten(transform($"ds", (x, ix) =>
+          transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
+            y => struct(least(x("doc_id"), y("doc_id")).as("a"),
+              greatest(x("doc_id"), y("doc_id")).as("b"),
+              x("n").as("nx"), y("n").as("ny"),
+              x("rk").as("rkx"), y("rk").as("rky")))))).as("p"))
+        .filter($"p.ny" >= $"p.nx" * t && $"p.nx" >= $"p.ny" * t)
+        .filter(least($"p.nx" - $"p.rkx", $"p.ny" - $"p.rky") + 1 >=
+          floor(($"p.nx" + $"p.ny" + 2) / 3))
+        .select($"p.a", $"p.b")
+    }
+    val native = buckets
+      .select(explode(expressions.ppjoin_pairs($"ds", t, cap)).as("p"))
+      .select($"p.a", $"p.b")
+    val d = declPairs($"ds").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val n = native.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(d.nonEmpty, "test buckets produced no declarative pairs — fixture broken")
+    assert(n == d)
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
