@@ -441,4 +441,39 @@ object Pipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** EXACTLY-ONCE streaming metrics store without a transactional table
+    * format (SURVEY §2.9's delivery row, store side). [[runMetricsPipeline]]
+    * appends finalized windows, so a micro-batch replayed after a crash
+    * between the sink write and the checkpoint commit appends its rows
+    * TWICE — the classic at-least-once foreachBatch failure. Here each
+    * micro-batch UPSERTS its (vehicle_id, time_bucket)-keyed window
+    * aggregates through [[Sinks.upsertPartitioned]]: a replayed batch
+    * re-executes against the same state-store version, emits the same
+    * update rows, and the upsert rewrites the same keys to the same
+    * values — convergent, so replay count does not change the store.
+    *
+    * Update output mode: a window's aggregate is emitted (and upserted)
+    * every batch it changes in, and the key's final winner is the last
+    * refinement — readers between batches see the best-so-far value
+    * instead of waiting for watermark finalization, and the store still
+    * converges to exactly the clean-run content (StreamingSpec pins
+    * replayed-batch == single-clean-run byte equality).
+    *
+    * Scale: upsert cost per batch is bounded by the day partitions the
+    * batch touches (see upsertPartitioned) — for a watermarked stream
+    * that's the recent days only, not table history.
+    */
+  def runUpsertMetricsPipeline(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery =
+    speedMetricsByWindow(telemetryFileStream(s, inDir, maxFilesPerTrigger))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.upsertPartitioned(s, batch, s"$outDir/speed_metrics_store",
+          keyCols = Seq("vehicle_id", "time_bucket"), timeCol = "time_bucket")
+      }
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

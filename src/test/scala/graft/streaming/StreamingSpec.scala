@@ -72,6 +72,64 @@ class StreamingSpec extends SparkSpec {
       .count() == 0, "open window beyond watermark is not emitted")
   }
 
+  test("upsert metrics store: a replayed micro-batch converges to the clean run") {
+    def metRow(vid: Int, t: String, kmh: Int, viol: Boolean = false) =
+      s"""{"vehicle_id":"$vid","timestamp":"$t","current_speed_kmh":"$kmh","speed_limit_violation":"$viol"}"""
+    val in = tmpDir("ups_in")
+    // three files -> three micro-batches (maxFilesPerTrigger = 1); the
+    // same window is refined across batches so update-mode partials flow
+    val files = Seq(
+      "b1.jsonl" -> Seq(
+        metRow(1, "2026-03-01 08:00:10", 60),
+        metRow(2, "2026-03-01 08:00:20", 50)),
+      "b2.jsonl" -> Seq(
+        metRow(1, "2026-03-01 08:00:50", 80, viol = true),
+        metRow(1, "2026-03-01 08:01:10", 40)),
+      "b3.jsonl" -> Seq(
+        metRow(2, "2026-03-01 08:10:00", 30)))
+    files.foreach { case (n, rows) => writeJsonl(in, n, rows: _*) }
+
+    def store(out: String): Seq[String] =
+      spark.read.parquet(s"$out/speed_metrics_store")
+        .orderBy("vehicle_id", "time_bucket")
+        .collect().map(_.toString).toSeq
+
+    def runToCompletion(out: String, ckpt: String): Unit = {
+      val q = Pipeline.runUpsertMetricsPipeline(spark, in, out, ckpt,
+        maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      q.stop() // release the checkpoint before any same-path restart
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+
+    // clean run: no failures, every batch committed exactly once
+    val outA = tmpDir("ups_outA")
+    runToCompletion(outA, tmpDir("ups_ckptA"))
+    val clean = store(outA)
+    assert(clean.nonEmpty)
+
+    // crash-replay run: drop the LAST batch's commit marker after a full
+    // run — exactly the state after a crash between the foreachBatch sink
+    // write and the checkpoint commit — and restart. The restarted query
+    // re-executes that batch against the same state version and upserts
+    // the same rows again.
+    val outB = tmpDir("ups_outB")
+    val ckptB = tmpDir("ups_ckptB")
+    runToCompletion(outB, ckptB)
+    val commits = new java.io.File(s"$ckptB/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 3, s"expected >=3 micro-batches, got ${commits.length}")
+    assert(commits.last.delete())
+    // the local FS keeps a checksum sidecar; a stale one makes the
+    // re-written commit look like a concurrent writer's
+    new java.io.File(s"$ckptB/commits/.${commits.last.getName}.crc").delete()
+    runToCompletion(outB, ckptB)
+    assert(store(outB) == clean,
+      "replayed micro-batch must leave the store row-identical to a single clean run")
+  }
+
   test("progress listener records per-batch input rows without touching the query") {
     val in = tmpDir("obs_in")
     val out = tmpDir("obs_out")
