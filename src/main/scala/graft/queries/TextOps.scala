@@ -824,19 +824,36 @@ object TextOps {
     * for mixing ratios while staying exactly portable SQL (no float
     * thresholds, no engine hash functions).
     */
+  /** q49's default mixing table: per-language keep_n of 256 buckets. */
+  private[graft] val defaultMix: Seq[(String, Int)] =
+    Seq(("en", 128), ("fr", 192), ("de", 192), ("es", 224), ("zh", 256))
+
+  /** q49's mixing core, shared with the streaming twin
+    * ([[graft.streaming.Pipeline.mixedDocumentStream]]): md5 bucket of
+    * doc_id computed scan-side, broadcast join against the mixing table,
+    * keep rows whose bucket falls under their language's keep_n, attach
+    * the inverse-probability `weight`. Stateless and scan-local, so it
+    * runs identically on batch and streaming frames; all input columns
+    * pass through.
+    */
+  private[graft] def domainMix(docs: DataFrame, mix: DataFrame): DataFrame = {
+    val hexpos = "instr('0123456789abcdef', substr(md5(cast(doc_id as string)), %d, 1))"
+    val bucket = expr(s"(${hexpos.format(1)} - 1) * 16 + ${hexpos.format(2)} - 1")
+    docs
+      .withColumn("bucket", bucket.cast("long"))
+      .join(broadcast(mix), Seq("lang"))
+      .filter(col("bucket") < col("keep_n"))
+      .withColumn("weight", lit(256.0) / col("keep_n"))
+      .drop("bucket", "keep_n")
+  }
+
   private val q49 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val mix = Seq(("en", 128), ("fr", 192), ("de", 192), ("es", 224), ("zh", 256))
-        .toDF("lang", "keep_n")
-      val hexpos = "instr('0123456789abcdef', substr(md5(cast(doc_id as string)), %d, 1))"
-      val bucket = expr(s"(${hexpos.format(1)} - 1) * 16 + ${hexpos.format(2)} - 1")
-      Tables.documents(s, d)
-        .select($"doc_id", $"lang", $"source", bucket.cast("long").as("bucket"))
-        .join(broadcast(mix), Seq("lang"))
-        .filter($"bucket" < $"keep_n")
-        .select($"doc_id", $"lang", $"source",
-          (lit(256.0) / $"keep_n").as("weight"))
+      domainMix(
+        Tables.documents(s, d).select($"doc_id", $"lang", $"source"),
+        defaultMix.toDF("lang", "keep_n"))
+        .select($"doc_id", $"lang", $"source", $"weight")
         .orderBy($"doc_id")
     },
     oracle = Some("""

@@ -464,6 +464,48 @@ object Pipeline {
     * batch touches (see upsertPartitioned) — for a watermarked stream
     * that's the recent days only, not table history.
     */
+  /** Streaming twin of q49's stratified domain mixing: documents arrive
+    * as a watermarked JSONL stream and pass through EXACTLY the batch
+    * mixing core ([[graft.queries.TextOps.domainMix]] — md5-bucket
+    * thresholding against a broadcast mixing table), so a document
+    * survives the stream iff it survives the batch query: sampling is a
+    * pure function of doc_id, no rand(), no per-batch state. The filter
+    * is scan-local (prunes before any shuffle or sink write); the static
+    * mixing table joins as a broadcast; the watermark bounds event time
+    * for any downstream windowed consumer. StreamingSpec pins realized
+    * per-language rates (and the full surviving row set) equal to the
+    * batch form on the same rows.
+    */
+  def mixedDocumentStream(s: SparkSession, inDir: String,
+      mix: Seq[(String, Int)] = graft.queries.TextOps.defaultMix,
+      watermark: String = "10 minutes",
+      maxFilesPerTrigger: Int = 10): DataFrame = {
+    import s.implicits._
+    val docs = s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, lang STRING, source STRING, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .withWatermark("ts", watermark)
+    graft.queries.TextOps.domainMix(docs, mix.toDF("lang", "keep_n"))
+  }
+
+  /** [[mixedDocumentStream]] materialized to a day-partitioned parquet
+    * store (the sampled-corpus landing zone a training pipeline reads).
+    */
+  def runMixedIngest(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, mix: Seq[(String, Int)] = graft.queries.TextOps.defaultMix,
+      maxFilesPerTrigger: Int = 10): StreamingQuery =
+    mixedDocumentStream(s, inDir, mix, maxFilesPerTrigger = maxFilesPerTrigger)
+      .withColumn("p_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/mixed_documents")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("p_date")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def runUpsertMetricsPipeline(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery =
     speedMetricsByWindow(telemetryFileStream(s, inDir, maxFilesPerTrigger))

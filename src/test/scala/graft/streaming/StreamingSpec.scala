@@ -130,6 +130,45 @@ class StreamingSpec extends SparkSpec {
       "replayed micro-batch must leave the store row-identical to a single clean run")
   }
 
+  test("streaming domain mixing: realized rates == batch q49 core on the same rows") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val in = tmpDir("mix_in")
+    val out = tmpDir("mix_out")
+    val ckpt = tmpDir("mix_ckpt")
+    def doc(id: Long, lang: String, src: String) =
+      s"""{"ts":"2026-03-01 08:0${id % 10}:00","doc_id":$id,"lang":"$lang","source":"$src","text":"w$id"}"""
+    val langs = Seq("en", "fr", "de", "es", "zh")
+    // 200 docs over 5 languages, split across two files -> two batches
+    val rows = (0L until 200L).map(i => doc(i, langs((i % 5).toInt), s"s${i % 3}"))
+    writeJsonl(in, "b1.jsonl", rows.take(120): _*)
+    writeJsonl(in, "b2.jsonl", rows.drop(120): _*)
+
+    Pipeline.runMixedIngest(spark, in, out, ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$out/mixed_documents")
+      .select($"doc_id", $"lang", $"source", $"weight")
+
+    // the batch core on exactly the same input rows
+    val batch = graft.queries.TextOps.domainMix(
+      spark.read.schema("ts TIMESTAMP, doc_id LONG, lang STRING, source STRING, text STRING")
+        .json(in),
+      graft.queries.TextOps.defaultMix.toDF("lang", "keep_n"))
+      .select($"doc_id", $"lang", $"source", $"weight")
+
+    val sSet = streamed.collect().map(_.toString).sorted.toSeq
+    val bSet = batch.collect().map(_.toString).sorted.toSeq
+    assert(sSet.nonEmpty && sSet == bSet,
+      "streaming survivors (ids, langs, weights) must equal the batch core's")
+
+    // realized per-language rates match, and mixing actually mixes: en is
+    // sampled at ~half the rate of zh (keep_n 128 vs 256)
+    val rates = streamed.groupBy($"lang").agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("zh") == 40L, "zh keep_n=256 keeps every bucket")
+    assert(rates("en") < rates("zh"))
+  }
+
   test("progress listener records per-batch input rows without touching the query") {
     val in = tmpDir("obs_in")
     val out = tmpDir("obs_out")
