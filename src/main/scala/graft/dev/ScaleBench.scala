@@ -1,0 +1,35 @@
+package graft.dev
+
+import graft.{Sessions, SparkEntry}
+
+/** SCALE.md measurement harness: run the dedup/ANN/CC family over the
+  * GenCorpus synthetic corpora at several multipliers in ONE session and
+  * print min-of-N seconds per (query, scale) — the input to the measured
+  * scaling curves (dev tool; Bench.scala stays the driver-facing
+  * benchmark).
+  *
+  *   sbt "runMain graft.dev.ScaleBench /root/repo/tmp_scale 3 x1,x10,x100"
+  */
+object ScaleBench {
+  private val QUERIES = Seq(
+    "q17_dedup_exact", "q18_neardup_jaccard", "q19_neardup_minhash_lsh",
+    "q47_dedup_clusters", "q38_neardup_embedding", "q75_semantic_dedup",
+    "q67b_heavy_hitters_sketch", "q70_token_budget_trim")
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/root/repo/tmp_scale")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val scales = args.lift(2).map(_.split(',').toSeq).getOrElse(Seq("x1", "x10", "x100"))
+    val s = Sessions.local()
+    for (scale <- scales; q <- QUERIES) {
+      val fn = SparkEntry.queries(q)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(s, s"$root/$scale").write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale] $scale%-5s $q%-28s min=${times.min}%8.3f s  (all: ${times.map(t => f"$t%.2f").mkString(" ")})")
+    }
+    s.stop()
+  }
+}

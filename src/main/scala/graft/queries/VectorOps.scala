@@ -219,6 +219,13 @@ object VectorOps {
     * NOTE: the oracle pins the DEFAULT maxCell (4096) — the session knob
     * exists for deployments and for the sub-split spec; CORRECTNESS runs
     * must use the default (same contract as q50's packing-group count).
+    *
+    * Measured (SCALE.md round 6): wall-clock grows ~n^0.7 over the
+    * 50k→500k-vector decade with the label-count cell set. Cell-blocking
+    * cost is Σ|cell|² = O(n²/k), so the 100 TB lever is growing the cell
+    * count with the corpus (k ∝ n keeps per-cell work constant — a
+    * coarse-quantizer parameter, not a plan change); the maxCell
+    * sub-split already bounds the worst single block either way.
     */
   private val q38 = Q(
     fn = (s, d) => {
