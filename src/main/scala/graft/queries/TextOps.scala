@@ -85,14 +85,14 @@ object TextOps {
     * shingles land in the same candidate pair — the practical standard
     * for dedup at scale; `n_i`/`n_j` stay exact string-distinct counts).
     *
-    * `cand` MAY CONTAIN DUPLICATES (a pair found via several shared
-    * prefix shingles / LSH bands): duplicate candidates verify to
-    * bit-identical rows, and the `distinct()` here dedups the verified
-    * SURVIVORS — orders of magnitude fewer rows than the candidate set,
-    * so deduplicating after verification saves the candidate-side
-    * shuffle both q18 and q19 used to pay. The extra verification work
-    * on duplicate candidates is a per-row array merge against a
-    * broadcast — cheaper than the exchange it replaces.
+    * Callers dedup candidates BEFORE this join: a true near-dup pair
+    * re-surfaces once per shared prefix shingle / matching LSH band —
+    * measured 5.5× on a realistic Zipf corpus (SCALE.md x100; the dense
+    * sf0.1 corpus shows only 1.05×, which is why benchmark-tuning this
+    * away would be a trap). The candidate `distinct()` is map-side
+    * combined, so its exchange carries ~unique pairs, while skipping it
+    * would multiply the broadcast and every verification merge by the
+    * dup factor.
     */
   private[queries] def verifyPairs(cand: DataFrame, docs: DataFrame, minJaccard: Double): DataFrame = {
     import cand.sparkSession.implicits._
@@ -107,7 +107,6 @@ object TextOps {
       .filter($"jaccard" >= minJaccard)
       .select($"i", $"j", $"n_i".cast("long").as("n_i"),
         $"n_j".cast("long").as("n_j"), $"common", $"jaccard")
-      .distinct()
       .orderBy($"i", $"j")
   }
 
@@ -196,9 +195,8 @@ object TextOps {
 
   /** q18's candidate-generation leg (PPJoin prefix + length + position
     * filters over a shingled corpus), exposed for reuse and leg-level
-    * profiling. Returns (i, j) candidate pairs, i < j — possibly with
-    * duplicates (one per shared prefix shingle); [[verifyPairs]] dedups
-    * after verification, where the row count is far smaller.
+    * profiling. Returns distinct (i, j) candidate pairs, i < j (see
+    * [[verifyPairs]] on why dedup belongs on the candidate side).
     */
   private[queries] def ppjoinCandidates(docs: DataFrame, t: Double): DataFrame = {
       import docs.sparkSession.implicits._
@@ -252,6 +250,7 @@ object TextOps {
           .select(explode(graft.functions.expressions
             .ppjoin_pairs($"ds", t, maxBucket(s))).as("p"))
           .select($"p.a".as("i"), $"p.b".as("j"))
+          .distinct()
         cand
       }
   }
@@ -429,6 +428,7 @@ object TextOps {
             transform(slice($"ids", ix + 2, greatest(size($"ids") - ix - 1, lit(0))),
               y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
           .select($"p.a".as("i"), $"p.b".as("j"))
+          .distinct()
         verifyPairs(cand, docs, 0.5).localCheckpoint()
       } finally docs.unpersist()
   }
