@@ -683,6 +683,181 @@ object VectorOps {
       WHERE dom.vec_id IS NULL
       ORDER BY a3.vec_id"""))
 
+  /** Q78 — product-quantization ANN with asymmetric-distance scoring
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011) — the embedding COMPRESSION path for ANN at
+    * 100 TB: q39's IVF prunes WHICH vectors get scored, PQ shrinks what
+    * each stored vector COSTS to keep and score. The 64 dims split into
+    * M=8 subspaces of 8; each subspace trains a K=16 codebook by the q74
+    * integer-exact Lloyd recipe (quantized components, long distances,
+    * argmin ties to the lowest cid, truncated integer means, seeds = the
+    * 16 lowest-vec_id subvectors, 2 recenter rounds), and every vector
+    * encodes to 8 code ids — the stored representation drops from 512
+    * bytes of floats to 8 codes. Scoring is ADC: the query keeps its RAW
+    * quantized subvectors; a per-(query, subspace, code) distance table
+    * (nq·M·K rows, broadcast) joins the code table on (m, cid) and one
+    * map-side-combined long SUM per (query, vector) assembles the
+    * approximate distance — the corpus side never decompresses.
+    *
+    * Every quantity is exact integer math (per-subspace distances
+    * ≤ 8·2^44, ADC sums over M=8 ≪ 2^63), so the ENTIRE iterative
+    * pipeline — training, encoding, ADC, top-5 — hash-matches its DuckDB
+    * oracle, q74's contract extended to a composed index structure.
+    *
+    * Scale shape: training is q74's bounded pattern with a subspace key
+    * (one posexplode partial-agg shuffle per round; M·K·8 = 1024 rows
+    * collected per round); encoding is one scan against a broadcast
+    * codebook; ADC is codes ⋈ broadcast distance table + one partial-agg
+    * shuffle keyed (query, vector); top-5 is the two-level row_number
+    * (local per-partition cap, then global), so the final exchange
+    * carries ≤ 5 rows per partition per query. ADC quality vs exact
+    * quantized-L2 is pinned in QueriesSpec.
+    */
+  private val q78 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val M = 8; val Dsub = 8; val K = 16
+      val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
+        .persist()
+      try {
+        // long-format subvectors (vec_id, m, v): one row per subspace
+        val subs = emb.select($"vec_id",
+          posexplode(array((0 until M).map(m =>
+            slice($"xq", m * Dsub + 1, Dsub)): _*)).as(Seq("m", "v")))
+        // per-subspace seeds: the K lowest-vec_id vectors, sliced
+        var cents: Array[Array[Array[Long]]] = {
+          val seed = emb.orderBy($"vec_id").limit(K).select($"xq").collect()
+            .map(_.getSeq[Long](0).toArray)
+          Array.tabulate(M)(m => seed.map(_.slice(m * Dsub, m * Dsub + Dsub)))
+        }
+        def assigned: DataFrame = {
+          val c = typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+          val scored = (0 until K).map { k =>
+            struct(
+              graft.functions.expressions.sq_dist($"v",
+                element_at(element_at(c, $"m" + 1), k + 1)).as("dist"),
+              lit(k).as("cid"))
+          }
+          subs.withColumn("a", least(scored: _*))
+            .select($"vec_id", $"m", $"v", $"a.cid".as("cid"))
+        }
+        for (_ <- 1 to 2) {
+          val sums = assigned
+            .select($"m", $"cid", posexplode($"v").as(Seq("pos", "qx")))
+            .groupBy($"m", $"cid", $"pos")
+            .agg(sum($"qx").as("sm"), count(lit(1)).as("n"))
+            .collect() // bounded: M·K·Dsub = 1024 rows per round
+          val next = cents.map(_.map(_.clone()))
+          sums.foreach { r =>
+            next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+              r.getLong(3) / r.getLong(4) // trunc division == DuckDB //
+          }
+          cents = next
+        }
+        val codes = assigned.select($"vec_id", $"m", $"cid") // the PQ index
+        val centDf = (for (m <- 0 until M; k <- 0 until K)
+          yield (m, k, cents(m)(k).toSeq)).toDF("m", "cid", "c")
+        // ADC distance tables: raw query subvectors vs every codeword
+        val dt = broadcast(
+          subs.filter(isQuery($"vec_id"))
+            .select($"vec_id".as("query_id"), $"m", $"v")
+            .join(centDf, Seq("m"))
+            .select($"query_id", $"m", $"cid",
+              graft.functions.expressions.sq_dist($"v", $"c").as("pdist")))
+        val adc = codes.join(dt, Seq("m", "cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .groupBy($"query_id", $"vec_id")
+          .agg(sum($"pdist").as("adc_dist"))
+        val local = Window.partitionBy($"query_id", spark_partition_id())
+          .orderBy($"adc_dist", $"vec_id")
+        val global = Window.partitionBy($"query_id")
+          .orderBy($"adc_dist", $"vec_id")
+        adc
+          .withColumn("lrn", row_number().over(local)).filter($"lrn" <= 5)
+          .withColumn("rank", row_number().over(global)).filter($"rank" <= 5)
+          .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
+          .orderBy($"query_id", $"rank")
+          .localCheckpoint()
+      } finally emb.unpersist()
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, t.m, xq[t.m*8+1 : t.m*8+8] AS v
+        FROM q CROSS JOIN generate_series(0, 7) t(m)),
+      init AS (
+        SELECT m, cid, v AS c FROM (
+          SELECT m, vec_id, v,
+                 row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cid
+          FROM sub) WHERE cid < 16),
+      d1 AS (
+        SELECT s.vec_id, s.m, s.v, i.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - i.c[t]) * (s.v[t] - i.c[t]))) AS BIGINT) AS dist
+        FROM sub s JOIN init i ON s.m = i.m),
+      a1 AS (
+        SELECT vec_id, m, v, cid FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      m1 AS (
+        SELECT a.m, a.cid, t.d, SUM(v[t.d]) // COUNT(*) AS cm
+        FROM a1 a CROSS JOIN generate_series(1, 8) t(d)
+        GROUP BY a.m, a.cid, t.d),
+      c1 AS (
+        SELECT i.m, i.cid, COALESCE(mm.c, i.c) AS c
+        FROM init i LEFT JOIN (
+          SELECT m, cid, list(CAST(cm AS BIGINT) ORDER BY d) AS c
+          FROM m1 GROUP BY m, cid) mm
+          ON i.m = mm.m AND i.cid = mm.cid),
+      d2 AS (
+        SELECT s.vec_id, s.m, s.v, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS dist
+        FROM sub s JOIN c1 c ON s.m = c.m),
+      a2 AS (
+        SELECT vec_id, m, v, cid FROM d2
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      m2 AS (
+        SELECT a.m, a.cid, t.d, SUM(v[t.d]) // COUNT(*) AS cm
+        FROM a2 a CROSS JOIN generate_series(1, 8) t(d)
+        GROUP BY a.m, a.cid, t.d),
+      c2 AS (
+        SELECT c1.m, c1.cid, COALESCE(mm.c, c1.c) AS c
+        FROM c1 LEFT JOIN (
+          SELECT m, cid, list(CAST(cm AS BIGINT) ORDER BY d) AS c
+          FROM m2 GROUP BY m, cid) mm
+          ON c1.m = mm.m AND c1.cid = mm.cid),
+      enc AS (
+        SELECT vec_id, m, cid FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 CAST(list_sum(list_transform(generate_series(1, 8),
+                   t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS dist
+          FROM sub s JOIN c2 c ON s.m = c.m)
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      dt AS (
+        SELECT s.vec_id AS query_id, c.m, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS pdist
+        FROM sub s JOIN c2 c ON s.m = c.m
+        WHERE s.vec_id % 50 = 0),
+      adc AS (
+        SELECT d.query_id, a.vec_id, CAST(SUM(d.pdist) AS BIGINT) AS adc_dist
+        FROM enc a JOIN dt d ON a.m = d.m AND a.cid = d.cid
+        WHERE a.vec_id <> d.query_id
+        GROUP BY d.query_id, a.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+      FROM (
+        SELECT query_id, vec_id AS neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rank
+        FROM adc)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Map[String, Q] = Map(
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
@@ -692,5 +867,6 @@ object VectorOps {
     "q66_embedding_dim_stats" -> q66,
     "q74_kmeans_lloyd" -> q74,
     "q75_semantic_dedup" -> q75,
+    "q78_pq_adc_ann" -> q78,
   )
 }

@@ -181,6 +181,42 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.15, s"recall $recall below the probed-fraction floor")
   }
 
+  test("q78 PQ-ADC ANN: valid ranks/codes domain, ADC recall vs exact quantized L2") {
+    import spark.implicits._
+    val pq = run("q78_pq_adc_ann").collect()
+    assert(pq.nonEmpty)
+    // shape invariants: 5 neighbors per query, ranks 1..5, self excluded,
+    // distances non-negative and non-decreasing in rank
+    pq.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 5))
+      assert(rows.forall(_.getLong(1) != qid))
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(byRank.forall(_ >= 0L))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // ADC quality: against exact quantized-L2 top-5 (the same integer
+    // metric family ADC approximates). An 8x16 codebook (32 bits/vector,
+    // 128:1 compression) on a near-random corpus is coarse — pin a
+    // conservative floor well above chance (5/499 ~ 1%).
+    val E = graft.functions.expressions
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", E.quantize_vec($"embedding").cast("array<bigint>").as("xq"))
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"xq".as("qx"))
+    val exact = qs.crossJoin(emb)
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", E.sq_dist($"qx", $"xq").as("dist"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"dist", $"vec_id")))
+      .filter($"rk" <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ADC recall $recall below floor")
+  }
+
   test("q36b approx percentiles within 5% of exact q36 at sf0.01") {
     val sf = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q36_percentiles")(spark, sf).collect()
