@@ -713,74 +713,107 @@ object VectorOps {
     * carries ≤ 5 rows per partition per query. ADC quality vs exact
     * quantized-L2 is pinned in QueriesSpec.
     */
+  private val pqM = 8; private val pqDsub = 8; private val pqK = 16
+
+  /** The trained PQ index: `codes` (vec_id, m, cid — 8 code ids per
+    * vector, the compressed store) and `cents` (m, cid, c — the M·K
+    * codebook, broadcast-sized). Both materialized, safe to reuse after
+    * the training cache is released.
+    */
+  private[graft] case class PqIndex(codes: DataFrame, cents: DataFrame)
+
+  /** Split a quantized vector column into the (m, v) long-format
+    * subvectors the PQ pipeline works in. */
+  private def pqSubs(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"vec_id",
+      posexplode(array((0 until pqM).map(m =>
+        slice($"xq", m * pqDsub + 1, pqDsub)): _*)).as(Seq("m", "v")))
+  }
+
+  /** q78's training leg — see q78's Scaladoc for the recipe and the
+    * integer-exactness contract. Shared with the streaming lookup twin
+    * ([[graft.streaming.Pipeline.runPqLookupStream]]). */
+  private[graft] def pqTrain(s: SparkSession, d: String): PqIndex = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
+      .persist()
+    try {
+      val subs = pqSubs(emb)
+      // per-subspace seeds: the K lowest-vec_id vectors, sliced
+      var cents: Array[Array[Array[Long]]] = {
+        val seed = emb.orderBy($"vec_id").limit(pqK).select($"xq").collect()
+          .map(_.getSeq[Long](0).toArray)
+        Array.tabulate(pqM)(m => seed.map(_.slice(m * pqDsub, m * pqDsub + pqDsub)))
+      }
+      def assigned: DataFrame = {
+        val c = typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+        val scored = (0 until pqK).map { k =>
+          struct(
+            graft.functions.expressions.sq_dist($"v",
+              element_at(element_at(c, $"m" + 1), k + 1)).as("dist"),
+            lit(k).as("cid"))
+        }
+        subs.withColumn("a", least(scored: _*))
+          .select($"vec_id", $"m", $"v", $"a.cid".as("cid"))
+      }
+      for (_ <- 1 to 2) {
+        val sums = assigned
+          .select($"m", $"cid", posexplode($"v").as(Seq("pos", "qx")))
+          .groupBy($"m", $"cid", $"pos")
+          .agg(sum($"qx").as("sm"), count(lit(1)).as("n"))
+          .collect() // bounded: M·K·Dsub = 1024 rows per round
+        val next = cents.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getLong(3) / r.getLong(4) // trunc division == DuckDB //
+        }
+        cents = next
+      }
+      val codes = assigned.select($"vec_id", $"m", $"cid").localCheckpoint()
+      val centDf = (for (m <- 0 until pqM; k <- 0 until pqK)
+        yield (m, k, cents(m)(k).toSeq)).toDF("m", "cid", "c")
+      PqIndex(codes, centDf)
+    } finally emb.unpersist()
+  }
+
+  /** q78's scoring leg: ADC top-k of `queries` (query_id, xq — RAW
+    * quantized vectors) against a trained [[PqIndex]]. Shared verbatim
+    * with the streaming twin so stream results == batch results on the
+    * same rows by construction. */
+  private[graft] def pqAdcTopK(queries: DataFrame, idx: PqIndex, k: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    val qsubs = pqSubs(queries)
+      .select($"vec_id".as("query_id"), $"m", $"v")
+    val dt = broadcast(
+      qsubs.join(idx.cents, Seq("m"))
+        .select($"query_id", $"m", $"cid",
+          graft.functions.expressions.sq_dist($"v", $"c").as("pdist")))
+    val adc = idx.codes.join(dt, Seq("m", "cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"pdist").as("adc_dist"))
+    val local = Window.partitionBy($"query_id", spark_partition_id())
+      .orderBy($"adc_dist", $"vec_id")
+    val global = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist", $"vec_id")
+    adc
+      .withColumn("lrn", row_number().over(local)).filter($"lrn" <= k)
+      .withColumn("rank", row_number().over(global)).filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
+      .orderBy($"query_id", $"rank")
+  }
+
   private val q78 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val M = 8; val Dsub = 8; val K = 16
-      val emb = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val idx = pqTrain(s, d)
+      val queries = Tables.embeddings(s, d)
+        .filter(isQuery($"vec_id"))
         .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
-        .persist()
-      try {
-        // long-format subvectors (vec_id, m, v): one row per subspace
-        val subs = emb.select($"vec_id",
-          posexplode(array((0 until M).map(m =>
-            slice($"xq", m * Dsub + 1, Dsub)): _*)).as(Seq("m", "v")))
-        // per-subspace seeds: the K lowest-vec_id vectors, sliced
-        var cents: Array[Array[Array[Long]]] = {
-          val seed = emb.orderBy($"vec_id").limit(K).select($"xq").collect()
-            .map(_.getSeq[Long](0).toArray)
-          Array.tabulate(M)(m => seed.map(_.slice(m * Dsub, m * Dsub + Dsub)))
-        }
-        def assigned: DataFrame = {
-          val c = typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq)
-          val scored = (0 until K).map { k =>
-            struct(
-              graft.functions.expressions.sq_dist($"v",
-                element_at(element_at(c, $"m" + 1), k + 1)).as("dist"),
-              lit(k).as("cid"))
-          }
-          subs.withColumn("a", least(scored: _*))
-            .select($"vec_id", $"m", $"v", $"a.cid".as("cid"))
-        }
-        for (_ <- 1 to 2) {
-          val sums = assigned
-            .select($"m", $"cid", posexplode($"v").as(Seq("pos", "qx")))
-            .groupBy($"m", $"cid", $"pos")
-            .agg(sum($"qx").as("sm"), count(lit(1)).as("n"))
-            .collect() // bounded: M·K·Dsub = 1024 rows per round
-          val next = cents.map(_.map(_.clone()))
-          sums.foreach { r =>
-            next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-              r.getLong(3) / r.getLong(4) // trunc division == DuckDB //
-          }
-          cents = next
-        }
-        val codes = assigned.select($"vec_id", $"m", $"cid") // the PQ index
-        val centDf = (for (m <- 0 until M; k <- 0 until K)
-          yield (m, k, cents(m)(k).toSeq)).toDF("m", "cid", "c")
-        // ADC distance tables: raw query subvectors vs every codeword
-        val dt = broadcast(
-          subs.filter(isQuery($"vec_id"))
-            .select($"vec_id".as("query_id"), $"m", $"v")
-            .join(centDf, Seq("m"))
-            .select($"query_id", $"m", $"cid",
-              graft.functions.expressions.sq_dist($"v", $"c").as("pdist")))
-        val adc = codes.join(dt, Seq("m", "cid"))
-          .filter($"vec_id" =!= $"query_id")
-          .groupBy($"query_id", $"vec_id")
-          .agg(sum($"pdist").as("adc_dist"))
-        val local = Window.partitionBy($"query_id", spark_partition_id())
-          .orderBy($"adc_dist", $"vec_id")
-        val global = Window.partitionBy($"query_id")
-          .orderBy($"adc_dist", $"vec_id")
-        adc
-          .withColumn("lrn", row_number().over(local)).filter($"lrn" <= 5)
-          .withColumn("rank", row_number().over(global)).filter($"rank" <= 5)
-          .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
-          .orderBy($"query_id", $"rank")
-          .localCheckpoint()
-      } finally emb.unpersist()
+      pqAdcTopK(queries, idx, 5).localCheckpoint()
     },
     oracle = Some("""
       WITH q AS (

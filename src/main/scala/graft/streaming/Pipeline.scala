@@ -442,6 +442,43 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming ANN lookup against a trained PQ index (the online-retrieval
+    * half of q78: train once over the corpus, then serve arriving query
+    * vectors). Query embeddings stream in as JSONL; each micro-batch
+    * quantizes them and runs EXACTLY the batch ADC scoring
+    * ([[graft.queries.VectorOps.pqAdcTopK]], shared function) against the
+    * index trained at stream start — so stream results == batch results
+    * on the same parsed rows by construction (StreamingSpec pins it).
+    *
+    * Scale shape: the index codes table is the compressed store (8 code
+    * ids per corpus vector) materialized once; per batch the only
+    * corpus-side work is codes ⋈ a broadcast nq·M·K distance table plus
+    * one partial-agg shuffle — no decompression, no re-training. Ranking
+    * windows aren't streamable, which is why the scoring runs per
+    * micro-batch inside foreachBatch (availableNow-bounded here; a live
+    * trigger works identically).
+    */
+  def runPqLookupStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String, k: Int = 5,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val idx = graft.queries.VectorOps.pqTrain(s, corpusDir)
+    s.readStream
+      .schema("ts TIMESTAMP, query_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val queries = batch.select(col("query_id").as("vec_id"),
+          graft.functions.expressions.quantize_vec(col("embedding"))
+            .cast("array<bigint>").as("xq"))
+        graft.queries.VectorOps.pqAdcTopK(queries, idx, k)
+          .write.mode("append").parquet(s"$outDir/pq_lookup")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** EXACTLY-ONCE streaming metrics store without a transactional table
     * format (SURVEY §2.9's delivery row, store side). [[runMetricsPipeline]]
     * appends finalized windows, so a micro-batch replayed after a crash

@@ -130,6 +130,44 @@ class StreamingSpec extends SparkSpec {
       "replayed micro-batch must leave the store row-identical to a single clean run")
   }
 
+  test("streaming PQ lookup: stream ADC top-k == batch scoring on the same rows") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("pq_in")
+    val out = tmpDir("pq_out")
+    val ckpt = tmpDir("pq_ckpt")
+    // query stream: JSONL re-serialization of real corpus vectors (two
+    // files -> two micro-batches); ids offset so none collides with a
+    // corpus vec_id
+    val vecs = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .orderBy($"vec_id").limit(6)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def line(id: Long, v: Seq[Float]) =
+      s"""{"ts":"2026-03-01 08:00:00","query_id":${id + 100000},"embedding":[${v.mkString(",")}]}"""
+    writeJsonl(in, "b1.jsonl", vecs.take(3).map((line _).tupled): _*)
+    writeJsonl(in, "b2.jsonl", vecs.drop(3).map((line _).tupled): _*)
+
+    Pipeline.runPqLookupStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/pq_lookup")
+      .collect().map(_.toString).sorted.toSeq
+
+    // batch: the same shared scoring on the same parsed rows
+    val idx = graft.queries.VectorOps.pqTrain(spark, corpus)
+    val parsed = spark.read
+      .schema("ts TIMESTAMP, query_id LONG, embedding ARRAY<FLOAT>")
+      .json(in)
+      .select(col("query_id").as("vec_id"),
+        graft.functions.expressions.quantize_vec(col("embedding"))
+          .cast("array<bigint>").as("xq"))
+    val batch = graft.queries.VectorOps.pqAdcTopK(parsed, idx, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // every query served with a full top-5
+    assert(streamed.size == 6 * 5)
+  }
+
   test("streaming domain mixing: realized rates == batch q49 core on the same rows") {
     import org.apache.spark.sql.functions.{col, count, lit}
     import spark.implicits._
