@@ -891,6 +891,183 @@ object VectorOps {
       WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q79 — IVF-PQ: the production ANN composition (FAISS's IVFADC shape;
+    * Jégou et al. TPAMI 2011 §V): q39's IVF coarse quantizer decides
+    * WHICH vectors each query scores (top-3 probe cells of 10), and
+    * q78's PQ codes decide what scoring COSTS (ADC over 8 code ids, no
+    * decompression). At 100 TB the two multiply: the scan prunes to the
+    * probed fraction AND the scored operand is 8 bytes per vector.
+    *
+    * Composed from the two hash-verified halves — probe selection uses
+    * q39's exact expressions (quantized cosine vs the per-label centroid
+    * table), scoring uses q78's shared [[pqTrain]]/distance-table
+    * machinery — and the COMPOSITION is itself hash-verified: the oracle
+    * stitches q39's probe CTEs to q78's training CTEs, so any drift in
+    * either half or in the candidate join surfaces as a mismatch.
+    *
+    * Scale shape: probe selection is a broadcast-centroid argsort per
+    * query (no corpus shuffle); candidates are one equi-join on the cell
+    * id; ADC is the candidate set ⋈ codes ⋈ broadcast distance tables +
+    * one partial-agg long sum; top-5 via the two-level row_number.
+    */
+  private val q79 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label", $"embedding")
+      // probe cells: q39's selection, verbatim expressions
+      val centroids = broadcast(ivfCentroids(emb))
+      val probeW = Window.partitionBy($"query_id").orderBy($"csim".desc, $"c_label")
+      val probes = broadcast(
+        emb.filter(isQuery($"vec_id"))
+          .crossJoin(centroids)
+          .select($"vec_id".as("query_id"), $"c_label",
+            graft.functions.expressions.quantized_cosine($"embedding", toF($"cvec")).as("csim"))
+          .withColumn("pr", row_number().over(probeW))
+          .filter($"pr" <= 3)
+          .select($"query_id", $"c_label".as("label")))
+      // PQ index over the full corpus (q78's shared training)
+      val idx = pqTrain(s, d)
+      // ADC distance tables for the query set
+      val queries = Tables.embeddings(s, d)
+        .filter(isQuery($"vec_id"))
+        .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
+      val dt = broadcast(
+        pqSubs(queries)
+          .select($"vec_id".as("query_id"), $"m", $"v")
+          .join(idx.cents, Seq("m"))
+          .select($"query_id", $"m", $"cid",
+            graft.functions.expressions.sq_dist($"v", $"c").as("pdist")))
+      // candidates = vectors in a probed cell, scored by ADC
+      val cand = emb.select($"vec_id", $"label").join(probes, Seq("label"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id")
+      val adc = cand.join(idx.codes, Seq("vec_id"))
+        .join(dt, Seq("query_id", "m", "cid"))
+        .groupBy($"query_id", $"vec_id")
+        .agg(sum($"pdist").as("adc_dist"))
+      val local = Window.partitionBy($"query_id", spark_partition_id())
+        .orderBy($"adc_dist", $"vec_id")
+      val global = Window.partitionBy($"query_id")
+        .orderBy($"adc_dist", $"vec_id")
+      adc
+        .withColumn("lrn", row_number().over(local)).filter($"lrn" <= 5)
+        .withColumn("rank", row_number().over(global)).filter($"rank" <= 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
+        .orderBy($"query_id", $"rank")
+        .localCheckpoint()
+    },
+    oracle = Some("""
+      WITH qv AS (
+        SELECT vec_id, label, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ), qn AS (
+        SELECT vec_id, label, qv,
+               list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
+        FROM qv
+      ), cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+        GROUP BY label, pos
+      ), cn AS (
+        SELECT c_label, cqv,
+               list_sum(list_transform(generate_series(1, len(cqv)), i -> cqv[i] * cqv[i])) AS cc
+        FROM (
+          SELECT label AS c_label,
+                 list(CAST(FLOOR(CAST(CAST(c / 1048576.0 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)
+                      ORDER BY pos) AS cqv
+          FROM cent GROUP BY label)
+      ), probes AS (
+        SELECT query_id, label FROM (
+          SELECT q.vec_id AS query_id, c.c_label AS label,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] * c.cqv[i])) AS DOUBLE)
+                     / (SQRT(CAST(q.qq AS DOUBLE)) * SQRT(CAST(c.cc AS DOUBLE))) DESC,
+                   c.c_label) AS pr
+          FROM qn q CROSS JOIN cn c
+          WHERE q.vec_id % 50 = 0
+        ) WHERE pr <= 3
+      ), psub AS (
+        SELECT vec_id, t.m, qv[t.m*8+1 : t.m*8+8] AS v
+        FROM qv CROSS JOIN generate_series(0, 7) t(m)
+      ), pinit AS (
+        SELECT m, cid, v AS c FROM (
+          SELECT m, vec_id, v,
+                 row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cid
+          FROM psub) WHERE cid < 16
+      ), pd1 AS (
+        SELECT s.vec_id, s.m, s.v, i.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - i.c[t]) * (s.v[t] - i.c[t]))) AS BIGINT) AS dist
+        FROM psub s JOIN pinit i ON s.m = i.m
+      ), pa1 AS (
+        SELECT vec_id, m, v, cid FROM pd1
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+      ), pm1 AS (
+        SELECT a.m, a.cid, t.d, SUM(v[t.d]) // COUNT(*) AS cm
+        FROM pa1 a CROSS JOIN generate_series(1, 8) t(d)
+        GROUP BY a.m, a.cid, t.d
+      ), pc1 AS (
+        SELECT i.m, i.cid, COALESCE(mm.c, i.c) AS c
+        FROM pinit i LEFT JOIN (
+          SELECT m, cid, list(CAST(cm AS BIGINT) ORDER BY d) AS c
+          FROM pm1 GROUP BY m, cid) mm
+          ON i.m = mm.m AND i.cid = mm.cid
+      ), pd2 AS (
+        SELECT s.vec_id, s.m, s.v, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS dist
+        FROM psub s JOIN pc1 c ON s.m = c.m
+      ), pa2 AS (
+        SELECT vec_id, m, v, cid FROM pd2
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+      ), pm2 AS (
+        SELECT a.m, a.cid, t.d, SUM(v[t.d]) // COUNT(*) AS cm
+        FROM pa2 a CROSS JOIN generate_series(1, 8) t(d)
+        GROUP BY a.m, a.cid, t.d
+      ), pc2 AS (
+        SELECT pc1.m, pc1.cid, COALESCE(mm.c, pc1.c) AS c
+        FROM pc1 LEFT JOIN (
+          SELECT m, cid, list(CAST(cm AS BIGINT) ORDER BY d) AS c
+          FROM pm2 GROUP BY m, cid) mm
+          ON pc1.m = mm.m AND pc1.cid = mm.cid
+      ), enc AS (
+        SELECT vec_id, m, cid FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 CAST(list_sum(list_transform(generate_series(1, 8),
+                   t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS dist
+          FROM psub s JOIN pc2 c ON s.m = c.m)
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+      ), dt AS (
+        SELECT s.vec_id AS query_id, c.m, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS pdist
+        FROM psub s JOIN pc2 c ON s.m = c.m
+        WHERE s.vec_id % 50 = 0
+      ), cand AS (
+        SELECT p.query_id, e.vec_id
+        FROM qn e JOIN probes p ON e.label = p.label
+        WHERE e.vec_id <> p.query_id
+      ), adc AS (
+        SELECT c.query_id, c.vec_id, CAST(SUM(d.pdist) AS BIGINT) AS adc_dist
+        FROM cand c
+        JOIN enc a ON a.vec_id = c.vec_id
+        JOIN dt d ON d.query_id = c.query_id AND d.m = a.m AND d.cid = a.cid
+        GROUP BY c.query_id, c.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+      FROM (
+        SELECT query_id, vec_id AS neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rank
+        FROM adc)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Map[String, Q] = Map(
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
@@ -901,5 +1078,6 @@ object VectorOps {
     "q74_kmeans_lloyd" -> q74,
     "q75_semantic_dedup" -> q75,
     "q78_pq_adc_ann" -> q78,
+    "q79_ivfpq_ann" -> q79,
   )
 }

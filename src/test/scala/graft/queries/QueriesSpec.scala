@@ -217,6 +217,30 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.2, s"ADC recall $recall below floor")
   }
 
+  test("q79 IVF-PQ: ADC distances agree with q78; pruning only drops, never rescores") {
+    val full = run("q78_pq_adc_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val ivfpq = run("q79_ivfpq_ann").collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 5))
+    }
+    // same codebooks, same codes: wherever a (query, neighbor) pair
+    // appears in both, the ADC distance must be IDENTICAL — IVF changes
+    // which pairs are scored, never their scores
+    val both = ivfpq.filter(r => full.contains((r.getLong(0), r.getLong(1))))
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(3) == full((r.getLong(0), r.getLong(1))),
+        s"ADC distance drifted for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // probing 3 of 10 near-random cells keeps a meaningful share of the
+    // full-ADC top-5
+    val recall = both.length.toDouble / full.size
+    assert(recall >= 0.15, s"IVF-PQ recall vs full ADC $recall below probed-fraction floor")
+  }
+
   test("q36b approx percentiles within 5% of exact q36 at sf0.01") {
     val sf = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q36_percentiles")(spark, sf).collect()
