@@ -779,6 +779,24 @@ object VectorOps {
     } finally emb.unpersist()
   }
 
+  /** Persist a trained [[PqIndex]] (codes + codebook as two parquet
+    * tables). At 100 TB the index IS the artifact: training scans the
+    * corpus once, then every serving job (batch re-ranks, the streaming
+    * lookup) loads codes (8 ids/vector) instead of retraining — and the
+    * codes table is the compressed corpus representation, bucketable /
+    * partitionable like any other table. */
+  private[graft] def savePqIndex(idx: PqIndex, path: String): Unit = {
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    idx.cents.write.mode("overwrite").parquet(s"$path/cents")
+  }
+
+  /** Load a [[savePqIndex]] artifact; serving-equivalence to the
+    * in-memory index is pinned in QueriesSpec. */
+  private[graft] def loadPqIndex(s: SparkSession, path: String): PqIndex =
+    PqIndex(
+      codes = s.read.parquet(s"$path/codes"),
+      cents = s.read.parquet(s"$path/cents"))
+
   /** q78's scoring leg: ADC top-k of `queries` (query_id, xq — RAW
     * quantized vectors) against a trained [[PqIndex]]. Shared verbatim
     * with the streaming twin so stream results == batch results on the

@@ -241,6 +241,22 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF-PQ recall vs full ADC $recall below probed-fraction floor")
   }
 
+  test("PQ index save/load: a loaded index serves identical results") {
+    import spark.implicits._
+    val idx = VectorOps.pqTrain(spark, sf0001)
+    val dir = tmpDir("pq_index")
+    VectorOps.savePqIndex(idx, dir)
+    val loaded = VectorOps.loadPqIndex(spark, dir)
+    val queries = graft.sources.Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id",
+        graft.functions.expressions.quantize_vec($"embedding")
+          .cast("array<bigint>").as("xq"))
+    val a = VectorOps.pqAdcTopK(queries, idx, 5).collect().map(_.toString).sorted.toSeq
+    val b = VectorOps.pqAdcTopK(queries, loaded, 5).collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("q36b approx percentiles within 5% of exact q36 at sf0.01") {
     val sf = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q36_percentiles")(spark, sf).collect()
