@@ -1725,6 +1725,80 @@ object TextOps {
       HAVING COUNT(*) > tot.n // 257
       ORDER BY source, cnt DESC, token"""))
 
+  /** Q80 — corpus drift monitor: the ingest-shift report a continuously
+    * fed training corpus needs (did the token distribution move between
+    * snapshots?). Snapshots here are the deterministic doc_id-parity
+    * halves (the stand-in for "yesterday's corpus vs today's" — the query
+    * shape is identical for any snapshot predicate). For every token in
+    * the union of the two snapshots' top-64 (exact counts), report both
+    * counts, both rates, and the absolute rate shift, largest first.
+    *
+    * Cross-engine exactness: counts are exact longs; each rate is ONE
+    * correctly-rounded long/long double division and the drift is one
+    * IEEE subtraction of those doubles — bit-identical to the oracle
+    * (no logs, no PSI — same design choice as q51's integer-only
+    * output). Scale shape: one map-side-combined (snap, token) count;
+    * the per-snapshot top-64 runs as WindowGroupLimit (map-side heaps,
+    * q71's pattern) so no snapshot's full vocabulary is globally
+    * sorted; totals are a 2-row broadcast.
+    */
+  private val q80 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(($"doc_id" % 2).as("snap"), explode(words($"text")).as("token"))
+      val counts = toks.groupBy($"snap", $"token")
+        .agg(count(lit(1)).as("c"))
+      val top = counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"snap").orderBy($"c".desc, $"token")))
+        .filter($"rk" <= 64)
+        .select($"token").distinct()
+      val wide = counts.join(top, Seq("token"))
+        .groupBy($"token")
+        .agg(
+          sum(when($"snap" === 0, $"c").otherwise(0L)).as("c0"),
+          sum(when($"snap" === 1, $"c").otherwise(0L)).as("c1"))
+      val totals = broadcast(counts.groupBy()
+        .agg(
+          sum(when($"snap" === 0, $"c").otherwise(0L)).as("n0"),
+          sum(when($"snap" === 1, $"c").otherwise(0L)).as("n1")))
+      wide.crossJoin(totals)
+        .select($"token", $"c0", $"c1",
+          ($"c0".cast("double") / $"n0").as("rate0"),
+          ($"c1".cast("double") / $"n1").as("rate1"))
+        .withColumn("drift", abs($"rate0" - $"rate1"))
+        .orderBy($"drift".desc, $"token")
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      counts AS (
+        SELECT snap, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t GROUP BY snap, token),
+      top AS (
+        SELECT DISTINCT token FROM (
+          SELECT snap, token, c,
+                 row_number() OVER (PARTITION BY snap ORDER BY c DESC, token) AS rk
+          FROM counts) WHERE rk <= 64),
+      wide AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN snap = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN snap = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+        FROM counts JOIN top USING (token)
+        GROUP BY token),
+      tot AS (
+        SELECT CAST(SUM(CASE WHEN snap = 0 THEN c ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN snap = 1 THEN c ELSE 0 END) AS BIGINT) AS n1
+        FROM counts)
+      SELECT token, c0, c1,
+             CAST(c0 AS DOUBLE) / n0 AS rate0,
+             CAST(c1 AS DOUBLE) / n1 AS rate1,
+             ABS(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) AS drift
+      FROM wide CROSS JOIN tot
+      ORDER BY drift DESC, token"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -1753,5 +1827,6 @@ object TextOps {
     "q72_corpus_qc" -> q72,
     "q76_epoch_shards" -> q76,
     "q77_heavy_hitters_by_source" -> q77,
+    "q80_corpus_drift" -> q80,
   )
 }

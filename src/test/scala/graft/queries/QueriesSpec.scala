@@ -257,6 +257,34 @@ class QueriesSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("q80 corpus drift: union of top-64s, exact counts, drift ordering") {
+    import spark.implicits._
+    val rows = run("q80_corpus_drift").collect()
+    assert(rows.nonEmpty && rows.length <= 128,
+      s"union of two top-64 sets holds at most 128 tokens, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) > 0)
+      assert(math.abs(r.getDouble(5) - math.abs(r.getDouble(3) - r.getDouble(4))) == 0.0)
+    }
+    val drifts = rows.map(_.getDouble(5))
+    assert(drifts.zip(drifts.tail).forall { case (a, b) => a >= b })
+    // counts agree with a direct per-snapshot recount
+    val direct = graft.sources.Tables.documents(spark, sf0001)
+      .select(($"doc_id" % 2).as("snap"), explode(split($"text", " ")).as("token"))
+      .groupBy($"snap", $"token").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == direct.getOrElse((0L, r.getString(0)), 0L))
+      assert(r.getLong(2) == direct.getOrElse((1L, r.getString(0)), 0L))
+    }
+    // the token set IS the union of the two snapshots' top-64
+    val expected = (0L to 1L).flatMap { snap =>
+      direct.collect { case ((s, t), c) if s == snap => (t, c) }.toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(64).map(_._1)
+    }.toSet
+    assert(rows.map(_.getString(0)).toSet == expected)
+  }
+
   test("q36b approx percentiles within 5% of exact q36 at sf0.01") {
     val sf = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q36_percentiles")(spark, sf).collect()
