@@ -442,6 +442,59 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming corpus drift monitor — q80's ingest-shift report as a live
+    * guard: per event-time window, each token's realized rate in the
+    * arriving document stream is compared against its rate in a BASELINE
+    * corpus (computed batch-side once at start, broadcast into every
+    * micro-batch), and tokens whose absolute rate shift exceeds
+    * `threshold` are appended as alert rows. The thing a continuously fed
+    * training pipeline actually watches: a scraper gone wrong or a
+    * domain-mix switch shows up as a handful of tokens surging within a
+    * window, long before any model-side signal.
+    *
+    * Two-level aggregation (per-window token counts, then per-window
+    * totals) doesn't fit one streaming agg, so the watermarked windowed
+    * counts finalize in append mode and the per-window normalization +
+    * baseline join + threshold run inside foreachBatch — valid because
+    * append mode emits a window's rows exactly once, complete, after the
+    * watermark passes. State is bounded by (windows in the horizon ×
+    * vocabulary); the baseline is a static broadcast.
+    */
+  def runTokenDriftMonitor(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String, windowLen: String = "1 minute",
+      watermark: String = "2 minutes", threshold: Double = 0.02): StreamingQuery = {
+    import s.implicits._
+    val base = graft.sources.Tables.documents(s, corpusDir)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("bc"))
+    val baseline = base.crossJoin(broadcast(base.groupBy().agg(sum($"bc").as("bn"))))
+      .select($"token", ($"bc".cast("double") / $"bn").as("base_rate"))
+    val windowed = s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir)
+      .withWatermark("ts", watermark)
+      .select(window($"ts", windowLen).as("w"), explode(split($"text", " ")).as("token"))
+      .groupBy($"w", $"token")
+      .agg(count(lit(1)).as("c"))
+    windowed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tot = batch.groupBy($"w").agg(sum($"c").as("n"))
+        batch.join(tot, Seq("w"))
+          .join(broadcast(baseline), Seq("token"), "left")
+          .select($"w.start".as("window_start"), $"token", $"c",
+            ($"c".cast("double") / $"n").as("rate"),
+            coalesce($"base_rate", lit(0.0)).as("base_rate"))
+          .withColumn("drift", abs($"rate" - $"base_rate"))
+          .filter($"drift" >= threshold)
+          .write.mode("append").parquet(s"$outDir/token_drift")
+      }
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ANN lookup against a trained PQ index (the online-retrieval
     * half of q78: train once over the corpus, then serve arriving query
     * vectors). Query embeddings stream in as JSONL; each micro-batch

@@ -130,6 +130,51 @@ class StreamingSpec extends SparkSpec {
       "replayed micro-batch must leave the store row-identical to a single clean run")
   }
 
+  test("streaming drift monitor: flooded token alerts in its window only, rates exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("drift_in")
+    val out = tmpDir("drift_out")
+    val ckpt = tmpDir("drift_ckpt")
+    def doc(ts: String, id: Long, text: String) =
+      s"""{"ts":"$ts","doc_id":$id,"text":"$text"}"""
+    // window 1 (08:00): corpus-like words; window 2 (08:01): flooded with
+    // a token the baseline has never seen; a late row (08:10) advances the
+    // watermark so both windows finalize
+    writeJsonl(in, "b1.jsonl",
+      doc("2026-03-01 08:00:05", 1, "spark batch query table"),
+      doc("2026-03-01 08:00:20", 2, "spark agg filter row"))
+    writeJsonl(in, "b2.jsonl",
+      doc("2026-03-01 08:01:05", 3, "zzznovel zzznovel zzznovel spark"),
+      doc("2026-03-01 08:01:30", 4, "zzznovel zzznovel zzznovel zzznovel"))
+    writeJsonl(in, "b3.jsonl",
+      doc("2026-03-01 08:10:00", 5, "spark"))
+    // pin strictly increasing mtimes (see windowed-heavy-hitters test):
+    // batch order must match event-time order or the late file advances
+    // the watermark first and the early windows' rows drop as late
+    for ((stem, i) <- Seq("b1", "b2", "b3").zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(in, s"$stem.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+
+    Pipeline.runTokenDriftMonitor(spark, corpus, in, out, ckpt,
+      threshold = 0.3).awaitTermination()
+    val alerts = spark.read.parquet(s"$out/token_drift")
+      .filter(col("window_start") < org.apache.spark.sql.functions.lit("2026-03-01 08:10:00").cast("timestamp"))
+      .collect()
+    // the flood dominates window 2 (7 of 8 tokens) and is absent from the
+    // baseline -> drift == rate == 7/8; no other token in either window
+    // shifts 0.3 of rate (window 1's heaviest, spark at 0.25, drifts
+    // ~0.22 against its baseline rate)
+    assert(alerts.length == 1)
+    val flood = alerts.head
+    assert(flood.getString(1) == "zzznovel")
+    assert(flood.getTimestamp(0).toString.startsWith("2026-03-01 08:01"))
+    assert(flood.getLong(2) == 7L)
+    assert(flood.getDouble(3) == 7.0 / 8.0)
+    assert(flood.getDouble(4) == 0.0)
+  }
+
   test("streaming PQ lookup: stream ADC top-k == batch scoring on the same rows") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
