@@ -461,6 +461,60 @@ object VectorOps {
       FROM a
       ORDER BY pos"""))
 
+  /** Q81 — embedding drift between snapshots: q80's token-drift question
+    * asked of the VECTOR side (did the embedding distribution move
+    * between corpus snapshots — a model/encoder change, a domain shift,
+    * a broken preprocessing step all show up here first). Snapshots are
+    * the deterministic vec_id-parity halves (same stand-in convention as
+    * q80); per dimension, both snapshot means and the absolute mean
+    * shift, largest shift first.
+    *
+    * Exactness is q66's recipe: component sums are exact longs over
+    * quantized ints; each mean is one correctly-rounded double division
+    * and the shift one IEEE subtraction — bit-identical to the oracle
+    * (whose big-int→double conversions take the VARCHAR bridge).
+    * Scale shape: one map-side-combined hash aggregate on a 64-value
+    * key — the same single pass q66 pays, now carrying two conditional
+    * sums.
+    */
+  private val q81 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(($"vec_id" % 2).as("snap"),
+          posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
+        .groupBy($"pos")
+        .agg(
+          sum(when($"snap" === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when($"snap" === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when($"snap" === 0, $"qx".cast("long")).otherwise(0L)).as("s0"),
+          sum(when($"snap" === 1, $"qx".cast("long")).otherwise(0L)).as("s1"))
+        .select($"pos", $"n0", $"n1",
+          ($"s0".cast("double") / ($"n0".cast("double") * Scale)).as("mean0"),
+          ($"s1".cast("double") / ($"n1".cast("double") * Scale)).as("mean1"))
+        .withColumn("mean_shift", abs($"mean0" - $"mean1"))
+        .orderBy($"mean_shift".desc, $"pos")
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id % 2 AS snap, pos,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)),
+      a AS (
+        SELECT pos,
+               CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               SUM(CASE WHEN snap = 0 THEN qx ELSE 0 END) AS s0,
+               SUM(CASE WHEN snap = 1 THEN qx ELSE 0 END) AS s1
+        FROM q GROUP BY pos)
+      SELECT CAST(pos - 1 AS INT) AS pos, n0, n1,
+             CAST(CAST(s0 AS VARCHAR) AS DOUBLE) / (CAST(n0 AS DOUBLE) * 1048576.0) AS mean0,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1048576.0) AS mean1,
+             ABS(CAST(CAST(s0 AS VARCHAR) AS DOUBLE) / (CAST(n0 AS DOUBLE) * 1048576.0)
+               - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1048576.0)) AS mean_shift
+      FROM a
+      ORDER BY mean_shift DESC, pos"""))
+
   /** Q74 — distributed k-means (Lloyd's algorithm, k=8, two recenter
     * rounds) over the embeddings — the clustering primitive behind
     * SemDeDup-style semantic curation (Abbas et al. 2023: cluster, then
@@ -1097,5 +1151,6 @@ object VectorOps {
     "q75_semantic_dedup" -> q75,
     "q78_pq_adc_ann" -> q78,
     "q79_ivfpq_ann" -> q79,
+    "q81_embedding_drift" -> q81,
   )
 }

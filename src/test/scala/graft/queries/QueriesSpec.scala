@@ -285,6 +285,20 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet == expected)
   }
 
+  test("q81 embedding drift: 64 dims, counts partition the corpus, shift ordering") {
+    import spark.implicits._
+    val rows = run("q81_embedding_drift").collect()
+    assert(rows.length == 64)
+    val nVecs = graft.sources.Tables.embeddings(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == nVecs,
+        "snapshot counts must partition the corpus per dimension")
+      assert(math.abs(r.getDouble(5) - math.abs(r.getDouble(3) - r.getDouble(4))) == 0.0)
+    }
+    val shifts = rows.map(_.getDouble(5))
+    assert(shifts.zip(shifts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q36b approx percentiles within 5% of exact q36 at sf0.01") {
     val sf = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q36_percentiles")(spark, sf).collect()
