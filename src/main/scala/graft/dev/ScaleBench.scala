@@ -14,7 +14,12 @@ object ScaleBench {
   private val QUERIES = Seq(
     "q17_dedup_exact", "q18_neardup_jaccard", "q19_neardup_minhash_lsh",
     "q47_dedup_clusters", "q38_neardup_embedding", "q75_semantic_dedup",
-    "q67b_heavy_hitters_sketch", "q70_token_budget_trim")
+    "q67b_heavy_hitters_sketch", "q70_token_budget_trim",
+    // round-6 additions: note the %50 query convention means the ANN
+    // query COUNT grows with the corpus too — q78's full ADC is nq·n·M
+    // by design (the declared brute-force-complete baseline; q79 is the
+    // pruned path)
+    "q78_pq_adc_ann", "q79_ivfpq_ann", "q80_corpus_drift", "q81_embedding_drift")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
@@ -26,6 +31,9 @@ object ScaleBench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(s, s"$root/$scale").write.format("noop").mode("overwrite").save()
+        // drop cached/localCheckpointed RDDs between reps — accumulation
+        // across a long sweep OOMed the x100 run
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[scale] $scale%-5s $q%-28s min=${times.min}%8.3f s  (all: ${times.map(t => f"$t%.2f").mkString(" ")})")

@@ -751,6 +751,272 @@ object expressions {
       copy(child = c)
   }
 
+  /** PQ asymmetric-distance accumulation: (codes array<int> — one code id
+    * per subspace, m-ordered; dtable array<long> — a query's flattened
+    * per-(subspace, code) distance table, slot = m·K + cid) → Σ_m
+    * dtable[m·K + codes[m]] as long. One tight loop per (query, vector)
+    * pair replaces q78's former codes⋈distance-table equi-join, which
+    * materialized nq·n·M rows through a shuffle (measured 222 s / OOM at
+    * the x100 synthetic scale — SCALE.md); with the kernel the scoring is
+    * a crossJoin against a broadcast query table and NO shuffle at all.
+    * Long addition is associative, so the sum is bit-identical to the
+    * join-then-SUM form and the DuckDB oracle is unchanged.
+    */
+  case class PqAdcDist(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, ArrayType(IntegerType), "pq_adc codes")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, ArrayType(LongType), "pq_adc dtable")
+    }
+    override def nullSafeEval(codesAny: Any, dtableAny: Any): Any = {
+      val codes = codesAny.asInstanceOf[ArrayData]
+      val dt = dtableAny.asInstanceOf[ArrayData]
+      var sum = 0L
+      var m = 0
+      val n = codes.numElements()
+      while (m < n) {
+        sum += dt.getLong(m * k + codes.getInt(m))
+        m += 1
+      }
+      sum
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqadc", this, classOf[PqAdcDist].getName)
+      nullSafeCodeGen(ctx, ev, (c, d) =>
+        s"${ev.value} = (Long) $ref.nullSafeEval($c, $d);")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PqAdcDist = copy(left = l, right = r)
+  }
+
+  /** The per-query bounded top-k state of [[PqScanTopK]]: for each query,
+    * a k-entry binary max-heap ordered by (dist, id) — the root is the
+    * WORST kept pair, so a better candidate evicts in O(log k). */
+  private[functions] final class PqTopKState(val nq: Int, val k: Int) {
+    val dist = Array.ofDim[Long](nq, k)
+    val id = Array.ofDim[Long](nq, k)
+    val size = new Array[Int](nq)
+    @inline private def worse(d1: Long, v1: Long, d2: Long, v2: Long): Boolean =
+      d1 > d2 || (d1 == d2 && v1 > v2)
+    def push(qi: Int, d: Long, v: Long): Unit = {
+      val ds = dist(qi); val ids = id(qi)
+      if (size(qi) < k) {
+        var i = size(qi); ds(i) = d; ids(i) = v; size(qi) += 1
+        while (i > 0 && worse(ds(i), ids(i), ds((i - 1) / 2), ids((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          val td = ds(i); val tv = ids(i)
+          ds(i) = ds(p); ids(i) = ids(p); ds(p) = td; ids(p) = tv
+          i = p
+        }
+      } else if (worse(ds(0), ids(0), d, v)) {
+        ds(0) = d; ids(0) = v
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var m = i
+          if (l < k && worse(ds(l), ids(l), ds(m), ids(m))) m = l
+          if (r < k && worse(ds(r), ids(r), ds(m), ids(m))) m = r
+          if (m == i) done = true
+          else {
+            val td = ds(i); val tv = ids(i)
+            ds(i) = ds(m); ids(i) = ids(m); ds(m) = td; ids(m) = tv
+            i = m
+          }
+        }
+      }
+    }
+  }
+
+  /** PQ ADC scoring + top-k as ONE scan-local aggregate — the FAISS-shaped
+    * ADC scan re-expressed for Spark. Input rows are the compressed code
+    * store (vec_id, codes[, cell]); the query set (id, flattened M·K
+    * distance table, optional probe-cell set) rides in as a BROADCAST
+    * captured at registration (a few MB for thousands of queries — a
+    * bounded serving batch by contract). Each task scans its vectors
+    * once, scores EVERY query against the codes in a primitive loop, and
+    * keeps per-query k-entry heaps; partials merge heap-to-heap and the
+    * final row explodes to (query_id, neighbor_id, rank, adc_dist).
+    *
+    * Why: materializing the (query × vector) pairs — crossJoin + window
+    * rank, or a (m, cid) equi-join + re-aggregation — costs nq·n rows
+    * through an exchange/sort, measured 222–260 s (or OOM) at the x100
+    * synthetic scale; this aggregate is the same arithmetic with ZERO
+    * joins, zero shuffled scoring rows (the only exchange carries one
+    * ≤ nq·k-entry partial per task), and it ran ~20× faster there
+    * (SCALE.md). Selection by k smallest (dist, id) is exactly the
+    * window's (dist, id) ranking, and long sums are order-free, so the
+    * output is bit-identical and the DuckDB oracles are unchanged.
+    *
+    * `cellFiltered`: when the optional third child (the vector's cell id)
+    * is present, a query only scores vectors whose cell is in its probe
+    * set — q79's IVF pruning, inside the same scan.
+    */
+  case class PqScanTopK(
+      children: Seq[Expression],
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Array[Int])]],
+      k: Int,
+      subK: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[PqTopKState] {
+
+    private def cellFiltered = children.length == 3
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("neighbor_id", LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("adc_dist", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (children.length != 2 && children.length != 3)
+        return TypeCheckResult.TypeCheckFailure(
+          "pq_scan_topk takes (vec_id, codes[, cell])")
+      val a = requireType(children(0), LongType, "pq_scan_topk vec_id")
+      if (a != TypeCheckResult.TypeCheckSuccess) return a
+      val b = requireType(children(1), ArrayType(IntegerType), "pq_scan_topk codes")
+      if (b != TypeCheckResult.TypeCheckSuccess) return b
+      if (cellFiltered) requireType(children(2), IntegerType, "pq_scan_topk cell")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    override def createAggregationBuffer(): PqTopKState =
+      new PqTopKState(bc.value.length, k)
+
+    override def update(buf: PqTopKState, row: org.apache.spark.sql.catalyst.InternalRow): PqTopKState = {
+      val vid = children(0).eval(row)
+      val codesAny = children(1).eval(row)
+      if (vid == null || codesAny == null) return buf
+      val vecId = vid.asInstanceOf[Long]
+      val codes = codesAny.asInstanceOf[ArrayData]
+      val cell = if (cellFiltered) {
+        val c = children(2).eval(row)
+        if (c == null) return buf
+        c.asInstanceOf[Int]
+      } else -1
+      val qs = bc.value
+      val m = codes.numElements()
+      var qi = 0
+      while (qi < qs.length) {
+        val (qid, dt, probes) = qs(qi)
+        var ok = vecId != qid
+        if (ok && cellFiltered) {
+          var p = 0
+          var hit = false
+          while (p < probes.length && !hit) { hit = probes(p) == cell; p += 1 }
+          ok = hit
+        }
+        if (ok) {
+          var sum = 0L
+          var j = 0
+          while (j < m) {
+            sum += dt(j * subK + codes.getInt(j))
+            j += 1
+          }
+          buf.push(qi, sum, vecId)
+        }
+        qi += 1
+      }
+      buf
+    }
+
+    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState = {
+      var qi = 0
+      while (qi < buf.nq) {
+        var i = 0
+        while (i < other.size(qi)) {
+          buf.push(qi, other.dist(qi)(i), other.id(qi)(i))
+          i += 1
+        }
+        qi += 1
+      }
+      buf
+    }
+
+    override def eval(buf: PqTopKState): Any = {
+      val qs = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var qi = 0
+      while (qi < buf.nq) {
+        val n = buf.size(qi)
+        val pairs = Array.tabulate(n)(i => (buf.dist(qi)(i), buf.id(qi)(i)))
+          .sortBy { case (d, v) => (d, v) }
+        var i = 0
+        while (i < n) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            qs(qi)._1, pairs(i)._2, i + 1, pairs(i)._1)
+          i += 1
+        }
+        qi += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: PqTopKState): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(buf.nq); o.writeInt(buf.k)
+      var qi = 0
+      while (qi < buf.nq) {
+        o.writeInt(buf.size(qi))
+        var i = 0
+        while (i < buf.size(qi)) {
+          o.writeLong(buf.dist(qi)(i)); o.writeLong(buf.id(qi)(i))
+          i += 1
+        }
+        qi += 1
+      }
+      o.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): PqTopKState = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val nq = in.readInt(); val kk = in.readInt()
+      val buf = new PqTopKState(nq, kk)
+      var qi = 0
+      while (qi < nq) {
+        val n = in.readInt()
+        buf.size(qi) = n
+        var i = 0
+        while (i < n) {
+          buf.dist(qi)(i) = in.readLong(); buf.id(qi)(i) = in.readLong()
+          i += 1
+        }
+        qi += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): PqScanTopK =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): PqScanTopK =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): PqScanTopK =
+      copy(children = newChildren)
+    override def toString: String =
+      s"pq_scan_topk(broadcast#${bc.id}, k=$k, ${children.mkString(", ")})"
+  }
+
+  /** [[PqScanTopK]] as a Column — per-call registration capturing the
+    * query broadcast, same contract as [[bloom_probe_broadcast]]
+    * (callers force analysis before building another). */
+  def pq_scan_topk(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Array[Int])]],
+      k: Int, subK: Int, cols: Column*): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_scan_topk",
+      exprs => PqScanTopK(exprs, bc, k, subK), "scala_udf")
+    call_function("pq_scan_topk", cols: _*)
+  }
+
   /** PPJoin in-bucket pair generation: array<struct<doc_id:long, n:int,
     * rk:int>> (one bucket's prefix entries) → array<struct<a:long,
     * b:long>> of the candidate pairs surviving the cap, length and
@@ -883,6 +1149,12 @@ object expressions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("freq_sketch",
       exprs => FreqSketch(one("freq_sketch")(exprs), 256), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc",
+      exprs => {
+        require(exprs.length == 3, "pq_adc requires exactly 3 arguments (codes, dtable, k)")
+        require(exprs(2).foldable, "pq_adc k must be a literal")
+        PqAdcDist(exprs(0), exprs(1), exprs(2).eval().toString.toInt)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("ppjoin_pairs",
       exprs => {
         require(exprs.length == 3,
@@ -937,6 +1209,9 @@ object expressions {
     call_function("sq_dist", a, b)
   def freq_sketch(token: Column): Column =
     call_function("freq_sketch", token)
+  def pq_adc(codes: Column, dtable: Column, k: Int): Column =
+    call_function("pq_adc", codes, dtable,
+      org.apache.spark.sql.functions.lit(k))
   def ppjoin_pairs(bucket: Column, t: Double, maxBucket: Int): Column =
     call_function("ppjoin_pairs", bucket,
       org.apache.spark.sql.functions.lit(t),

@@ -748,10 +748,10 @@ object VectorOps {
     * 16 lowest-vec_id subvectors, 2 recenter rounds), and every vector
     * encodes to 8 code ids — the stored representation drops from 512
     * bytes of floats to 8 codes. Scoring is ADC: the query keeps its RAW
-    * quantized subvectors; a per-(query, subspace, code) distance table
-    * (nq·M·K rows, broadcast) joins the code table on (m, cid) and one
-    * map-side-combined long SUM per (query, vector) assembles the
-    * approximate distance — the corpus side never decompresses.
+    * quantized subvectors, flattened into a per-query M·K distance table
+    * (broadcast), and one PqAdcDist kernel eval per (query, vector) sums
+    * the M table lookups — NO shuffle in the scoring leg, and the corpus
+    * side never decompresses (shape rationale at [[pqAdcTopK]]).
     *
     * Every quantity is exact integer math (per-subspace distances
     * ≤ 8·2^44, ADC sums over M=8 ≪ 2^63), so the ENTIRE iterative
@@ -761,11 +761,13 @@ object VectorOps {
     * Scale shape: training is q74's bounded pattern with a subspace key
     * (one posexplode partial-agg shuffle per round; M·K·8 = 1024 rows
     * collected per round); encoding is one scan against a broadcast
-    * codebook; ADC is codes ⋈ broadcast distance table + one partial-agg
-    * shuffle keyed (query, vector); top-5 is the two-level row_number
-    * (local per-partition cap, then global), so the final exchange
-    * carries ≤ 5 rows per partition per query. ADC quality vs exact
-    * quantized-L2 is pinned in QueriesSpec.
+    * codebook; ADC is a crossJoin against the broadcast distance tables
+    * (one kernel eval per pair, zero shuffle); top-5 is the two-level
+    * row_number (local per-partition cap, then global), so the final
+    * exchange carries ≤ 5 rows per partition per query. Full ADC is
+    * nq·n·M work by DESIGN (the complete-scoring baseline; q79's IVF
+    * probes are the pruned path). ADC quality vs exact quantized-L2 is
+    * pinned in QueriesSpec.
     */
   private val pqM = 8; private val pqDsub = 8; private val pqK = 16
 
@@ -774,6 +776,9 @@ object VectorOps {
     * codebook, broadcast-sized). Both materialized, safe to reuse after
     * the training cache is released.
     */
+  /** `codes`: (vec_id, codes array<int> — one code id per subspace,
+    * m-ordered: the 8-id compressed vector). `cents`: (m, cid, c) — the
+    * M·K codebook, broadcast-sized. */
   private[graft] case class PqIndex(codes: DataFrame, cents: DataFrame)
 
   /** Split a quantized vector column into the (m, v) long-format
@@ -826,7 +831,14 @@ object VectorOps {
         }
         cents = next
       }
-      val codes = assigned.select($"vec_id", $"m", $"cid").localCheckpoint()
+      // wide codes: one row per vector, m-ordered id array — the store
+      // the ADC kernel consumes (struct sort orders by m; cid is unique
+      // per (vec, m) so the sort is total)
+      val codes = assigned
+        .groupBy($"vec_id")
+        .agg(array_sort(collect_list(struct($"m", $"cid"))).as("mc"))
+        .select($"vec_id", transform($"mc", e => e("cid")).as("codes"))
+        .localCheckpoint()
       val centDf = (for (m <- 0 until pqM; k <- 0 until pqK)
         yield (m, k, cents(m)(k).toSeq)).toDF("m", "cid", "c")
       PqIndex(codes, centDf)
@@ -851,31 +863,68 @@ object VectorOps {
       codes = s.read.parquet(s"$path/codes"),
       cents = s.read.parquet(s"$path/cents"))
 
+  /** Per-query flattened ADC distance tables: (query_id, dtable
+    * array<long>) with slot m·K + cid — the broadcast operand of the
+    * [[graft.functions.expressions.PqAdcDist]] kernel. nq rows × M·K
+    * longs; tiny. Slot structs sort totally (slot unique per query). */
+  private def pqDistTables(queries: DataFrame, idx: PqIndex): DataFrame = {
+    import queries.sparkSession.implicits._
+    pqSubs(queries)
+      .select($"vec_id".as("query_id"), $"m", $"v")
+      .join(idx.cents, Seq("m"))
+      .select($"query_id", ($"m" * pqK + $"cid").as("slot"),
+        graft.functions.expressions.sq_dist($"v", $"c").as("pdist"))
+      .groupBy($"query_id")
+      .agg(array_sort(collect_list(struct($"slot", $"pdist"))).as("sp"))
+      .select($"query_id", transform($"sp", e => e("pdist")).as("dtable"))
+  }
+
+  /** The collected, broadcast-ready form of [[pqDistTables]]:
+    * (query_id, dtable, probe cells — empty = no cell filter). The
+    * collect is bounded by the serving batch: queries arrive in batches
+    * by contract (a streaming micro-batch, a driver request set), never
+    * as a second corpus. */
+  private def collectDistTables(
+      queries: DataFrame, idx: PqIndex,
+      probes: Map[Long, Array[Int]] = Map.empty):
+      Array[(Long, Array[Long], Array[Int])] =
+    pqDistTables(queries, idx).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
+        probes.getOrElse(r.getLong(0), Array.empty[Int])))
+      .sortBy(_._1)
+
   /** q78's scoring leg: ADC top-k of `queries` (query_id, xq — RAW
     * quantized vectors) against a trained [[PqIndex]]. Shared verbatim
     * with the streaming twin so stream results == batch results on the
-    * same rows by construction. */
+    * same rows by construction.
+    *
+    * Shape: ONE scan-local bounded aggregate over the codes store
+    * ([[graft.functions.expressions.PqScanTopK]]): every task scores its
+    * vectors against the broadcast query distance tables in a primitive
+    * loop and keeps per-query k-entry heaps; the only exchange carries
+    * one ≤ nq·k partial per task. Earlier shapes that materialized the
+    * (query × vector) pairs — (m, cid) equi-join + re-agg, then
+    * crossJoin + window rank — cost 222–260 s or OOM at the x100
+    * synthetic scale; this runs the same arithmetic ~20× faster there
+    * (SCALE.md) and is bit-identical (order-free long sums, same
+    * (dist, id) selection order), so the oracle is unchanged.
+    */
   private[graft] def pqAdcTopK(queries: DataFrame, idx: PqIndex, k: Int): DataFrame = {
     import queries.sparkSession.implicits._
-    val qsubs = pqSubs(queries)
-      .select($"vec_id".as("query_id"), $"m", $"v")
-    val dt = broadcast(
-      qsubs.join(idx.cents, Seq("m"))
-        .select($"query_id", $"m", $"cid",
-          graft.functions.expressions.sq_dist($"v", $"c").as("pdist")))
-    val adc = idx.codes.join(dt, Seq("m", "cid"))
-      .filter($"vec_id" =!= $"query_id")
-      .groupBy($"query_id", $"vec_id")
-      .agg(sum($"pdist").as("adc_dist"))
-    val local = Window.partitionBy($"query_id", spark_partition_id())
-      .orderBy($"adc_dist", $"vec_id")
-    val global = Window.partitionBy($"query_id")
-      .orderBy($"adc_dist", $"vec_id")
-    adc
-      .withColumn("lrn", row_number().over(local)).filter($"lrn" <= k)
-      .withColumn("rank", row_number().over(global)).filter($"rank" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
+    // the aggregate plan is rooted at idx.codes — register the scan
+    // function on ITS session (a streaming foreachBatch hands `queries`
+    // from a cloned per-batch session whose registry the codes plan
+    // never consults)
+    val s = idx.codes.sparkSession
+    val bc = s.sparkContext.broadcast(collectDistTables(queries, idx))
+    val out = idx.codes
+      .agg(graft.functions.expressions
+        .pq_scan_topk(s, bc, k, pqK, $"vec_id", $"codes").as("t"))
+      .select(explode($"t").as("e"))
+      .select($"e.query_id", $"e.neighbor_id", $"e.rank", $"e.adc_dist")
       .orderBy($"query_id", $"rank")
+    out.queryExecution.analyzed // bind pq_scan_topk to THIS broadcast now
+    out
   }
 
   private val q78 = Q(
@@ -1005,30 +1054,25 @@ object VectorOps {
       val queries = Tables.embeddings(s, d)
         .filter(isQuery($"vec_id"))
         .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
-      val dt = broadcast(
-        pqSubs(queries)
-          .select($"vec_id".as("query_id"), $"m", $"v")
-          .join(idx.cents, Seq("m"))
-          .select($"query_id", $"m", $"cid",
-            graft.functions.expressions.sq_dist($"v", $"c").as("pdist")))
-      // candidates = vectors in a probed cell, scored by ADC
-      val cand = emb.select($"vec_id", $"label").join(probes, Seq("label"))
-        .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id")
-      val adc = cand.join(idx.codes, Seq("vec_id"))
-        .join(dt, Seq("query_id", "m", "cid"))
-        .groupBy($"query_id", $"vec_id")
-        .agg(sum($"pdist").as("adc_dist"))
-      val local = Window.partitionBy($"query_id", spark_partition_id())
-        .orderBy($"adc_dist", $"vec_id")
-      val global = Window.partitionBy($"query_id")
-        .orderBy($"adc_dist", $"vec_id")
-      adc
-        .withColumn("lrn", row_number().over(local)).filter($"lrn" <= 5)
-        .withColumn("rank", row_number().over(global)).filter($"rank" <= 5)
-        .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
+      // per-query probe-cell sets ride inside the same scan aggregate:
+      // a query scores only vectors whose cell is in its probe set (the
+      // IVF pruning), so the scoring leg is still zero-join, zero-shuffle
+      // — see pqAdcTopK's shape note
+      val probeSets: Map[Long, Array[Int]] = probes.collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) => qid -> rows.map(_.getInt(1)).sorted }
+      val bc = s.sparkContext.broadcast(
+        collectDistTables(queries, idx, probeSets))
+      val withCell = idx.codes.join(
+        emb.select($"vec_id", $"label".cast("int").as("cell")), Seq("vec_id"))
+      val out = withCell
+        .agg(graft.functions.expressions
+          .pq_scan_topk(s, bc, 5, pqK, $"vec_id", $"codes", $"cell").as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.query_id", $"e.neighbor_id", $"e.rank", $"e.adc_dist")
         .orderBy($"query_id", $"rank")
         .localCheckpoint()
+      out
     },
     oracle = Some("""
       WITH qv AS (

@@ -290,6 +290,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(n == d)
   }
 
+  test("pq_adc == declarative per-subspace table lookup sum") {
+    import spark.implicits._
+    val k = 4
+    val df = Seq(
+      (Seq(0, 3, 1), Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L, 23L, 30L, 31L, 32L, 33L)),
+      (Seq(2, 0, 3), Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 12L)))
+      .toDF("codes", "dtable")
+    val declarative = df.select(
+      aggregate(
+        zip_with(sequence(lit(0), size($"codes") - 1), $"codes",
+          (m, c) => element_at($"dtable", m * k + c + 1)),
+        lit(0L), (acc, v) => acc + v).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    val native = df.select(expressions.pq_adc($"codes", $"dtable", k).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == declarative)
+    assert(native == Seq(10L + 23L + 31L, 3L + 5L + 12L))
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
