@@ -16,11 +16,13 @@ import graft.functions.expressions._
   * `minhash_signature`, `quantized_cosine`, `winnow_fingerprint`,
   * `word_shingles`, `simhash64`, `hyperplane_sigs`, `shingle_hashes`,
   * `quantize_vec`, `sorted_intersect_count`, `word_stats`, `sq_dist`,
-  * the `freq_sketch` heavy-hitter aggregate, and the
-  * `bloom_agg`/`bloom_might_contain` build/probe pair — without any
-  * driver-side registration call. (`Sessions.local` additionally
+  * `ppjoin_pairs`, `pq_adc`, the `freq_sketch` heavy-hitter aggregate,
+  * and the `bloom_agg`/`bloom_might_contain` build/probe pair — without
+  * any driver-side registration call. (`Sessions.local` additionally
   * registers them imperatively for programmatic sessions; ExtensionsSpec
-  * exercises this injection path on a stock session.)
+  * exercises this injection path on a stock session. `bloom_probe_bc`
+  * and `pq_scan_topk` carry per-call broadcast state and are registered
+  * by their owning operators instead.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -99,5 +101,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))
       }))
+    e.injectFunction((FunctionIdentifier("ppjoin_pairs"),
+      info("ppjoin_pairs",
+        "_FUNC_(bucket, t, max_bucket) - PPJoin candidate pairs from one prefix bucket"),
+      exprs => {
+        require(exprs.length == 3,
+          "ppjoin_pairs requires exactly 3 arguments (bucket, t, maxBucket)")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "ppjoin_pairs t/maxBucket must be literals")
+        PPJoinPairs(exprs(0),
+          exprs(1).eval().toString.toDouble,
+          exprs(2).eval().toString.toInt)
+      }))
+    e.injectFunction((FunctionIdentifier("pq_adc"),
+      info("pq_adc",
+        "_FUNC_(codes, dtable, k) - PQ asymmetric distance: sum of per-subspace table lookups"),
+      exprs => {
+        require(exprs.length == 3, "pq_adc requires exactly 3 arguments (codes, dtable, k)")
+        require(exprs(2).foldable, "pq_adc k must be a literal")
+        PqAdcDist(exprs(0), exprs(1), exprs(2).eval().toString.toInt)
+      }))
+    // NOT injected: bloom_probe_bc and pq_scan_topk carry per-call
+    // broadcast state (see BloomProbeBroadcast / PqScanTopK scaladoc) —
+    // they are registered at call time by their owning operators, not as
+    // stateless SQL surface.
   }
 }

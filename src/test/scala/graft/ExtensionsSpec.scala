@@ -53,7 +53,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT shingle_hashes('a b c d')",
         "SELECT hyperplane_sigs(array(1.0F, 2.0F))",
         "SELECT quantize_vec(array(0.5F))",
-        "SELECT sorted_intersect_count(array(1L, 2L), array(2L, 3L))")
+        "SELECT sorted_intersect_count(array(1L, 2L), array(2L, 3L))",
+        "SELECT ppjoin_pairs(array(named_struct('doc_id', 1L, 'n', 10, 'rk', 1), " +
+          "named_struct('doc_id', 2L, 'n', 10, 'rk', 2)), 0.5D, 4096)",
+        "SELECT pq_adc(array(0, 1), array(1L, 2L, 3L, 4L), 2)")
       resolveOnly.foreach(q => assert(s.sql(q).count() == 1, q))
       // aggregates inject too: MG sketch end-to-end, bloom build+probe
       // round-trip (build over xxhash64'd values, probe one present and

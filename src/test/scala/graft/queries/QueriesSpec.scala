@@ -197,7 +197,7 @@ class QueriesSpec extends SparkSpec {
     }
     // ADC quality: against exact quantized-L2 top-5 (the same integer
     // metric family ADC approximates). An 8x16 codebook (32 bits/vector,
-    // 128:1 compression) on a near-random corpus is coarse — pin a
+    // 64:1 vs the 256-byte float vector) on a near-random corpus is coarse — pin a
     // conservative floor well above chance (5/499 ~ 1%).
     val E = graft.functions.expressions
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
