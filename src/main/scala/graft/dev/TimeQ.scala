@@ -21,6 +21,9 @@ object TimeQ {
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       fn(s, d).write.format("noop").mode("overwrite").save()
+      // drop cached/localCheckpointed RDDs between reps (ScaleBench note:
+      // accumulation across a sweep OOMed at large inputs)
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       println(f"[timeq] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     s.stop()
