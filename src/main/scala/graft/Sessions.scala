@@ -33,6 +33,24 @@ object Sessions {
     val spark = builder(s"local[$cores]", cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.expressions.register(spark)
+    checkDecSumContract(spark)
     spark
   }
+
+  /** [[graft.queries.decSumFast]] deployment guard: its codegen'd long
+    * sum WRAPS SILENTLY past ~9.2·10^18 unscaled (≈10^12 rows of
+    * 10^6-magnitude money per group) under non-ANSI arithmetic. A
+    * deployment whose per-group volumes could approach that headroom
+    * declares it with `spark.graft.decSumFast.beyondHeadroom=true`, and
+    * session construction then REQUIRES `spark.sql.ansi.enabled` so an
+    * overflow raises instead of corrupting results — the contract in
+    * queries/package.scala, enforced rather than documented.
+    */
+  private[graft] def checkDecSumContract(spark: SparkSession): Unit =
+    if (spark.conf.getOption("spark.graft.decSumFast.beyondHeadroom").contains("true"))
+      require(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+        "decSumFast headroom contract: spark.graft.decSumFast.beyondHeadroom=true " +
+          "requires spark.sql.ansi.enabled=true — past ~9.2e18 unscaled per group " +
+          "the long sum wraps silently under non-ANSI arithmetic " +
+          "(see graft.queries.decSumFast; use decSum to trade speed for headroom)")
 }

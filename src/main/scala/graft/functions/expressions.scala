@@ -776,6 +776,14 @@ object expressions {
       var sum = 0L
       var m = 0
       val n = codes.numElements()
+      // array lengths are data, not schema, so this can't move to
+      // checkInputDataTypes — but a malformed dtable must fail with the
+      // contract spelled out, not an executor ArrayIndexOutOfBounds (or,
+      // worse, a silent wrong-slot read when dtable is over-long)
+      if (dt.numElements() != n * k)
+        throw new IllegalArgumentException(
+          s"pq_adc: dtable has ${dt.numElements()} slots but codes imply " +
+            s"${n * k} (M=$n subspaces x K=$k codes; slot layout m*K+cid)")
       while (m < n) {
         sum += dt.getLong(m * k + codes.getInt(m))
         m += 1
@@ -1005,17 +1013,37 @@ object expressions {
   }
 
   /** [[PqScanTopK]] as a Column — per-call registration capturing the
-    * query broadcast, same contract as [[bloom_probe_broadcast]]
-    * (callers force analysis before building another). */
+    * query broadcast. The registered name is UNIQUE per broadcast
+    * (`pq_scan_topk_b<id>`), so two concurrent callers on the same
+    * session (two streaming lookups, a streaming batch overlapping a
+    * batch q78) can never interleave register/analyze and bind each
+    * other's broadcast; callers drop the entry with [[dropTempFunction]]
+    * once their plan is analyzed. */
   def pq_scan_topk(
       spark: SparkSession,
       bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long], Array[Int])]],
       k: Int, subK: Int, cols: Column*): Column = {
+    val name = s"pq_scan_topk_b${bc.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_scan_topk",
+      name,
       exprs => PqScanTopK(exprs, bc, k, subK), "scala_udf")
-    call_function("pq_scan_topk", cols: _*)
+    call_function(name, cols: _*)
   }
+
+  /** Name of the temp function [[pq_scan_topk]] registers for `bc` —
+    * for [[dropTempFunction]] once the caller's plan is analyzed. */
+  def pqScanTopKName(
+      bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"pq_scan_topk_b${bc.id}"
+
+  /** Drop a per-call temp function (see [[pq_scan_topk]] /
+    * [[bloom_probe_broadcast]]): after the caller forces analysis the
+    * registry entry's only effect is pinning the captured broadcast —
+    * dropping it lets a long-running serving session reclaim one entry
+    * (and one broadcast reference) per call instead of accumulating. */
+  def dropTempFunction(spark: SparkSession, name: String): Unit =
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
 
   /** PPJoin in-bucket pair generation: array<struct<doc_id:long, n:int,
     * rk:int>> (one bucket's prefix entries) → array<struct<a:long,
@@ -1224,22 +1252,29 @@ object expressions {
   /** [[BloomProbeBroadcast]] as a Column. Expression→Column constructors
     * are sql-private in Spark 4, so this routes through the function
     * registry like everything else — but the broadcast is per-call state,
-    * so the builder is (re-)registered here, capturing `bc`. The binding
-    * happens at ANALYSIS of the returned Column, so a caller that defers
-    * its action past another registration would bind the wrong filter:
-    * force analysis eagerly (e.g. `df.queryExecution.analyzed`) before
-    * building a second probe, as q68 does.
+    * so the builder is registered under a name UNIQUE to `bc`
+    * (`bloom_probe_bc_b<id>`): concurrent callers on one session can
+    * never bind each other's filter, whatever order their plans analyze
+    * in. Callers should still force analysis (e.g.
+    * `df.queryExecution.analyzed`, as q68 does) and then release the
+    * entry with [[dropTempFunction]]([[bloomProbeName]]).
     */
   def bloom_probe_broadcast(
       spark: SparkSession,
       bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
       hashed: Column): Column = {
+    val name = bloomProbeName(bc)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_probe_bc",
+      name,
       exprs => {
         require(exprs.length == 1, "bloom_probe_bc requires exactly 1 argument")
         BloomProbeBroadcast(bc, exprs.head)
       }, "scala_udf")
-    call_function("bloom_probe_bc", hashed)
+    call_function(name, hashed)
   }
+
+  /** Name of the temp function [[bloom_probe_broadcast]] registers for
+    * `bc` — for [[dropTempFunction]] once the caller's plan is analyzed. */
+  def bloomProbeName(bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"bloom_probe_bc_b${bc.id}"
 }

@@ -1317,7 +1317,11 @@ object TextOps {
       val n = row.getLong(1)
       val thr = n / 257L // k = 256: every token with c > thr is in the sketch
       val cand = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
-      toks.filter($"token".isin(cand: _*))
+      // broadcast-join candidate filter — q77's shape: the ≤256-entry
+      // candidate set rides as one small relation instead of a 256-literal
+      // `isin` re-analyzed into an InSet on every run
+      val candDf = broadcast(cand.toSeq.toDF("token"))
+      toks.join(candDf, Seq("token"))
         .groupBy($"token")
         .agg(count(lit(1)).as("cnt"))
         .filter($"cnt" > thr)
@@ -1387,20 +1391,27 @@ object TextOps {
           // plan size stays O(1) as the held-out set grows (see
           // BloomProbeBroadcast scaladoc); ExpressionsSpec pins this
           val bc = s.sparkContext.broadcast(bloom)
-          val candidates = docs.filter($"split" === "train")
-            .withColumn("n_hit",
-              size(filter($"hs", h => E.bloom_probe_broadcast(s, bc, h)))
-                .cast("long"))
-            .filter($"n_hit" >= 8)
-          val out = candidates.select($"doc_id", explode($"hs").as("h"))
-            .join(testH, Seq("h"))
-            .groupBy($"doc_id")
-            .agg(count(lit(1)).as("n_shared"))
-            .filter($"n_shared" >= 8)
-            .select($"doc_id", $"n_shared")
-            .orderBy($"doc_id")
-          out.queryExecution.analyzed // bind bloom_probe_bc to THIS bc now
-          out
+          try {
+            val candidates = docs.filter($"split" === "train")
+              .withColumn("n_hit",
+                size(filter($"hs", h => E.bloom_probe_broadcast(s, bc, h)))
+                  .cast("long"))
+              .filter($"n_hit" >= 8)
+            candidates.select($"doc_id", explode($"hs").as("h"))
+              .join(testH, Seq("h"))
+              .groupBy($"doc_id")
+              .agg(count(lit(1)).as("n_shared"))
+              .filter($"n_shared" >= 8)
+              .select($"doc_id", $"n_shared")
+              .orderBy($"doc_id")
+              // materialize (contaminated docs only — a small fraction by
+              // construction) while `docs` is still persisted, then release
+              // the filter broadcast instead of leaving it to driver GC
+              .localCheckpoint()
+          } finally {
+            E.dropTempFunction(s, E.bloomProbeName(bc))
+            bc.destroy()
+          }
         }
       } finally docs.unpersist()
     },

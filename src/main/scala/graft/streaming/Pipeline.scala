@@ -467,8 +467,14 @@ object Pipeline {
     val base = graft.sources.Tables.documents(s, corpusDir)
       .select(explode(split($"text", " ")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("bc"))
+    // materialized ONCE before the stream starts (localCheckpoint is
+    // eager and truncates lineage): as a lazy plan the full corpus
+    // token-count aggregate would re-execute inside every micro-batch's
+    // baseline join — the scaladoc's "computed batch-side once" contract,
+    // now actually enforced
     val baseline = base.crossJoin(broadcast(base.groupBy().agg(sum($"bc").as("bn"))))
       .select($"token", ($"bc".cast("double") / $"bn").as("base_rate"))
+      .localCheckpoint()
     val windowed = s.readStream
       .schema("ts TIMESTAMP, doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 1)
@@ -514,7 +520,7 @@ object Pipeline {
   def runPqLookupStream(s: SparkSession, corpusDir: String, inDir: String,
       outDir: String, checkpointDir: String, k: Int = 5,
       maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    val idx = graft.queries.VectorOps.pqTrain(s, corpusDir)
+    val idx = graft.queries.VectorOps.pqTrainCached(s, corpusDir)
     s.readStream
       .schema("ts TIMESTAMP, query_id LONG, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

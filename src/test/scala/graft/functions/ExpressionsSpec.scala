@@ -252,6 +252,47 @@ class ExpressionsSpec extends SparkSpec {
     assert(arr == 2)
   }
 
+  test("per-call registration: interleaved bloom probes bind their own broadcasts") {
+    import spark.implicits._
+    def bloomOf(vals: Seq[Long]): Array[Byte] = vals.toDF("h")
+      .agg(expressions.bloom_agg($"h", lit(128L)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val bcEven = spark.sparkContext.broadcast(bloomOf(0L to 100L by 2))
+    val bcOdd = spark.sparkContext.broadcast(bloomOf(1L to 101L by 2))
+    // build BOTH columns before analyzing either: a session-global temp
+    // function name would make the second registration clobber the first
+    // and colEven would silently bind the odd filter (ADVICE r6)
+    val colEven = expressions.bloom_probe_broadcast(spark, bcEven, $"h")
+    val colOdd = expressions.bloom_probe_broadcast(spark, bcOdd, $"h")
+    val probe = (0L to 9L).toDF("h")
+    val hitsEven = probe.filter(colEven).collect().map(_.getLong(0)).toSet
+    val hitsOdd = probe.filter(colOdd).collect().map(_.getLong(0)).toSet
+    // no false negatives: each probe must keep ALL of its own set
+    assert((0L to 9L by 2).forall(hitsEven), s"even probe lost members: $hitsEven")
+    assert((1L to 9L by 2).forall(hitsOdd), s"odd probe lost members: $hitsOdd")
+    // the per-broadcast entry can be dropped and re-registered cleanly
+    expressions.dropTempFunction(spark, expressions.bloomProbeName(bcEven))
+    val again = probe.filter(expressions.bloom_probe_broadcast(spark, bcEven, $"h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == hitsEven)
+    expressions.dropTempFunction(spark, expressions.bloomProbeName(bcEven))
+    expressions.dropTempFunction(spark, expressions.bloomProbeName(bcOdd))
+    bcEven.destroy(); bcOdd.destroy()
+  }
+
+  test("pq_adc rejects a dtable whose length disagrees with codes × K") {
+    import spark.implicits._
+    val bad = Seq((Seq(0, 1), Seq.fill(5)(1L))).toDF("codes", "dtable")
+    val e = intercept[Exception] {
+      bad.select(expressions.pq_adc($"codes", $"dtable", 16)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("pq_adc")),
+      s"expected the descriptive pq_adc length error, got: $e")
+  }
+
   test("ppjoin_pairs == declarative cap+explode+length+position form") {
     import spark.implicits._
     import org.apache.spark.sql.Column
