@@ -54,19 +54,29 @@ object TextOps {
     * scale the corpus arrives as many splits and this is a cheap
     * round-robin of ~1 task's data.
     */
-  private[queries] def shingled(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      // hs: the shingle set as a sorted xxhash64 array — the only form the
-      // dedup family needs (candidate generation explodes it, MinHash/
-      // SimHash kernels consume raw hashes, verification merge-intersects
-      // two of them), so the strings never leave this projection and the
-      // cached corpus is ~8 bytes per shingle. One native pass
-      // (split → k-gram → string-distinct → hash → sort); n stays the
-      // exact string-distinct count. Bit-compatible with
-      // array_sort(transform(word_shingles(text), xxhash64)) — parity
-      // spec in ExpressionsSpec.
+  private[queries] def shingled(s: SparkSession, d: String): DataFrame =
+    shingleDocs(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** (doc_id, text, …) → (doc_id, n: int, hs: array<long>) for ANY
+    * document frame — the corpus form above and arriving snapshots /
+    * micro-batches ([[dedupAgainstIndex]]) go through the SAME
+    * expressions, so an arriving document shingles identically to how
+    * the stored corpus was indexed.
+    *
+    * hs: the shingle set as a sorted xxhash64 array — the only form the
+    * dedup family needs (candidate generation explodes it, MinHash/
+    * SimHash kernels consume raw hashes, verification merge-intersects
+    * two of them), so the strings never leave this projection and the
+    * cached corpus is ~8 bytes per shingle. One native pass
+    * (split → k-gram → string-distinct → hash → sort); n stays the
+    * exact string-distinct count. Bit-compatible with
+    * array_sort(transform(word_shingles(text), xxhash64)) — parity
+    * spec in ExpressionsSpec.
+    */
+  private[graft] def shingleDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", graft.functions.expressions.shingle_hashes($"text").as("hs"))
       .filter(size($"hs") >= 1)
       .select($"doc_id", size($"hs").as("n"), $"hs")
@@ -397,26 +407,40 @@ object TextOps {
     * (>= 0.8) is 1 - (1 - 0.8^4)^16 ≈ 0.9998 — the output equals Q18's
     * exact pair set on the test corpora (asserted in TextOpsSpec).
     */
+  /** 16-band × 4-row MinHash banding of a shingled frame:
+    * (doc_id, band, bh). ONE set of expressions shared by q19's
+    * within-corpus LSH, the [[buildMinHashIndex]] builder and
+    * [[dedupAgainstIndex]]'s arriving-side probe — identical expressions
+    * mean an arriving document hashes into exactly the buckets its
+    * stored near-duplicates were indexed under, so probe candidates
+    * equal q19's banding candidates by construction.
+    *
+    * Native one-pass signature kernel: one xxhash64 per shingle, 64
+    * (a*x+b) mod P permutation minima in a tight primitive loop
+    * (interpreted HOF lambdas were the round-1 bottleneck; see
+    * graft.functions).
+    */
+  private val mhBands = 16
+  private val mhRows = 64 / mhBands
+  private[queries] def bandsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("sig",
+        graft.functions.expressions.minhash_signature($"hs"))
+      .select($"doc_id",
+        explode(transform(sequence(lit(0), lit(mhBands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, slice($"sig", b * mhRows + 1, lit(mhRows))).as("bh"))))
+          .as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+  }
+
   private[queries] def nearDupPairsLsh(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
-      val nPerm = 64
-      val bands = 16
-      val rows = nPerm / bands
       // persist: reused by signature computation and both verify joins
       // (see q18's note — released after the result is materialized)
       val docs = shingled(s, d).persist()
       try {
-        // Native one-pass kernel: one xxhash64 per shingle, 64 (a*x+b) mod P
-        // permutation minima in a tight primitive loop (interpreted HOF
-        // lambdas were the round-1 bottleneck; see graft.functions).
-        val withSig = docs.withColumn("sig",
-          graft.functions.expressions.minhash_signature($"hs"))
-        val banded = withSig.select($"doc_id",
-            explode(transform(sequence(lit(0), lit(bands - 1)),
-              b => struct(b.as("band"),
-                xxhash64(b, slice($"sig", b * rows + 1, lit(rows))).as("bh"))))
-              .as("bb"))
-          .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+        val banded = bandsOf(docs)
         // Bucket-collect pair generation instead of a self-join: signatures
         // are computed once, and candidate pairs come from exploding each
         // bucket's id list; pathological buckets are capped (see capBucket).
@@ -436,6 +460,141 @@ object TextOps {
   private val q19 = Q(
     fn = (s, d) => nearDupPairsLsh(s, d),
     oracle = Some(nearDupOracle))
+
+  // ────────────────────────────────────────────────────────────────────
+  // Incremental near-dup dedup against a persisted MinHash band index —
+  // the production shape for a corpus that grows by snapshots: index the
+  // stored corpus ONCE, then dedup every arriving snapshot / micro-batch
+  // against the index without ever re-shingling (or even re-reading) the
+  // stored documents. Reference anchor: the append-only ingest leg
+  // (consumer.py:133–149) meeting the dedup family.
+
+  /** The persisted dedup index over a stored corpus:
+    *  - `bands` (doc_id, band, bh) — the 16×4 MinHash band buckets, the
+    *    probe target for candidate generation (16 rows per stored doc);
+    *  - `shingles` (doc_id, n, hs) — each stored doc's sorted
+    *    shingle-hash array (~8 bytes per shingle), the exact-verification
+    *    operand, so verification never touches stored TEXT either.
+    * Both are plain tables: partitionable, bucketable (by bh / doc_id),
+    * and appendable when the corpus itself grows — the same
+    * index-as-artifact pattern as [[graft.queries.VectorOps.savePqIndex]].
+    */
+  private[graft] case class MinHashIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Build a [[MinHashIndex]] from a shingled corpus frame
+    * ([[shingleDocs]]); callers persist `docs` when building eagerly. */
+  private[graft] def buildMinHashIndex(docs: DataFrame): MinHashIndex = {
+    import docs.sparkSession.implicits._
+    MinHashIndex(bandsOf(docs), docs.select($"doc_id", $"n", $"hs"))
+  }
+
+  /** Persist a [[MinHashIndex]] as two parquet tables. At 100 TB the
+    * bands table is 16 small rows per stored doc and the shingles table
+    * ~the corpus's distinct-shingle volume at 8 bytes each — both a
+    * fraction of the text they replace for dedup purposes. */
+  private[graft] def saveMinHashIndex(idx: MinHashIndex, path: String): Unit = {
+    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Load a [[saveMinHashIndex]] artifact; serving-equivalence to the
+    * built index is pinned in QueriesSpec. */
+  private[graft] def loadMinHashIndex(s: SparkSession, path: String): MinHashIndex =
+    MinHashIndex(
+      bands = s.read.parquet(s"$path/bands"),
+      shingles = s.read.parquet(s"$path/shingles"))
+
+  /** Dedup an ARRIVING document set (doc_id, text) against a
+    * [[MinHashIndex]]: emit every (new_doc_id, old_doc_id) pair with
+    * exact word-3-gram Jaccard ≥ t, verified — without re-shingling the
+    * stored corpus (candidates probe `idx.bands`, verification
+    * merge-intersects against `idx.shingles`).
+    *
+    * Exactness: banding recall at the corpus's near-dup similarity
+    * levels is the q19 argument (1 − (1 − s⁴)¹⁶ ≈ 0.9998 at s = 0.8),
+    * and candidates are verified exactly, so the output equals the
+    * brute-force new×old pair set — q82's DuckDB oracle hash-checks
+    * precisely that.
+    *
+    * Scale shape: the arriving side is a snapshot / micro-batch —
+    * bounded and small relative to the corpus BY CONTRACT — so its
+    * bands and its candidate pairs ride as broadcasts: the stored index
+    * is only ever scanned in place (two scan-side broadcast joins), no
+    * corpus shuffle at any index size. Like [[verifyPairs]], candidates
+    * are `distinct`-ed BEFORE verification (a true pair resurfaces once
+    * per matching band — up to 16×). The result is materialized
+    * (bounded: verified pairs only) before returning.
+    */
+  private[graft] def dedupAgainstIndex(newDocs: DataFrame, idx: MinHashIndex,
+      t: Double = 0.5): DataFrame = {
+    import newDocs.sparkSession.implicits._
+    val fresh = shingleDocs(newDocs).persist()
+    try {
+      val cand = broadcast(bandsOf(fresh))
+        .join(idx.bands.select($"doc_id".as("old_id"), $"band", $"bh"),
+          Seq("band", "bh"))
+        .select($"doc_id".as("new_id"), $"old_id")
+        .distinct()
+      broadcast(cand)
+        .join(fresh.select($"doc_id".as("new_id"), $"hs".as("hs_new"),
+          $"n".as("n_new")), Seq("new_id"))
+        .join(idx.shingles.select($"doc_id".as("old_id"), $"hs".as("hs_old"),
+          $"n".as("n_old")), Seq("old_id"))
+        .withColumn("common",
+          graft.functions.expressions.sorted_intersect_count($"hs_new", $"hs_old"))
+        .withColumn("jaccard",
+          $"common".cast("double") / ($"n_new" + $"n_old" - $"common"))
+        .filter($"jaccard" >= t)
+        .select($"new_id".as("new_doc_id"), $"old_id".as("old_doc_id"),
+          $"n_new".cast("long").as("n_new"), $"n_old".cast("long").as("n_old"),
+          $"common", $"jaccard")
+        .orderBy($"new_doc_id", $"old_doc_id")
+        .localCheckpoint()
+    } finally fresh.unpersist()
+  }
+
+  /** Q82 — incremental near-dup dedup: index the stored 80% of the
+    * corpus (doc_id % 10 < 8 — the deterministic stand-in for
+    * "yesterday's corpus"), then dedup the arriving 20% against it via
+    * [[dedupAgainstIndex]]. The oracle is the BRUTE-FORCE new×old
+    * verified pair set, so candidate generation, index content and
+    * verification are all hash-checked. The streaming twin
+    * ([[graft.streaming.Pipeline.runIncrementalDedupStream]]) loads the
+    * SAME artifact and filters arriving micro-batches through the same
+    * function.
+    */
+  private val q82 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val all = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      // persist: the stored-side shingles feed both index tables (bands
+      // derive from them) — built once, released after the materialized
+      // result returns
+      val old = shingleDocs(all.filter($"doc_id" % 10 < 8)).persist()
+      try dedupAgainstIndex(all.filter($"doc_id" % 10 >= 8),
+        buildMinHashIndex(old))
+      finally old.unpersist()
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      )
+      SELECT a.doc_id AS new_doc_id, b.doc_id AS old_doc_id,
+             any_value(a.n) AS n_new, any_value(b.n) AS n_old,
+             COUNT(*) AS common,
+             CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jaccard
+      FROM ex a JOIN ex b ON a.s = b.s
+        AND a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ORDER BY new_doc_id, old_doc_id"""))
 
   /** Q20 — SimHash fingerprints + Hamming-distance pairs (brief's SimHash
     * dedup). 64-bit simhash over distinct word-3-gram shingles (shingle
@@ -1839,5 +1998,6 @@ object TextOps {
     "q76_epoch_shards" -> q76,
     "q77_heavy_hitters_by_source" -> q77,
     "q80_corpus_drift" -> q80,
+    "q82_dedup_incremental" -> q82,
   )
 }

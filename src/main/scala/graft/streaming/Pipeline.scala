@@ -538,6 +538,42 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q82 — incremental near-dup dedup of an ARRIVING
+    * document stream against a PERSISTED MinHash band index
+    * ([[graft.queries.TextOps.saveMinHashIndex]]): the index is loaded
+    * once at stream start, and each micro-batch runs EXACTLY the batch
+    * scoring ([[graft.queries.TextOps.dedupAgainstIndex]], shared
+    * function) — shingle + band the arriving docs, probe the stored band
+    * buckets, verify candidates by exact Jaccard against the stored
+    * shingle arrays. A document therefore matches in the stream iff it
+    * matches in the batch query (StreamingSpec pins stream == batch on
+    * the same rows), and the stored corpus is never re-shingled — the
+    * append-only ingest leg (reference consumer.py:133–149) meeting the
+    * dedup family.
+    *
+    * Scale shape: per micro-batch the arriving side (bands, candidates)
+    * rides as broadcasts against the in-place index scans — no corpus
+    * shuffle per batch, cost bounded by batch size × matched buckets.
+    */
+  def runIncrementalDedupStream(s: SparkSession, indexPath: String,
+      inDir: String, outDir: String, checkpointDir: String, t: Double = 0.5,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val idx = graft.queries.TextOps.loadMinHashIndex(s, indexPath)
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.TextOps.dedupAgainstIndex(
+          batch.select(col("doc_id"), col("text")), idx, t)
+          .write.mode("append").parquet(s"$outDir/incremental_dedup")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** EXACTLY-ONCE streaming metrics store without a transactional table
     * format (SURVEY §2.9's delivery row, store side). [[runMetricsPipeline]]
     * appends finalized windows, so a micro-batch replayed after a crash

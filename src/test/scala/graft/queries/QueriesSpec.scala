@@ -257,6 +257,46 @@ class QueriesSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("q82 incremental dedup == cross-split subset of q18's exact pairs") {
+    val full = run("q18_neardup_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def isNew(id: Long) = id % 10 >= 8
+    // brute-force expectation from the INDEPENDENT exact pipeline: q18's
+    // all-pairs set restricted to pairs crossing the new/old split,
+    // reoriented new-first
+    val expected = full.collect {
+      case (i, j) if isNew(i) != isNew(j) => if (isNew(i)) (i, j) else (j, i)
+    }
+    val got = run("q82_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("MinHash index save/load: loaded index serves identical pairs") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val old = TextOps.shingleDocs(docs.filter($"doc_id" % 10 < 8)).persist()
+    try {
+      val built = TextOps.buildMinHashIndex(old)
+      val dir = tmpDir("mh_index")
+      TextOps.saveMinHashIndex(built, dir)
+      val loaded = TextOps.loadMinHashIndex(spark, dir)
+      // artifact round-trip: both tables content-identical
+      assert(loaded.bands.collect().map(_.toString).sorted.toSeq ==
+        built.bands.collect().map(_.toString).sorted.toSeq)
+      assert(loaded.shingles.collect().map(_.toString).sorted.toSeq ==
+        built.shingles.collect().map(_.toString).sorted.toSeq)
+      // serving equivalence: the loaded artifact yields the same verified
+      // pairs as the in-memory index
+      val fresh = docs.filter($"doc_id" % 10 >= 8).select($"doc_id", $"text")
+      val a = TextOps.dedupAgainstIndex(fresh, built)
+        .collect().map(_.toString).sorted.toSeq
+      val b = TextOps.dedupAgainstIndex(fresh, loaded)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a.nonEmpty && a == b)
+    } finally old.unpersist()
+  }
+
   test("q80 corpus drift: union of top-64s, exact counts, drift ordering") {
     import spark.implicits._
     val rows = run("q80_corpus_drift").collect()

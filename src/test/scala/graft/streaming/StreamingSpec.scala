@@ -213,6 +213,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 6 * 5)
   }
 
+  test("streaming incremental dedup: micro-batches vs loaded index == batch q82") {
+    import org.apache.spark.sql.functions.{lit, struct, to_json}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("inc_in")
+    val out = tmpDir("inc_out")
+    val ckpt = tmpDir("inc_ckpt")
+    val idxDir = tmpDir("inc_idx")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    // persist the index artifact over the stored split (q82's rule)
+    val old = graft.queries.TextOps.shingleDocs(docs.filter($"doc_id" % 10 < 8))
+      .persist()
+    try graft.queries.TextOps.saveMinHashIndex(
+      graft.queries.TextOps.buildMinHashIndex(old), idxDir)
+    finally old.unpersist()
+    // arriving snapshot: the new split re-serialized as JSONL, two
+    // files -> two micro-batches (to_json handles text escaping)
+    val lines = docs.filter($"doc_id" % 10 >= 8)
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id", $"text")))
+      .collect().map(_.getString(0))
+    val half = lines.length / 2
+    writeJsonl(in, "b1.jsonl", lines.take(half).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines.drop(half).toIndexedSeq: _*)
+
+    Pipeline.runIncrementalDedupStream(spark, idxDir, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/incremental_dedup")
+      .collect().map(_.toString).sorted.toSeq
+
+    // batch q82 builds the same index over the same stored split and
+    // scores the same arriving rows
+    val batch = graft.SparkEntry.queries("q82_dedup_incremental")(spark, corpus)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming domain mixing: realized rates == batch q49 core on the same rows") {
     import org.apache.spark.sql.functions.{col, count, lit}
     import spark.implicits._
