@@ -121,6 +121,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs(2).foldable, "pq_adc k must be a literal")
         PqAdcDist(exprs(0), exprs(1), exprs(2).eval().toString.toInt)
       }))
+    e.injectFunction((FunctionIdentifier("bpe_encode"),
+      info("bpe_encode",
+        "_FUNC_(text, merges) - greedy BPE subword apply over a literal merges table"),
+      exprs => {
+        require(exprs.length == 2,
+          "bpe_encode requires exactly 2 arguments (text, merges)")
+        BpeEncode(exprs(0), parseMergesLiteral(exprs(1)))
+      }))
     // NOT injected: bloom_probe_bc and pq_scan_topk carry per-call
     // broadcast state (see BloomProbeBroadcast / PqScanTopK scaladoc) —
     // they are registered at call time by their owning operators, not as

@@ -1133,6 +1133,139 @@ object expressions {
       copy(child = c)
   }
 
+  /** Merge every non-overlapping left-to-right occurrence of the adjacent
+    * token pair (l, r) in `seq` — BPE's single merge step, shared by the
+    * [[BpeEncode]] apply kernel and [[trainBpeMerges]]' re-segmentation so
+    * training and apply agree by construction. */
+  private[functions] def bpeMergeAll(
+      seq: Array[String], l: String, r: String): Array[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](seq.length)
+    var j = 0
+    while (j < seq.length) {
+      if (j < seq.length - 1 && seq(j) == l && seq(j + 1) == r) {
+        buf += (l + r); j += 2
+      } else { buf += seq(j); j += 1 }
+    }
+    buf.toArray
+  }
+
+  /** Deterministic greedy BPE TRAINING over a bounded word-count sample
+    * (Sennrich et al., "Neural Machine Translation of Rare Words with
+    * Subword Units", ACL 2016 — algorithm 1, re-derived): start from
+    * per-character segmentations, and for `nMerges` rounds count every
+    * adjacent symbol pair weighted by word frequency, merge the most
+    * frequent pair everywhere, repeat. Ties break by (count desc, left,
+    * right) so the merges table is a pure function of the input sample.
+    * Driver-local by design: the input is a bounded heavy-hitter
+    * vocabulary (≤ a few hundred rows at any corpus scale — see q23b),
+    * never the corpus.
+    */
+  private[graft] def trainBpeMerges(
+      wordCounts: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    var segs: Seq[(Array[String], Long)] = wordCounts
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (seq, c) =>
+        var i = 0
+        while (i < seq.length - 1) {
+          val p = (seq(i), seq(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        segs = segs.map { case (seq, c) => (bpeMergeAll(seq, best._1, best._2), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Merges-table-driven BPE APPLY: text → array<string> of subword
+    * tokens. Words are the non-empty single-space splits (q23's token
+    * rule); each word starts as per-character symbols and repeatedly
+    * merges the present adjacent pair with the LOWEST merge rank (all
+    * non-overlapping occurrences, left to right) until no ranked pair
+    * remains — the standard greedy BPE segmenter, one tight loop per
+    * word (WinnowFingerprint's kernel shape; a higher-order-function
+    * encoding would interpret thousands of boxed lambdas per document).
+    * The merges table is a plan literal (≤ dozens of entries by the
+    * bounded-training contract), so the expression is stateless and
+    * SQL-injectable. Bit-parity vs an independent naive reference is
+    * pinned by ScalaCheck in PropertySpec.
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "bpe_encode text")
+
+    // duplicate pairs keep their FIRST (lowest) rank
+    @transient private lazy val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.groupMapReduce(_._1)(_._2)(math.min)
+
+    private def encodeWord(w: String,
+        out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+      var seq: Array[String] = w.map(_.toString).toArray
+      var done = false
+      while (!done && seq.length > 1) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < seq.length - 1) {
+          val r = rank.getOrElse((seq(i), seq(i + 1)), Int.MaxValue)
+          if (r < bestRank) bestRank = r
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (l, r) = merges(bestRank)
+          seq = bpeMergeAll(seq, l, r)
+        }
+      }
+      seq.foreach(t => out += org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var start = 0
+      var i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == ' ') {
+          if (i > start) encodeWord(text.substring(start, i), out)
+          start = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpe", this, classOf[BpeEncode].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeEncode =
+      copy(child = c)
+  }
+
+  /** Parse a foldable array<struct<l,r>> merges literal (the shape
+    * `typedlit(Seq[(String, String)])` produces) at function-build time. */
+  private[graft] def parseMergesLiteral(e: Expression): Seq[(String, String)] = {
+    require(e.foldable, "bpe_encode merges must be a literal")
+    val arr = e.eval().asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val row = arr.getStruct(i, 2)
+      (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+    }
+  }
+
   /** Register the kernels in the session's function registry (idempotent;
     * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
     * Expression→Column constructors are sql-private in Spark 4, so the
@@ -1182,6 +1315,12 @@ object expressions {
         require(exprs.length == 3, "pq_adc requires exactly 3 arguments (codes, dtable, k)")
         require(exprs(2).foldable, "pq_adc k must be a literal")
         PqAdcDist(exprs(0), exprs(1), exprs(2).eval().toString.toInt)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_encode",
+      exprs => {
+        require(exprs.length == 2,
+          "bpe_encode requires exactly 2 arguments (text, merges)")
+        BpeEncode(exprs(0), parseMergesLiteral(exprs(1)))
       }, "scala_udf")
     reg.createOrReplaceTempFunction("ppjoin_pairs",
       exprs => {
@@ -1240,6 +1379,9 @@ object expressions {
   def pq_adc(codes: Column, dtable: Column, k: Int): Column =
     call_function("pq_adc", codes, dtable,
       org.apache.spark.sql.functions.lit(k))
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", text,
+      org.apache.spark.sql.functions.typedlit(merges))
   def ppjoin_pairs(bucket: Column, t: Double, maxBucket: Int): Column =
     call_function("ppjoin_pairs", bucket,
       org.apache.spark.sql.functions.lit(t),

@@ -757,6 +757,54 @@ object TextOps {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Q23b — TRUE subword token counting (q23's `bpe_units` is a regex
+    * proxy; real pipelines budget BPE tokens): a merges-table-driven
+    * byte-pair-encoding segmentation, trained then applied.
+    *
+    *  1. TRAIN deterministically on a bounded sample: the top-256 words
+    *     by exact corpus count (ties by word — one exact token count +
+    *     TakeOrdered, the q67-style bounded collect), 48 greedy merge
+    *     rounds with (count desc, pair lexicographic) tiebreaks
+    *     ([[graft.functions.expressions.trainBpeMerges]]) — the standard
+    *     train-on-sample / apply-at-scale shape: at 100 TB the sample is
+    *     still ≤256 short words and training stays driver-local;
+    *  2. APPLY corpus-wide with the native BpeEncode kernel (greedy
+    *     lowest-rank adjacent-pair merge per word, one tight loop —
+    *     WinnowFingerprint's shape), the ≤48-entry merges table riding
+    *     as a plan literal — fully scan-local, map-side-combined agg.
+    *
+    * BPE apply is an iterative greedy loop per word — not expressible as
+    * one SQL pass — so this is a pinned-spec query (no oracle): the
+    * kernel has ScalaCheck bit-parity vs an independent naive reference
+    * (PropertySpec) and the full query equals a naive end-to-end recount
+    * at both test SFs (QueriesSpec).
+    */
+  private val q23b = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val E = graft.functions.expressions
+      val docs = Tables.documents(s, d)
+      val wc = docs.select(explode(words($"text")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w").limit(256)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = E.trainBpeMerges(wc, 48)
+      docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"source",
+          size(E.bpe_encode($"text", merges)).cast("long").as("n_sub"),
+          size(filter(words($"text"), w => length(w) > 0)).cast("long").as("n_words"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_sub").as("bpe_tokens"),
+          sum($"n_words").as("ws_tokens"))
+        .withColumn("avg_bpe_per_word",
+          $"bpe_tokens".cast("double") / $"ws_tokens")
+        .orderBy($"source")
+    },
+    oracle = None)
+
   /** Q24 — document fingerprinting by winnowing (brief's "rolling hash"):
     * polynomial rolling hash (base 31 mod 1e9+7) over char-8-grams,
     * minima over sliding windows of 4, distinct minima = the fingerprint
@@ -1977,6 +2025,7 @@ object TextOps {
     "q21_lang_id" -> q21,
     "q22_doc_quality" -> q22,
     "q23_token_stats" -> q23,
+    "q23b_bpe_token_stats" -> q23b,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q46_decontamination" -> q46,

@@ -56,7 +56,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT sorted_intersect_count(array(1L, 2L), array(2L, 3L))",
         "SELECT ppjoin_pairs(array(named_struct('doc_id', 1L, 'n', 10, 'rk', 1), " +
           "named_struct('doc_id', 2L, 'n', 10, 'rk', 2)), 0.5D, 4096)",
-        "SELECT pq_adc(array(0, 1), array(1L, 2L, 3L, 4L), 2)")
+        "SELECT pq_adc(array(0, 1), array(1L, 2L, 3L, 4L), 2)",
+        "SELECT bpe_encode('ab ab', array(struct('a', 'b')))")
       resolveOnly.foreach(q => assert(s.sql(q).count() == 1, q))
       // aggregates inject too: MG sketch end-to-end, bloom build+probe
       // round-trip (build over xxhash64'd values, probe one present and

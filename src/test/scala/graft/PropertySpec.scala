@@ -226,6 +226,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bpe_encode kernel == independent naive greedy reference") {
+    import graft.functions.expressions
+    val tokenGen = Gen.choose(1, 2)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    // duplicate pairs allowed (first rank must win); multi-char sides only
+    // fire when earlier merges create them — both paths exercised
+    val mergesGen = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(tokenGen, tokenGen)))
+    val textGen = Gen.listOfN(60,
+      Gen.frequency(5 -> Gen.oneOf('a', 'b', 'c'), 1 -> Gen.const(' ')))
+      .map(_.mkString)
+    forAll2(Gen.listOfN(8, textGen), mergesGen) { (texts, merges) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = df.select($"id", expressions.bpe_encode($"text", merges).as("toks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == NaiveBpe.encode(t, merges),
+          s"text='$t' merges=$merges")
+      }
+    }
+  }
+
   test("property: Lcg matches java.util.Random for arbitrary seeds and bounds") {
     forAll2(Gen.long, Gen.listOfN(40, Gen.choose(1, 64)), n = 5) { (seed, bounds) =>
       val jr = new java.util.Random(seed)

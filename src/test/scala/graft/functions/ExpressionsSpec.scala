@@ -252,6 +252,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(arr == 2)
   }
 
+  test("trainBpeMerges: deterministic greedy merges on a hand-computed sample") {
+    // "abab"×2 + "ab"×1: (a,b) appears 2·2+1 = 5 times, (b,a) 2 — merge
+    // (a,b) first; then the only pair is (ab,ab) in "abab"; then nothing
+    val merges = expressions.trainBpeMerges(Seq("abab" -> 2L, "ab" -> 1L), 5)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    // equal counts tie-break lexicographically on the pair
+    assert(expressions.trainBpeMerges(Seq("ab" -> 1L, "ba" -> 1L), 1) ==
+      Seq(("a", "b")))
+    // nMerges caps the table
+    assert(expressions.trainBpeMerges(Seq("abab" -> 2L, "ab" -> 1L), 1) ==
+      Seq(("a", "b")))
+    assert(expressions.trainBpeMerges(Seq.empty, 4) == Seq.empty)
+  }
+
   test("per-call registration: interleaved bloom probes bind their own broadcasts") {
     import spark.implicits._
     def bloomOf(vals: Seq[Long]): Array[Byte] = vals.toDF("h")

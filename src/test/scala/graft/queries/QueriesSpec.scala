@@ -257,6 +257,32 @@ class QueriesSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("q23b BPE token stats == naive end-to-end recount (both SFs)") {
+    for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val docs = graft.sources.Tables.documents(spark, d)
+        .select("source", "text").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // recompute the bounded training sample and merges exactly as
+      // declared (top-256 words by count, ties by word; 48 rounds)
+      val wc = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }.toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(256)
+      val merges = graft.functions.expressions.trainBpeMerges(wc, 48)
+      assert(merges.nonEmpty)
+      val expected = docs.groupBy(_._1).map { case (src, g) =>
+        val bpe = g.map(x => graft.NaiveBpe.encode(x._2, merges).length.toLong).sum
+        val ws = g.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+        (src, g.length.toLong, bpe, ws, bpe.toDouble / ws)
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.queries("q23b_bpe_token_stats")(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      assert(got.nonEmpty && got == expected, s"mismatch at $d")
+      // merging only ever shortens toward whole words, never past them
+      got.foreach { case (_, _, bpe, ws, _) => assert(bpe >= ws) }
+    }
+  }
+
   test("q82 incremental dedup == cross-split subset of q18's exact pairs") {
     val full = run("q18_neardup_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
