@@ -23,6 +23,35 @@ object Bench {
     try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
     catch { case e: Throwable => Left(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
 
+  /** One timed pass of the ingest leg (also the isolated re-measure
+    * surface — graft.dev.IngestBench runs it solo with the sweep-hygiene
+    * RDD release, away from the full bench's page-cache/JIT noise).
+    * Returns (rows, seconds); the timer covers the streaming run only,
+    * not the wire-format staging. */
+  private[graft] def measureIngest(spark: SparkSession): (Long, Double) = {
+    import org.apache.spark.sql.functions.{col, date_format, struct, to_json}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
+    try {
+      val landing = s"$dir/landing"
+      val tel = graft.sources.Simulation.telemetry(spark, 100, 600, seed = 42L).toDF()
+      val wire = tel
+        .withColumn("timestamp", date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+        .drop("time")
+      val nRows = tel.count()
+      wire.select(to_json(struct(wire.columns.map(col): _*)).as("value"))
+        .repartition(8).write.mode("overwrite").text(landing)
+      val t0 = System.nanoTime()
+      graft.streaming.Pipeline
+        .runAlertPipeline(spark, landing, s"$dir/out", s"$dir/ckpt")
+        .awaitTermination()
+      (nRows, (System.nanoTime() - t0) / 1e9)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -109,29 +138,9 @@ object Bench {
     // (the reference's E1 path; its producer design point is ~10 rows/s,
     // BASELINE.md:12). Measured through a bounded availableNow run.
     val ingestJson = try {
-      import org.apache.spark.sql.functions.{col, date_format, struct, to_json}
-      val dir = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
-      try {
-        val landing = s"$dir/landing"
-        val tel = graft.sources.Simulation.telemetry(spark, 100, 600, seed = 42L).toDF()
-        val wire = tel
-          .withColumn("timestamp", date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
-          .drop("time")
-        val nRows = tel.count()
-        wire.select(to_json(struct(wire.columns.map(col): _*)).as("value"))
-          .repartition(8).write.mode("overwrite").text(landing)
-        val t0 = System.nanoTime()
-        graft.streaming.Pipeline
-          .runAlertPipeline(spark, landing, s"$dir/out", s"$dir/ckpt")
-          .awaitTermination()
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] ingest rows=$nRows sec=$sec%.3f rows_per_sec=${nRows / sec}%.0f")
-        f"""{"rps":${nRows / sec}%.0f}"""
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      val (nRows, sec) = measureIngest(spark)
+      System.err.println(f"[bench] ingest rows=$nRows sec=$sec%.3f rows_per_sec=${nRows / sec}%.0f")
+      f"""{"rps":${nRows / sec}%.0f}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ingest leg failed: ${e.getMessage}")

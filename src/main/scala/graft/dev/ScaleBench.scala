@@ -9,6 +9,10 @@ import graft.{Sessions, SparkEntry}
   * benchmark).
   *
   *   sbt "runMain graft.dev.ScaleBench /root/repo/tmp_scale 3 x1,x10,x100"
+  *   // optional 4th arg: comma-separated query-name prefixes ("-" = all)
+  *   // optional 5th arg: session confs k=v,k=v (e.g. the scaled-k lever
+  *   //   graft.vec.ivfCells=64,graft.vec.kmeansK=64)
+  *   sbt "runMain graft.dev.ScaleBench /root/repo/tmp_scale 3 x100 q38,q75 graft.vec.ivfCells=64,graft.vec.kmeansK=64"
   */
 object ScaleBench {
   private val QUERIES = Seq(
@@ -26,7 +30,15 @@ object ScaleBench {
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val scales = args.lift(2).map(_.split(',').toSeq).getOrElse(Seq("x1", "x10", "x100"))
     val s = Sessions.local()
-    for (scale <- scales; q <- QUERIES) {
+    val queries = args.lift(3).filter(_ != "-")
+      .map(f => QUERIES.filter(q => f.split(',').exists(q.startsWith)))
+      .getOrElse(QUERIES)
+    args.lift(4).foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split('=')
+      s.conf.set(k, v)
+      System.err.println(s"[scale] conf $k=$v")
+    })
+    for (scale <- scales; q <- queries) {
       val fn = SparkEntry.queries(q)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

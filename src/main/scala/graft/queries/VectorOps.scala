@@ -196,6 +196,20 @@ object VectorOps {
 
   private def toF(c: Column): Column = transform(c, x => x.cast("float"))
 
+  /** k ∝ n cell-count rule for the blocked-quadratic family (q38 / q75
+    * with `graft.vec.ivfCells` / `graft.vec.kmeansK` set to "auto"): one
+    * cell per `graft.vec.cellTarget` vectors — default 1536, the measured
+    * x100 optimum (SCALE.md: pair work falls with cell size until the
+    * n·k centroid-assignment cost overtakes it; at 200k vectors k = 128
+    * beat both 64 and 256). Capped at 512: past that the
+    * typedlit-centroid assignment plan itself becomes the bottleneck and
+    * a deployment should shard the corpus before clustering (or use a
+    * two-level quantizer), not grow one plan. */
+  private def autoCellCount(s: SparkSession, n: Long): Int = {
+    val target = math.max(1L, s.conf.get("graft.vec.cellTarget", "1536").toLong)
+    math.min(512L, math.max(8L, (n + target - 1) / target)).toInt
+  }
+
   /** Q38 — embedding-cosine near-duplicate pairs (brief's fifth dedup
     * method), blocked on the IVF coarse-quantizer cell (Q39's cells):
     * every vector is assigned to its argmax-cosine centroid, and
@@ -234,19 +248,37 @@ object VectorOps {
       val base = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding")
-      val centArr = ivfCentroids(base)
-        .agg(collect_list(struct($"c_label", $"cvec")).as("cents"))
-      val assigned = base.crossJoin(broadcast(centArr))
-        .withColumn("ranked", array_sort(
-          transform($"cents", c => struct(
-            graft.functions.expressions.quantized_cosine($"embedding", toF(c("cvec"))).as("csim"),
-            c("c_label").as("cell"))),
-          (l, r) => when(l("csim") > r("csim"), lit(-1))
-            .when(l("csim") < r("csim"), lit(1))
-            .when(l("cell") < r("cell"), lit(-1))
-            .when(l("cell") > r("cell"), lit(1))
-            .otherwise(lit(0))))
-        .select($"vec_id", $"embedding", $"ranked"(0)("cell").as("cell"))
+      val assigned = s.conf.getOption("graft.vec.ivfCells") match {
+        case Some(v) =>
+          // the 100 TB lever, runnable: a k-means coarse quantizer whose
+          // cell count grows with the corpus ("auto" → one cell per
+          // ~cellTarget vectors, the measured x100 optimum — SCALE.md's
+          // fixed-k vs scaled-k row pair; pair work falls ~linearly in
+          // cell size until the n·k assignment cost overtakes it, which
+          // the k=256 probe showed). The DEFAULT (unset) label-cell path
+          // below is the oracle-pinned shape; this knob is for
+          // deployments and the scale harness, same contract as
+          // graft.vec.maxCell.
+          val k = if (v == "auto") autoCellCount(s, base.count()) else v.toInt
+          kmeansAssign(s, d, k)
+            .select($"vec_id", $"cluster".cast("int").as("cell"))
+            .join(base.select($"vec_id", $"embedding"), Seq("vec_id"))
+            .select($"vec_id", $"embedding", $"cell")
+        case None =>
+          val centArr = ivfCentroids(base)
+            .agg(collect_list(struct($"c_label", $"cvec")).as("cents"))
+          base.crossJoin(broadcast(centArr))
+            .withColumn("ranked", array_sort(
+              transform($"cents", c => struct(
+                graft.functions.expressions.quantized_cosine($"embedding", toF(c("cvec"))).as("csim"),
+                c("c_label").as("cell"))),
+              (l, r) => when(l("csim") > r("csim"), lit(-1))
+                .when(l("csim") < r("csim"), lit(1))
+                .when(l("cell") < r("cell"), lit(-1))
+                .when(l("cell") > r("cell"), lit(1))
+                .otherwise(lit(0))))
+            .select($"vec_id", $"embedding", $"ranked"(0)("cell").as("cell"))
+      }
       // scoped persist (q18's pattern): assigned feeds the cell-sizes agg
       // AND both self-join sides — without it the per-row argmax over all
       // centroids (the most expensive map stage) re-runs up to 4x
@@ -701,7 +733,14 @@ object VectorOps {
     fn = (s, d) => {
       import s.implicits._
       val maxCell = s.conf.get("graft.vec.maxCell", "4096").toInt
-      val assign = kmeansAssign(s, d).select($"vec_id", $"cluster")
+      // cluster count: the same k ∝ n lever as q38's ivfCells knob (the
+      // oracle pins the DEFAULT k = 8; SCALE.md measures the scaled-k row;
+      // "auto" → one cluster per ~cellTarget vectors)
+      val kmConf = s.conf.get("graft.vec.kmeansK", "8")
+      val kmK = if (kmConf == "auto")
+        autoCellCount(s, Tables.embeddings(s, d).count())
+      else kmConf.toInt
+      val assign = kmeansAssign(s, d, kmK).select($"vec_id", $"cluster")
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       val v = subSplit(assign.join(emb, "vec_id"), "cluster", maxCell)
       val a = v.select($"cluster", $"sub", $"vec_id".as("i"), $"embedding".as("ei"))
