@@ -504,6 +504,27 @@ object TextOps {
       bands = s.read.parquet(s"$path/bands"),
       shingles = s.read.parquet(s"$path/shingles"))
 
+  /** Index MAINTENANCE — the other half of the incremental story: after
+    * [[dedupAgainstIndex]] screens an arriving snapshot, the ACCEPTED
+    * documents are appended to the persisted artifact so the NEXT
+    * snapshot dedups against them too. Banding is a pure per-document
+    * function ([[bandsOf]]), so appending is two parquet appends of the
+    * new docs' rows — cost ∝ snapshot size, never corpus size, and the
+    * appended artifact is row-identical to rebuilding from scratch over
+    * the union (QueriesSpec pins it). Caller sequencing (dedup, choose
+    * survivors, append) is the admission policy; this function only
+    * indexes what it is given.
+    */
+  private[graft] def appendToMinHashIndex(newDocs: DataFrame, path: String): Unit = {
+    import newDocs.sparkSession.implicits._
+    val fresh = shingleDocs(newDocs).persist()
+    try {
+      bandsOf(fresh).write.mode("append").parquet(s"$path/bands")
+      fresh.select($"doc_id", $"n", $"hs").write.mode("append")
+        .parquet(s"$path/shingles")
+    } finally fresh.unpersist()
+  }
+
   /** Dedup an ARRIVING document set (doc_id, text) against a
     * [[MinHashIndex]]: emit every (new_doc_id, old_doc_id) pair with
     * exact word-3-gram Jaccard ≥ t, verified — without re-shingling the

@@ -323,6 +323,35 @@ class QueriesSpec extends SparkSpec {
     } finally old.unpersist()
   }
 
+  test("MinHash index append == rebuild from scratch over the union") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val dir = tmpDir("mh_append")
+    // snapshot 1 indexed, snapshot 2 appended after "admission"
+    val old = TextOps.shingleDocs(docs.filter($"doc_id" % 10 < 8)).persist()
+    try TextOps.saveMinHashIndex(TextOps.buildMinHashIndex(old), dir)
+    finally old.unpersist()
+    TextOps.appendToMinHashIndex(
+      docs.filter($"doc_id" % 10 >= 8).select($"doc_id", $"text"), dir)
+    val appended = TextOps.loadMinHashIndex(spark, dir)
+    val full = TextOps.shingleDocs(docs).persist()
+    try {
+      val scratch = TextOps.buildMinHashIndex(full)
+      assert(appended.bands.collect().map(_.toString).sorted.toSeq ==
+        scratch.bands.collect().map(_.toString).sorted.toSeq)
+      assert(appended.shingles.collect().map(_.toString).sorted.toSeq ==
+        scratch.shingles.collect().map(_.toString).sorted.toSeq)
+      // and the appended artifact serves: a probe of the first 50 docs
+      // matches the from-scratch index pair-for-pair
+      val probe = docs.filter($"doc_id" < 50).select($"doc_id", $"text")
+      val a = TextOps.dedupAgainstIndex(probe, appended)
+        .collect().map(_.toString).sorted.toSeq
+      val b = TextOps.dedupAgainstIndex(probe, scratch)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a.nonEmpty && a == b)
+    } finally full.unpersist()
+  }
+
   test("q80 corpus drift: union of top-64s, exact counts, drift ordering") {
     import spark.implicits._
     val rows = run("q80_corpus_drift").collect()
