@@ -352,6 +352,54 @@ class QueriesSpec extends SparkSpec {
     } finally full.unpersist()
   }
 
+  test("incremental dedup admission loop: snapshot 2 matches docs admitted from snapshot 1") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val dir = tmpDir("mh_loop")
+    // corpus = stored 80%; snapshot 1 = new docs ending in 8; snapshot 2 =
+    // new docs ending in 9 (includes near-dups of both corpus AND snap-1
+    // docs — the generator's near-dup pairs are id-adjacent, so some
+    // (…8, …9) pairs cross the two snapshots)
+    val old = TextOps.shingleDocs(docs.filter($"doc_id" % 10 < 8)).persist()
+    try TextOps.saveMinHashIndex(TextOps.buildMinHashIndex(old), dir)
+    finally old.unpersist()
+    val snap1 = docs.filter($"doc_id" % 10 === 8).select($"doc_id", $"text")
+    val snap2 = docs.filter($"doc_id" % 10 === 9).select($"doc_id", $"text")
+    // snapshot 1: dedup, admit the non-matched survivors, index them
+    val m1 = TextOps.dedupAgainstIndex(snap1, TextOps.loadMinHashIndex(spark, dir))
+    val matched1 = m1.select($"new_doc_id").distinct()
+    TextOps.appendToMinHashIndex(
+      snap1.join(matched1, snap1("doc_id") === matched1("new_doc_id"), "left_anti"), dir)
+    // snapshot 2 now screens against corpus ∪ admitted-snap-1
+    val m2 = TextOps.dedupAgainstIndex(snap2, TextOps.loadMinHashIndex(spark, dir))
+      .select($"new_doc_id", $"old_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expectation from the exact pipeline: q18 pairs restricted to
+    // (snap2 doc, corpus-or-admitted doc)
+    val admitted = snap1.select($"doc_id").collect().map(_.getLong(0)).toSet --
+      m1.select($"new_doc_id").collect().map(_.getLong(0)).toSet
+    val indexed = (id: Long) => id % 10 < 8 || admitted(id)
+    val full = run("q18_neardup_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (i, j) if i % 10 == 9 && indexed(j) => (i, j)
+      case (i, j) if j % 10 == 9 && indexed(i) => (j, i)
+    }
+    assert(m2 == expected)
+    // the loop is live: an ADMITTED snapshot-1 doc arriving again (the
+    // re-ingest case) is caught by the appended index — it matches itself
+    // at jaccard 1.0 (this corpus has no cross-snapshot near-dup pair, so
+    // the self-match is the deterministic witness that appended docs are
+    // really probed)
+    assert(admitted.nonEmpty)
+    val reId = admitted.min
+    val rematch = TextOps.dedupAgainstIndex(
+      snap1.filter($"doc_id" === reId), TextOps.loadMinHashIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(rematch.exists { case (n, o, j) => n == reId && o == reId && j == 1.0 },
+      s"re-ingested admitted doc $reId not caught by the appended index: ${rematch.toSeq}")
+  }
+
   test("q80 corpus drift: union of top-64s, exact counts, drift ordering") {
     import spark.implicits._
     val rows = run("q80_corpus_drift").collect()
