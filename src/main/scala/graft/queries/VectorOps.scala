@@ -916,7 +916,13 @@ object VectorOps {
   // earlier process.
   private lazy val pqCacheRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_pq_idx_cache")
-    p.toFile.deleteOnExit()
+    // deleteOnExit only removes EMPTY dirs — sweep the artifact tree
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      catch { case _: Exception => () } // best-effort cleanup
+    }))
     p
   }
   private val pqCachePaths =
