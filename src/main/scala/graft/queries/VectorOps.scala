@@ -196,6 +196,30 @@ object VectorOps {
 
   private def toF(c: Column): Column = transform(c, x => x.cast("float"))
 
+  /** Argmax-cosine cell assignment of (vec_id, embedding, …) rows against
+    * a centroid frame ([[ivfCentroids]] shape) — q38's exact expressions,
+    * FACTORED so the stored corpus at index-build time and arriving
+    * vectors at probe time ([[dedupVecAgainstIndex]]) assign identically.
+    * The centroid table collapses into ONE broadcast row and each vector
+    * argmaxes with an in-row comparator sort — map-side, no shuffle, no
+    * window. Output: (vec_id, embedding, cell). */
+  private[graft] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val centArr = centroids
+      .agg(collect_list(struct($"c_label", $"cvec")).as("cents"))
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("ranked", array_sort(
+        transform($"cents", c => struct(
+          graft.functions.expressions.quantized_cosine($"embedding", toF(c("cvec"))).as("csim"),
+          c("c_label").as("cell"))),
+        (l, r) => when(l("csim") > r("csim"), lit(-1))
+          .when(l("csim") < r("csim"), lit(1))
+          .when(l("cell") < r("cell"), lit(-1))
+          .when(l("cell") > r("cell"), lit(1))
+          .otherwise(lit(0))))
+      .select($"vec_id", $"embedding", $"ranked"(0)("cell").as("cell"))
+  }
+
   /** k ∝ n cell-count rule for the blocked-quadratic family (q38 / q75
     * with `graft.vec.ivfCells` / `graft.vec.kmeansK` set to "auto"): one
     * cell per `graft.vec.cellTarget` vectors — default 1536, the measured
@@ -264,20 +288,7 @@ object VectorOps {
             .select($"vec_id", $"cluster".cast("int").as("cell"))
             .join(base.select($"vec_id", $"embedding"), Seq("vec_id"))
             .select($"vec_id", $"embedding", $"cell")
-        case None =>
-          val centArr = ivfCentroids(base)
-            .agg(collect_list(struct($"c_label", $"cvec")).as("cents"))
-          base.crossJoin(broadcast(centArr))
-            .withColumn("ranked", array_sort(
-              transform($"cents", c => struct(
-                graft.functions.expressions.quantized_cosine($"embedding", toF(c("cvec"))).as("csim"),
-                c("c_label").as("cell"))),
-              (l, r) => when(l("csim") > r("csim"), lit(-1))
-                .when(l("csim") < r("csim"), lit(1))
-                .when(l("cell") < r("cell"), lit(-1))
-                .when(l("cell") > r("cell"), lit(1))
-                .otherwise(lit(0))))
-            .select($"vec_id", $"embedding", $"ranked"(0)("cell").as("cell"))
+        case None => assignCells(base, ivfCentroids(base))
       }
       // scoped persist (q18's pattern): assigned feeds the cell-sizes agg
       // AND both self-join sides — without it the per-row argmax over all
@@ -350,6 +361,151 @@ object VectorOps {
               / (SQRT(CAST(x.qq AS DOUBLE)) * SQRT(CAST(y.qq AS DOUBLE))) >= 0.4
       ORDER BY cos DESC, i, j
       LIMIT 100"""))
+
+  // ────────────────────────────────────────────────────────────────────
+  // Incremental embedding-dedup against a persisted IVF index — q82's
+  // vector sibling (SemDeDup's serving shape): index the stored corpus
+  // once (centroids + cell-assigned vectors), then screen every arriving
+  // vector batch against the index without re-assigning (or re-reading)
+  // the stored side.
+
+  /** The persisted embedding-dedup index: `centroids` (c_label, cvec —
+    * the coarse quantizer, trained on the STORED corpus only so arriving
+    * vectors assign against a frozen structure) and `vectors` (vec_id,
+    * cell, embedding — the stored corpus with its cell assignment
+    * precomputed). Same index-as-artifact pattern as [[savePqIndex]] /
+    * `TextOps.MinHashIndex`. */
+  private[graft] case class VecDedupIndex(centroids: DataFrame, vectors: DataFrame)
+
+  /** Build a [[VecDedupIndex]] over a stored corpus (vec_id, label,
+    * embedding): per-label centroids + argmax-cosine cell assignment
+    * ([[assignCells]] — q38's exact expressions). */
+  private[graft] def buildVecDedupIndex(emb: DataFrame): VecDedupIndex = {
+    import emb.sparkSession.implicits._
+    val cents = ivfCentroids(emb)
+    VecDedupIndex(cents,
+      assignCells(emb.select($"vec_id", $"embedding"), cents))
+  }
+
+  private[graft] def saveVecDedupIndex(idx: VecDedupIndex, path: String): Unit = {
+    idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    idx.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  private[graft] def loadVecDedupIndex(s: SparkSession, path: String): VecDedupIndex =
+    VecDedupIndex(
+      centroids = s.read.parquet(s"$path/centroids"),
+      vectors = s.read.parquet(s"$path/vectors"))
+
+  /** Index maintenance (q82's admission loop, vector side): append
+    * ACCEPTED arriving vectors to the persisted artifact — they are
+    * assigned with the FROZEN stored-corpus centroids (the standard IVF
+    * serving contract: the quantizer retrains on rebuild, not per
+    * append), so an append is one parquet append of snapshot-sized rows
+    * and the appended artifact equals assigning those rows at build time
+    * against the same centroids (QueriesSpec pins it). */
+  private[graft] def appendToVecDedupIndex(newVecs: DataFrame, path: String): Unit = {
+    val s = newVecs.sparkSession
+    import s.implicits._
+    assignCells(newVecs.select($"vec_id", $"embedding"),
+        loadVecDedupIndex(s, path).centroids)
+      .select($"vec_id", $"cell", $"embedding")
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** Screen ARRIVING vectors (vec_id, embedding) against a
+    * [[VecDedupIndex]]: emit (new_vec_id, old_vec_id, cos) for every
+    * stored vector in the arriving vector's cell with exact quantized
+    * cosine ≥ minCos — SemDeDup's within-cluster domination test, served
+    * incrementally. Scale shape: arriving vectors assign map-side
+    * against the broadcast centroids and ride as the BROADCAST side of
+    * the cell equi-join, so the stored vectors table is only ever
+    * scanned in place — no corpus shuffle at any index size, cost ∝
+    * batch size × matched-cell population. Cross-cell near-dups are the
+    * standard blocking-recall trade (q38's contract); the oracle mirrors
+    * the blocking, so the structure itself is hash-verified. */
+  private[graft] def dedupVecAgainstIndex(newVecs: DataFrame, idx: VecDedupIndex,
+      minCos: Double = 0.4): DataFrame = {
+    import newVecs.sparkSession.implicits._
+    val assigned = assignCells(newVecs.select($"vec_id", $"embedding"), idx.centroids)
+    broadcast(assigned
+        .select($"vec_id".as("new_vec_id"), $"embedding".as("e_new"), $"cell"))
+      .join(idx.vectors.select($"vec_id".as("old_vec_id"),
+        $"embedding".as("e_old"), $"cell"), Seq("cell"))
+      .select($"new_vec_id", $"old_vec_id",
+        graft.functions.expressions.quantized_cosine($"e_new", $"e_old").as("cos"))
+      .filter($"cos" >= minCos)
+      .orderBy($"new_vec_id", $"old_vec_id")
+      .localCheckpoint()
+  }
+
+  /** Q83 — incremental embedding-dedup: index the stored 80% of the
+    * corpus (vec_id % 10 < 8 — q82's snapshot rule on the vector side),
+    * then screen the arriving 20% via [[dedupVecAgainstIndex]]. The
+    * oracle reproduces the WHOLE structure — stored-only centroid
+    * training, both sides' argmax assignment, the bipartite in-cell
+    * join, exact quantized cosine ≥ 0.4 — so candidate blocking and
+    * scoring are hash-checked, q38's contract carried to the
+    * incremental form. The streaming twin
+    * ([[graft.streaming.Pipeline.runIncrementalVecDedupStream]]) loads
+    * the same artifact and screens micro-batches with the same function.
+    */
+  private val q83 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val all = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label", $"embedding")
+      val idx = buildVecDedupIndex(all.filter($"vec_id" % 10 < 8))
+      dedupVecAgainstIndex(all.filter($"vec_id" % 10 >= 8), idx)
+    },
+    oracle = Some("""
+      WITH qv AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ), qn AS (
+        SELECT vec_id, qv,
+               list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
+        FROM qv
+      ), cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+        WHERE vec_id % 10 < 8
+        GROUP BY label, pos
+      ), cn AS (
+        SELECT c_label, cqv,
+               list_sum(list_transform(generate_series(1, len(cqv)), i -> cqv[i] * cqv[i])) AS cc
+        FROM (
+          SELECT label AS c_label,
+                 list(CAST(FLOOR(CAST(CAST(c / 1048576.0 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)
+                      ORDER BY pos) AS cqv
+          FROM cent GROUP BY label)
+      ), asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT q.vec_id, c.c_label AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] * c.cqv[i])) AS DOUBLE)
+                     / (SQRT(CAST(q.qq AS DOUBLE)) * SQRT(CAST(c.cc AS DOUBLE))) DESC,
+                   c.c_label) AS rn
+          FROM qn q CROSS JOIN cn c
+        ) WHERE rn = 1
+      )
+      SELECT a.vec_id AS new_vec_id, b.vec_id AS old_vec_id,
+             CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
+                  k -> x.qv[k] * y.qv[k])) AS DOUBLE)
+               / (SQRT(CAST(x.qq AS DOUBLE)) * SQRT(CAST(y.qq AS DOUBLE))) AS cos
+      FROM asg a
+      JOIN asg b ON a.cell = b.cell AND a.vec_id % 10 >= 8 AND b.vec_id % 10 < 8
+      JOIN qn x ON x.vec_id = a.vec_id
+      JOIN qn y ON y.vec_id = b.vec_id
+      WHERE CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
+                k -> x.qv[k] * y.qv[k])) AS DOUBLE)
+              / (SQRT(CAST(x.qq AS DOUBLE)) * SQRT(CAST(y.qq AS DOUBLE))) >= 0.4
+      ORDER BY new_vec_id, old_vec_id"""))
 
   /** Q39 — IVF-style approximate nearest neighbors (brief's "IVF
     * variant"): per-label centroids (Q27's aggregation) act as the coarse
@@ -1291,5 +1447,6 @@ object VectorOps {
     "q78_pq_adc_ann" -> q78,
     "q79_ivfpq_ann" -> q79,
     "q81_embedding_drift" -> q81,
+    "q83_dedup_incremental_embedding" -> q83,
   )
 }

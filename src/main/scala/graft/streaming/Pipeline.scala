@@ -574,6 +574,34 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q83 — incremental embedding-dedup of arriving
+    * vectors against a persisted IVF index
+    * ([[graft.queries.VectorOps.saveVecDedupIndex]]): index loaded once
+    * at stream start, each micro-batch screened by EXACTLY the batch
+    * function ([[graft.queries.VectorOps.dedupVecAgainstIndex]]) — the
+    * arriving side assigns map-side against the broadcast centroids and
+    * broadcasts into the cell equi-join, so the stored vectors table is
+    * only scanned in place per batch (StreamingSpec pins stream ==
+    * batch on the same rows). */
+  def runIncrementalVecDedupStream(s: SparkSession, indexPath: String,
+      inDir: String, outDir: String, checkpointDir: String,
+      minCos: Double = 0.4, maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val idx = graft.queries.VectorOps.loadVecDedupIndex(s, indexPath)
+    s.readStream
+      .schema("ts TIMESTAMP, vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.VectorOps.dedupVecAgainstIndex(
+          batch.select(col("vec_id"), col("embedding")), idx, minCos)
+          .write.mode("append").parquet(s"$outDir/incremental_vec_dedup")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** EXACTLY-ONCE streaming metrics store without a transactional table
     * format (SURVEY §2.9's delivery row, store side). [[runMetricsPipeline]]
     * appends finalized windows, so a micro-batch replayed after a crash

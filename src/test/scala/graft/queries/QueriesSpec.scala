@@ -400,6 +400,43 @@ class QueriesSpec extends SparkSpec {
       s"re-ingested admitted doc $reId not caught by the appended index: ${rematch.toSeq}")
   }
 
+  test("VecDedup index save/load/append: loaded == built; append == build-time assignment") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label", $"embedding")
+    val dir = tmpDir("vec_idx")
+    val built = VectorOps.buildVecDedupIndex(emb.filter($"vec_id" % 10 < 8))
+    VectorOps.saveVecDedupIndex(built, dir)
+    val loaded = VectorOps.loadVecDedupIndex(spark, dir)
+    val arriving = emb.filter($"vec_id" % 10 >= 8).select($"vec_id", $"embedding")
+    // serving equivalence of the loaded artifact
+    val a = VectorOps.dedupVecAgainstIndex(arriving, built)
+      .collect().map(_.toString).sorted.toSeq
+    val b = VectorOps.dedupVecAgainstIndex(arriving, loaded)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+    // append assigns with the FROZEN centroids: appended vectors table ==
+    // built vectors ∪ the arriving rows assigned against the same centroids
+    VectorOps.appendToVecDedupIndex(arriving, dir)
+    val appended = VectorOps.loadVecDedupIndex(spark, dir).vectors
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    val expected = (built.vectors.select($"vec_id", $"cell").collect() ++
+      VectorOps.assignCells(arriving, built.centroids)
+        .select($"vec_id", $"cell").collect())
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    assert(appended == expected)
+    // a re-ingested appended vector matches itself at cos 1.0
+    val reId = arriving.select(min($"vec_id")).head().getLong(0)
+    val rematch = VectorOps.dedupVecAgainstIndex(
+      arriving.filter($"vec_id" === reId),
+      VectorOps.loadVecDedupIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // self-cosine is dot/(√qq·√qq) — one ulp under 1.0 in doubles
+    assert(rematch.exists { case (n, o, c) => n == reId && o == reId && c >= 0.999 },
+      s"re-ingested vector $reId not caught: ${rematch.toSeq}")
+  }
+
   test("q80 corpus drift: union of top-64s, exact counts, drift ordering") {
     import spark.implicits._
     val rows = run("q80_corpus_drift").collect()

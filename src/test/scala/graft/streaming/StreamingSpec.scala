@@ -250,6 +250,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming incremental vec-dedup: micro-batches vs loaded index == batch q83") {
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("vdd_in")
+    val out = tmpDir("vdd_out")
+    val ckpt = tmpDir("vdd_ckpt")
+    val idxDir = tmpDir("vdd_idx")
+    val emb = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+    graft.queries.VectorOps.saveVecDedupIndex(
+      graft.queries.VectorOps.buildVecDedupIndex(emb.filter($"vec_id" % 10 < 8)),
+      idxDir)
+    val arriving = emb.filter($"vec_id" % 10 >= 8)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def line(id: Long, v: Seq[Float]) =
+      s"""{"ts":"2026-03-01 08:00:00","vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    val half = arriving.length / 2
+    writeJsonl(in, "b1.jsonl", arriving.take(half).map((line _).tupled).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", arriving.drop(half).map((line _).tupled).toIndexedSeq: _*)
+
+    Pipeline.runIncrementalVecDedupStream(spark, idxDir, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/incremental_vec_dedup")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.SparkEntry.queries("q83_dedup_incremental_embedding")(spark, corpus)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming domain mixing: realized rates == batch q49 core on the same rows") {
     import org.apache.spark.sql.functions.{col, count, lit}
     import spark.implicits._
