@@ -23,7 +23,13 @@ object ScaleBench {
     // query COUNT grows with the corpus too — q78's full ADC is nq·n·M
     // by design (the declared brute-force-complete baseline; q79 is the
     // pruned path)
-    "q78_pq_adc_ann", "q79_ivfpq_ann", "q80_corpus_drift", "q81_embedding_drift")
+    "q78_pq_adc_ann", "q79_ivfpq_ann", "q80_corpus_drift", "q81_embedding_drift",
+    // round-7 additions: the incremental dedup pair. Both go through the
+    // per-JVM IndexCache, so rep 1 pays index build + probe and later
+    // reps probe only — min-of-reps ≈ the per-snapshot serving cost.
+    // NOTE the %10 split rule makes the "arriving snapshot" grow with
+    // the corpus (20% of it); a real deployment's snapshot is bounded.
+    "q82_dedup_incremental", "q83_dedup_incremental_embedding")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

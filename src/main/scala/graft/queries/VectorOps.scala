@@ -378,13 +378,52 @@ object VectorOps {
   private[graft] case class VecDedupIndex(centroids: DataFrame, vectors: DataFrame)
 
   /** Build a [[VecDedupIndex]] over a stored corpus (vec_id, label,
-    * embedding): per-label centroids + argmax-cosine cell assignment
-    * ([[assignCells]] — q38's exact expressions). */
+    * embedding): coarse-quantizer centroids + argmax-cosine cell
+    * assignment ([[assignCells]] — q38's exact expressions).
+    *
+    * Quantizer choice = q38's lever, and here it is NOT optional at
+    * scale: the probe's in-cell bipartite join does Σ|stored cell| ×
+    * |arriving in cell| work, so with a FIXED cell count both factors
+    * grow linearly and the probe goes quadratic — measured 12.5× wall
+    * for 10× data at x100 (SCALE.md round 7). `graft.vec.ivfCells`
+    * (count or "auto" = n/`cellTarget`) switches to k-means cells whose
+    * count grows with the corpus; any frozen centroid frame is a valid
+    * quantizer because BOTH build and probe assign through the same
+    * [[assignCells]] — the default label-cell frame is the oracle-pinned
+    * shape at test SFs. */
   private[graft] def buildVecDedupIndex(emb: DataFrame): VecDedupIndex = {
     import emb.sparkSession.implicits._
-    val cents = ivfCentroids(emb)
+    val s = emb.sparkSession
+    val cents = s.conf.getOption("graft.vec.ivfCells") match {
+      case Some(v) =>
+        val k = if (v == "auto") autoCellCount(s, emb.count()) else v.toInt
+        kmeansCentroidFrame(emb, k)
+      case None => ivfCentroids(emb)
+    }
     VecDedupIndex(cents,
       assignCells(emb.select($"vec_id", $"embedding"), cents))
+  }
+
+  /** K-means clusters of `emb` (vec_id, …, embedding) as an
+    * [[ivfCentroids]]-shaped frame (c_label = cluster id, cvec =
+    * per-cluster component means in embedding space): Lloyd assignment
+    * ([[kmeansAssignVectors]]) picks the membership, then one posexplode
+    * partial-agg computes the means — ivfCentroids' math with the
+    * cluster id standing in for the label. Materialized (k rows). */
+  private def kmeansCentroidFrame(emb: DataFrame, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val assign = kmeansAssignVectors(emb.select($"vec_id", $"embedding"), k)
+      .select($"vec_id", $"cluster")
+    assign.join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+      .select($"cluster", posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
+      .groupBy($"cluster", $"pos")
+      .agg((sum($"qx") / count(lit(1))).cast("double").as("c"))
+      .groupBy($"cluster")
+      .agg(map_from_entries(collect_list(struct($"pos", $"c"))).as("m"))
+      .select($"cluster".cast("int").as("c_label"),
+        transform(sequence(lit(0), lit(63)),
+          p => element_at($"m", p) / Scale).as("cvec"))
+      .localCheckpoint()
   }
 
   private[graft] def saveVecDedupIndex(idx: VecDedupIndex, path: String): Unit = {
@@ -439,14 +478,34 @@ object VectorOps {
       .localCheckpoint()
   }
 
+  /** q83's index over the stored split of dataset `d`, through the
+    * per-JVM [[IndexCache]] (pqTrainCached's pattern): the stored corpus
+    * is indexed ONCE per (dataset, quantizer config) and every later
+    * run — bench sweeps, dev reps, the streaming twin — pays only the
+    * probe, which is the actual per-snapshot serving cost. The quantizer
+    * conf is part of the key: a run that switches `graft.vec.ivfCells`
+    * gets its own artifact, never a structurally different one. */
+  private[graft] def vecDedupIndexCached(s: SparkSession, d: String): VecDedupIndex = {
+    import s.implicits._
+    val cells = s.conf.getOption("graft.vec.ivfCells").getOrElse("label")
+    loadVecDedupIndex(s, IndexCache.resolve(
+      s"vecdedup|$cells|" + new java.io.File(d).getCanonicalPath, "vecdedup") { p =>
+      val stored = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label", $"embedding")
+        .filter($"vec_id" % 10 < 8)
+      saveVecDedupIndex(buildVecDedupIndex(stored), p)
+    })
+  }
+
   /** Q83 — incremental embedding-dedup: index the stored 80% of the
-    * corpus (vec_id % 10 < 8 — q82's snapshot rule on the vector side),
-    * then screen the arriving 20% via [[dedupVecAgainstIndex]]. The
-    * oracle reproduces the WHOLE structure — stored-only centroid
-    * training, both sides' argmax assignment, the bipartite in-cell
-    * join, exact quantized cosine ≥ 0.4 — so candidate blocking and
-    * scoring are hash-checked, q38's contract carried to the
-    * incremental form. The streaming twin
+    * corpus (vec_id % 10 < 8 — q82's snapshot rule on the vector side,
+    * built once per JVM via [[vecDedupIndexCached]]), then screen the
+    * arriving 20% via [[dedupVecAgainstIndex]]. The oracle reproduces
+    * the WHOLE structure — stored-only centroid training, both sides'
+    * argmax assignment, the bipartite in-cell join, exact quantized
+    * cosine ≥ 0.4 — so candidate blocking and scoring are hash-checked,
+    * q38's contract carried to the incremental form. The streaming twin
     * ([[graft.streaming.Pipeline.runIncrementalVecDedupStream]]) loads
     * the same artifact and screens micro-batches with the same function.
     */
@@ -456,7 +515,7 @@ object VectorOps {
       val all = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding")
-      val idx = buildVecDedupIndex(all.filter($"vec_id" % 10 < 8))
+      val idx = vecDedupIndexCached(s, d)
       dedupVecAgainstIndex(all.filter($"vec_id" % 10 >= 8), idx)
     },
     oracle = Some("""
@@ -811,9 +870,19 @@ object VectorOps {
     * `(vec_id, cluster, dist)` — localCheckpoint'd before the scoped
     * persist releases, so callers compose it freely. */
   private[queries] def kmeansAssign(s: SparkSession, d: String,
+      k: Int = 8, rounds: Int = 2): org.apache.spark.sql.DataFrame =
+    kmeansAssignVectors(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), k, rounds)
+
+  /** [[kmeansAssign]]'s core over an arbitrary (vec_id, embedding) frame
+    * — identical recipe, so q74's oracle contract carries; callers that
+    * cluster a SUBSET (e.g. [[buildVecDedupIndex]]'s stored split) go
+    * through here. */
+  private[queries] def kmeansAssignVectors(embRaw: DataFrame,
       k: Int = 8, rounds: Int = 2): org.apache.spark.sql.DataFrame = {
+    val s = embRaw.sparkSession
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    val emb = embRaw
       // QuantizeVec emits integral doubles (floor semantics); the long
       // cast is exact and keeps every distance in pure long arithmetic
       .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
@@ -1058,45 +1127,19 @@ object VectorOps {
       codes = s.read.parquet(s"$path/codes"),
       cents = s.read.parquet(s"$path/cents"))
 
-  // Per-JVM trained-index artifact cache: training is deterministic in
-  // (dataset dir, pqM/pqDsub/pqK — fixed engine params), so one JVM never
-  // needs to train the same index twice. q78 and q79 share one training
-  // run (they train identical codebooks), and Bench's three sweeps reuse
-  // the first sweep's index — exactly the "index is the artifact" serving
-  // shape savePqIndex exists for. The cache is ON DISK (savePqIndex /
-  // loadPqIndex), not in-memory DataFrames: dev sweep hygiene (TimeQ /
-  // ScaleBench unpersist every cached RDD between reps) would permanently
-  // kill a memoized localCheckpoint, while a parquet scan is always
-  // recomputable. Scoped to a fresh per-JVM temp dir so a regenerated
-  // dataset at the same path can never hit a stale artifact from an
-  // earlier process.
-  private lazy val pqCacheRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_pq_idx_cache")
-    // deleteOnExit only removes EMPTY dirs — sweep the artifact tree
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(q => java.nio.file.Files.deleteIfExists(q))
-      catch { case _: Exception => () } // best-effort cleanup
-    }))
-    p
-  }
-  private val pqCachePaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val pqCacheSeq = new java.util.concurrent.atomic.AtomicInteger()
-
-  /** [[pqTrain]] through the per-JVM artifact cache: the first caller for
-    * a dataset trains and persists, every later caller loads the codes /
-    * codebook parquet (8 code ids per vector — the compressed store). */
-  private[graft] def pqTrainCached(s: SparkSession, d: String): PqIndex = {
-    val key = new java.io.File(d).getCanonicalPath
-    val path = pqCachePaths.computeIfAbsent(key, _ => {
-      val p = pqCacheRoot.resolve(s"idx_${pqCacheSeq.getAndIncrement()}").toString
+  /** [[pqTrain]] through the per-JVM [[IndexCache]]: the first caller
+    * for a dataset trains and persists, every later caller loads the
+    * codes / codebook parquet (8 code ids per vector — the compressed
+    * store). q78 and q79 share one training run (identical codebooks),
+    * and Bench's three sweeps reuse the first sweep's index — the
+    * "index is the artifact" serving shape savePqIndex exists for.
+    * Training is deterministic in (dataset dir, fixed engine params),
+    * so the cache can never serve a wrong index within a JVM. */
+  private[graft] def pqTrainCached(s: SparkSession, d: String): PqIndex =
+    loadPqIndex(s, IndexCache.resolve(
+      "pq|" + new java.io.File(d).getCanonicalPath, "pq") { p =>
       savePqIndex(pqTrain(s, d), p)
-      p
     })
-    loadPqIndex(s, path)
-  }
 
   /** Per-query flattened ADC distance tables: (query_id, dtable
     * array<long>) with slot m·K + cid — the broadcast operand of the

@@ -72,4 +72,36 @@ package object queries {
   /** [[decAvg]]'s fast twin under the same ≤4-decimal contract. */
   def decAvgFast(c: Column): Column =
     decSumFast(c) / count(c)
+
+  /** Per-JVM on-disk home for cached index artifacts (PQ codebooks,
+    * MinHash band indexes, vec-dedup indexes): deterministic training +
+    * a fresh per-process temp dir means one JVM never trains the same
+    * index twice and can never read a stale artifact from an earlier
+    * process; parquet (not in-memory DataFrames) so dev sweeps that
+    * unpersist every cached RDD can't invalidate it. Swept recursively
+    * on JVM exit (deleteOnExit only removes empty dirs). */
+  private[graft] object IndexCache {
+    lazy val root: java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory("graft_idx_cache")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        catch { case _: Exception => () } // best-effort cleanup
+      }))
+      p
+    }
+    private val seq = new java.util.concurrent.atomic.AtomicInteger()
+    private val paths =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** Resolve `key` to an artifact path, building it on first request
+      * (compute runs at most once per key per JVM). */
+    def resolve(key: String, prefix: String)(build: String => Unit): String =
+      paths.computeIfAbsent(key, _ => {
+        val p = root.resolve(s"${prefix}_${seq.getAndIncrement()}").toString
+        build(p)
+        p
+      })
+  }
 }
