@@ -2054,6 +2054,107 @@ object TextOps {
       FROM wide CROSS JOIN tot
       ORDER BY drift DESC, token"""))
 
+  /** Q84 — BM25 top-k retrieval ("more-like-this" search over the
+    * corpus): every query document (doc_id % 37 = 0 — the bounded query
+    * set convention) retrieves its 5 highest-scoring other documents
+    * under BM25 (Robertson–Walker, k1 = 1.2, b = 0.75, Lucene's
+    * ln(1 + (N − df + ½)/(df + ½)) idf). The textual counterpart of the
+    * ANN family (q25/q39): q71 builds the inverted index, this is the
+    * scoring probe over it.
+    *
+    * Exactness under the hash gate: a raw double BM25 sum is
+    * order-dependent (float addition is non-associative, and Spark's
+    * partial aggs + DuckDB's fold would disagree in the last ulps), so
+    * per-(term, doc) weights are quantized ONCE to fixed-point longs —
+    * floor(idf·10⁶) × floor(tf_factor·10⁶) — and the per-candidate sum
+    * is exact long arithmetic, order-free on both engines. The only
+    * libm call (ln) sits inside a floor(·10⁶) on a ~vocabulary-sized
+    * frame, where a cross-engine 1-ulp disagreement flips the result
+    * only if ln lands within an ulp of an integer/10⁶ boundary —
+    * verified empirically at sf0.01 and sf0.1 (q51's argument, made
+    * robust by integerization). Every other step is IEEE arithmetic on
+    * identical operands (avgdl is exact-long-sum / count), so it is
+    * bit-identical across engines by construction.
+    *
+    * Shape for 100 TB: tf / doc-length are map-side-combined scan aggs;
+    * df and idf are vocabulary-sized; the query-term set is bounded by
+    * contract (a request set, never a second corpus) and rides as a
+    * broadcast into the postings join — the postings frame is scanned
+    * in place, partial-aggregated on (query_id, doc_id), and the top-5
+    * is a WindowGroupLimit, so nothing corpus-sized ever shuffles.
+    */
+  private val q84 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val terms = Tables.documents(s, d)
+        .select($"doc_id", explode(words($"text")).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dlen = terms.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val stats = dlen.agg(count(lit(1)).as("n"),
+        (sum($"len").cast("double") / count(lit(1))).as("avgdl"))
+      val idf = df.crossJoin(broadcast(stats))
+        .select($"term",
+          floor(log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
+            .cast("long").as("idf_fp"), $"avgdl")
+      val w = tf.join(dlen, Seq("doc_id")).join(idf, Seq("term"))
+        .select($"doc_id", $"term",
+          ($"idf_fp" * floor(($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avgdl")) * 1e6)
+            .cast("long")).as("w_fp"))
+      val q = tf.filter($"doc_id" % 37 === 0)
+        .select($"doc_id".as("query_id"), $"term")
+      broadcast(q).join(w, Seq("term"))
+        .filter($"doc_id" =!= $"query_id")
+        .groupBy($"query_id", $"doc_id")
+        .agg(sum($"w_fp").as("score_fp"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id")
+            .orderBy($"score_fp".desc, $"doc_id")))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"doc_id", $"score_fp",
+          $"rank".cast("long").as("rank"))
+        .orderBy($"query_id", $"rank")
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+      ), dlen AS (
+        SELECT doc_id, COUNT(*) AS len FROM t GROUP BY doc_id
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), w AS (
+        SELECT tf.doc_id, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (doc_id) JOIN idf USING (term)
+      ), q AS (
+        SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 37 = 0
+      ), scored AS (
+        SELECT q.query_id, w.doc_id, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN w USING (term)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY q.query_id, w.doc_id
+      ), ranked AS (
+        SELECT query_id, doc_id, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, doc_id, score_fp, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -2085,5 +2186,6 @@ object TextOps {
     "q77_heavy_hitters_by_source" -> q77,
     "q80_corpus_drift" -> q80,
     "q82_dedup_incremental" -> q82,
+    "q84_bm25_topk" -> q84,
   )
 }

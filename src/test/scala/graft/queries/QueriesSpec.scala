@@ -298,6 +298,39 @@ class QueriesSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("q84 BM25 top-k == independent in-memory reference") {
+    // full reimplementation in plain Scala over the same fixed-point
+    // formula — every stage (tf, df, avgdl, idf, weights, ranking) is
+    // checked end-to-end against an independent execution path
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => ((id, w), g.length.toLong) }
+    }.toMap
+    val dlen = docs.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val n = dlen.size.toLong
+    val avgdl = dlen.values.sum.toDouble / n
+    def idfFp(t: String) =
+      math.floor(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * 1e6).toLong
+    def wFp(id: Long, t: String) = idfFp(t) * math.floor(
+      (tf((id, t)) * 2.2) /
+        (tf((id, t)) + 1.2 * (0.25 + 0.75 * dlen(id) / avgdl)) * 1e6).toLong
+    val expected = docs.map(_._1).filter(_ % 37 == 0).sorted.flatMap { qid =>
+      val qTerms = docs.find(_._1 == qid).get._2.distinct
+      docs.map(_._1).filter(_ != qid)
+        // candidates = docs sharing >=1 query term (the inner postings join)
+        .filter(did => qTerms.exists(t => tf.contains((did, t))))
+        .map(did => (did, qTerms.filter(t => tf.contains((did, t))).map(wFp(did, _)).sum))
+        .sortBy { case (did, s) => (-s, did) }.take(5).zipWithIndex
+        .map { case ((did, s), i) => (qid, did, s, (i + 1).toLong) }
+    }.toSeq
+    val got = run("q84_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("MinHash index save/load: loaded index serves identical pairs") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
