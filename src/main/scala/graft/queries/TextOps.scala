@@ -2155,6 +2155,93 @@ object TextOps {
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q85 — language-model perplexity filter (the CCNet recipe shape:
+    * score documents under an LM trained on trusted/held data; drop the
+    * worst). Trains an add-one-smoothed bigram LM on the stored split
+    * (doc_id % 10 < 8 — q82's snapshot rule), scores every ARRIVING
+    * document's bigrams under it, and emits the 100 worst documents by
+    * average log-probability (highest perplexity first) — the quality
+    * gate q22's surface heuristics can't express (q22 scores form;
+    * this scores fluency against a reference distribution).
+    *
+    * Exactness: per-bigram log-probs are quantized to fixed-point longs
+    * (floor(ln(p)·10⁶) — q84's device), so the per-document sum is exact
+    * and order-free; the final average is one IEEE long/long→double
+    * division, bit-identical across engines. Bigrams ride as "w1 w2"
+    * strings (tokens are space-split, so the key is unambiguous).
+    *
+    * Shape for 100 TB: the LM tables are vocabulary²-bounded — tiny
+    * relative to the corpus (broadcast or shuffle-join on the bigram
+    * key, AQE picks); scoring is one scan of the arriving split with
+    * map-side-combined per-doc partial aggs; the worst-100 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private val q85 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      def bigrams(df: DataFrame) = {
+        val w = words($"text")
+        df.filter(size(w) >= 2)
+          .select($"doc_id", explode(transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("bg"))
+      }
+      val docs = Tables.documents(s, d)
+      val stored = docs.filter($"doc_id" % 10 < 8)
+      val c12 = bigrams(stored).groupBy($"bg").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(split($"bg", " ").getItem(0).as("w1"))
+        .agg(sum($"c12").as("c1"))
+      val v = stored.select(explode(words($"text")).as("word"))
+        .agg(count_distinct($"word").as("v"))
+      bigrams(docs.filter($"doc_id" % 10 >= 8))
+        .withColumn("w1", split($"bg", " ").getItem(0))
+        .join(c12, Seq("bg"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select($"doc_id",
+          floor(log((coalesce($"c12", lit(0L)) + 1.0) /
+            (coalesce($"c1", lit(0L)) + $"v")) * 1e6).cast("long").as("lp_fp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"lp_fp").as("sum_fp"))
+        .withColumn("avg_logprob", $"sum_fp".cast("double") / $"n_bigrams")
+        .orderBy($"avg_logprob".asc, $"doc_id")
+        .limit(100)
+        .select($"doc_id", $"n_bigrams", $"sum_fp", $"avg_logprob")
+    },
+    oracle = Some("""
+      WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM dw WHERE len(w) >= 2
+      ), c12 AS (
+        SELECT bg, COUNT(*) AS c12 FROM bg WHERE doc_id % 10 < 8 GROUP BY bg
+      ), c1 AS (
+        SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c12 GROUP BY 1
+      ), v AS (
+        SELECT COUNT(DISTINCT word) AS v FROM (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id % 10 < 8)
+      ), scored AS (
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(LN((COALESCE(c12, 0) + 1.0) /
+                 (COALESCE(c1, 0) + v)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_fp
+        FROM (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+              FROM bg WHERE doc_id % 10 >= 8) p
+        LEFT JOIN c12 USING (bg)
+        LEFT JOIN c1 USING (w1)
+        CROSS JOIN v
+        GROUP BY p.doc_id
+      )
+      SELECT doc_id, n_bigrams, sum_fp,
+             CAST(sum_fp AS DOUBLE) / n_bigrams AS avg_logprob
+      FROM scored
+      ORDER BY avg_logprob ASC, doc_id
+      LIMIT 100"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -2187,5 +2274,6 @@ object TextOps {
     "q80_corpus_drift" -> q80,
     "q82_dedup_incremental" -> q82,
     "q84_bm25_topk" -> q84,
+    "q85_lm_perplexity_filter" -> q85,
   )
 }

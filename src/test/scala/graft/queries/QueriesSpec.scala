@@ -331,6 +331,35 @@ class QueriesSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("q85 LM perplexity filter == independent in-memory reference") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val stored = docs.filter(_._1 % 10 < 8)
+    def bgs(ws: Seq[String]) =
+      if (ws.length < 2) Seq.empty[String] else ws.sliding(2).map(_.mkString(" ")).toSeq
+    val c12 = stored.flatMap(d => bgs(d._2)).groupBy(identity)
+      .map { case (b, g) => b -> g.size.toLong }
+    val c1 = c12.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (w, g) => w -> g.map(_._2).sum }
+    val v = stored.flatMap(_._2).distinct.size.toLong
+    val expected = docs.filter(_._1 % 10 >= 8).flatMap { case (id, ws) =>
+      val b = bgs(ws)
+      if (b.isEmpty) None
+      else {
+        val sum = b.map { bg =>
+          val w1 = bg.split(" ")(0)
+          math.floor(math.log((c12.getOrElse(bg, 0L) + 1.0) /
+            (c1.getOrElse(w1, 0L) + v)) * 1e6).toLong
+        }.sum
+        Some((id, b.length.toLong, sum, sum.toDouble / b.length))
+      }
+    }.sortBy { case (id, _, _, avg) => (avg, id) }.take(100).toSeq
+    val got = run("q85_lm_perplexity_filter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("MinHash index save/load: loaded index serves identical pairs") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
