@@ -29,7 +29,11 @@ object ScaleBench {
     // reps probe only — min-of-reps ≈ the per-snapshot serving cost.
     // NOTE the %10 split rule makes the "arriving snapshot" grow with
     // the corpus (20% of it); a real deployment's snapshot is bounded.
-    "q82_dedup_incremental", "q83_dedup_incremental_embedding")
+    "q82_dedup_incremental", "q83_dedup_incremental_embedding",
+    // retrieval/quality: q84's query set is doc_id % 37 (grows with the
+    // corpus — a serving deployment's request set is bounded); q85's LM
+    // tables are vocabulary²-bounded at any corpus size
+    "q84_bm25_topk", "q85_lm_perplexity_filter")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

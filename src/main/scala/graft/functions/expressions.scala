@@ -1036,6 +1036,222 @@ object expressions {
       bc: org.apache.spark.broadcast.Broadcast[_]): String =
     s"pq_scan_topk_b${bc.id}"
 
+  /** The broadcast operand of [[Bm25ScanTopK]]: the QUERY SET as an
+    * inverted term index — `qids` (sorted query ids), `termHash` (sorted
+    * distinct query-term hashes), and for termHash(i) the query slots
+    * `qrefs(offsets(i) until offsets(i+1))` containing it. Size is
+    * (query set × query terms), bounded by the serving-batch contract. */
+  type Bm25QueryIndex = (Array[Long], Array[Long], Array[Int], Array[Int])
+
+  /** Per-task scratch of [[Bm25ScanTopK]]: one nq-sized accumulator
+    * reused across rows via a generation stamp, so scoring a document
+    * allocates nothing. ThreadLocal because Spark may evaluate one
+    * deserialized expression tree from the running task's thread only,
+    * but thread-confined state is correct under every reuse policy. */
+  private final class Bm25Scratch(nq: Int) {
+    val acc = new Array[Long](nq)
+    val stamp = new Array[Int](nq)
+    val touched = new Array[Int](nq)
+    var gen = 0
+  }
+
+  /** BM25 scoring + top-k as ONE scan-local aggregate — [[PqScanTopK]]'s
+    * FAISS shape applied to text retrieval. Input rows are the per-doc
+    * weight store (doc_id, term hashes, fixed-point BM25 weights,
+    * aligned); the query set rides in as a broadcast inverted index.
+    * Each task scans its documents once: for every doc term it walks the
+    * queries containing that term (two array lookups per hit — exactly
+    * one op per true (query, doc, term) match, the join's cardinality,
+    * but in an L1-resident primitive loop instead of an exchange), then
+    * pushes the touched queries' scores into per-query k-entry heaps.
+    *
+    * Why: the candidate equi-join shape materializes ~(queries sharing a
+    * term × docs) rows through a shuffle hash agg — with a dense
+    * vocabulary that is nq·n rows, measured as a TaskMemoryManager
+    * page-allocation death spiral at the x10 synthetic scale (SCALE.md
+    * round 7) — while this aggregate's only exchange carries one ≤ nq·k
+    * partial per task. Candidacy (shares ≥ 1 query term), score sums
+    * (order-free longs) and (score desc, doc_id) selection are identical
+    * to the join+window form, so the output is bit-identical and the
+    * DuckDB oracle is unchanged.
+    */
+  case class Bm25ScanTopK(
+      children: Seq[Expression],
+      bc: org.apache.spark.broadcast.Broadcast[Bm25QueryIndex],
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[PqTopKState] {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("score_fp", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (children.length != 3)
+        return TypeCheckResult.TypeCheckFailure(
+          "bm25_scan_topk takes (doc_id, term_hashes, weights)")
+      val a = requireType(children(0), LongType, "bm25_scan_topk doc_id")
+      if (a != TypeCheckResult.TypeCheckSuccess) return a
+      val b = requireType(children(1), ArrayType(LongType), "bm25_scan_topk term_hashes")
+      if (b != TypeCheckResult.TypeCheckSuccess) return b
+      requireType(children(2), ArrayType(LongType), "bm25_scan_topk weights")
+    }
+
+    @transient private lazy val scratch =
+      ThreadLocal.withInitial[Bm25Scratch](() => new Bm25Scratch(bc.value._1.length))
+
+    override def createAggregationBuffer(): PqTopKState =
+      new PqTopKState(bc.value._1.length, k)
+
+    override def update(buf: PqTopKState, row: org.apache.spark.sql.catalyst.InternalRow): PqTopKState = {
+      val did = children(0).eval(row)
+      val hsAny = children(1).eval(row)
+      val wsAny = children(2).eval(row)
+      if (did == null || hsAny == null || wsAny == null) return buf
+      val docId = did.asInstanceOf[Long]
+      val hs = hsAny.asInstanceOf[ArrayData]
+      val ws = wsAny.asInstanceOf[ArrayData]
+      val (qids, termHash, offsets, qrefs) = bc.value
+      val st = scratch.get()
+      st.gen += 1
+      var nTouched = 0
+      var ti = 0
+      val nTerms = hs.numElements()
+      while (ti < nTerms) {
+        val pos = java.util.Arrays.binarySearch(termHash, hs.getLong(ti))
+        if (pos >= 0) {
+          val w = ws.getLong(ti)
+          var r = offsets(pos)
+          val end = offsets(pos + 1)
+          while (r < end) {
+            val q = qrefs(r)
+            if (st.stamp(q) != st.gen) {
+              st.stamp(q) = st.gen
+              st.acc(q) = 0L
+              st.touched(nTouched) = q
+              nTouched += 1
+            }
+            st.acc(q) += w
+            r += 1
+          }
+        }
+        ti += 1
+      }
+      var t = 0
+      while (t < nTouched) {
+        val q = st.touched(t)
+        // heap keeps k smallest (key, id); key = -score makes that the k
+        // LARGEST scores with (score desc, doc_id asc) selection — the
+        // join+window form's exact ordering
+        if (qids(q) != docId) buf.push(q, -st.acc(q), docId)
+        t += 1
+      }
+      buf
+    }
+
+    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState = {
+      var qi = 0
+      while (qi < buf.nq) {
+        var i = 0
+        while (i < other.size(qi)) {
+          buf.push(qi, other.dist(qi)(i), other.id(qi)(i))
+          i += 1
+        }
+        qi += 1
+      }
+      buf
+    }
+
+    override def eval(buf: PqTopKState): Any = {
+      val qids = bc.value._1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var qi = 0
+      while (qi < buf.nq) {
+        val n = buf.size(qi)
+        val pairs = Array.tabulate(n)(i => (buf.dist(qi)(i), buf.id(qi)(i)))
+          .sortBy { case (d, v) => (d, v) }
+        var i = 0
+        while (i < n) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            qids(qi), pairs(i)._2, i + 1, -pairs(i)._1)
+          i += 1
+        }
+        qi += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: PqTopKState): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(buf.nq); o.writeInt(buf.k)
+      var qi = 0
+      while (qi < buf.nq) {
+        o.writeInt(buf.size(qi))
+        var i = 0
+        while (i < buf.size(qi)) {
+          o.writeLong(buf.dist(qi)(i)); o.writeLong(buf.id(qi)(i))
+          i += 1
+        }
+        qi += 1
+      }
+      o.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): PqTopKState = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val nq = in.readInt(); val kk = in.readInt()
+      val buf = new PqTopKState(nq, kk)
+      var qi = 0
+      while (qi < nq) {
+        val n = in.readInt()
+        buf.size(qi) = n
+        var i = 0
+        while (i < n) {
+          buf.dist(qi)(i) = in.readLong(); buf.id(qi)(i) = in.readLong()
+          i += 1
+        }
+        qi += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): Bm25ScanTopK =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): Bm25ScanTopK =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Bm25ScanTopK =
+      copy(children = newChildren)
+    override def toString: String =
+      s"bm25_scan_topk(broadcast#${bc.id}, k=$k, ${children.mkString(", ")})"
+  }
+
+  /** [[Bm25ScanTopK]] as a Column — [[pq_scan_topk]]'s per-call unique
+    * registration pattern (name `bm25_scan_topk_b<id>`; drop with
+    * [[dropTempFunction]]([[bm25ScanTopKName]]) after analysis). */
+  def bm25_scan_topk(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[Bm25QueryIndex],
+      k: Int, cols: Column*): Column = {
+    val name = s"bm25_scan_topk_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => Bm25ScanTopK(exprs, bc, k), "scala_udf")
+    call_function(name, cols: _*)
+  }
+
+  /** Name of the temp function [[bm25_scan_topk]] registers for `bc`. */
+  def bm25ScanTopKName(
+      bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"bm25_scan_topk_b${bc.id}"
+
   /** Drop a per-call temp function (see [[pq_scan_topk]] /
     * [[bloom_probe_broadcast]]): after the caller forces analysis the
     * registry entry's only effect is pinning the captured broadcast —

@@ -2077,11 +2077,19 @@ object TextOps {
     * bit-identical across engines by construction.
     *
     * Shape for 100 TB: tf / doc-length are map-side-combined scan aggs;
-    * df and idf are vocabulary-sized; the query-term set is bounded by
-    * contract (a request set, never a second corpus) and rides as a
-    * broadcast into the postings join — the postings frame is scanned
-    * in place, partial-aggregated on (query_id, doc_id), and the top-5
-    * is a WindowGroupLimit, so nothing corpus-sized ever shuffles.
+    * df and idf are vocabulary-sized; the query set (bounded by
+    * contract — a request set, never a second corpus) is collected and
+    * broadcast as an inverted term index into ONE scan-local bounded
+    * aggregate over the per-doc weight store
+    * ([[graft.functions.expressions.Bm25ScanTopK]] — q78's FAISS scan
+    * shape applied to text): each task scores its documents against the
+    * touched queries in a primitive loop and keeps per-query 5-entry
+    * heaps, so the only exchange carries one ≤ nq·5 partial per task.
+    * The first draft's broadcast candidate equi-join materialized
+    * ~nq·n rows through a shuffle hash agg under this corpus's dense
+    * vocabulary and died allocating pages at the x10 synthetic scale
+    * (SCALE.md round 7) — same arithmetic, selection and output, wrong
+    * exchange shape.
     */
   private val q84 = Q(
     fn = (s, d) => {
@@ -2102,19 +2110,41 @@ object TextOps {
           ($"idf_fp" * floor(($"tf" * 2.2) /
             ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avgdl")) * 1e6)
             .cast("long")).as("w_fp"))
-      val q = tf.filter($"doc_id" % 37 === 0)
-        .select($"doc_id".as("query_id"), $"term")
-      broadcast(q).join(w, Seq("term"))
-        .filter($"doc_id" =!= $"query_id")
-        .groupBy($"query_id", $"doc_id")
-        .agg(sum($"w_fp").as("score_fp"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy($"query_id")
-            .orderBy($"score_fp".desc, $"doc_id")))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"doc_id", $"score_fp",
-          $"rank".cast("long").as("rank"))
-        .orderBy($"query_id", $"rank")
+      // per-doc weight store: term hashes + weights, aligned (hash
+      // equality stands in for string equality engine-side only — the
+      // oracle still joins on the strings)
+      val docArr = w.groupBy($"doc_id")
+        .agg(collect_list(struct(xxhash64($"term").as("h"), $"w_fp")).as("tw"))
+        .select($"doc_id",
+          transform($"tw", x => x("h")).as("hs"),
+          transform($"tw", x => x("w_fp")).as("ws"))
+      // query set → inverted term index (term hash → query slots),
+      // collected + broadcast: bounded by the serving-batch contract
+      // (the pqAdcTopK collectDistTables argument)
+      val qrows = tf.filter($"doc_id" % 37 === 0)
+        .groupBy($"doc_id").agg(collect_list(xxhash64($"term")).as("hs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      val byTerm = qrows.zipWithIndex
+        .flatMap { case ((_, hs), qi) => hs.map(_ -> qi) }
+        .groupBy(_._1).toArray.sortBy(_._1)
+      val offsets = byTerm.scanLeft(0)(_ + _._2.length)
+      val bc = s.sparkContext.broadcast((qrows.map(_._1), byTerm.map(_._1),
+        offsets, byTerm.flatMap(_._2.map(_._2))))
+      try {
+        docArr.agg(graft.functions.expressions
+            .bm25_scan_topk(s, bc, 5, $"doc_id", $"hs", $"ws").as("t"))
+          .select(explode($"t").as("e"))
+          .select($"e.query_id", $"e.doc_id", $"e.score_fp",
+            $"e.rank".cast("long").as("rank"))
+          .orderBy($"query_id", $"rank")
+          // materialize (nq·5 rows) so the broadcast can be destroyed now
+          .localCheckpoint()
+      } finally {
+        graft.functions.expressions.dropTempFunction(
+          s, graft.functions.expressions.bm25ScanTopKName(bc))
+        bc.destroy()
+      }
     },
     oracle = Some("""
       WITH t AS (

@@ -364,6 +364,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(native == Seq(10L + 23L + 31L, 3L + 5L + 12L))
   }
 
+  test("bm25_scan_topk: candidacy, tie-break, k cap, self-exclusion") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(10L, 20L, 30L), Seq(5L, 3L, 2L)),
+      (2L, Seq(10L, 40L), Seq(7L, 1L)),
+      (5L, Seq(10L), Seq(7L)), // ties doc 2's q1 score — doc_id breaks it
+      (3L, Seq(20L, 30L, 40L), Seq(2L, 2L, 2L)),
+      (4L, Seq(50L), Seq(9L))).toDF("doc_id", "hs", "ws")
+    // queries: qid 1 ~ terms {10, 20} (self-excluded from its own top-k),
+    // qid 3 ~ terms {40, 50}
+    val bc = spark.sparkContext.broadcast(
+      (Array(1L, 3L), Array(10L, 20L, 40L, 50L),
+        Array(0, 1, 2, 3, 4), Array(0, 0, 1, 1)))
+    try {
+      val got = docs
+        .agg(expressions.bm25_scan_topk(spark, bc, 2,
+          $"doc_id", $"hs", $"ws").as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.query_id", $"e.doc_id", $"e.rank", $"e.score_fp")
+        .orderBy($"query_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      // q1: d2=7, d5=7 (tie → doc_id asc), d3=2 dropped by k=2; d1 is self,
+      // d4 shares no term. q3: d4=9, d2=1; d3 is self.
+      assert(got.toSeq == Seq(
+        (1L, 2L, 1, 7L), (1L, 5L, 2, 7L),
+        (3L, 4L, 1, 9L), (3L, 2L, 2, 1L)))
+    } finally {
+      expressions.dropTempFunction(spark, expressions.bm25ScanTopKName(bc))
+      bc.destroy()
+    }
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")
