@@ -2091,60 +2091,91 @@ object TextOps {
     * (SCALE.md round 7) — same arithmetic, selection and output, wrong
     * exchange shape.
     */
+  /** The BM25 "index": per-document aligned (term hash, fixed-point
+    * BM25 weight) arrays over `docs` — everything document-side of the
+    * scoring (tf, doc length, idf, the k1/b saturation) is precomputed
+    * here, so serving a query set needs only its term hashes. Hash
+    * equality stands in for string equality engine-side only — q84's
+    * oracle still joins on the strings. */
+  private[graft] def bm25WeightStore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val terms = docs.select($"doc_id", explode(words($"text")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dlen = terms.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = dlen.agg(count(lit(1)).as("n"),
+      (sum($"len").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select($"term",
+        floor(log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
+          .cast("long").as("idf_fp"), $"avgdl")
+    tf.join(dlen, Seq("doc_id")).join(idf, Seq("term"))
+      .select($"doc_id", $"term",
+        ($"idf_fp" * floor(($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avgdl")) * 1e6)
+          .cast("long")).as("w_fp"))
+      .groupBy($"doc_id")
+      .agg(collect_list(struct(xxhash64($"term").as("h"), $"w_fp")).as("tw"))
+      .select($"doc_id",
+        transform($"tw", x => x("h")).as("hs"),
+        transform($"tw", x => x("w_fp")).as("ws"))
+  }
+
+  /** [[bm25WeightStore]] over dataset `d`, persisted once per JVM via
+    * [[IndexCache]] — the retrieval serving artifact: batch q84, bench
+    * sweeps and the streaming lookup twin share one build and pay only
+    * the scan. */
+  private[graft] def bm25StoreCached(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(IndexCache.resolve(
+      "bm25|" + new java.io.File(d).getCanonicalPath, "bm25") { p =>
+      bm25WeightStore(Tables.documents(s, d)).write.mode("overwrite").parquet(p)
+    })
+
+  /** BM25 serving leg: top-`k` documents from `store` for each query in
+    * `qrows` (query_id, distinct term hashes — a collected request set,
+    * bounded by the serving-batch contract). Builds the inverted
+    * query-term index, broadcasts it into ONE [[graft.functions
+    * .expressions.Bm25ScanTopK]] scan, materializes the nq·k result and
+    * destroys the broadcast (pqAdcTopK's serving hygiene). Shared
+    * verbatim with the streaming twin so stream results == batch
+    * results on the same rows by construction. */
+  private[graft] def bm25TopK(store: DataFrame,
+      qrows: Array[(Long, Array[Long])], k: Int): DataFrame = {
+    // register on the STORE's session — a streaming foreachBatch hands
+    // per-batch cloned sessions whose registry the store plan never sees
+    val s = store.sparkSession
+    import s.implicits._
+    val byTerm = qrows.zipWithIndex
+      .flatMap { case ((_, hs), qi) => hs.map(_ -> qi) }
+      .groupBy(_._1).toArray.sortBy(_._1)
+    val offsets = byTerm.scanLeft(0)(_ + _._2.length)
+    val bc = s.sparkContext.broadcast((qrows.map(_._1), byTerm.map(_._1),
+      offsets, byTerm.flatMap(_._2.map(_._2))))
+    try {
+      store.agg(graft.functions.expressions
+          .bm25_scan_topk(s, bc, k, $"doc_id", $"hs", $"ws").as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.query_id", $"e.doc_id", $"e.score_fp",
+          $"e.rank".cast("long").as("rank"))
+        .orderBy($"query_id", $"rank")
+        // materialize (nq·k rows) so the broadcast can be destroyed now
+        .localCheckpoint()
+    } finally {
+      graft.functions.expressions.dropTempFunction(
+        s, graft.functions.expressions.bm25ScanTopKName(bc))
+      bc.destroy()
+    }
+  }
+
   private val q84 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val terms = Tables.documents(s, d)
-        .select($"doc_id", explode(words($"text")).as("term"))
-      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dlen = terms.groupBy($"doc_id").agg(count(lit(1)).as("len"))
-      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val stats = dlen.agg(count(lit(1)).as("n"),
-        (sum($"len").cast("double") / count(lit(1))).as("avgdl"))
-      val idf = df.crossJoin(broadcast(stats))
-        .select($"term",
-          floor(log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
-            .cast("long").as("idf_fp"), $"avgdl")
-      val w = tf.join(dlen, Seq("doc_id")).join(idf, Seq("term"))
-        .select($"doc_id", $"term",
-          ($"idf_fp" * floor(($"tf" * 2.2) /
-            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avgdl")) * 1e6)
-            .cast("long")).as("w_fp"))
-      // per-doc weight store: term hashes + weights, aligned (hash
-      // equality stands in for string equality engine-side only — the
-      // oracle still joins on the strings)
-      val docArr = w.groupBy($"doc_id")
-        .agg(collect_list(struct(xxhash64($"term").as("h"), $"w_fp")).as("tw"))
+      val qrows = Tables.documents(s, d).filter($"doc_id" % 37 === 0)
         .select($"doc_id",
-          transform($"tw", x => x("h")).as("hs"),
-          transform($"tw", x => x("w_fp")).as("ws"))
-      // query set → inverted term index (term hash → query slots),
-      // collected + broadcast: bounded by the serving-batch contract
-      // (the pqAdcTopK collectDistTables argument)
-      val qrows = tf.filter($"doc_id" % 37 === 0)
-        .groupBy($"doc_id").agg(collect_list(xxhash64($"term")).as("hs"))
+          array_distinct(transform(words($"text"), t => xxhash64(t))).as("hs"))
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
-      val byTerm = qrows.zipWithIndex
-        .flatMap { case ((_, hs), qi) => hs.map(_ -> qi) }
-        .groupBy(_._1).toArray.sortBy(_._1)
-      val offsets = byTerm.scanLeft(0)(_ + _._2.length)
-      val bc = s.sparkContext.broadcast((qrows.map(_._1), byTerm.map(_._1),
-        offsets, byTerm.flatMap(_._2.map(_._2))))
-      try {
-        docArr.agg(graft.functions.expressions
-            .bm25_scan_topk(s, bc, 5, $"doc_id", $"hs", $"ws").as("t"))
-          .select(explode($"t").as("e"))
-          .select($"e.query_id", $"e.doc_id", $"e.score_fp",
-            $"e.rank".cast("long").as("rank"))
-          .orderBy($"query_id", $"rank")
-          // materialize (nq·5 rows) so the broadcast can be destroyed now
-          .localCheckpoint()
-      } finally {
-        graft.functions.expressions.dropTempFunction(
-          s, graft.functions.expressions.bm25ScanTopKName(bc))
-        bc.destroy()
-      }
+      bm25TopK(bm25StoreCached(s, d), qrows, 5)
     },
     oracle = Some("""
       WITH t AS (

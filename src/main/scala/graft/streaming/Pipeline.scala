@@ -538,6 +538,42 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q84 — BM25 retrieval serving: arriving query
+    * documents (ts, query_id, text) retrieve their top-`k` matches from
+    * the corpus weight store ([[graft.queries.TextOps.bm25StoreCached]]
+    * — built once, the retrieval serving artifact). Each micro-batch
+    * tokenizes its queries to distinct term hashes and runs EXACTLY the
+    * batch serving leg ([[graft.queries.TextOps.bm25TopK]], shared
+    * function): one broadcast inverted query index per batch into one
+    * Bm25ScanTopK scan, broadcast destroyed after the bounded result
+    * materializes. A query therefore ranks identically in the stream
+    * and in batch q84 (StreamingSpec pins stream == batch), and the
+    * per-batch cost is one corpus scan — never a corpus shuffle.
+    */
+  def runBm25LookupStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String, k: Int = 5,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val store = graft.queries.TextOps.bm25StoreCached(s, corpusDir)
+    s.readStream
+      .schema("ts TIMESTAMP, query_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qrows = batch.select(col("query_id"),
+          array_distinct(transform(split(col("text"), " "),
+            t => xxhash64(t))).as("hs"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+        if (qrows.nonEmpty)
+          graft.queries.TextOps.bm25TopK(store, qrows, k)
+            .write.mode("append").parquet(s"$outDir/bm25_lookup")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q82 — incremental near-dup dedup of an ARRIVING
     * document stream against a PERSISTED MinHash band index
     * ([[graft.queries.TextOps.saveMinHashIndex]]): the index is loaded

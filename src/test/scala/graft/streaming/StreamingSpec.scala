@@ -213,6 +213,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 6 * 5)
   }
 
+  test("streaming BM25 lookup: stream top-k == batch q84 on the same queries") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("bm25_in")
+    val out = tmpDir("bm25_out")
+    val ckpt = tmpDir("bm25_ckpt")
+    // query stream: q84's own query docs re-serialized as JSONL (two
+    // files -> two micro-batches; to_json handles text escaping), SAME
+    // ids — so the stream's output must equal batch q84's rows exactly
+    // (incl. self-exclusion)
+    import org.apache.spark.sql.functions.{lit, struct, to_json}
+    val lines = spark.read.parquet(s"$corpus/documents.parquet")
+      .filter($"doc_id" % 37 === 0).orderBy($"doc_id")
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id".as("query_id"), $"text")))
+      .collect().map(_.getString(0))
+    assert(lines.length >= 2)
+    writeJsonl(in, "b1.jsonl", lines.take(1).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines.drop(1).toIndexedSeq: _*)
+
+    Pipeline.runBm25LookupStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/bm25_lookup")
+      .collect().map(_.toString).sorted.toSeq
+
+    val batch = graft.SparkEntry.queries("q84_bm25_topk")(spark, corpus)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming incremental dedup: micro-batches vs loaded index == batch q82") {
     import org.apache.spark.sql.functions.{lit, struct, to_json}
     import spark.implicits._
