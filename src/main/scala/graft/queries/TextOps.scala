@@ -2237,33 +2237,60 @@ object TextOps {
     * map-side-combined per-doc partial aggs; the worst-100 is
     * TakeOrderedAndProject, never a global sort.
     */
+  /** (doc_id, bg) rows — one per bigram OCCURRENCE, as "w1 w2" strings
+    * (tokens are space-split, so the key is unambiguous). */
+  private def bigramsOf(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = words($"text")
+    df.filter(size(w) >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("bg"))
+  }
+
+  /** q85's trained LM: bigram counts, bigram-prefix counts, vocabulary
+    * size — all over the given (training) docs, materialized once
+    * (localCheckpoint) so a long-lived serving stream never re-runs the
+    * corpus aggregation per micro-batch (the token-drift-monitor
+    * baseline contract). Tables are vocabulary²-bounded. */
+  private[graft] case class BigramLm(c12: DataFrame, c1: DataFrame, v: Long)
+  private[graft] def trainBigramLm(training: DataFrame): BigramLm = {
+    import training.sparkSession.implicits._
+    val c12 = bigramsOf(training).groupBy($"bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = c12.groupBy(split($"bg", " ").getItem(0).as("w1"))
+      .agg(sum($"c12").as("c1"))
+      .localCheckpoint()
+    val v = training.select(explode(words($"text")).as("word"))
+      .agg(count_distinct($"word")).head().getLong(0)
+    BigramLm(c12, c1, v)
+  }
+
+  /** q85's scoring leg: per-document (n_bigrams, sum_fp, avg_logprob)
+    * of `docs` under `lm` — add-one smoothing, fixed-point per-bigram
+    * log-probs (exact order-free sums), one final long/long→double
+    * division. Shared verbatim with the streaming twin
+    * ([[graft.streaming.Pipeline.runLmPerplexityStream]]) so a document
+    * scores identically in stream and batch. */
+  private[graft] def lmScoreDocs(docs: DataFrame, lm: BigramLm): DataFrame = {
+    import docs.sparkSession.implicits._
+    bigramsOf(docs)
+      .withColumn("w1", split($"bg", " ").getItem(0))
+      .join(lm.c12, Seq("bg"), "left")
+      .join(lm.c1, Seq("w1"), "left")
+      .select($"doc_id",
+        floor(log((coalesce($"c12", lit(0L)) + 1.0) /
+          (coalesce($"c1", lit(0L)) + lit(lm.v))) * 1e6).cast("long").as("lp_fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp_fp").as("sum_fp"))
+      .withColumn("avg_logprob", $"sum_fp".cast("double") / $"n_bigrams")
+  }
+
   private val q85 = Q(
     fn = (s, d) => {
       import s.implicits._
-      def bigrams(df: DataFrame) = {
-        val w = words($"text")
-        df.filter(size(w) >= 2)
-          .select($"doc_id", explode(transform(sequence(lit(1), size(w) - 1),
-            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("bg"))
-      }
       val docs = Tables.documents(s, d)
-      val stored = docs.filter($"doc_id" % 10 < 8)
-      val c12 = bigrams(stored).groupBy($"bg").agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy(split($"bg", " ").getItem(0).as("w1"))
-        .agg(sum($"c12").as("c1"))
-      val v = stored.select(explode(words($"text")).as("word"))
-        .agg(count_distinct($"word").as("v"))
-      bigrams(docs.filter($"doc_id" % 10 >= 8))
-        .withColumn("w1", split($"bg", " ").getItem(0))
-        .join(c12, Seq("bg"), "left")
-        .join(c1, Seq("w1"), "left")
-        .crossJoin(broadcast(v))
-        .select($"doc_id",
-          floor(log((coalesce($"c12", lit(0L)) + 1.0) /
-            (coalesce($"c1", lit(0L)) + $"v")) * 1e6).cast("long").as("lp_fp"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"lp_fp").as("sum_fp"))
-        .withColumn("avg_logprob", $"sum_fp".cast("double") / $"n_bigrams")
+      val lm = trainBigramLm(docs.filter($"doc_id" % 10 < 8))
+      lmScoreDocs(docs.filter($"doc_id" % 10 >= 8), lm)
         .orderBy($"avg_logprob".asc, $"doc_id")
         .limit(100)
         .select($"doc_id", $"n_bigrams", $"sum_fp", $"avg_logprob")

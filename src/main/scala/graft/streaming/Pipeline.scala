@@ -574,6 +574,39 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q85 — LM perplexity gating on the ingest path:
+    * the bigram LM is trained ONCE batch-side on the stored split
+    * ([[graft.queries.TextOps.trainBigramLm]] — materialized tables, the
+    * token-drift-monitor baseline contract) and every arriving
+    * micro-batch scores its documents through the SHARED scoring leg
+    * ([[graft.queries.TextOps.lmScoreDocs]]): per-doc bigram count,
+    * exact fixed-point log-prob sum, average. A document scores
+    * identically in stream and batch (StreamingSpec pins it); batch
+    * q85's worst-100 report is the corpus-level view of the same
+    * numbers. Per-batch cost: one scan of the batch against the
+    * vocabulary²-bounded LM tables — no corpus access at all.
+    */
+  def runLmPerplexityStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val docs = graft.sources.Tables.documents(s, corpusDir)
+    val lm = graft.queries.TextOps.trainBigramLm(
+      docs.filter(col("doc_id") % 10 < 8))
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.TextOps.lmScoreDocs(
+          batch.select(col("doc_id"), col("text")), lm)
+          .write.mode("append").parquet(s"$outDir/lm_scores")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q82 — incremental near-dup dedup of an ARRIVING
     * document stream against a PERSISTED MinHash band index
     * ([[graft.queries.TextOps.saveMinHashIndex]]): the index is loaded

@@ -244,6 +244,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming LM perplexity: per-doc scores == batch scoring, q85 is its worst-100 view") {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("lm_in")
+    val out = tmpDir("lm_out")
+    val ckpt = tmpDir("lm_ckpt")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    // arriving split re-serialized as JSONL, two files -> two micro-batches
+    val lines = docs.filter($"doc_id" % 10 >= 8)
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id", $"text")))
+      .collect().map(_.getString(0))
+    val half = lines.length / 2
+    writeJsonl(in, "b1.jsonl", lines.take(half).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines.drop(half).toIndexedSeq: _*)
+
+    Pipeline.runLmPerplexityStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/lm_scores")
+      .collect().map(_.toString).sorted.toSeq
+
+    // batch: the same shared train + score on the same rows
+    val lm = graft.queries.TextOps.trainBigramLm(
+      docs.filter($"doc_id" % 10 < 8))
+    val batch = graft.queries.TextOps.lmScoreDocs(
+      docs.filter($"doc_id" % 10 >= 8).select(col("doc_id"), col("text")), lm)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // q85's declared output is the worst-100 view of exactly these scores
+    val q85rows = graft.SparkEntry.queries("q85_lm_perplexity_filter")(spark, corpus)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_fp"), col("avg_logprob"))
+      .collect().map(_.toString).toSet
+    assert(q85rows.subsetOf(streamed.toSet))
+  }
+
   test("streaming incremental dedup: micro-batches vs loaded index == batch q82") {
     import org.apache.spark.sql.functions.{lit, struct, to_json}
     import spark.implicits._
