@@ -33,7 +33,9 @@ object ScaleBench {
     // retrieval/quality: q84's query set is doc_id % 37 (grows with the
     // corpus — a serving deployment's request set is bounded); q85's LM
     // tables are vocabulary²-bounded at any corpus size
-    "q84_bm25_topk", "q85_lm_perplexity_filter")
+    "q84_bm25_topk", "q85_lm_perplexity_filter",
+    // span surgery: q65's gram-flagging scan + per-row array arithmetic
+    "q86_dedup_span_removal")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -2330,6 +2330,78 @@ object TextOps {
       ORDER BY avg_logprob ASC, doc_id
       LIMIT 100"""))
 
+  /** Q86 — span-level dedup SURGERY: q65 measures how much of each
+    * document is corpus-duplicated 8-gram boilerplate; this operator
+    * performs the removal step of Lee et al. (ACL 2022) — every word
+    * position covered by a duplicated 8-gram span (the gram occurs in
+    * ≥ 2 distinct documents) is cut, and the cleaned text is emitted
+    * for each document that lost at least one word. Doc-level dedup
+    * (q17–q20) drops whole documents; this keeps the unique prose and
+    * strips only the shared boilerplate.
+    *
+    * Exactness: the output is STRINGS (cleaned text) plus exact counts
+    * — no floats anywhere — so the DuckDB oracle hash-checks the entire
+    * surgery: gram identity, df ≥ 2 flagging, span coverage, word
+    * reconstruction order.
+    *
+    * Shape at scale: gram flagging is q65's measured scan shape (16-byte
+    * binary keys, map-side-combined distinct-doc counts, no all-pairs);
+    * the per-doc flagged-start lists are bounded by document length and
+    * collect per doc_id (one hash agg); the surgery itself is pure
+    * per-row array arithmetic — coverage check per position is
+    * O(|starts|) with both bounded by words-per-doc, never corpus-sized.
+    */
+  private val q86 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("ws"))
+      val grams = docs.filter(size($"ws") >= 8)
+        .select($"doc_id", posexplode(transform(sequence(lit(0), size($"ws") - 8),
+          i => concat_ws(" ", slice($"ws", i + 1, lit(8))))).as(Seq("p", "gram")))
+        .select($"doc_id", ($"p" + 1).as("s"), unhex(md5($"gram")).as("key"))
+      val dupKeys = grams.groupBy($"key")
+        .agg(count_distinct($"doc_id").as("df"))
+        .filter($"df" >= 2)
+        .select($"key")
+      val flagged = grams.join(dupKeys, Seq("key"))
+        .groupBy($"doc_id").agg(sort_array(collect_list($"s")).as("starts"))
+      docs.join(flagged, Seq("doc_id"))
+        .withColumn("kept",
+          filter(transform($"ws", (w, i) => struct(w.as("w"), (i + 1).as("p"))),
+            x => !exists($"starts",
+              st => st <= x("p") && x("p") <= st + 7)))
+        .select($"doc_id",
+          size($"ws").cast("long").as("n_words"),
+          size($"kept").cast("long").as("n_kept"),
+          concat_ws(" ", transform($"kept", x => x("w"))).as("text_clean"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      pos AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS s FROM w),
+      g AS (
+        SELECT doc_id, s, md5(array_to_string(ws[s:s+7], ' ')) AS gk FROM pos),
+      df AS (
+        SELECT gk FROM g GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2),
+      fl AS (
+        SELECT doc_id, list_sort(list(s)) AS starts
+        FROM g JOIN df USING (gk) GROUP BY doc_id),
+      cut AS (
+        SELECT w.doc_id, ws,
+               list_filter(generate_series(1, len(ws)),
+                 p -> len(list_filter(starts,
+                   st -> st <= p AND p <= st + 7)) = 0) AS kept
+        FROM w JOIN fl USING (doc_id))
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             COALESCE(array_to_string(list_transform(kept, p -> ws[p]), ' '), '') AS text_clean
+      FROM cut
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -2363,5 +2435,6 @@ object TextOps {
     "q82_dedup_incremental" -> q82,
     "q84_bm25_topk" -> q84,
     "q85_lm_perplexity_filter" -> q85,
+    "q86_dedup_span_removal" -> q86,
   )
 }

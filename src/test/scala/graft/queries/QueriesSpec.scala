@@ -360,6 +360,34 @@ class QueriesSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("q86 span removal == independent in-memory reference, consistent with q65") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val grams = docs.flatMap { case (id, ws) =>
+      if (ws.length < 8) Seq.empty
+      else ws.sliding(8).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }.toSeq
+    }
+    val docFreq = grams.groupBy(_._3).map { case (g, occ) => g -> occ.map(_._1).distinct.size }
+    val flagged = grams.filter(g => docFreq(g._3) >= 2)
+      .groupBy(_._1).map { case (id, g) => id -> g.map(_._2).toSet }
+    val byId = docs.toMap
+    val expected = flagged.toSeq.sortBy(_._1).map { case (id, starts) =>
+      val ws = byId(id)
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !starts.exists(s => s <= i + 1 && i + 1 <= s + 7) => w
+      }
+      (id, ws.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }
+    val got = run("q86_dedup_span_removal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // exactly the docs q65 reports as containing duplicated spans
+    val q65dup = run("q65_dup_ngram_spans").collect()
+      .collect { case r if r.getLong(2) >= 1 => r.getLong(0) }.toSet
+    assert(got.map(_._1).toSet == q65dup)
+  }
+
   test("MinHash index save/load: loaded index serves identical pairs") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
