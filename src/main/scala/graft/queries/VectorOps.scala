@@ -1478,6 +1478,49 @@ object VectorOps {
       WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q87 — prototypicality pruning (Sorscher et al., "Beyond neural
+    * scaling laws: beating power law scaling via data pruning", NeurIPS
+    * 2022): rank each vector by distance to its k-means cluster centroid
+    * and KEEP the hard half — the members farthest from their prototype
+    * (2·rank ≤ n+1 under dist-DESC ranking = ceil(n/2) kept per
+    * cluster); the most prototypical (redundant) examples are dropped.
+    * SemDeDup (q75) removes ε-duplicates; this prunes by informativeness
+    * — the two standard embedding-curation passes over the same
+    * clustering.
+    *
+    * Exactness: q74's integer-exact Lloyd assignment (quantized
+    * components, long distances), integer rank arithmetic — every
+    * column hash-checks. Scale shape: one count per cluster + one
+    * per-cluster rank window; per-cluster sort cost is bounded by
+    * cluster size, and `graft.vec.kmeansK` (k ∝ n, the measured q75
+    * lever) keeps clusters at ~cellTarget members at any corpus size.
+    */
+  private val q87 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val assign = kmeansAssign(s, d)
+      val sz = assign.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      assign.join(sz, Seq("cluster"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"cluster").orderBy($"dist".desc, $"vec_id")))
+        .filter($"rank" * 2 <= $"n" + 1)
+        .select($"vec_id", $"cluster", $"dist", $"rank".cast("long").as("rank"))
+        .orderBy($"vec_id")
+    },
+    oracle = Some(kmeansOracleCtes + """,
+      a3 AS (
+        SELECT vec_id, cid AS cluster, dist FROM d3
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+      sz AS (SELECT cluster, COUNT(*) AS n FROM a3 GROUP BY cluster),
+      rk AS (
+        SELECT vec_id, cluster, dist, n,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY dist DESC, vec_id) AS rank
+        FROM a3 JOIN sz USING (cluster))
+      SELECT vec_id, cluster, dist, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE 2 * rank <= n + 1
+      ORDER BY vec_id"""))
+
   val all: Map[String, Q] = Map(
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
@@ -1491,5 +1534,6 @@ object VectorOps {
     "q79_ivfpq_ann" -> q79,
     "q81_embedding_drift" -> q81,
     "q83_dedup_incremental_embedding" -> q83,
+    "q87_prototypicality_prune" -> q87,
   )
 }

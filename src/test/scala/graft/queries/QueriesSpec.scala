@@ -388,6 +388,27 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._1).toSet == q65dup)
   }
 
+  test("q87 prototypicality prune keeps the far half of each q74 cluster") {
+    val assign = run("q74_kmeans_lloyd").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cluster").longValue(),
+        r.getAs[Number]("dist").longValue()))
+    val expected = assign.groupBy(_._2).toSeq.flatMap { case (c, members) =>
+      val ranked = members.sortBy { case (id, _, dist) => (-dist, id) }
+      ranked.take((members.length + 1) / 2).zipWithIndex
+        .map { case ((id, _, dist), i) => (id, c, dist, (i + 1).toLong) }
+    }.sortBy(_._1)
+    val got = run("q87_prototypicality_prune").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cluster").longValue(),
+        r.getAs[Number]("dist").longValue(), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // every cluster keeps ceil(n/2) — never empty, never the whole cluster
+    // (for clusters with >= 2 members)
+    val keptPer = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assign.groupBy(_._2).foreach { case (c, m) =>
+      assert(keptPer.getOrElse(c, 0) == (m.length + 1) / 2)
+    }
+  }
+
   test("MinHash index save/load: loaded index serves identical pairs") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
