@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.VectorOps.all ++
       graft.queries.Domain.all ++
       graft.queries.MultimodalQ.all ++
-      graft.queries.Windowed.all
+      graft.queries.Windowed.all ++
+      graft.queries.Retrieval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

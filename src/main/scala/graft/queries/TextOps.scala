@@ -2167,16 +2167,21 @@ object TextOps {
     }
   }
 
+  /** The shared retrieval request set (every 37th document's distinct
+    * term hashes) — q84 and the hybrid fusion (q88) serve the SAME
+    * queries so their lexical legs are one artifact + one scan shape. */
+  private[graft] def bm25QueryRows(s: SparkSession,
+      d: String): Array[(Long, Array[Long])] = {
+    import s.implicits._
+    Tables.documents(s, d).filter($"doc_id" % 37 === 0)
+      .select($"doc_id",
+        array_distinct(transform(words($"text"), t => xxhash64(t))).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+  }
+
   private val q84 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val qrows = Tables.documents(s, d).filter($"doc_id" % 37 === 0)
-        .select($"doc_id",
-          array_distinct(transform(words($"text"), t => xxhash64(t))).as("hs"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
-      bm25TopK(bm25StoreCached(s, d), qrows, 5)
-    },
+    fn = (s, d) => bm25TopK(bm25StoreCached(s, d), bm25QueryRows(s, d), 5),
     oracle = Some("""
       WITH t AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -57,26 +57,34 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Exact cosine top-`k` for the query rows selected by `isQ`: the
+    * query set is broadcast against the full corpus and scored with the
+    * quantized-cosine kernel — q25's whole pipeline, factored so the
+    * hybrid fusion (Retrieval q88) can serve a different request set at
+    * a different depth through the identical scan. */
+  private[queries] def cosineTopK(s: SparkSession, d: String,
+      isQ: Column => Column, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      // single-file test input = one scan partition; spread the
+      // per-pair scoring work (see TextOps.shingled note)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"vec_id", $"embedding")
+    val queries = broadcast(
+      emb.filter(isQ($"vec_id"))
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")))
+    val scored = emb.join(queries, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
+    topK(scored, k)
+  }
+
   /** Q25 — brute-force cosine top-5 (brief's similarity-search baseline).
     * The 2%-sample query set is broadcast against the full corpus; scores
     * are exact-quantized so the DuckDB oracle reproduces them bitwise.
     */
   private val q25 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        // single-file test input = one scan partition; spread the
-        // per-pair scoring work (see TextOps.shingled note)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"vec_id", $"embedding")
-      val queries = broadcast(
-        emb.filter(isQuery($"vec_id"))
-          .select($"vec_id".as("query_id"), $"embedding".as("q_emb")))
-      val scored = emb.join(queries, $"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
-      topK(scored, 5)
-    },
+    fn = (s, d) => cosineTopK(s, d, isQuery, 5),
     oracle = Some("""
       WITH q AS (
         SELECT vec_id, list_transform(embedding,
