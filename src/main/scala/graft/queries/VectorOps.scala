@@ -70,10 +70,20 @@ object VectorOps {
       // per-pair scoring work (see TextOps.shingled note)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", $"embedding")
-    val queries = broadcast(
-      emb.filter(isQ($"vec_id"))
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")))
-    val scored = emb.join(queries, $"vec_id" =!= $"query_id")
+    cosineServe(emb, emb.filter(isQ($"vec_id"))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")), k)
+  }
+
+  /** [[cosineTopK]]'s serving core over an EXTERNAL request set
+    * (query_id, q_emb): the queries broadcast against the corpus scan,
+    * exact quantized scoring, two-stage top-k — shared verbatim with the
+    * streaming hybrid lookup so a query ranks identically in stream and
+    * batch. A query is never paired with the corpus row of its own id
+    * (both q25 and q88 serve corpus-resident request sets). */
+  private[graft] def cosineServe(emb: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
     topK(scored, k)

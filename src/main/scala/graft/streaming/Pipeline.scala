@@ -574,6 +574,57 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q88 — hybrid retrieval serving: arriving queries
+    * carry BOTH modalities (ts, query_id, text, embedding) and every
+    * micro-batch runs EXACTLY the two batch serving legs against
+    * artifacts prepared once at stream start — [[graft.queries.TextOps
+    * .bm25TopK]] over the cached weight store and [[graft.queries
+    * .VectorOps.cosineServe]] over the corpus embeddings — then the
+    * shared RRF fusion ([[graft.queries.Retrieval.rrfFuse]]). A query
+    * therefore fuses identically in stream and batch q88 (StreamingSpec
+    * pins it). Per-batch cost: one weight-store scan + one embeddings
+    * scan, each against a broadcast request set — never a corpus
+    * shuffle. The batch rows are collected to the driver (bounded by
+    * the serving-batch contract) and re-created on the artifact
+    * session, so no plan ever mixes the foreachBatch clone with the
+    * stream-start session.
+    */
+  def runHybridLookupStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String, depth: Int = 20, topN: Int = 10,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val store = graft.queries.TextOps.bm25StoreCached(s, corpusDir)
+    val emb = graft.sources.Tables.embeddings(s, corpusDir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+    s.readStream
+      .schema("ts TIMESTAMP, query_id LONG, text STRING, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qrows = batch.select(col("query_id"),
+          array_distinct(transform(split(col("text"), " "),
+            t => xxhash64(t))).as("hs"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+        val qvecs = batch.select(col("query_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+        if (qrows.nonEmpty) {
+          val session = store.sparkSession
+          import session.implicits._
+          val lex = graft.queries.TextOps.bm25TopK(store, qrows, depth)
+          val dense = graft.queries.VectorOps.cosineServe(emb,
+            qvecs.toSeq.toDF("query_id", "q_emb"), depth)
+          graft.queries.Retrieval.rrfFuse(lex, dense, topN)
+            .write.mode("append").parquet(s"$outDir/hybrid_lookup")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q85 — LM perplexity gating on the ingest path:
     * the bigram LM is trained ONCE batch-side on the stored split
     * ([[graft.queries.TextOps.trainBigramLm]] — materialized tables, the

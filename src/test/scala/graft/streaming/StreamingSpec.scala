@@ -244,6 +244,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming hybrid lookup: stream RRF fusion == batch q88 on the same queries") {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("hyb_in")
+    val out = tmpDir("hyb_out")
+    val ckpt = tmpDir("hyb_ckpt")
+    // query stream: q88's own request set (text + embedding joined on the
+    // aligned ids) re-serialized as JSONL, two files -> two micro-batches,
+    // SAME ids — so the stream's fused output must equal batch q88 exactly
+    val lines = spark.read.parquet(s"$corpus/documents.parquet")
+      .filter($"doc_id" % 37 === 0)
+      .join(spark.read.parquet(s"$corpus/embeddings.parquet"),
+        $"doc_id" === $"vec_id")
+      .orderBy($"doc_id")
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id".as("query_id"), $"text", $"embedding")))
+      .collect().map(_.getString(0))
+    assert(lines.length >= 2)
+    writeJsonl(in, "b1.jsonl", lines.take(1).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines.drop(1).toIndexedSeq: _*)
+
+    Pipeline.runHybridLookupStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/hybrid_lookup")
+      .collect().map(_.toString).sorted.toSeq
+
+    val batch = graft.SparkEntry.queries("q88_hybrid_rrf")(spark, corpus)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming LM perplexity: per-doc scores == batch scoring, q85 is its worst-100 view") {
     import org.apache.spark.sql.functions.{col, lit, struct, to_json}
     import spark.implicits._
