@@ -302,7 +302,7 @@ object VectorOps {
           // deployments and the scale harness, same contract as
           // graft.vec.maxCell.
           val k = if (v == "auto") autoCellCount(s, base.count()) else v.toInt
-          kmeansAssign(s, d, k)
+          kmeansAssignCached(s, d, k)
             .select($"vec_id", $"cluster".cast("int").as("cell"))
             .join(base.select($"vec_id", $"embedding"), Seq("vec_id"))
             .select($"vec_id", $"embedding", $"cell")
@@ -892,6 +892,19 @@ object VectorOps {
     kmeansAssignVectors(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), k, rounds)
 
+  /** [[kmeansAssign]] persisted once per JVM via [[IndexCache]]
+    * (pqTrainCached's pattern): q74, q75 and q87 all consume the SAME
+    * deterministic clustering, so the Lloyd rounds (2 driver-bounded
+    * collect passes over the corpus) run once and every later consumer
+    * pays one artifact read. (k, rounds) are part of the key — q75's
+    * scaled-k runs never alias the default clustering. */
+  private[queries] def kmeansAssignCached(s: SparkSession, d: String,
+      k: Int = 8, rounds: Int = 2): org.apache.spark.sql.DataFrame =
+    s.read.parquet(IndexCache.resolve(
+      s"kmeans|${new java.io.File(d).getCanonicalPath}|$k|$rounds", "kmeans") { p =>
+      kmeansAssign(s, d, k, rounds).write.mode("overwrite").parquet(p)
+    })
+
   /** [[kmeansAssign]]'s core over an arbitrary (vec_id, embedding) frame
     * — identical recipe, so q74's oracle contract carries; callers that
     * cluster a SUBSET (e.g. [[buildVecDedupIndex]]'s stored split) go
@@ -943,7 +956,7 @@ object VectorOps {
   private val q74 = Q(
     fn = (s, d) => {
       import s.implicits._
-      kmeansAssign(s, d).orderBy($"vec_id")
+      kmeansAssignCached(s, d).orderBy($"vec_id")
     },
     oracle = Some(kmeansOracleCtes + """
       SELECT vec_id, cid AS cluster, dist FROM d3
@@ -983,7 +996,7 @@ object VectorOps {
       val kmK = if (kmConf == "auto")
         autoCellCount(s, Tables.embeddings(s, d).count())
       else kmConf.toInt
-      val assign = kmeansAssign(s, d, kmK).select($"vec_id", $"cluster")
+      val assign = kmeansAssignCached(s, d, kmK).select($"vec_id", $"cluster")
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       val v = subSplit(assign.join(emb, "vec_id"), "cluster", maxCell)
       val a = v.select($"cluster", $"sub", $"vec_id".as("i"), $"embedding".as("ei"))
@@ -1516,7 +1529,7 @@ object VectorOps {
   private val q87 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val assign = kmeansAssign(s, d)
+      val assign = kmeansAssignCached(s, d)
       val sz = assign.groupBy($"cluster").agg(count(lit(1)).as("n"))
       assign.join(sz, Seq("cluster"))
         .withColumn("rank", row_number().over(
