@@ -983,6 +983,79 @@ object TextOps {
       HAVING COUNT(*) >= 8
       ORDER BY sh.doc_id"""))
 
+  /** Q89 — graded contamination report (the GPT-3 §C / PaLM §7.1
+    * recipe): for EVERY train-split document, the fraction of its
+    * distinct word-3-grams that appear anywhere in the test split —
+    * q46 flags docs past an absolute shared-count, q68 asks bloom
+    * membership, q56 hard-drops past 0.8; this emits the full graded
+    * distribution (zero-overlap docs included), which is what a
+    * contamination audit reports and what threshold tuning needs.
+    * Dirtiest documents first.
+    *
+    * Exactness: counts are exact longs; the fraction is one IEEE
+    * division over identical integers on both engines, so even the
+    * overlap_frac sort key hash-checks. Scale shape: q46's exact
+    * pipeline (scan-local shingle kernel, distinct test-shingle
+    * semi-join, per-doc count) plus one broadcast-size left join to
+    * bring zero-overlap docs back — no new corpus-sized exchange.
+    */
+  private val q89 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      // scoped persist (q18's pattern): train base, train explode and
+      // test subtree all share the scan + shingle kernel
+      val docs = shingled(s, d)
+        .withColumn("split", splitOf($"doc_id"))
+        .persist()
+      try {
+        val trainEx = docs.filter($"split" === "train")
+          .select($"doc_id", explode($"hs").as("h"))
+        val testH = docs.filter($"split" === "test")
+          .select(explode($"hs").as("h")).distinct()
+        val shared = trainEx.join(testH, Seq("h"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        docs.filter($"split" === "train" && $"n" > 0)
+          .select($"doc_id", $"n")
+          .join(shared, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shared"))
+          .select($"doc_id", $"n".cast("long").as("n_shingles"), $"n_shared",
+            ($"n_shared".cast("double") / $"n".cast("double")).as("overlap_frac"))
+          .orderBy($"overlap_frac".desc, $"doc_id")
+          .localCheckpoint()
+      } finally docs.unpersist()
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS ss
+        FROM w WHERE len(w) >= 3
+      ), split AS (
+        SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                       ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                  ELSE 'test' END AS split
+        FROM documents
+      ), test_sh AS (
+        SELECT DISTINCT unnest(ss) AS s
+        FROM sh JOIN split USING (doc_id) WHERE split = 'test'
+      ), tr AS (
+        SELECT doc_id, len(ss) AS n, ss
+        FROM sh JOIN split USING (doc_id) WHERE split = 'train'
+      ), shared AS (
+        SELECT t.doc_id, COUNT(*) AS n_shared
+        FROM (SELECT doc_id, unnest(ss) AS s FROM tr) t
+        JOIN test_sh USING (s)
+        GROUP BY t.doc_id
+      )
+      SELECT tr.doc_id, CAST(tr.n AS BIGINT) AS n_shingles,
+             CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared,
+             CAST(COALESCE(shared.n_shared, 0) AS DOUBLE)
+               / CAST(tr.n AS DOUBLE) AS overlap_frac
+      FROM tr LEFT JOIN shared ON tr.doc_id = shared.doc_id
+      ORDER BY overlap_frac DESC, tr.doc_id"""))
+
   /** Q48 — repetition-based quality filtering (the Gopher/C4 family of
     * training-corpus filters: Rae et al. 2021 §A1.1 "repetition" signals;
     * Raffel et al. 2020 §2.2 heuristics). Per document:
@@ -2441,5 +2514,6 @@ object TextOps {
     "q84_bm25_topk" -> q84,
     "q85_lm_perplexity_filter" -> q85,
     "q86_dedup_span_removal" -> q86,
+    "q89_contamination_frac" -> q89,
   )
 }

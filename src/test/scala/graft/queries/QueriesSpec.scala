@@ -409,6 +409,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q89 graded contamination: covers all shingled train docs, agrees with q46") {
+    import spark.implicits._
+    val got = run("q89_contamination_frac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // fraction = n_shared/n_shingles, in [0,1]; zero-overlap docs present
+    got.foreach { case (_, n, sh, f) =>
+      assert(n > 0 && sh >= 0 && sh <= n && f == sh.toDouble / n)
+    }
+    assert(got.exists(_._3 == 0))
+    // the >= 8 slice is exactly q46
+    val q46m = run("q46_decontamination").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val slice = got.filter(_._3 >= 8).map(r => (r._1, r._3)).toMap
+    assert(slice == q46m)
+    // dirtiest-first ordering
+    val fracs = got.map(_._4).toSeq
+    assert(fracs == fracs.sortBy(-_))
+  }
+
   test("q88 hybrid RRF == in-memory fusion of its BM25 and cosine legs") {
     val lex = TextOps.bm25TopK(
         TextOps.bm25StoreCached(spark, sf0001),
