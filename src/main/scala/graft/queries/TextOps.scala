@@ -1056,6 +1056,82 @@ object TextOps {
       FROM tr LEFT JOIN shared ON tr.doc_id = shared.doc_id
       ORDER BY overlap_frac DESC, tr.doc_id"""))
 
+  /** Q90 — DSIR importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every RAW-pool document by the log likelihood ratio of its tokens
+    * under a target-domain unigram model vs the raw-pool model —
+    * selecting the highest-weight docs importance-resamples the raw
+    * pool toward the target distribution. Target = the `lang = 'en'`
+    * slice (the paper's target sample); raw pool = everything else;
+    * add-one smoothing over the UNION vocabulary on both sides. The
+    * paper hashes features only to bound memory — the exact-unigram
+    * form here is the same estimator (a vocabulary-sized model is
+    * already this engine's standard working set: q51/q80/q84/q85).
+    *
+    * Exactness: per-term `floor(ln(p)·10⁶)` fixed-point log-probs
+    * (q84/q85's device), so each doc's weight is an exact long
+    * Σ count·(lp_target − lp_raw) — order-free on both engines; even
+    * the sort key hash-checks. Scale shape: term stats are one
+    * map-side-combined vocab-sized aggregate; the totals row
+    * broadcasts; scoring is q51's (doc,term)⋈vocab equi-join + one
+    * per-doc sum — no corpus-sized shuffle beyond the standard
+    * token-stats exchange.
+    */
+  private val q90 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", ($"lang" === "en").as("is_t"),
+          explode(words($"text")).as("term"))
+      val termStats = toks.groupBy($"term").agg(
+        sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
+        sum(when(!$"is_t", 1L).otherwise(0L)).as("cr"))
+      val totals = termStats.agg(sum($"ct").as("nt"), sum($"cr").as("nr"),
+        count(lit(1)).as("v"))
+      val delta = termStats.crossJoin(broadcast(totals))
+        .select($"term",
+          (floor(log(($"ct" + 1).cast("double") / ($"nt" + $"v").cast("double")) * 1e6)
+            .cast("long")
+            - floor(log(($"cr" + 1).cast("double") / ($"nr" + $"v").cast("double")) * 1e6)
+              .cast("long")).as("delta_fp"))
+      toks.filter(!$"is_t")
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+        .join(delta, Seq("term"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"), sum($"c" * $"delta_fp").as("weight_fp"))
+        .orderBy($"weight_fp".desc, $"doc_id")
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ), ts AS (
+        SELECT term,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS cr
+        FROM t GROUP BY term
+      ), tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+               COUNT(*) AS v
+        FROM ts
+      ), delta AS (
+        SELECT term,
+          CAST(FLOOR(LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) * 1e6) AS BIGINT)
+          - CAST(FLOOR(LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)) * 1e6) AS BIGINT)
+            AS delta_fp
+        FROM ts CROSS JOIN tot
+      ), rd AS (
+        SELECT doc_id, term, COUNT(*) AS c
+        FROM t WHERE NOT is_t GROUP BY doc_id, term
+      )
+      SELECT rd.doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * delta_fp) AS BIGINT) AS weight_fp
+      FROM rd JOIN delta USING (term)
+      GROUP BY rd.doc_id
+      ORDER BY weight_fp DESC, rd.doc_id"""))
+
   /** Q48 — repetition-based quality filtering (the Gopher/C4 family of
     * training-corpus filters: Rae et al. 2021 §A1.1 "repetition" signals;
     * Raffel et al. 2020 §2.2 heuristics). Per document:
@@ -2515,5 +2591,6 @@ object TextOps {
     "q85_lm_perplexity_filter" -> q85,
     "q86_dedup_span_removal" -> q86,
     "q89_contamination_frac" -> q89,
+    "q90_dsir_weights" -> q90,
   )
 }

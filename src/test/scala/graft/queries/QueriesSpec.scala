@@ -429,6 +429,34 @@ class QueriesSpec extends SparkSpec {
     assert(fracs == fracs.sortBy(-_))
   }
 
+  test("q90 DSIR weights == in-memory likelihood-ratio recompute") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.split(" ").map(t => (id, lang == "en", t))
+    }
+    val ct = toks.filter(_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cr = toks.filter(!_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val vocab = (ct.keySet ++ cr.keySet)
+    val (nt, nr, v) = (ct.values.sum, cr.values.sum, vocab.size.toLong)
+    val delta = vocab.iterator.map { w =>
+      w -> (math.floor(math.log((ct.getOrElse(w, 0L) + 1).toDouble / (nt + v)) * 1e6).toLong
+        - math.floor(math.log((cr.getOrElse(w, 0L) + 1).toDouble / (nr + v)) * 1e6).toLong)
+    }.toMap
+    val expected = toks.filter(!_._2).groupBy(_._1).toSeq.map { case (id, ts) =>
+      (id, ts.length.toLong, ts.map(t => delta(t._3)).sum)
+    }.sortBy { case (id, _, w) => (-w, id) }
+    val got = run("q90_dsir_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // only raw-pool (non-target) docs are scored
+    assert(got.map(_._1).toSet ==
+      docs.filter(_._2 != "en").map(_._1).toSet.filter(id =>
+        docs.find(_._1 == id).get._3.nonEmpty))
+  }
+
   test("q88 hybrid RRF == in-memory fusion of its BM25 and cosine legs") {
     val lex = TextOps.bm25TopK(
         TextOps.bm25StoreCached(spark, sf0001),
