@@ -28,20 +28,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it scans as a LongType of
-    * nanoseconds, converted here to a proper TimestampType. The data is
-    * µs-granular (verified: epoch_ns % 1000 == 0 for all rows), so the
-    * integer `div 1000` is lossless. Plain `/` would route through double
-    * and lose precision above 2^53.
+  /** `events.ts` normalized to session-zoned TimestampType whatever the
+    * parquet writer emitted. Two layouts exist across driver testdata
+    * generations:
+    *
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    it scans as a LongType of nanoseconds; the data is µs-granular
+    *    (verified: epoch_ns % 1000 == 0 for all rows), so the integer
+    *    `div 1000` is lossless (plain `/` would route through double and
+    *    lose precision above 2^53);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as TimestampNTZ;
+    *    the engine's session time zone is pinned to UTC (Sessions.scala),
+    *    so the cast to TimestampType re-reads the same wall-clock fields
+    *    as the same instant the nanos layout produced — downstream
+    *    window/watermark/oracle semantics are unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
