@@ -359,16 +359,30 @@ object TextOps {
       .distinct()
   }
 
+  /** q47's verified near-dup clustering persisted once per JVM via
+    * [[IndexCache]] ([[graft.queries.VectorOps.kmeansAssignCached]]'s
+    * pattern): q47 and q91 consume the SAME (doc_id, cluster_rep)
+    * labeling, so the LSH candidate pass, the exact-Jaccard verification
+    * and the large-star/small-star alternations run once per dataset and
+    * every later consumer pays one artifact read.
+    *
+    * The LSH pipeline produces the same verified pair set as the exact
+    * q18 path (QueriesSpec asserts equality) without its global
+    * document-frequency shuffle — the right edge generator at 100 TB.
+    */
+  private[queries] def dedupClustersCached(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(IndexCache.resolve(
+      s"ccluster|${new java.io.File(d).getCanonicalPath}", "ccluster") { p =>
+      import s.implicits._
+      connectedComponents(nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v")))
+        .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
+        .write.mode("overwrite").parquet(p)
+    })
+
   private val q47 = Q(
     fn = (s, d) => {
       import s.implicits._
-      // the LSH pipeline produces the same verified pair set as the exact
-      // q18 path (QueriesSpec asserts equality) without its global
-      // document-frequency shuffle — the right edge generator at 100 TB,
-      // and already materialized (localCheckpoint inside), so the initial
-      // projection needs no checkpoint of its own
-      connectedComponents(nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v")))
-        .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
+      dedupClustersCached(s, d)
         .withColumn("keep", $"doc_id" === $"cluster_rep")
         .orderBy($"doc_id")
     },
@@ -395,6 +409,82 @@ object TextOps {
       )
       SELECT u AS doc_id, MIN(r) AS cluster_rep, u = MIN(r) AS keep
       FROM reach GROUP BY u ORDER BY doc_id"""))
+
+  /** Q91 — near-dup cluster canonicalization: the dedup family's final
+    * production step. q47 labels clusters; this picks the SURVIVOR of each
+    * cluster by content quality (q22's composite score, highest wins,
+    * doc_id tie-break) instead of q47's arbitrary min-id representative —
+    * what an actual corpus-curation pipeline ships to training.
+    *
+    * Scale shape: the full corpus is never window-sorted. Cluster members
+    * (the docs appearing in any verified near-dup pair — a small fraction
+    * of the corpus) are ranked with a window over `cluster_rep`; the
+    * singleton majority bypasses the window entirely via one anti-join and
+    * keeps itself. The clustering artifact is the SAME cached parquet q47
+    * reads ([[dedupClustersCached]]), so q47+q91 together pay for one LSH +
+    * connected-components run.
+    */
+  private val q91 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+      val quality = Tables.documents(s, d)
+        .select($"doc_id", $"n_chars", words($"text").as("w"))
+        .withColumn("quality_score",
+          when($"n_chars" >= 100 && $"n_chars" <= 400, 1.0).otherwise(0.0)
+            + size(filter($"w", w0 => w0.isInCollection(stop))).cast("double")
+              / size($"w"))
+        .select($"doc_id", $"quality_score")
+      val clusters = dedupClustersCached(s, d).select($"doc_id", $"cluster_rep")
+      val rk = Window.partitionBy($"cluster_rep")
+        .orderBy($"quality_score".desc, $"doc_id".asc)
+      val members = quality.join(clusters, Seq("doc_id"))
+        .withColumn("keep", row_number().over(rk) === 1)
+      val singletons = quality
+        .join(clusters.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("cluster_rep", $"doc_id")
+        .withColumn("keep", lit(true))
+      members.select($"doc_id", $"cluster_rep", $"quality_score", $"keep")
+        .unionByName(
+          singletons.select($"doc_id", $"cluster_rep", $"quality_score", $"keep"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), edges AS (
+        SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs
+      ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u
+      ), clusters AS (
+        SELECT u AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY u
+      ), q AS (
+        SELECT doc_id,
+               (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END)
+                 + CAST(len(list_filter(string_split(text, ' '),
+                     w -> list_contains(['the','a','of','and','is','to','in'], w))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS quality_score
+        FROM documents)
+      SELECT q.doc_id,
+             COALESCE(c.cluster_rep, q.doc_id) AS cluster_rep,
+             q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY COALESCE(c.cluster_rep, q.doc_id)
+                                ORDER BY q.quality_score DESC, q.doc_id) = 1 AS keep
+      FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id
+      ORDER BY q.doc_id"""))
 
   /** Q19 — MinHash + LSH near-duplicate pairs (brief's scale path for
     * near-dup at 100 TB: no global df pass, candidates only within LSH
@@ -2592,5 +2682,6 @@ object TextOps {
     "q86_dedup_span_removal" -> q86,
     "q89_contamination_frac" -> q89,
     "q90_dsir_weights" -> q90,
+    "q91_dedup_canonicalize" -> q91,
   )
 }

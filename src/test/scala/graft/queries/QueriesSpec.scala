@@ -751,6 +751,33 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q91 canonicalize: one survivor per cluster, argmax quality, labels == q47") {
+    val rows = run("q91_dedup_canonicalize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // covers the whole corpus exactly once
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // cluster labels agree with q47 (non-members default to themselves)
+    val q47Label = run("q47_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, rep, _, _) =>
+      assert(rep == q47Label.getOrElse(doc, doc), s"doc $doc labeled $rep")
+    }
+    // exactly one survivor per cluster, and it is the quality argmax
+    // (doc_id tie-break): no member strictly beats it, and any member
+    // tying its score has a larger doc_id
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      val survivors = members.filter(_._4)
+      assert(survivors.length == 1, s"cluster $rep has ${survivors.length} survivors")
+      val s0 = survivors.head
+      members.foreach { m =>
+        assert(m._3 < s0._3 || (m._3 == s0._3 && m._1 >= s0._1),
+          s"cluster $rep: member ${m._1} (q=${m._3}) beats survivor ${s0._1} (q=${s0._3})")
+      }
+    }
+  }
+
   test("q48 repetition filter: fractions in [0,1], keep matches thresholds") {
     val rows = run("q48_repetition_filter").collect()
     assert(rows.nonEmpty)
