@@ -486,6 +486,78 @@ object TextOps {
       FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id
       ORDER BY q.doc_id"""))
 
+  /** PII patterns shared by batch q92 and the streaming scrub twin.
+    * Written in the common Java-regex / RE2 subset (character classes,
+    * bounded repetition, `\b`) so Spark and the DuckDB oracle match the
+    * same spans on the same input.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+\\d{1,2} \\d{3}-\\d{3}-\\d{4}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Detection counts + placeholder redaction over `raw`. Order matters
+    * and is part of the contract: emails first (their digits could
+    * otherwise be bitten by the looser numeric patterns), then phones,
+    * then IPv4s — each pass runs over the previous pass's output.
+    * Entirely scan-local codegen'd expressions: zero shuffle, streams
+    * unchanged.
+    */
+  private[graft] def scrubPii(df: DataFrame, raw: Column): DataFrame =
+    df.select(col("doc_id"),
+      regexp_count(raw, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(raw, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(raw, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(raw, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"), Ipv4Re, "<IP>").as("text_redacted"))
+
+  /** Q92 — PII detection + redaction (the scrub stage every
+    * training-data pipeline runs before materializing a corpus).
+    *
+    * The synthetic corpus contains no PII (verified: zero '@' across all
+    * SFs), so the query derives a deterministic contact tail from
+    * `doc_id` — one email, one phone, one IPv4 per document, computed
+    * identically by both engines — and scrubs `text || tail`. The
+    * operator under test is the scrub itself ([[scrubPii]]): the oracle
+    * hash-verifies counts AND the exact redacted strings, and the
+    * streaming twin ships the same transform on the ingest path.
+    */
+  private val q92 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val raw = concat($"text",
+        lit(" Contact user"), $"doc_id", lit("@mail"), $"doc_id" % 10,
+        lit(".com call +1 "), $"doc_id" % 900 + 100,
+        lit("-"), ($"doc_id" * 7) % 900 + 100,
+        lit("-"), ($"doc_id" * 13) % 9000 + 1000,
+        lit(" from 10."), $"doc_id" % 256,
+        lit("."), ($"doc_id" * 3) % 256,
+        lit("."), ($"doc_id" * 7) % 256)
+      scrubPii(Tables.documents(s, d).select($"doc_id", raw.as("raw")), $"raw")
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+               CAST(doc_id % 10 AS VARCHAR) || '.com call +1 ' ||
+               CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+               CAST((doc_id * 7) % 900 + 100 AS VARCHAR) || '-' ||
+               CAST((doc_id * 13) % 9000 + 1000 AS VARCHAR) || ' from 10.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.' ||
+               CAST((doc_id * 3) % 256 AS VARCHAR) || '.' ||
+               CAST((doc_id * 7) % 256 AS VARCHAR) AS r
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(r, '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(r, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(r,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+      FROM raw
+      ORDER BY doc_id"""))
+
   /** Q19 — MinHash + LSH near-duplicate pairs (brief's scale path for
     * near-dup at 100 TB: no global df pass, candidates only within LSH
     * buckets).
@@ -2683,5 +2755,6 @@ object TextOps {
     "q89_contamination_frac" -> q89,
     "q90_dsir_weights" -> q90,
     "q91_dedup_canonicalize" -> q91,
+    "q92_pii_redact" -> q92,
   )
 }

@@ -786,6 +786,30 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming twin of q92 — PII scrub on the ingest path: arriving
+    * documents are redacted BEFORE they ever land in the corpus (the
+    * realistic deployment — scrubbing after materialization leaves raw
+    * PII on disk). Runs the SHARED [[graft.queries.TextOps.scrubPii]]
+    * transform: a document redacts identically in stream and batch q92
+    * (StreamingSpec pins it). Stateless scan-local map — no state store,
+    * no shuffle, direct parquet append.
+    */
+  def runPiiScrubStream(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery =
+    graft.queries.TextOps.scrubPii(
+      s.readStream
+        .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(inDir),
+      col("text"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/pii_scrubbed")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def runUpsertMetricsPipeline(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery =
     speedMetricsByWindow(telemetryFileStream(s, inDir, maxFilesPerTrigger))
