@@ -558,6 +558,55 @@ object TextOps {
       FROM raw
       ORDER BY doc_id"""))
 
+  /** Q93 — temperature-smoothed domain mixture (the Gopher / Pile-style
+    * sampling-weight computation): per-source token shares are flattened
+    * with α = 0.5 — weight_i ∝ tokens_i^α — so low-resource domains are
+    * upsampled relative to their raw share before training. α = 0.5 is
+    * exactly `sqrt`, which is IEEE-correctly-rounded on both engines
+    * (general `pow` is not so portable); the total tokens_i^α cancels the
+    * corpus-size term, so p_i^α / Σ p_j^α = √tokens_i / Σ √tokens_j.
+    *
+    * Scale shape: one map-side-combined groupBy over the corpus, then
+    * arithmetic on a source-count-sized frame joined back by a 1-row
+    * broadcast. The Σ √tokens denominator routes through [[decSum]] —
+    * double addition is non-associative, so a plain `sum` over shuffle
+    * partitions would be nondeterministic in the last ulp.
+    */
+  private val q93 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val per = Tables.documents(s, d)
+        .select($"source", size(words($"text")).cast("long").as("nt"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+      val tot = per.agg(
+        sum($"n_tokens").as("tot_tokens"),
+        decSum(sqrt($"n_tokens".cast("double"))).as("tot_sqrt"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("raw_frac",
+          $"n_tokens".cast("double") / $"tot_tokens".cast("double"))
+        .withColumn("temp_frac",
+          sqrt($"n_tokens".cast("double")) / $"tot_sqrt")
+        .withColumn("quota_ppm", floor($"temp_frac" * 1e6))
+        .select($"source", $"n_docs", $"n_tokens", $"raw_frac",
+          $"temp_frac", $"quota_ppm")
+        .orderBy($"source")
+    },
+    oracle = Some("""
+      WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+      ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS tot_sqrt
+        FROM per)
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS raw_frac,
+             sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt AS temp_frac,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt * 1000000.0) AS BIGINT) AS quota_ppm
+      FROM per, tot ORDER BY source"""))
+
   /** Q19 — MinHash + LSH near-duplicate pairs (brief's scale path for
     * near-dup at 100 TB: no global df pass, candidates only within LSH
     * buckets).
@@ -2756,5 +2805,6 @@ object TextOps {
     "q90_dsir_weights" -> q90,
     "q91_dedup_canonicalize" -> q91,
     "q92_pii_redact" -> q92,
+    "q93_domain_temperature_mix" -> q93,
   )
 }

@@ -778,6 +778,29 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q93 temperature mix: fractions normalize, α=0.5 flattens, order preserved") {
+    val rows = run("q93_domain_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "raw fractions sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-6, "temp fractions sum to 1")
+    // ranking by tokens is preserved, and the mixture is strictly flatter:
+    // the temp-share ratio between any two sources is the square root of
+    // their raw-share ratio
+    rows.combinations(2).foreach { case Array(a, b) =>
+      val (lo, hi) = if (a._2 <= b._2) (a, b) else (b, a)
+      assert(lo._4 <= hi._4, s"${lo._1} vs ${hi._1}: temp ranking flipped")
+      if (lo._2 > 0) {
+        val expected = math.sqrt(hi._3 / lo._3)
+        assert(math.abs(hi._4 / lo._4 - expected) < 1e-9,
+          s"${hi._1}/${lo._1}: temp ratio ${hi._4 / lo._4} != sqrt(raw ratio) $expected")
+      }
+    }
+    rows.foreach { r =>
+      assert(r._5 == math.floor(r._4 * 1e6).toLong, s"${r._1}: quota_ppm mismatch")
+    }
+  }
+
   test("q48 repetition filter: fractions in [0,1], keep matches thresholds") {
     val rows = run("q48_repetition_filter").collect()
     assert(rows.nonEmpty)
