@@ -575,10 +575,14 @@ object TextOps {
   private val q93 = Q(
     fn = (s, d) => {
       import s.implicits._
+      // materialized: without this the totals aggregate re-derives from
+      // the raw scan and the corpus is read twice; after it, one corpus
+      // scan feeds both the per-source rows and the 1-row totals
       val per = Tables.documents(s, d)
         .select($"source", size(words($"text")).cast("long").as("nt"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+        .localCheckpoint()
       val tot = per.agg(
         sum($"n_tokens").as("tot_tokens"),
         decSum(sqrt($"n_tokens".cast("double"))).as("tot_sqrt"))
