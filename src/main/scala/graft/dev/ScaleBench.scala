@@ -35,7 +35,12 @@ object ScaleBench {
     // tables are vocabulary²-bounded at any corpus size
     "q84_bm25_topk", "q85_lm_perplexity_filter",
     // span surgery: q65's gram-flagging scan + per-row array arithmetic
-    "q86_dedup_span_removal")
+    "q86_dedup_span_removal",
+    // canonicalization: shares q47's clustering artifact via IndexCache
+    // (rep 1 pays LSH+CC, later reps read the artifact — min-of-reps is
+    // the post-clustering selection cost: quality scan + broadcast joins
+    // + member-bounded window)
+    "q91_dedup_canonicalize")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
