@@ -611,6 +611,69 @@ object TextOps {
              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt * 1000000.0) AS BIGINT) AS quota_ppm
       FROM per, tot ORDER BY source"""))
 
+  /** Q94 — Gopher quality rules (Rae et al. 2021, Appendix A — the
+    * published word-level heuristic battery; complements q22's
+    * form-based composite and q48's repetition filter): word-count
+    * bounds, mean-word-length bounds, alphabetic-word fraction,
+    * symbol-to-word ratio, minimum stop-word count. Every intermediate
+    * is an exact integer (word counts, summed word lengths), so the two
+    * derived doubles are single divisions both engines compute
+    * bit-identically. One corpus scan, zero shuffle, codegen'd
+    * higher-order array functions.
+    */
+  private val q94 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      Tables.documents(s, d)
+        .select($"doc_id", $"text", words($"text").as("w"))
+        .withColumn("n_words", size($"w").cast("long"))
+        .withColumn("sum_word_len",
+          aggregate($"w", lit(0L), (acc, x) => acc + length(x)))
+        .withColumn("mean_word_len",
+          $"sum_word_len".cast("double") / $"n_words".cast("double"))
+        .withColumn("n_alpha_words",
+          size(filter($"w", x => x.rlike("[A-Za-z]"))).cast("long"))
+        .withColumn("frac_alpha_words",
+          $"n_alpha_words".cast("double") / $"n_words".cast("double"))
+        .withColumn("n_stop",
+          size(filter($"w", x => x.isInCollection(gopherStop))).cast("long"))
+        .withColumn("n_symbols",
+          (regexp_count($"text", lit("#")) + regexp_count($"text", lit("\\.\\.\\."))).cast("long"))
+        .withColumn("keep",
+          $"n_words" >= 50 && $"n_words" <= 100000 &&
+            $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+            $"frac_alpha_words" > 0.8 &&
+            $"n_stop" >= 2 &&
+            $"n_symbols".cast("double") < $"n_words".cast("double") * 0.1)
+        .select($"doc_id", $"n_words", $"mean_word_len", $"frac_alpha_words",
+          $"n_stop", $"n_symbols", $"keep")
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      ), m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+               CAST(len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop,
+               CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols
+        FROM w)
+      SELECT doc_id, n_words,
+             CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+             CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha_words,
+             n_stop, n_symbols,
+             (n_words BETWEEN 50 AND 100000)
+               AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+               AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+               AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
+               AND n_stop >= 2
+               AND CAST(n_symbols AS DOUBLE) < CAST(n_words AS DOUBLE) * 0.1 AS keep
+      FROM m
+      ORDER BY doc_id"""))
+
   /** Q19 — MinHash + LSH near-duplicate pairs (brief's scale path for
     * near-dup at 100 TB: no global df pass, candidates only within LSH
     * buckets).
@@ -2810,5 +2873,6 @@ object TextOps {
     "q91_dedup_canonicalize" -> q91,
     "q92_pii_redact" -> q92,
     "q93_domain_temperature_mix" -> q93,
+    "q94_gopher_rules" -> q94,
   )
 }
