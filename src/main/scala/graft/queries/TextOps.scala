@@ -2717,11 +2717,29 @@ object TextOps {
       .withColumn("avg_logprob", $"sum_fp".cast("double") / $"n_bigrams")
   }
 
+  /** q85's LM persisted once per JVM via [[IndexCache]] (the
+    * bm25StoreCached / pqTrainCached serving-artifact pattern): batch
+    * q85, the bench and the streaming perplexity gate share ONE
+    * training run over the stored split; every later consumer pays one
+    * artifact read of the vocabulary²-bounded tables. */
+  private[graft] def bigramLmCached(s: SparkSession, d: String): BigramLm = {
+    val p = IndexCache.resolve(
+      s"bigramlm|${new java.io.File(d).getCanonicalPath}", "bigramlm") { path =>
+      import s.implicits._
+      val lm = trainBigramLm(Tables.documents(s, d).filter($"doc_id" % 10 < 8))
+      lm.c12.write.mode("overwrite").parquet(s"$path/c12")
+      lm.c1.write.mode("overwrite").parquet(s"$path/c1")
+      Seq(lm.v).toDF("v").write.mode("overwrite").parquet(s"$path/v")
+    }
+    BigramLm(s.read.parquet(s"$p/c12"), s.read.parquet(s"$p/c1"),
+      s.read.parquet(s"$p/v").head().getLong(0))
+  }
+
   private val q85 = Q(
     fn = (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val lm = trainBigramLm(docs.filter($"doc_id" % 10 < 8))
+      val lm = bigramLmCached(s, d)
       lmScoreDocs(docs.filter($"doc_id" % 10 >= 8), lm)
         .orderBy($"avg_logprob".asc, $"doc_id")
         .limit(100)

@@ -640,9 +640,7 @@ object Pipeline {
   def runLmPerplexityStream(s: SparkSession, corpusDir: String, inDir: String,
       outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    val docs = graft.sources.Tables.documents(s, corpusDir)
-    val lm = graft.queries.TextOps.trainBigramLm(
-      docs.filter(col("doc_id") % 10 < 8))
+    val lm = graft.queries.TextOps.bigramLmCached(s, corpusDir)
     s.readStream
       .schema("ts TIMESTAMP, doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
