@@ -911,6 +911,48 @@ object TextOps {
       HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
       ORDER BY new_doc_id, old_doc_id"""))
 
+  /** Q95 — incremental EXACT dedup: the admission report for an arriving
+    * snapshot screened against the stored corpus by content hash — the
+    * most common production screen, completing the incremental family
+    * (q82 MinHash near-dup, q83 embedding, q95 exact).
+    *
+    * Scale shape: both sides reduce to (doc_id, md5) — a 16-byte key —
+    * before any join; the stored corpus is scanned against the BROADCAST
+    * arriving side (snapshot ≪ corpus by the q82 contract), so the
+    * corpus is never shuffled, and the left-outer admission join runs
+    * between the snapshot and the (small) match set only. The oracle
+    * compares raw text equality; md5 equality agrees absent collisions
+    * (2^-64-scale at any realistic corpus size).
+    */
+  private val q95 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val arriving = docs.filter($"doc_id" % 10 >= 8)
+        .select($"doc_id".as("new_doc_id"), md5($"text").as("h"))
+      val stored = docs.filter($"doc_id" % 10 < 8)
+        .select($"doc_id".as("old_doc_id"), md5($"text").as("h"))
+      val matches = stored.join(broadcast(arriving), Seq("h"))
+        .select($"new_doc_id", $"old_doc_id")
+      arriving.select($"new_doc_id")
+        .join(matches, Seq("new_doc_id"), "left")
+        .groupBy($"new_doc_id")
+        .agg(min($"old_doc_id").as("first_old_match"),
+          count($"old_doc_id").as("n_matches"))
+        .withColumn("admitted", $"n_matches" === 0)
+        .orderBy($"new_doc_id")
+    },
+    oracle = Some("""
+      SELECT a.doc_id AS new_doc_id,
+             MIN(b.doc_id) AS first_old_match,
+             CAST(COUNT(b.doc_id) AS BIGINT) AS n_matches,
+             COUNT(b.doc_id) = 0 AS admitted
+      FROM documents a
+      LEFT JOIN documents b ON a.text = b.text AND b.doc_id % 10 < 8
+      WHERE a.doc_id % 10 >= 8
+      GROUP BY a.doc_id
+      ORDER BY a.doc_id"""))
+
   /** Q20 — SimHash fingerprints + Hamming-distance pairs (brief's SimHash
     * dedup). 64-bit simhash over distinct word-3-gram shingles (shingle
     * features, not bare words — this corpus's word vocabulary is ~30
@@ -2892,5 +2934,6 @@ object TextOps {
     "q92_pii_redact" -> q92,
     "q93_domain_temperature_mix" -> q93,
     "q94_gopher_rules" -> q94,
+    "q95_dedup_incremental_exact" -> q95,
   )
 }
