@@ -621,34 +621,41 @@ object TextOps {
     * bit-identically. One corpus scan, zero shuffle, codegen'd
     * higher-order array functions.
     */
+  /** The rule battery itself, shared verbatim by batch q94 and the
+    * streaming ingest gate ([[graft.streaming.Pipeline.runGopherGateStream]])
+    * so a document is judged identically in stream and batch. */
+  private[graft] def gopherStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs
+      .select($"doc_id", $"text", words($"text").as("w"))
+      .withColumn("n_words", size($"w").cast("long"))
+      .withColumn("sum_word_len",
+        aggregate($"w", lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("mean_word_len",
+        $"sum_word_len".cast("double") / $"n_words".cast("double"))
+      .withColumn("n_alpha_words",
+        size(filter($"w", x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("frac_alpha_words",
+        $"n_alpha_words".cast("double") / $"n_words".cast("double"))
+      .withColumn("n_stop",
+        size(filter($"w", x => x.isInCollection(gopherStop))).cast("long"))
+      .withColumn("n_symbols",
+        (regexp_count($"text", lit("#")) + regexp_count($"text", lit("\\.\\.\\."))).cast("long"))
+      .withColumn("keep",
+        $"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+          $"frac_alpha_words" > 0.8 &&
+          $"n_stop" >= 2 &&
+          $"n_symbols".cast("double") < $"n_words".cast("double") * 0.1)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"frac_alpha_words",
+        $"n_stop", $"n_symbols", $"keep")
+  }
+
   private val q94 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      Tables.documents(s, d)
-        .select($"doc_id", $"text", words($"text").as("w"))
-        .withColumn("n_words", size($"w").cast("long"))
-        .withColumn("sum_word_len",
-          aggregate($"w", lit(0L), (acc, x) => acc + length(x)))
-        .withColumn("mean_word_len",
-          $"sum_word_len".cast("double") / $"n_words".cast("double"))
-        .withColumn("n_alpha_words",
-          size(filter($"w", x => x.rlike("[A-Za-z]"))).cast("long"))
-        .withColumn("frac_alpha_words",
-          $"n_alpha_words".cast("double") / $"n_words".cast("double"))
-        .withColumn("n_stop",
-          size(filter($"w", x => x.isInCollection(gopherStop))).cast("long"))
-        .withColumn("n_symbols",
-          (regexp_count($"text", lit("#")) + regexp_count($"text", lit("\\.\\.\\."))).cast("long"))
-        .withColumn("keep",
-          $"n_words" >= 50 && $"n_words" <= 100000 &&
-            $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
-            $"frac_alpha_words" > 0.8 &&
-            $"n_stop" >= 2 &&
-            $"n_symbols".cast("double") < $"n_words".cast("double") * 0.1)
-        .select($"doc_id", $"n_words", $"mean_word_len", $"frac_alpha_words",
-          $"n_stop", $"n_symbols", $"keep")
-        .orderBy($"doc_id")
+      gopherStats(Tables.documents(s, d)).orderBy($"doc_id")
     },
     oracle = Some("""
       WITH w AS (

@@ -808,6 +808,29 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming twin of q94 — Gopher quality gate on the ingest path: every
+    * arriving document is scored through the SHARED rule battery
+    * ([[graft.queries.TextOps.gopherStats]]) and lands with its stats and
+    * keep flag, so downstream consumers filter on `keep` without
+    * re-scoring. Stateless scan-local map — no state store, no shuffle,
+    * direct parquet append; a document is judged identically in stream
+    * and batch q94 (StreamingSpec pins it).
+    */
+  def runGopherGateStream(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery =
+    graft.queries.TextOps.gopherStats(
+      s.readStream
+        .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/gopher_gate")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def runUpsertMetricsPipeline(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery =
     speedMetricsByWindow(telemetryFileStream(s, inDir, maxFilesPerTrigger))

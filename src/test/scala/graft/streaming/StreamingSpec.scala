@@ -460,6 +460,36 @@ class StreamingSpec extends SparkSpec {
     assert(byId(4) == ((1L, 1L, 1L, "mixed: root@<IP> box, <PHONE>, <EMAIL>")))
   }
 
+  test("streaming Gopher gate: arriving docs judged exactly as batch gopherStats") {
+    import spark.implicits._
+    val in = tmpDir("gopher_in")
+    val out = tmpDir("gopher_out")
+    val ckpt = tmpDir("gopher_ckpt")
+    // one passing doc (60 the-words, mean len >= 3), one too short, one
+    // symbol-heavy, one with no stop words
+    val pass = (Seq.fill(30)("the") ++ Seq.fill(30)("quality")).mkString(" ")
+    val short = "too short with the the text"
+    val symbols = (Seq.fill(60)("the") ++ Seq.fill(10)("#")).mkString(" ")
+    val nostop = Seq.fill(60)("word").mkString(" ")
+    def doc(id: Long, text: String) =
+      s"""{"ts":"2026-03-01 10:0${id % 10}:00","doc_id":$id,"text":"$text"}"""
+    writeJsonl(in, "b1.jsonl", doc(0, pass), doc(1, short))
+    writeJsonl(in, "b2.jsonl", doc(2, symbols), doc(3, nostop))
+
+    Pipeline.runGopherGateStream(spark, in, out, ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$out/gopher_gate")
+
+    val batch = graft.queries.TextOps.gopherStats(
+      spark.read.schema("ts TIMESTAMP, doc_id LONG, text STRING").json(in))
+    val sSet = streamed.collect().map(_.toString).sorted.toSeq
+    val bSet = batch.collect().map(_.toString).sorted.toSeq
+    assert(sSet.nonEmpty && sSet == bSet, "stream and batch must judge identically")
+
+    val keep = streamed.collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(keep == Map(0L -> true, 1L -> false, 2L -> false, 3L -> false))
+  }
+
   test("progress listener records per-batch input rows without touching the query") {
     val in = tmpDir("obs_in")
     val out = tmpDir("obs_out")
