@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Domain.all ++
       graft.queries.MultimodalQ.all ++
       graft.queries.Windowed.all ++
-      graft.queries.Retrieval.all
+      graft.queries.Retrieval.all ++
+      graft.queries.GraphOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over corpus-derived graphs — the iterative
+  * big-big-join family (PageRank-style power iteration) the engine's
+  * dedup side already half-has (q47's connected components) expressed
+  * as a first-class operator.
+  *
+  * q96 runs TextRank-flavoured PageRank (Page et al. 1999; Mihalcea &
+  * Tarau, EMNLP 2004) over the doc↔term bipartite incidence graph:
+  * keyword salience by graph centrality rather than q51's TF-IDF — the
+  * two standard corpus keyword extractors, side by side.
+  *
+  * Exactness contract: all rank mass is integer (a 10^12 total split by
+  * `div`), so every per-iteration sum is an order-insensitive long
+  * addition and the result hash-matches a DuckDB oracle that unrolls
+  * the same iterations as chained CTEs (q74's Lloyd-round pattern).
+  * No doubles anywhere until nothing is left to compute.
+  *
+  * Scale shape (the canonical distributed PageRank plan):
+  *  - the adjacency list is materialized ONCE with the source degree
+  *    attached, hash-partitioned by source and persisted — iterations
+  *    never re-derive or re-shuffle it;
+  *  - each iteration is one co-partitioned join (ranks come out of the
+  *    previous round's `groupBy(node)` with the SAME hash partitioning,
+  *    so only the fresh contribution aggregation shuffles) plus one
+  *    `localCheckpoint` to truncate lineage (q47's round pattern) —
+  *    2 scans + 1 shuffle per round, driver holds only the node count;
+  *  - node ids are tagged strings for oracle parity at test scale; a
+  *    100 TB deployment would dictionary-encode them to longs first —
+  *    the plan shape is identical.
+  */
+object GraphOps {
+
+  /** Total integer rank mass distributed across the graph. */
+  private val Mass = 1000000000000L
+  /** Fixed power-iteration count (unrolled identically in the oracle). */
+  private val Iters = 3
+  /** Top keyword rows emitted. */
+  private val TopK = 50
+
+  private val q96 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val inc = Tables.documents(s, d)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("term"))
+      val e0 = inc.select(
+        concat(lit("d:"), $"doc_id".cast("string")).as("u"),
+        concat(lit("t:"), $"term").as("v"))
+      val edges = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      // adjacency with source degree attached, partitioned by source once
+      val adj = edges.join(deg, "u").repartition($"u").persist()
+      try {
+        val n = deg.count() // every node of this graph has degree >= 1
+        val init = Mass / n
+        val teleport = (15L * init) / 100L
+        var ranks = deg.select($"u".as("node"))
+          .withColumn("pr", lit(init))
+          .localCheckpoint()
+        for (_ <- 1 to Iters) {
+          val contrib = adj.join(ranks, adj("u") === ranks("node"))
+            .select($"v", expr("pr div deg").as("c"))
+            .groupBy($"v".as("node")).agg(sum($"c").as("c"))
+          ranks = ranks.select($"node")
+            .join(contrib, Seq("node"), "left")
+            .select($"node",
+              (lit(teleport) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100"))
+                .as("pr"))
+            .localCheckpoint()
+        }
+        ranks.filter($"node".startsWith("t:"))
+          .select(expr("substring(node, 3)").as("term"), $"pr")
+          .orderBy($"pr".desc, $"term".asc)
+          .limit(TopK)
+      } finally adj.unpersist()
+    },
+    oracle = Some {
+      val iters = (1 to Iters).map { i =>
+        s"""c$i AS (
+        SELECT e.v AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS c
+        FROM r${i - 1} r JOIN edges e ON e.u = r.node JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+      ), r$i AS (
+        SELECT r.node,
+               CAST((15 * (1000000000000 // n.n)) // 100
+                 + (85 * COALESCE(c$i.c, 0)) // 100 AS BIGINT) AS pr
+        FROM r${i - 1} r LEFT JOIN c$i ON c$i.node = r.node, n
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH raw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ), inc AS (
+        SELECT DISTINCT doc_id, term FROM raw
+      ), e0 AS (
+        SELECT 'd:' || CAST(doc_id AS VARCHAR) AS u, 't:' || term AS v FROM inc
+      ), edges AS (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+      ), deg AS (
+        SELECT u, COUNT(*) AS deg FROM edges GROUP BY u
+      ), n AS (
+        SELECT COUNT(*) AS n FROM deg
+      ), r0 AS (
+        SELECT u AS node, 1000000000000 // n.n AS pr FROM deg, n
+      ), $iters
+      SELECT substring(node, 3) AS term, pr
+      FROM r$Iters WHERE node LIKE 't:%'
+      ORDER BY pr DESC, term LIMIT $TopK"""
+    })
+
+  val all: Map[String, Q] = Map(
+    "q96_textrank_keywords" -> q96,
+  )
+}

@@ -1130,4 +1130,32 @@ class QueriesSpec extends SparkSpec {
     val fp = absent.filter(E.bloom_might_contain(lit(bf), $"h")).count()
     assert(fp < 200, s"bloom passes $fp of 1000 absent values — not pruning")
   }
+
+  test("q96 textrank: integer ranks, strict order, terms exist in corpus") {
+    import spark.implicits._
+    val df = run("q96_textrank_keywords")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // ranks positive and the emitted order is (pr desc, term asc)
+    val prs = rows.map(_.getLong(1))
+    assert(prs.forall(_ > 0))
+    assert(rows.sortBy(r => (-r.getLong(1), r.getString(0))).toSeq == rows.toSeq)
+    // non-degenerate: centrality separates the vocabulary
+    assert(prs.distinct.length > 1)
+    // every keyword is a real corpus token
+    val vocab = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .distinct().as[String].collect().toSet
+    assert(rows.map(_.getString(0)).forall(vocab.contains))
+    // a term in every doc must outrank one confined to a single doc:
+    // centrality follows document frequency on this bipartite graph
+    val docFreq = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ranked = rows.map(_.getString(0))
+    val commonest = docFreq.maxBy(t => (t._2, t._1))._1
+    assert(ranked.contains(commonest),
+      s"highest-df term '$commonest' missing from top ranks")
+  }
 }
