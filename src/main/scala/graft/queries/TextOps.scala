@@ -2901,6 +2901,73 @@ object TextOps {
       FROM cut
       ORDER BY doc_id"""))
 
+  /** Q97 — Zipf slope per source: the standard power-law diagnostic for
+    * a text corpus (Zipf 1949; Piantadosi, Psych. Bull. Rev. 2014 for
+    * the modern treatment). A natural corpus has token frequency roughly
+    * ∝ rank^s with s near −1; a slope far from −1 flags synthetic,
+    * templated or degenerate text — the corpus-level sibling of q48's
+    * per-document repetition filter.
+    *
+    * Per source: rank the top-200 tokens by frequency, least-squares fit
+    * ln(freq) against ln(rank). Exactness: both logs are quantized to
+    * integer micro-units (`round(ln(x)·10⁶)`), so every regression sum
+    * (Σx, Σy, Σxy, Σx²) is an exact, order-insensitive long sum; the
+    * single closed-form slope division is the ONLY floating-point
+    * operation and runs on identical operands in both engines. Bounds:
+    * x ≤ ln(200)·10⁶ ≈ 5.3e6, so n·Σx² ≤ ~1.1e18 — inside long range
+    * with 8× headroom (the oracle's HUGEINT sums agree exactly because
+    * nothing wraps).
+    *
+    * Scale shape: one map-side-combined (source, token) count, a top-200
+    * WindowGroupLimit per source (the q51 pattern — never a full sort),
+    * and a 5-row closed-form fit. No collect, no broadcast, no UDF.
+    */
+  private val q97 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select($"source", explode(words($"text")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("cnt"))
+      val rk = Window.partitionBy($"source").orderBy($"cnt".desc, $"term".asc)
+      val pts = tf.withColumn("rnk", row_number().over(rk))
+        .filter($"rnk" <= 200)
+        .select($"source",
+          expr("CAST(round(ln(rnk) * 1000000) AS BIGINT)").as("x"),
+          expr("CAST(round(ln(cnt) * 1000000) AS BIGINT)").as("y"))
+      pts.groupBy($"source").agg(
+          count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .select($"source",
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+            / ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("zipf_slope"),
+          $"n".as("n_terms"))
+        .orderBy($"source")
+    },
+    oracle = Some("""
+      WITH tf AS (
+        SELECT source, term, COUNT(*) AS cnt FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY source, term
+      ), top AS (
+        SELECT source, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, term ASC) AS rnk
+        FROM tf QUALIFY rnk <= 200
+      ), pts AS (
+        SELECT source,
+               CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+        FROM top
+      ), fit AS (
+        SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        FROM pts GROUP BY source)
+      SELECT source,
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               AS zipf_slope,
+             CAST(n AS BIGINT) AS n_terms
+      FROM fit ORDER BY source"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -2942,5 +3009,6 @@ object TextOps {
     "q93_domain_temperature_mix" -> q93,
     "q94_gopher_rules" -> q94,
     "q95_dedup_incremental_exact" -> q95,
+    "q97_zipf_slope" -> q97,
   )
 }

@@ -1158,4 +1158,19 @@ class QueriesSpec extends SparkSpec {
     assert(ranked.contains(commonest),
       s"highest-df term '$commonest' missing from top ranks")
   }
+
+  test("q97 zipf slope: negative, bounded, one row per source") {
+    val rows = run("q97_zipf_slope").collect()
+    assert(rows.nonEmpty)
+    // one row per distinct source, ordered
+    val sources = rows.map(_.getString(0))
+    assert(sources.toSeq == sources.sorted.toSeq && sources.distinct.length == sources.length)
+    rows.foreach { r =>
+      val (slope, n) = (r.getDouble(1), r.getLong(2))
+      // a frequency-ranked curve can only fall; real text sits near -1
+      assert(slope < 0.0, s"source ${r.getString(0)}: slope $slope not negative")
+      assert(slope > -5.0, s"source ${r.getString(0)}: slope $slope degenerate")
+      assert(n >= 2 && n <= 200)
+    }
+  }
 }
