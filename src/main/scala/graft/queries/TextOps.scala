@@ -2968,6 +2968,73 @@ object TextOps {
              CAST(n AS BIGINT) AS n_terms
       FROM fit ORDER BY source"""))
 
+  /** Q98 — vocabulary-growth curve (Heaps' law, 1978): cumulative
+    * distinct-term count against cumulative token count in doc_id order,
+    * sampled every 25 documents. Together with q97's Zipf slope these
+    * are the two classic corpus-statistics diagnostics: a vocabulary
+    * that saturates too fast (or never) flags duplication or synthetic
+    * text before any model sees it.
+    *
+    * "Distinct terms so far" never builds a running set: each term
+    * contributes 1 at its GLOBAL first occurrence (`min(doc_id)` per
+    * term — one map-side-combined aggregation) and the curve is then two
+    * integer prefix sums over per-doc deltas, decomposed exactly like
+    * q70's two-level bucket scheme (per-bucket subtotals → window over
+    * the tiny bucket table → bounded within-bucket windows) — the same
+    * dense-id caveat and range-statistics remedy documented there apply.
+    * All arithmetic is long-integer, so the decomposition is
+    * bit-identical to the oracle's flat windows.
+    */
+  private val q98 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+      val perDoc = docs.select($"doc_id", size($"w").cast("long").as("n_tokens"))
+      val newTerms = docs
+        .select($"doc_id", explode(array_distinct($"w")).as("term"))
+        .groupBy($"term").agg(min($"doc_id").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+      val base = perDoc.join(newTerms, Seq("doc_id"), "left")
+        .withColumn("n_new", coalesce($"n_new", lit(0L)))
+        .withColumn("bucket", ($"doc_id" / 256L).cast("long"))
+      val bw = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy($"bucket")
+        .agg(sum($"n_tokens").as("bt"), sum($"n_new").as("bv"))
+        .withColumn("ot", coalesce(sum($"bt").over(bw), lit(0L)))
+        .withColumn("ov", coalesce(sum($"bv").over(bw), lit(0L)))
+        .select($"bucket", $"ot", $"ov")
+      val iw = Window.partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.join(offsets, Seq("bucket"))
+        .withColumn("cum_tokens", $"ot" + sum($"n_tokens").over(iw))
+        .withColumn("cum_vocab", $"ov" + sum($"n_new").over(iw))
+        .filter($"doc_id" % 25 === 0)
+        .select($"doc_id", $"cum_tokens", $"cum_vocab")
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), perdoc AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w
+      ), fo AS (
+        SELECT term, MIN(doc_id) AS doc_id FROM (
+          SELECT doc_id, unnest(list_distinct(ws)) AS term FROM w)
+        GROUP BY term
+      ), nt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM fo GROUP BY doc_id
+      ), c AS (
+        SELECT p.doc_id,
+               SUM(p.n_tokens) OVER (ORDER BY p.doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_vocab
+        FROM perdoc p LEFT JOIN nt USING (doc_id))
+      SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             CAST(cum_vocab AS BIGINT) AS cum_vocab
+      FROM c WHERE doc_id % 25 = 0 ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -3010,5 +3077,6 @@ object TextOps {
     "q94_gopher_rules" -> q94,
     "q95_dedup_incremental_exact" -> q95,
     "q97_zipf_slope" -> q97,
+    "q98_vocab_growth" -> q98,
   )
 }

@@ -1173,4 +1173,21 @@ class QueriesSpec extends SparkSpec {
       assert(n >= 2 && n <= 200)
     }
   }
+
+  test("q98 vocab growth: monotone curve bounded by corpus totals") {
+    import spark.implicits._
+    val rows = run("q98_vocab_growth").collect()
+    assert(rows.nonEmpty)
+    val (toks, vocab) = (rows.map(_.getLong(1)), rows.map(_.getLong(2)))
+    // tokens strictly grow (every doc has at least one token); vocabulary
+    // never shrinks and can never outpace the tokens that introduced it
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b })
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    // the curve ends inside the true corpus totals
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val totalToks = docs.select(explode(split(col("text"), " "))).count()
+    val totalVocab = docs.select(explode(split(col("text"), " "))).distinct().count()
+    assert(toks.last <= totalToks && vocab.last <= totalVocab)
+  }
 }
