@@ -40,7 +40,11 @@ object ScaleBench {
     // (rep 1 pays LSH+CC, later reps read the artifact — min-of-reps is
     // the post-clustering selection cost: quality scan + broadcast joins
     // + member-bounded window)
-    "q91_dedup_canonicalize")
+    "q91_dedup_canonicalize",
+    // graph centrality: 3 power-iteration rounds — each one
+    // co-partitioned join + one contribution shuffle over the edge list
+    // (edges ∝ corpus tokens, vocabulary-bounded on the term side)
+    "q96_textrank_keywords")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
