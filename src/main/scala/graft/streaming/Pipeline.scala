@@ -501,6 +501,61 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming vocabulary-novelty monitor — q98's Heaps-law curve as a
+    * live ingest guard: per event-time window, how many tokens arrived,
+    * how many distinct terms, and how many of those terms the BASELINE
+    * corpus has never seen. A saturated corpus admits novelty at a
+    * decaying Heaps rate, so a novelty spike is the earliest signal of a
+    * broken scraper, an encoding regression (mojibake mints "new" terms
+    * by the thousand) or an unplanned domain switch — cheaper to watch
+    * than q80's per-token drift and complementary to it (drift sees
+    * known tokens surging; this sees unknown tokens appearing).
+    *
+    * Same two-level shape as [[runTokenDriftMonitor]]: watermarked
+    * per-(window, token) counts finalize once in append mode, then the
+    * per-window reduction and the baseline anti-join run in foreachBatch.
+    * The baseline is the corpus's distinct-term set — vocabulary-bounded
+    * at any corpus size (q98's saturation argument) — materialized once
+    * at stream start. Windows are judged independently against the
+    * stored-corpus vocabulary (not cumulatively against earlier stream
+    * windows): admission into the baseline is an explicit batch-side
+    * step (the q82/q95 append contract), not a streaming side effect.
+    */
+  def runVocabNoveltyMonitor(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String, windowLen: String = "1 minute",
+      watermark: String = "2 minutes"): StreamingQuery = {
+    import s.implicits._
+    val vocab = graft.sources.Tables.documents(s, corpusDir)
+      .select(explode(split($"text", " ")).as("token"))
+      .distinct()
+      .localCheckpoint()
+    val windowed = s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir)
+      .withWatermark("ts", watermark)
+      .select(window($"ts", windowLen).as("w"), explode(split($"text", " ")).as("token"))
+      .groupBy($"w", $"token")
+      .agg(count(lit(1)).as("c"))
+    windowed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val novel = batch.join(vocab, Seq("token"), "left_anti")
+          .groupBy($"w").agg(count(lit(1)).as("n_new"))
+        batch.groupBy($"w")
+          .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+          .join(novel, Seq("w"), "left")
+          .select($"w.start".as("window_start"), $"n_tokens",
+            $"n_distinct", coalesce($"n_new", lit(0L)).as("n_new_terms"))
+          .withColumn("new_frac",
+            $"n_new_terms".cast("double") / $"n_distinct")
+          .write.mode("append").parquet(s"$outDir/vocab_novelty")
+      }
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ANN lookup against a trained PQ index (the online-retrieval
     * half of q78: train once over the corpus, then serve arriving query
     * vectors). Query embeddings stream in as JSONL; each micro-batch

@@ -175,6 +175,48 @@ class StreamingSpec extends SparkSpec {
     assert(flood.getDouble(4) == 0.0)
   }
 
+  test("streaming vocab novelty: known window scores zero, garbage window counted exactly") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("vocab_in")
+    val out = tmpDir("vocab_out")
+    val ckpt = tmpDir("vocab_ckpt")
+    // pull two real corpus tokens so window 1 is guaranteed novelty-free
+    val known = graft.sources.Tables.documents(spark, corpus)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().orderBy(col("t")).limit(2).as[String].collect()
+    def doc(ts: String, id: Long, text: String) =
+      s"""{"ts":"$ts","doc_id":$id,"text":"$text"}"""
+    // window 1 (08:00): baseline vocabulary only; window 2 (08:01): two
+    // never-seen terms among known ones; late row finalizes both windows
+    writeJsonl(in, "b1.jsonl",
+      doc("2026-03-01 08:00:05", 1, s"${known(0)} ${known(1)} ${known(0)}"))
+    writeJsonl(in, "b2.jsonl",
+      doc("2026-03-01 08:01:05", 2, s"zzgarbage1 ${known(0)} zzgarbage2"),
+      doc("2026-03-01 08:01:30", 3, "zzgarbage1"))
+    writeJsonl(in, "b3.jsonl",
+      doc("2026-03-01 08:10:00", 4, known(0)))
+    for ((stem, i) <- Seq("b1", "b2", "b3").zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(in, s"$stem.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+
+    Pipeline.runVocabNoveltyMonitor(spark, corpus, in, out, ckpt)
+      .awaitTermination()
+    val rows = spark.read.parquet(s"$out/vocab_novelty")
+      .filter(col("window_start") < org.apache.spark.sql.functions.lit("2026-03-01 08:10:00").cast("timestamp"))
+      .orderBy(col("window_start")).collect()
+    assert(rows.length == 2)
+    val (w1, w2) = (rows(0), rows(1))
+    // window 1: 3 tokens, 2 distinct, nothing new
+    assert(w1.getLong(1) == 3L && w1.getLong(2) == 2L && w1.getLong(3) == 0L)
+    assert(w1.getDouble(4) == 0.0)
+    // window 2: 4 tokens, 3 distinct (zzgarbage1, zzgarbage2, known0),
+    // exactly the 2 garbage terms novel
+    assert(w2.getLong(1) == 4L && w2.getLong(2) == 3L && w2.getLong(3) == 2L)
+    assert(w2.getDouble(4) == 2.0 / 3.0)
+  }
+
   test("streaming PQ lookup: stream ADC top-k == batch scoring on the same rows") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
