@@ -3035,6 +3035,82 @@ object TextOps {
              CAST(cum_vocab AS BIGINT) AS cum_vocab
       FROM c WHERE doc_id % 25 = 0 ORDER BY doc_id"""))
 
+  /** Q99 — PMI collocations (Church & Hanks, CL 1990): the corpus's
+    * top-50 two-word collocations by pointwise mutual information among
+    * bigrams occurring >= 5 times — the classic phrase-mining /
+    * tokenizer-vocabulary-seeding pass (multi-word units worth single
+    * tokens surface here first), and the statistical complement of
+    * q85's bigram LM (q85 scores documents under the bigram model; this
+    * ranks the bigrams themselves).
+    *
+    * PMI = ln(P(xy) / (P(x)·P(y))) is computed as the LOG-SUM
+    * ln(c_xy) + 2·ln(N) − ln(N_bg) − ln(c_x) − ln(c_y) with every term
+    * individually quantized to micro-units (q97's device): the naive
+    * ratio's numerator c_xy·N² overflows long arithmetic at corpus
+    * scale, while the per-term quantized sum stays within ±10⁸ and is
+    * bit-identical across engines. Counts are occurrence counts, so
+    * P(x) estimates share one token denominator N.
+    *
+    * Scale shape: two map-side-combined counts (unigram, bigram — the
+    * latter reuses q85's [[bigramsOf]]), two vocabulary-bounded
+    * equi-joins to attach c_x/c_y, two 1-row broadcast totals, and a
+    * TakeOrderedAndProject top-50. The >= 5 support filter runs BEFORE
+    * the joins, so only repeated bigrams ever join.
+    */
+  private val q99 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val uni = docs.select(explode(words($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val bgc = bigramsOf(docs).groupBy($"bg").agg(count(lit(1)).as("cxy"))
+      val nTok = uni.agg(sum($"c").as("n_tok"))
+      val nBg = bgc.agg(sum($"cxy").as("n_bg"))
+      def q(col: Column): Column =
+        round(log(col) * 1000000).cast("long")
+      bgc.filter($"cxy" >= 5)
+        .withColumn("w1", split($"bg", " ").getItem(0))
+        .withColumn("w2", split($"bg", " ").getItem(1))
+        .join(uni.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
+        .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nTok))
+        .crossJoin(broadcast(nBg))
+        .select($"bg", $"cxy",
+          (q($"cxy") + lit(2L) * q($"n_tok") - q($"n_bg")
+            - q($"c1") - q($"c2")).as("pmi_micro"))
+        .orderBy($"pmi_micro".desc, $"bg".asc)
+        .limit(50)
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), uni AS (
+        SELECT t AS w, COUNT(*) AS c FROM (
+          SELECT unnest(ws) AS t FROM w) GROUP BY t
+      ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni
+      ), bgc AS (
+        SELECT bg, COUNT(*) AS cxy FROM (
+          SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> array_to_string(ws[i:i+1], ' '))) AS bg
+          FROM w WHERE len(ws) >= 2) GROUP BY bg
+      ), nb AS (
+        SELECT CAST(SUM(cxy) AS BIGINT) AS n_bg FROM bgc
+      ), j AS (
+        SELECT b.bg, b.cxy, u1.c AS c1, u2.c AS c2
+        FROM bgc b
+        JOIN uni u1 ON u1.w = string_split(b.bg, ' ')[1]
+        JOIN uni u2 ON u2.w = string_split(b.bg, ' ')[2]
+        WHERE b.cxy >= 5)
+      SELECT bg, cxy,
+             CAST(round(ln(cxy) * 1000000) AS BIGINT)
+               + 2 * CAST(round(ln(t.n_tok) * 1000000) AS BIGINT)
+               - CAST(round(ln(n.n_bg) * 1000000) AS BIGINT)
+               - CAST(round(ln(c1) * 1000000) AS BIGINT)
+               - CAST(round(ln(c2) * 1000000) AS BIGINT) AS pmi_micro
+      FROM j, tot t, nb n
+      ORDER BY pmi_micro DESC, bg LIMIT 50"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -3078,5 +3154,6 @@ object TextOps {
     "q95_dedup_incremental_exact" -> q95,
     "q97_zipf_slope" -> q97,
     "q98_vocab_growth" -> q98,
+    "q99_pmi_collocations" -> q99,
   )
 }

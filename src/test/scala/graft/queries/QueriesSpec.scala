@@ -1190,4 +1190,30 @@ class QueriesSpec extends SparkSpec {
     val totalVocab = docs.select(explode(split(col("text"), " "))).distinct().count()
     assert(toks.last <= totalToks && vocab.last <= totalVocab)
   }
+
+  test("q99 pmi collocations: support floor holds, pmi matches a naive recompute") {
+    import spark.implicits._
+    val rows = run("q99_pmi_collocations").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // support floor and (pmi desc, bg asc) emission order
+    assert(rows.forall(_.getLong(1) >= 5L))
+    assert(rows.sortBy(r => (-r.getLong(2), r.getString(0))).toSeq == rows.toSeq)
+    // independent in-memory recompute of the quantized log-sum for the
+    // emitted bigrams (same formula, driver-side Scala doubles)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("ws")).as[Seq[String]].collect()
+    val uni = docs.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val bgs = docs.filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.tail).map { case (a, b) => s"$a $b" })
+    val bgc = bgs.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val nTok = uni.values.sum
+    val nBg = bgs.length.toLong
+    def q(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    rows.foreach { r =>
+      val Array(w1, w2) = r.getString(0).split(" ", 2)
+      val expected = q(r.getLong(1)) + 2L * q(nTok) - q(nBg) - q(uni(w1)) - q(uni(w2))
+      assert(r.getLong(2) == expected,
+        s"bigram '${r.getString(0)}': pmi ${r.getLong(2)} != naive $expected")
+    }
+  }
 }
