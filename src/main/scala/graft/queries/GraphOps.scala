@@ -82,6 +82,12 @@ object GraphOps {
               (lit(teleport) + expr("(85 * c) div 100")).as("pr"))
           ranks = if (eagerRounds) next.localCheckpoint() else next
         }
+        // the lazy path materializes ONCE here, while `adj` is still
+        // persisted — returning an unexecuted chain would let the
+        // `finally` unpersist fire first and the three join legs would
+        // each re-derive the adjacency at action time (the eager path's
+        // last round already checkpointed)
+        if (!eagerRounds) ranks = ranks.localCheckpoint()
         ranks.filter($"node".startsWith("t:"))
           .select(expr("substring(node, 3)").as("term"), $"pr")
           .orderBy($"pr".desc, $"term".asc)
