@@ -3061,9 +3061,15 @@ object TextOps {
     fn = (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // both count tables are referenced 2-3 times below (joins + the
+      // 1-row totals); materialized once so the corpus is scanned twice
+      // total, not once per reference — both are vocabulary-bounded
+      // (q85's trainBigramLm contract)
       val uni = docs.select(explode(words($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val bgc = bigramsOf(docs).groupBy($"bg").agg(count(lit(1)).as("cxy"))
+        .localCheckpoint()
       val nTok = uni.agg(sum($"c").as("n_tok"))
       val nBg = bgc.agg(sum($"cxy").as("n_bg"))
       def q(col: Column): Column =
