@@ -44,7 +44,10 @@ object ScaleBench {
     // graph centrality: 3 power-iteration rounds — each one
     // co-partitioned join + one contribution shuffle over the edge list
     // (edges ∝ corpus tokens, vocabulary-bounded on the term side)
-    "q96_textrank_keywords")
+    "q96_textrank_keywords",
+    // corpus statistics: q97/q98 are scan + vocabulary-bounded
+    // aggregates; q99 is two corpus explodes + small-table joins
+    "q97_zipf_slope", "q98_vocab_growth", "q99_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

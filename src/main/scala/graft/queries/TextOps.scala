@@ -3061,20 +3061,28 @@ object TextOps {
     fn = (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      // both count tables are referenced 2-3 times below (joins + the
-      // 1-row totals); materialized once so the corpus is scanned twice
-      // total, not once per reference — both are vocabulary-bounded
-      // (q85's trainBigramLm contract)
+      // the count tables are referenced 2-3 times below (joins +
+      // totals); materialized once so the corpus is scanned a bounded
+      // number of times, not once per reference. The unigram table is
+      // vocabulary-bounded; the bigram table is materialized AFTER the
+      // support filter (bigram TYPES grow near-linearly with the corpus
+      // before saturating — checkpointing them unfiltered measured 6×
+      // wall at the x10→x100 decade), and the total-occurrence
+      // denominator never needs that table: N_bg == Σ max(len−1, 0),
+      // one scan-local aggregate
       val uni = docs.select(explode(words($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
         .localCheckpoint()
       val bgc = bigramsOf(docs).groupBy($"bg").agg(count(lit(1)).as("cxy"))
+        .filter($"cxy" >= 5)
         .localCheckpoint()
       val nTok = uni.agg(sum($"c").as("n_tok"))
-      val nBg = bgc.agg(sum($"cxy").as("n_bg"))
+      val nBg = docs.select(
+        greatest(size(words($"text")) - 1, lit(0)).cast("long").as("nb"))
+        .agg(sum($"nb").as("n_bg"))
       def q(col: Column): Column =
         round(log(col) * 1000000).cast("long")
-      bgc.filter($"cxy" >= 5)
+      bgc
         .withColumn("w1", split($"bg", " ").getItem(0))
         .withColumn("w2", split($"bg", " ").getItem(1))
         .join(uni.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
