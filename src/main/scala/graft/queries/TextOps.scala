@@ -372,7 +372,7 @@ object TextOps {
     */
   private[queries] def dedupClustersCached(s: SparkSession, d: String): DataFrame =
     s.read.parquet(IndexCache.resolve(
-      s"ccluster|${new java.io.File(d).getCanonicalPath}", "ccluster") { p =>
+      s"ccluster|${IndexCache.dataKey(d)}", "ccluster") { p =>
       import s.implicits._
       connectedComponents(nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v")))
         .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
@@ -495,12 +495,17 @@ object TextOps {
   private[graft] val PhoneRe = "\\+\\d{1,2} \\d{3}-\\d{3}-\\d{4}"
   private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Detection counts + placeholder redaction over `raw`. Order matters
-    * and is part of the contract: emails first (their digits could
-    * otherwise be bitten by the looser numeric patterns), then phones,
-    * then IPv4s — each pass runs over the previous pass's output.
-    * Entirely scan-local codegen'd expressions: zero shuffle, streams
-    * unchanged.
+  /** Detection counts + placeholder redaction over `raw`. The REDACTION
+    * chain is sequential and order matters (emails first — their digits
+    * could otherwise be bitten by the looser numeric patterns — then
+    * phones, then IPv4s, each replacement running over the previous
+    * pass's output). The COUNTS are independent raw-text detections:
+    * all three regexp_counts scan the ORIGINAL text, so on overlapping
+    * spans (e.g. a dotted quad inside an email local part) a count can
+    * include a span the earlier replacement consumed — counts answer
+    * "what did each detector see", not "how many placeholders were
+    * written", and both engines count the same way. Entirely scan-local
+    * codegen'd expressions: zero shuffle, streams unchanged.
     */
   private[graft] def scrubPii(df: DataFrame, raw: Column): DataFrame =
     df.select(col("doc_id"),
@@ -868,7 +873,7 @@ object TextOps {
     * dir, so the cache can never serve a wrong index within a JVM. */
   private[graft] def minHashIndexCached(s: SparkSession, d: String): MinHashIndex =
     loadMinHashIndex(s, IndexCache.resolve(
-      "minhash|" + new java.io.File(d).getCanonicalPath, "minhash") { p =>
+      "minhash|" + IndexCache.dataKey(d), "minhash") { p =>
       import s.implicits._
       // persist: the stored-side shingles feed both index tables (bands
       // derive from them) — built once, released after the save
@@ -924,12 +929,15 @@ object TextOps {
     * (q82 MinHash near-dup, q83 embedding, q95 exact).
     *
     * Scale shape: both sides reduce to (doc_id, md5) — a 16-byte key —
-    * before any join; the stored corpus is scanned against the BROADCAST
-    * arriving side (snapshot ≪ corpus by the q82 contract), so the
-    * corpus is never shuffled, and the left-outer admission join runs
-    * between the snapshot and the (small) match set only. The oracle
-    * compares raw text equality; md5 equality agrees absent collisions
-    * (2^-64-scale at any realistic corpus size).
+    * before any join. The serving contract is snapshot ≪ corpus (q82's),
+    * under which AQE broadcasts the arriving side and the stored corpus
+    * is scanned in place, never shuffled; the strategy is deliberately
+    * left to AQE rather than a hard `broadcast()` hint because the
+    * IN-REPO fixture (doc_id % 10 >= 8) is 20% of the corpus and grows
+    * linearly with it — a forced broadcast would OOM exactly when the
+    * contract is violated, while AQE degrades to a 16-byte-key shuffle
+    * join. The oracle compares raw text equality; md5 equality agrees
+    * absent collisions (2^-64-scale at any realistic corpus size).
     */
   private val q95 = Q(
     fn = (s, d) => {
@@ -939,7 +947,7 @@ object TextOps {
         .select($"doc_id".as("new_doc_id"), md5($"text").as("h"))
       val stored = docs.filter($"doc_id" % 10 < 8)
         .select($"doc_id".as("old_doc_id"), md5($"text").as("h"))
-      val matches = stored.join(broadcast(arriving), Seq("h"))
+      val matches = stored.join(arriving, Seq("h"))
         .select($"new_doc_id", $"old_doc_id")
       arriving.select($"new_doc_id")
         .join(matches, Seq("new_doc_id"), "left")
@@ -2603,7 +2611,7 @@ object TextOps {
     * the scan. */
   private[graft] def bm25StoreCached(s: SparkSession, d: String): DataFrame =
     s.read.parquet(IndexCache.resolve(
-      "bm25|" + new java.io.File(d).getCanonicalPath, "bm25") { p =>
+      "bm25|" + IndexCache.dataKey(d), "bm25") { p =>
       bm25WeightStore(Tables.documents(s, d)).write.mode("overwrite").parquet(p)
     })
 
@@ -2773,7 +2781,7 @@ object TextOps {
     * artifact read of the vocabulary²-bounded tables. */
   private[graft] def bigramLmCached(s: SparkSession, d: String): BigramLm = {
     val p = IndexCache.resolve(
-      s"bigramlm|${new java.io.File(d).getCanonicalPath}", "bigramlm") { path =>
+      s"bigramlm|${IndexCache.dataKey(d)}", "bigramlm") { path =>
       import s.implicits._
       val lm = trainBigramLm(Tables.documents(s, d).filter($"doc_id" % 10 < 8))
       lm.c12.write.mode("overwrite").parquet(s"$path/c12")
@@ -2937,6 +2945,12 @@ object TextOps {
       pts.groupBy($"source").agg(
           count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        // n >= 2: a source with a single ranked term has x = ln(1) = 0
+        // for its only point, so n·Σx² − (Σx)² = 0 and the closed form
+        // is 0/0 — no line is defined by one point; DuckDB and Spark
+        // also disagree on NaN rendering, so the guard is a correctness
+        // contract, not cosmetics (mirrored HAVING n >= 2 in the oracle)
+        .filter($"n" >= 2)
         .select($"source",
           (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
             / ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("zipf_slope"),
@@ -2961,7 +2975,8 @@ object TextOps {
       ), fit AS (
         SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
                SUM(x*y) AS sxy, SUM(x*x) AS sxx
-        FROM pts GROUP BY source)
+        FROM pts GROUP BY source
+        HAVING COUNT(*) >= 2)
       SELECT source,
              CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
                AS zipf_slope,

@@ -92,16 +92,57 @@ package object queries {
       p
     }
     private val seq = new java.util.concurrent.atomic.AtomicInteger()
-    private val paths =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val paths = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[String]]()
+
+    /** Dataset-dir cache-key component: canonical path PLUS a content
+      * fingerprint (every file's relative path, length and mtime,
+      * md5-folded). Callers key artifacts on this instead of the bare
+      * path so a rewrite of the data AT THE SAME PATH within a JVM's
+      * lifetime (dev loops, test fixtures, re-materialized snapshots)
+      * can never be served a stale index — the fingerprint changes, the
+      * key changes, the artifact rebuilds. Driver-local directory walk:
+      * O(files), no data read. */
+    def dataKey(d: String): String = {
+      val base = new java.io.File(d).getCanonicalFile
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).fold(Seq.empty[java.io.File])(
+            _.toSeq.sortBy(_.getName).flatMap(walk))
+        else Seq(f)
+      val sig = walk(base)
+        .map(f => s"${f.getPath}|${f.length}|${f.lastModified}")
+        .mkString("\n")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8"))
+      base.getPath + "@" + md.take(6).map("%02x".format(_)).mkString
+    }
 
     /** Resolve `key` to an artifact path, building it on first request
-      * (compute runs at most once per key per JVM). */
-    def resolve(key: String, prefix: String)(build: String => Unit): String =
-      paths.computeIfAbsent(key, _ => {
-        val p = root.resolve(s"${prefix}_${seq.getAndIncrement()}").toString
-        build(p)
-        p
-      })
+      * (compute runs at most once per key per JVM). The build runs
+      * OUTSIDE the map's `computeIfAbsent` — a per-key memoized future
+      * claims the slot in O(1), so a multi-minute Spark-job build never
+      * holds a ConcurrentHashMap bin lock and unrelated keys that hash
+      * to the same bin resolve concurrently; losers of the claim race
+      * (and later callers) block on the future only. A failed build
+      * removes its future so a retry can rebuild instead of replaying
+      * the cached exception. */
+    def resolve(key: String, prefix: String)(build: String => Unit): String = {
+      val mine = new java.util.concurrent.CompletableFuture[String]()
+      val won = paths.putIfAbsent(key, mine)
+      if (won == null) {
+        try {
+          val p = root.resolve(s"${prefix}_${seq.getAndIncrement()}").toString
+          build(p)
+          mine.complete(p)
+        } catch {
+          case e: Throwable =>
+            mine.completeExceptionally(e)
+            paths.remove(key, mine)
+            throw e
+        }
+        mine.join()
+      } else won.join()
+    }
   }
 }
