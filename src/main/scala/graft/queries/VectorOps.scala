@@ -239,7 +239,8 @@ object VectorOps {
   }
 
   /** k ∝ n cell-count rule for the blocked-quadratic family (q38 / q75
-    * with `graft.vec.ivfCells` / `graft.vec.kmeansK` set to "auto"): one
+    * / q83 — the DEFAULT since round 8, via `graft.vec.ivfCells` /
+    * `graft.vec.kmeansK` = "auto"): one
     * cell per `graft.vec.cellTarget` vectors — default 1536, the measured
     * x100 optimum (SCALE.md: pair work falls with cell size until the
     * n·k centroid-assignment cost overtakes it; at 200k vectors k = 128
@@ -252,36 +253,50 @@ object VectorOps {
     math.min(512L, math.max(8L, (n + target - 1) / target)).toInt
   }
 
+  /** Resolved cluster count for the Lloyd family (q74/q75/q87 and the
+    * q38/q83 quantizers): `graft.vec.kmeansK` — DEFAULT "auto", the
+    * measured scaled-k rule ([[autoCellCount]]), since round 8: SCALE.md
+    * showed the old fixed default goes quadratic at x100 (24× growth)
+    * while k ∝ n holds 10^0.8. A count pins k for experiments. k is a
+    * pure function of the corpus size, so the DuckDB oracles reproduce
+    * the "auto" resolution exactly (the `kk` CTE in
+    * [[kmeansOracleCtes]]). */
+  private def resolveKmeansK(s: SparkSession, n: => Long): Int = {
+    val v = s.conf.get("graft.vec.kmeansK", "auto")
+    if (v == "auto") autoCellCount(s, n) else v.toInt
+  }
+
   /** Q38 — embedding-cosine near-duplicate pairs (brief's fifth dedup
-    * method), blocked on the IVF coarse-quantizer cell (Q39's cells):
-    * every vector is assigned to its argmax-cosine centroid, and
-    * candidate pairs are generated only within a cell — so at 100 TB the
-    * block is a data-driven cluster id, not a fixed-cardinality category
-    * whose members grow linearly with the corpus. Cells above
+    * method), blocked on a coarse-quantizer cell: by DEFAULT (since
+    * round 8) the scaled-k Lloyd clustering ([[kmeansAssignCached]],
+    * k = n/cellTarget — [[autoCellCount]]), so at 100 TB the block is a
+    * data-driven cluster id whose COUNT grows with the corpus, not a
+    * fixed-cardinality category whose members do. Candidate pairs are
+    * generated only within a cell. Cells above
     * `graft.vec.maxCell` members (default 4096) are further sub-split by
     * a deterministic md5 hash of the id, capBucket-style, which bounds
     * any block's pair count at maxCell^2 no matter how skewed the
     * clustering gets; the truncated cross-cell/cross-sub candidates are
     * the standard blocking-recall trade (pinned in QueriesSpec).
     *
-    * Cell assignment is pure map-side: the centroid table collapses into
-    * ONE broadcast row and each vector argmaxes over it with an in-row
-    * comparator sort — no shuffle, no window; the only corpus shuffle is
-    * the (cell, sub) equi-join for pair generation. Every stage (centroid
-    * means, float cast, argmax, md5 sub-split, exact quantized cosine
-    * >= 0.4, top-100) is deterministic and mirrored in the oracle SQL, so
-    * the blocking structure itself is hash-verified.
+    * Cell assignment stays map-side (Lloyd's argmin over typedlit
+    * centroids — no shuffle, no window); the only corpus shuffle is
+    * the (cell, sub) equi-join for pair generation. Every stage (the
+    * Lloyd rounds, md5 sub-split, exact quantized cosine >= 0.4,
+    * top-100) is deterministic and mirrored in the oracle SQL —
+    * including the k = f(n) resolution (the kk CTE) — so the blocking
+    * structure itself is hash-verified at every SF.
     *
-    * NOTE: the oracle pins the DEFAULT maxCell (4096) — the session knob
-    * exists for deployments and for the sub-split spec; CORRECTNESS runs
-    * must use the default (same contract as q50's packing-group count).
+    * NOTE: the oracle pins the DEFAULT maxCell (4096) and cellTarget
+    * (1536) — the session knobs exist for deployments and the scale
+    * harness; CORRECTNESS runs must use the defaults (same contract as
+    * q50's packing-group count).
     *
-    * Measured (SCALE.md round 6): wall-clock grows ~n^0.7 over the
-    * 50k→500k-vector decade with the label-count cell set. Cell-blocking
-    * cost is Σ|cell|² = O(n²/k), so the 100 TB lever is growing the cell
-    * count with the corpus (k ∝ n keeps per-cell work constant — a
-    * coarse-quantizer parameter, not a plan change); the maxCell
-    * sub-split already bounds the worst single block either way.
+    * Measured (SCALE.md): with fixed cells wall-clock grew 24× at x100
+    * (Σ|cell|² = O(n²/k)); the scaled-k default holds 10^0.8 across the
+    * decade because k ∝ n keeps per-cell work constant — a
+    * coarse-quantizer parameter, not a plan change; the maxCell
+    * sub-split bounds the worst single block either way.
     */
   private val q38 = Q(
     fn = (s, d) => {
@@ -290,23 +305,28 @@ object VectorOps {
       val base = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding")
-      val assigned = s.conf.getOption("graft.vec.ivfCells") match {
-        case Some(v) =>
-          // the 100 TB lever, runnable: a k-means coarse quantizer whose
-          // cell count grows with the corpus ("auto" → one cell per
-          // ~cellTarget vectors, the measured x100 optimum — SCALE.md's
-          // fixed-k vs scaled-k row pair; pair work falls ~linearly in
-          // cell size until the n·k assignment cost overtakes it, which
-          // the k=256 probe showed). The DEFAULT (unset) label-cell path
-          // below is the oracle-pinned shape; this knob is for
-          // deployments and the scale harness, same contract as
-          // graft.vec.maxCell.
+      val assigned = s.conf.get("graft.vec.ivfCells", "auto") match {
+        case "label" =>
+          // legacy fixed-cardinality blocking (per-label centroid cells,
+          // the pre-round-8 default): kept as an explicit opt-in for the
+          // SCALE.md fixed-k vs scaled-k comparison rows — with a fixed
+          // cell count, cell population grows linearly with the corpus
+          // and Σ|cell|² goes quadratic (measured 24× at x100).
+          assignCells(base, ivfCentroids(base))
+        case v =>
+          // DEFAULT "auto" (since round 8): a k-means coarse quantizer
+          // whose cell count grows with the corpus — one cell per
+          // ~cellTarget vectors, the measured x100 optimum (pair work
+          // falls ~linearly in cell size until the n·k assignment cost
+          // overtakes it, which the k=256 probe showed; 10^0.8 growth
+          // vs 24× for fixed cells, SCALE.md). The oracle reproduces
+          // the same k = f(n) rule, so the auto blocking is
+          // hash-verified like every fixed shape.
           val k = if (v == "auto") autoCellCount(s, base.count()) else v.toInt
           kmeansAssignCached(s, d, k)
             .select($"vec_id", $"cluster".cast("int").as("cell"))
             .join(base.select($"vec_id", $"embedding"), Seq("vec_id"))
             .select($"vec_id", $"embedding", $"cell")
-        case None => assignCells(base, ivfCentroids(base))
       }
       // scoped persist (q18's pattern): assigned feeds the cell-sizes agg
       // AND both self-join sides — without it the per-row argmax over all
@@ -326,55 +346,30 @@ object VectorOps {
           .localCheckpoint()
       } finally cached.unpersist()
     },
-    oracle = Some("""
-      WITH qv AS (
-        SELECT vec_id, label, list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-        FROM embeddings
-      ), qn AS (
-        SELECT vec_id, label, qv,
-               list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
-        FROM qv
-      ), cent AS (
-        SELECT label, pos,
-               CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
-                 / COUNT(*) AS c
-        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
-        GROUP BY label, pos
-      ), cn AS (
-        SELECT c_label, cqv,
-               list_sum(list_transform(generate_series(1, len(cqv)), i -> cqv[i] * cqv[i])) AS cc
-        FROM (
-          SELECT label AS c_label,
-                 list(CAST(FLOOR(CAST(CAST(c / 1048576.0 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)
-                      ORDER BY pos) AS cqv
-          FROM cent GROUP BY label)
-      ), asg AS (
-        SELECT vec_id, cell FROM (
-          SELECT q.vec_id, c.c_label AS cell,
-                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                   CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
-                        i -> q.qv[i] * c.cqv[i])) AS DOUBLE)
-                     / (SQRT(CAST(q.qq AS DOUBLE)) * SQRT(CAST(c.cc AS DOUBLE))) DESC,
-                   c.c_label) AS rn
-          FROM qn q CROSS JOIN cn c
-        ) WHERE rn = 1
-      ), sz AS (
-        SELECT cell, COUNT(*) AS n FROM asg GROUP BY cell
+    oracle = Some(kmeansOracleCtes() + """,
+      a3 AS (
+        SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM d3
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+      qn AS (
+        SELECT vec_id, xq AS qv,
+               list_sum(list_transform(generate_series(1, 64), i -> xq[i] * xq[i])) AS qq
+        FROM q),
+      sz AS (
+        SELECT cell, COUNT(*) AS n FROM a3 GROUP BY cell
       ), sub AS (
         SELECT a.vec_id, a.cell,
                """ + subSplitSql + """ AS sub
-        FROM asg a JOIN sz s USING (cell)
+        FROM a3 a JOIN sz s USING (cell)
       )
       SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
-             CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
+             CAST(list_sum(list_transform(generate_series(1, 64),
                   k -> x.qv[k] * y.qv[k])) AS DOUBLE)
                / (SQRT(CAST(x.qq AS DOUBLE)) * SQRT(CAST(y.qq AS DOUBLE))) AS cos
       FROM sub a
       JOIN sub b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
       JOIN qn x ON x.vec_id = a.vec_id
       JOIN qn y ON y.vec_id = b.vec_id
-      WHERE CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
+      WHERE CAST(list_sum(list_transform(generate_series(1, 64),
                 k -> x.qv[k] * y.qv[k])) AS DOUBLE)
               / (SQRT(CAST(x.qq AS DOUBLE)) * SQRT(CAST(y.qq AS DOUBLE))) >= 0.4
       ORDER BY cos DESC, i, j
@@ -404,19 +399,24 @@ object VectorOps {
     * |arriving in cell| work, so with a FIXED cell count both factors
     * grow linearly and the probe goes quadratic — measured 12.5× wall
     * for 10× data at x100 (SCALE.md round 7). `graft.vec.ivfCells`
-    * (count or "auto" = n/`cellTarget`) switches to k-means cells whose
-    * count grows with the corpus; any frozen centroid frame is a valid
-    * quantizer because BOTH build and probe assign through the same
-    * [[assignCells]] — the default label-cell frame is the oracle-pinned
-    * shape at test SFs. */
+    * ("auto" = n/`cellTarget`, the DEFAULT since round 8, or a pinned
+    * count) trains k-means cells whose count grows with the corpus;
+    * "label" opts back into the legacy fixed-cardinality frame. Any
+    * frozen centroid frame is a valid quantizer because BOTH build and
+    * probe assign through the same [[assignCells]]; the oracle
+    * reproduces the auto training (k = f(stored n)), so the default
+    * shape is hash-verified at every SF. */
   private[graft] def buildVecDedupIndex(emb: DataFrame): VecDedupIndex = {
     import emb.sparkSession.implicits._
     val s = emb.sparkSession
-    val cents = s.conf.getOption("graft.vec.ivfCells") match {
-      case Some(v) =>
+    val cents = s.conf.get("graft.vec.ivfCells", "auto") match {
+      case "label" => ivfCentroids(emb) // legacy fixed-cardinality cells
+      case v =>
+        // DEFAULT "auto" (since round 8): k ∝ stored-corpus size, the
+        // measured fix for the probe's quadratic (12.5× wall at x100
+        // with fixed cells, SCALE.md round 7); mirrored by the oracle
         val k = if (v == "auto") autoCellCount(s, emb.count()) else v.toInt
         kmeansCentroidFrame(emb, k)
-      case None => ivfCentroids(emb)
     }
     VecDedupIndex(cents,
       assignCells(emb.select($"vec_id", $"embedding"), cents))
@@ -505,9 +505,9 @@ object VectorOps {
     * gets its own artifact, never a structurally different one. */
   private[graft] def vecDedupIndexCached(s: SparkSession, d: String): VecDedupIndex = {
     import s.implicits._
-    val cells = s.conf.getOption("graft.vec.ivfCells").getOrElse("label")
+    val cells = s.conf.get("graft.vec.ivfCells", "auto")
     loadVecDedupIndex(s, IndexCache.resolve(
-      s"vecdedup|$cells|" + new java.io.File(d).getCanonicalPath, "vecdedup") { p =>
+      s"vecdedup|$cells|" + IndexCache.dataKey(d), "vecdedup") { p =>
       val stored = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding")
@@ -536,8 +536,24 @@ object VectorOps {
       val idx = vecDedupIndexCached(s, d)
       dedupVecAgainstIndex(all.filter($"vec_id" % 10 >= 8), idx)
     },
-    oracle = Some("""
-      WITH qv AS (
+    oracle = Some(kmeansOracleCtes("WHERE vec_id % 10 < 8") + """,
+      a3 AS (
+        SELECT vec_id, xq, cid AS cluster FROM d3
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+      cm AS (
+        SELECT a3.cluster, t.d AS pos,
+               CAST(SUM(xq[t.d]) AS DOUBLE) / COUNT(*) AS c
+        FROM a3 CROSS JOIN generate_series(1, 64) t(d)
+        GROUP BY a3.cluster, t.d
+      ), cn AS (
+        SELECT c_label, cqv,
+               list_sum(list_transform(generate_series(1, 64), i -> cqv[i] * cqv[i])) AS cc
+        FROM (
+          SELECT cluster AS c_label,
+                 list(CAST(FLOOR(CAST(CAST(c / 1048576.0 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)
+                      ORDER BY pos) AS cqv
+          FROM cm GROUP BY cluster)
+      ), qv AS (
         SELECT vec_id, list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
         FROM embeddings
@@ -545,30 +561,15 @@ object VectorOps {
         SELECT vec_id, qv,
                list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
         FROM qv
-      ), cent AS (
-        SELECT label, pos,
-               CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
-                 / COUNT(*) AS c
-        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
-        WHERE vec_id % 10 < 8
-        GROUP BY label, pos
-      ), cn AS (
-        SELECT c_label, cqv,
-               list_sum(list_transform(generate_series(1, len(cqv)), i -> cqv[i] * cqv[i])) AS cc
-        FROM (
-          SELECT label AS c_label,
-                 list(CAST(FLOOR(CAST(CAST(c / 1048576.0 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)
-                      ORDER BY pos) AS cqv
-          FROM cent GROUP BY label)
       ), asg AS (
         SELECT vec_id, cell FROM (
-          SELECT q.vec_id, c.c_label AS cell,
-                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                   CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
-                        i -> q.qv[i] * c.cqv[i])) AS DOUBLE)
-                     / (SQRT(CAST(q.qq AS DOUBLE)) * SQRT(CAST(c.cc AS DOUBLE))) DESC,
+          SELECT n.vec_id, c.c_label AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, len(n.qv)),
+                        i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                     / (SQRT(CAST(n.qq AS DOUBLE)) * SQRT(CAST(c.cc AS DOUBLE))) DESC,
                    c.c_label) AS rn
-          FROM qn q CROSS JOIN cn c
+          FROM qn n CROSS JOIN cn c
         ) WHERE rn = 1
       )
       SELECT a.vec_id AS new_vec_id, b.vec_id AS old_vec_id,
@@ -828,21 +829,31 @@ object VectorOps {
     """CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  % CAST(FLOOR((s.n + 4095) / 4096.0) AS BIGINT)"""
 
-  /** The k-means oracle pipeline (quantize, seed, two assign/recenter
-    * rounds, final distances) shared VERBATIM by q74's and q75's
-    * oracles — one source of truth so the two can never silently
-    * validate against different clusterings. Ends at CTE `d3`
-    * (vec_id, xq, cid, dist); callers append their projection.
-    */
-  private val kmeansOracleCtes: String = """
+  /** The k-means oracle pipeline (quantize, scaled-k seed, two
+    * assign/recenter rounds, final distances) shared VERBATIM by q74's,
+    * q75's, q38's and q83's oracles — one source of truth so they can
+    * never silently validate against different clusterings. `where`
+    * restricts the TRAINING corpus (q83 trains on the stored split
+    * only). Ends at CTE `d3` (vec_id, xq, cid, dist); callers append
+    * their projection.
+    *
+    * k is the `kk` CTE — [[autoCellCount]]'s exact rule
+    * (min(512, max(8, ceil(n/1536)))) over the training rows, so the
+    * oracle follows the scaled-k default at EVERY scale factor; like
+    * q38's maxCell, the oracle pins the default `cellTarget` (1536) and
+    * CORRECTNESS runs must use it. */
+  private def kmeansOracleCtes(where: String = ""): String = """
       WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
-        FROM embeddings),
+        FROM embeddings """ + where + """),
+      kk AS (
+        SELECT LEAST(512, GREATEST(8, (COUNT(*) + 1535) // 1536)) AS k FROM q),
       init AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xq AS c
-        FROM q ORDER BY vec_id LIMIT 8),
+        SELECT cid, c FROM (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xq AS c
+          FROM q) t CROSS JOIN kk WHERE t.cid < kk.k),
       d1 AS (
         SELECT q.vec_id, q.xq, i.cid,
                CAST(list_sum(list_transform(generate_series(1, 64),
@@ -901,7 +912,7 @@ object VectorOps {
   private[queries] def kmeansAssignCached(s: SparkSession, d: String,
       k: Int = 8, rounds: Int = 2): org.apache.spark.sql.DataFrame =
     s.read.parquet(IndexCache.resolve(
-      s"kmeans|${new java.io.File(d).getCanonicalPath}|$k|$rounds", "kmeans") { p =>
+      s"kmeans|${IndexCache.dataKey(d)}|$k|$rounds", "kmeans") { p =>
       kmeansAssign(s, d, k, rounds).write.mode("overwrite").parquet(p)
     })
 
@@ -956,9 +967,10 @@ object VectorOps {
   private val q74 = Q(
     fn = (s, d) => {
       import s.implicits._
-      kmeansAssignCached(s, d).orderBy($"vec_id")
+      kmeansAssignCached(s, d,
+        resolveKmeansK(s, Tables.embeddings(s, d).count())).orderBy($"vec_id")
     },
-    oracle = Some(kmeansOracleCtes + """
+    oracle = Some(kmeansOracleCtes() + """
       SELECT vec_id, cid AS cluster, dist FROM d3
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
       ORDER BY vec_id"""))
@@ -989,13 +1001,10 @@ object VectorOps {
     fn = (s, d) => {
       import s.implicits._
       val maxCell = s.conf.get("graft.vec.maxCell", "4096").toInt
-      // cluster count: the same k ∝ n lever as q38's ivfCells knob (the
-      // oracle pins the DEFAULT k = 8; SCALE.md measures the scaled-k row;
-      // "auto" → one cluster per ~cellTarget vectors)
-      val kmConf = s.conf.get("graft.vec.kmeansK", "8")
-      val kmK = if (kmConf == "auto")
-        autoCellCount(s, Tables.embeddings(s, d).count())
-      else kmConf.toInt
+      // cluster count: the same k ∝ n lever as q38's ivfCells knob —
+      // DEFAULT "auto" since round 8 (one cluster per ~cellTarget
+      // vectors, mirrored by the oracle's kk CTE); a count pins k
+      val kmK = resolveKmeansK(s, Tables.embeddings(s, d).count())
       val assign = kmeansAssignCached(s, d, kmK).select($"vec_id", $"cluster")
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       val v = subSplit(assign.join(emb, "vec_id"), "cluster", maxCell)
@@ -1009,7 +1018,7 @@ object VectorOps {
         .select($"vec_id", $"cluster")
         .orderBy($"vec_id")
     },
-    oracle = Some(kmeansOracleCtes + """,
+    oracle = Some(kmeansOracleCtes() + """,
       a3 AS (
         SELECT vec_id, xq, cid AS cluster FROM d3
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
@@ -1168,7 +1177,7 @@ object VectorOps {
     * so the cache can never serve a wrong index within a JVM. */
   private[graft] def pqTrainCached(s: SparkSession, d: String): PqIndex =
     loadPqIndex(s, IndexCache.resolve(
-      "pq|" + new java.io.File(d).getCanonicalPath, "pq") { p =>
+      "pq|" + IndexCache.dataKey(d), "pq") { p =>
       savePqIndex(pqTrain(s, d), p)
     })
 
@@ -1529,7 +1538,8 @@ object VectorOps {
   private val q87 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val assign = kmeansAssignCached(s, d)
+      val assign = kmeansAssignCached(s, d,
+        resolveKmeansK(s, Tables.embeddings(s, d).count()))
       val sz = assign.groupBy($"cluster").agg(count(lit(1)).as("n"))
       assign.join(sz, Seq("cluster"))
         .withColumn("rank", row_number().over(
@@ -1538,7 +1548,7 @@ object VectorOps {
         .select($"vec_id", $"cluster", $"dist", $"rank".cast("long").as("rank"))
         .orderBy($"vec_id")
     },
-    oracle = Some(kmeansOracleCtes + """,
+    oracle = Some(kmeansOracleCtes() + """,
       a3 AS (
         SELECT vec_id, cid AS cluster, dist FROM d3
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
