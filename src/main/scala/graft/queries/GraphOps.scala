@@ -40,9 +40,20 @@ import graft.sources.Tables
   *    100 000-node threshold sits two orders of magnitude below the
   *    crossover's scale, conservatively on the eager side. Results are
   *    identical either way — only the plan shape switches;
-  *  - node ids are tagged strings for oracle parity at test scale; a
-  *    100 TB deployment would dictionary-encode them to longs first —
-  *    the plan shape is identical.
+  *  - node ids are dictionary-encoded LONGS (docs on the even ids,
+  *    terms on the odd ones via a vocabulary-bounded lexicographic
+  *    dictionary): every per-round join/shuffle keys on 8 bytes
+  *    instead of a tagged string, and the dictionary is consulted
+  *    exactly twice — once to encode the edge list, once to decode the
+  *    FINAL top-50 (term ids are assigned in term order, so the
+  *    pre-decode (pr desc, id asc) tie-break IS the (pr desc, term asc)
+  *    output order). The oracle keeps the tagged-string formulation —
+  *    the result is id-representation-independent, so the hash match
+  *    additionally proves the encoding is lossless. The dictionary
+  *    build is one vocabulary-scale ROW_NUMBER window (single
+  *    partition over DISTINCT terms — Heaps-law bounded; an extreme
+  *    vocabulary would range-partition the sort, q70's two-level
+  *    remedy).
   */
 object GraphOps {
 
@@ -58,9 +69,14 @@ object GraphOps {
       import s.implicits._
       val inc = Tables.documents(s, d)
         .select($"doc_id", explode(array_distinct(split($"text", " "))).as("term"))
-      val e0 = inc.select(
-        concat(lit("d:"), $"doc_id".cast("string")).as("u"),
-        concat(lit("t:"), $"term").as("v"))
+      // lexicographic term dictionary: tid order == term order, so the
+      // final tie-break can run on ids before decoding
+      val dict = inc.select($"term").distinct()
+        .withColumn("tid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"term")).cast("long"))
+        .localCheckpoint()
+      val e0 = inc.join(dict, "term")
+        .select(($"doc_id" * 2).as("u"), ($"tid" * 2 + 1).as("v"))
       val edges = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
       val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
       // adjacency with source degree attached, partitioned by source once
@@ -88,10 +104,17 @@ object GraphOps {
         // each re-derive the adjacency at action time (the eager path's
         // last round already checkpointed)
         if (!eagerRounds) ranks = ranks.localCheckpoint()
-        ranks.filter($"node".startsWith("t:"))
-          .select(expr("substring(node, 3)").as("term"), $"pr")
-          .orderBy($"pr".desc, $"term".asc)
+        // select the winners on ids (odd = term; id asc == term asc by
+        // dictionary construction), decode only the TopK rows
+        val top = ranks.filter($"node" % 2 === 1)
+          .orderBy($"pr".desc, $"node".asc)
           .limit(TopK)
+        // decode: the TopK rows ride as the broadcast side against the
+        // vocabulary-scale dictionary (never the reverse)
+        dict.join(broadcast(top),
+            top("node") === dict("tid") * 2 + 1)
+          .select($"term", $"pr")
+          .orderBy($"pr".desc, $"term".asc)
       } finally adj.unpersist()
     },
     oracle = Some {
