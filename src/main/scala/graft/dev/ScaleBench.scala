@@ -47,7 +47,13 @@ object ScaleBench {
     "q96_textrank_keywords",
     // corpus statistics: q97/q98 are scan + vocabulary-bounded
     // aggregates; q99 is two corpus explodes + small-table joins
-    "q97_zipf_slope", "q98_vocab_growth", "q99_pmi_collocations")
+    "q97_zipf_slope", "q98_vocab_growth", "q99_pmi_collocations",
+    // round-8: the sketch-bounded fraction-support sibling — candidates
+    // via one Misra-Gries pass, exact recount of <= k types only
+    "q99b_pmi_sketch",
+    // round-8: distributed BPE training (48 vocabulary-table rounds,
+    // IndexCache'd — rep 1 pays training, min-of-reps is the apply scan)
+    "q23b_bpe_token_stats")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -395,6 +395,122 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   }
 
+  /** text → array<long>: xxhash64 (seed 42 — Spark's `xxhash64`
+    * default) of EVERY adjacent single-space word pair, one occurrence
+    * per slot, in one tight byte pass. Because the word separator is a
+    * single 0x20, the bigram "w_i w_{i+1}" occupies a CONTIGUOUS byte
+    * span of the original string, so the hash runs directly over the
+    * input buffer — no split, no per-occurrence String/array
+    * construction, no interpreted higher-order lambda (the transform
+    * form this replaced was the measured q99b sketch-pass ceiling).
+    * Bit-parity with `xxhash64(concat_ws(' ', w_i, w_{i+1}))` under
+    * `split(text, ' ', -1)` word semantics (empty words included) is
+    * pinned in PropertySpec. UTF-8 multi-byte sequences never contain
+    * 0x20, so the byte scan is code-point safe.
+    */
+  case class BigramHashes(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "bigram_hashes")
+
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val nBytes = u.numBytes
+      var spaces = 0
+      var i = 0
+      while (i < nBytes) { if (u.getByte(i) == 0x20) spaces += 1; i += 1 }
+      if (spaces == 0) return new GenericArrayData(Array.empty[Long])
+      val base = u.getBaseObject
+      val off = u.getBaseOffset
+      val out = new Array[Long](spaces)
+      var prevStart = 0 // start of word j
+      var curStart = -1 // start of word j+1 (valid once the first space passed)
+      var bi = 0
+      i = 0
+      while (i <= nBytes) {
+        if (i == nBytes || u.getByte(i) == 0x20) {
+          if (curStart >= 0) {
+            out(bi) = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(base, off + prevStart, i - prevStart, 42L)
+            bi += 1
+            prevStart = curStart
+          }
+          curStart = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bgh", this, classOf[BigramHashes].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): BigramHashes = copy(child = c)
+  }
+
+  /** text → array<struct<bg: string, h: long>>: every adjacent word
+    * pair as (the bigram string, its [[BigramHashes]] span hash), same
+    * single byte pass; the string is the span bytes cloned out of the
+    * input buffer (one bounded copy — never a reference into the
+    * reusable row buffer). The string-free hash sibling is the cheap
+    * pass; this one exists for consumers that must group EXACTLY on the
+    * bigram (q99b's recount, `bigramsOf`'s LM/PMI tables).
+    */
+  case class BigramSpans(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("bg", StringType, nullable = false),
+        StructField("h", LongType, nullable = false))),
+      containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "bigram_spans")
+
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val nBytes = u.numBytes
+      var spaces = 0
+      var i = 0
+      while (i < nBytes) { if (u.getByte(i) == 0x20) spaces += 1; i += 1 }
+      if (spaces == 0)
+        return new GenericArrayData(Array.empty[Any])
+      val base = u.getBaseObject
+      val off = u.getBaseOffset
+      val out = new Array[Any](spaces)
+      var prevStart = 0
+      var curStart = -1
+      var bi = 0
+      i = 0
+      while (i <= nBytes) {
+        if (i == nBytes || u.getByte(i) == 0x20) {
+          if (curStart >= 0) {
+            val len = i - prevStart
+            val bg = org.apache.spark.unsafe.types.UTF8String
+              .fromAddress(base, off + prevStart, len).clone()
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(base, off + prevStart, len, 42L)
+            out(bi) = org.apache.spark.sql.catalyst.InternalRow(bg, h)
+            bi += 1
+            prevStart = curStart
+          }
+          curStart = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bgs", this, classOf[BigramSpans].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): BigramSpans = copy(child = c)
+  }
+
   /** array<float> → array<double>: the exact 2^20 quantization
     * `transform(v, x => floor(x.cast("double") * 2^20))` as one native
     * pass (the lambda evaluates interpreted per element as a higher-order
@@ -712,6 +828,180 @@ object expressions {
     override def withNewInputAggBufferOffset(offset: Int): FreqSketch =
       copy(inputAggBufferOffset = offset)
     override protected def withNewChildInternal(c: Expression): FreqSketch =
+      copy(child = c)
+  }
+
+  /** Open-addressed primitive long→long count table — [[FreqSketchLong]]'s
+    * aggregation buffer. Linear probing over power-of-two arrays with a
+    * separate presence bitmap (no sentinel key — xxhash64 covers the full
+    * long range), capacity 4·k so the load factor stays ≤ 0.25 at the
+    * ≤ k-entry invariant; the Misra–Gries decrement-all pass REBUILDS the
+    * table from survivors (backward-shift deletion in linear probing is
+    * the classic bug farm; a rebuild is the same amortized O(1) per
+    * stream item — each pass removes ≥ k total count and each item adds
+    * 1). Zero boxing on the hot path: the three arrays are the whole
+    * state.
+    */
+  private[graft] final class LongCountSketch(val k: Int) {
+    private val cap: Int = {
+      var c = 8
+      while (c < k * 4) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+
+    def size: Int = n
+
+    private def slot(key: Long): Int = {
+      // Stafford mix13 finalizer — xxhash64 outputs are already mixed,
+      // but merge() also feeds raw re-inserts through here
+      var x = key
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^= (x >>> 31)
+      var i = (x & mask).toInt
+      while (used(i) && keys(i) != key) i = (i + 1) & mask
+      i
+    }
+
+    /** Add `c` to `key`'s count if present or insertable (n < k);
+      * otherwise run one decrement-all pass (by 1 — the streaming MG
+      * step). */
+    def update(key: Long): Unit = {
+      val i = slot(key)
+      if (used(i)) vals(i) += 1L
+      else if (n < k) { used(i) = true; keys(i) = key; vals(i) = 1L; n += 1 }
+      else decrementAll(1L)
+    }
+
+    /** Unconditional add for merge: inserts even past k (the caller
+      * trims with [[trimToK]] afterwards — MG merge semantics need the
+      * union before the (k+1)-th-largest subtraction). Requires the
+      * caller to grow — capacity 4k tolerates a transient 2k entries
+      * from merging two ≤ k sketches. */
+    def add(key: Long, c: Long): Unit = {
+      val i = slot(key)
+      if (used(i)) vals(i) += c
+      else { used(i) = true; keys(i) = key; vals(i) = c; n += 1 }
+    }
+
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+    }
+
+    private def rebuild(sub: Long): Unit = {
+      val ok = keys; val ov = vals; val ou = used
+      keys = new Array[Long](cap)
+      vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      n = 0
+      var i = 0
+      while (i < cap) {
+        if (ou(i) && ov(i) > sub) {
+          val j = slot(ok(i))
+          used(j) = true; keys(j) = ok(i); vals(j) = ov(i) - sub
+          n += 1
+        }
+        i += 1
+      }
+    }
+
+    private def decrementAll(sub: Long): Unit = rebuild(sub)
+
+    /** Post-merge trim: subtract the (k+1)-th largest count so at most
+      * k survive — the sketch-merge rule whose error bound adds. */
+    def trimToK(): Unit = if (n > k) {
+      val counts = new Array[Long](n)
+      var i = 0; var j = 0
+      while (i < cap) { if (used(i)) { counts(j) = vals(i); j += 1 }; i += 1 }
+      java.util.Arrays.sort(counts)
+      rebuild(counts(counts.length - (k + 1)))
+    }
+  }
+
+  /** [[FreqSketch]] over LONG keys — the hot-path variant for
+    * high-cardinality streams (q99b's bigram types): the caller hashes
+    * the item in a codegen'd projection (`xxhash64`) and the aggregate
+    * touches only primitive longs ([[LongCountSketch]] — no per-row
+    * String construction, no boxing), so the sketch pass runs at
+    * hash-agg-comparable per-row cost while shipping ≤ k-entry partials
+    * instead of the full type table. Same MG bounds as [[FreqSketch]]
+    * (est ≤ true, true − est ≤ N/(k+1)); 64-bit key collisions merge two
+    * items' counts, which can only ADD candidates under a
+    * sketch-then-recount consumer — the exact recount prunes them, so
+    * the guarantee direction is preserved.
+    */
+  case class FreqSketchLong(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[LongCountSketch]
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("h", LongType, nullable = false),
+        StructField("est", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, LongType, "freq_sketch_long")
+
+    override def createAggregationBuffer(): LongCountSketch = new LongCountSketch(k)
+
+    override def update(buf: LongCountSketch,
+        input: org.apache.spark.sql.catalyst.InternalRow): LongCountSketch = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(buf: LongCountSketch, other: LongCountSketch): LongCountSketch = {
+      other.foreach((key, c) => buf.add(key, c))
+      buf.trimToK()
+      buf
+    }
+
+    override def eval(buf: LongCountSketch): Any = {
+      val entries = new Array[(Long, Long)](buf.size)
+      var i = 0
+      buf.foreach { (key, c) => entries(i) = (key, c); i += 1 }
+      // deterministic presentation order: est desc, key asc
+      val sorted = entries.sortBy { case (h, c) => (-c, h) }
+      new GenericArrayData(sorted.map { case (h, c) =>
+        org.apache.spark.sql.catalyst.InternalRow(h, c)
+      })
+    }
+
+    override def serialize(buf: LongCountSketch): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.foreach { (key, c) => out.writeLong(key); out.writeLong(c) }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): LongCountSketch = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val m = in.readInt()
+      val buf = new LongCountSketch(k)
+      var i = 0
+      while (i < m) { buf.add(in.readLong(), in.readLong()); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): FreqSketchLong =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): FreqSketchLong =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): FreqSketchLong =
       copy(child = c)
   }
 
@@ -1526,6 +1816,24 @@ object expressions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("freq_sketch",
       exprs => FreqSketch(one("freq_sketch")(exprs), 256), "scala_udf")
+    reg.createOrReplaceTempFunction("freq_sketch_k",
+      exprs => {
+        require(exprs.length == 2,
+          "freq_sketch_k requires exactly 2 arguments (token, k)")
+        require(exprs(1).foldable, "freq_sketch_k k must be a literal")
+        FreqSketch(exprs(0), exprs(1).eval().toString.toInt)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_hashes",
+      exprs => BigramHashes(one("bigram_hashes")(exprs)), "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_spans",
+      exprs => BigramSpans(one("bigram_spans")(exprs)), "scala_udf")
+    reg.createOrReplaceTempFunction("freq_sketch_long",
+      exprs => {
+        require(exprs.length == 2,
+          "freq_sketch_long requires exactly 2 arguments (hash, k)")
+        require(exprs(1).foldable, "freq_sketch_long k must be a literal")
+        FreqSketchLong(exprs(0), exprs(1).eval().toString.toInt)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("pq_adc",
       exprs => {
         require(exprs.length == 3, "pq_adc requires exactly 3 arguments (codes, dtable, k)")
@@ -1592,6 +1900,16 @@ object expressions {
     call_function("sq_dist", a, b)
   def freq_sketch(token: Column): Column =
     call_function("freq_sketch", token)
+  def freq_sketch_k(token: Column, k: Int): Column =
+    call_function("freq_sketch_k", token,
+      org.apache.spark.sql.functions.lit(k))
+  def freq_sketch_long(hash: Column, k: Int): Column =
+    call_function("freq_sketch_long", hash,
+      org.apache.spark.sql.functions.lit(k))
+  def bigram_hashes(text: Column): Column =
+    call_function("bigram_hashes", text)
+  def bigram_spans(text: Column): Column =
+    call_function("bigram_spans", text)
   def pq_adc(codes: Column, dtable: Column, k: Int): Column =
     call_function("pq_adc", codes, dtable,
       org.apache.spark.sql.functions.lit(k))

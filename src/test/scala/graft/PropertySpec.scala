@@ -262,4 +262,43 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: bigram span kernels == transform/concat_ws + xxhash64 reference") {
+    import graft.functions.expressions
+    import org.apache.spark.sql.functions._
+    // spaces weighted heavily: empty words, leading/trailing/multiple
+    // separators are the edge cases; a multi-byte char guards the
+    // byte-scan's UTF-8 safety claim
+    val textGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(4 -> Gen.oneOf('a', 'b', 'c'), 2 -> Gen.const(' '),
+        1 -> Gen.const('é'))).map(_.mkString))
+    forAll(Gen.listOfN(12, textGen)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val w = split($"text", " ")
+      val ref = df.select($"id",
+          when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+            .otherwise(array()).as("bgs"))
+        .withColumn("hs", transform($"bgs", b => xxhash64(b)))
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[String](1), r.getSeq[Long](2))).toMap
+      val got = df.select($"id",
+          expressions.bigram_spans($"text").as("sp"),
+          expressions.bigram_hashes($"text").as("hs"))
+        .collect().map { r =>
+          val sp = r.getSeq[org.apache.spark.sql.Row](1)
+          r.getLong(0) -> (sp.map(_.getString(0)), sp.map(_.getLong(1)),
+            r.getSeq[Long](2))
+        }.toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (refBgs, refHs) = ref(i.toLong)
+        val (gotBgs, gotSpanHs, gotHs) = got(i.toLong)
+        assert(gotBgs == refBgs, s"text='$t' spans")
+        assert(gotSpanHs == refHs, s"text='$t' span hashes")
+        assert(gotHs == refHs, s"text='$t' bare hashes")
+      }
+    }
+  }
 }

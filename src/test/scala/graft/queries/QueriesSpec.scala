@@ -262,13 +262,16 @@ class QueriesSpec extends SparkSpec {
       val docs = graft.sources.Tables.documents(spark, d)
         .select("source", "text").collect()
         .map(r => (r.getString(0), r.getString(1)))
-      // recompute the bounded training sample and merges exactly as
-      // declared (top-256 words by count, ties by word; 48 rounds)
+      // recompute the training vocabulary (FULL corpus word counts) and
+      // merges with the independent driver-local trainer — the
+      // distributed trainer must learn the identical table
       val wc = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }.toSeq
-        .sortBy { case (w, c) => (-c, w) }.take(256)
+        .sortBy { case (w, c) => (-c, w) }
       val merges = graft.functions.expressions.trainBpeMerges(wc, 48)
       assert(merges.nonEmpty)
+      assert(TextOps.bpeMergesCached(spark, d) == merges,
+        s"distributed trainer diverged from the naive trainer at $d")
       val expected = docs.groupBy(_._1).map { case (src, g) =>
         val bpe = g.map(x => graft.NaiveBpe.encode(x._2, merges).length.toLong).sum
         val ws = g.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
@@ -1215,5 +1218,27 @@ class QueriesSpec extends SparkSpec {
       assert(r.getLong(2) == expected,
         s"bigram '${r.getString(0)}': pmi ${r.getLong(2)} != naive $expected")
     }
+  }
+
+  test("q99b sketch+recount == q99 at a matched threshold; default frac holds its floor") {
+    import spark.implicits._
+    // matched threshold: pick frac so ceil(frac * N_bg) == 5 (q99's
+    // absolute support) — the sketch path must then emit exactly q99's
+    // rows: the MG candidate set is a lossless superset by the factor-2
+    // slack, and the recount is exact
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("ws")).as[Seq[String]].collect()
+    val nBg = docs.map(ws => math.max(ws.length - 1, 0).toLong).sum
+    val exact = run("q99_pmi_collocations").collect().map(_.toString).toSeq
+    spark.conf.set("graft.text.pmiSupportFrac", (4.5 / nBg).toString)
+    try {
+      val sketched = run("q99b_pmi_sketch").collect().map(_.toString).toSeq
+      assert(sketched == exact,
+        "q99b at thr=5 must equal q99 row-for-row (sketch is a prune, not an approximation)")
+    } finally spark.conf.unset("graft.text.pmiSupportFrac")
+    // default fraction: every emitted bigram meets the declared floor
+    val dflt = run("q99b_pmi_sketch").collect()
+    val thr = math.max(math.ceil(0.0001 * nBg).toLong, 1L)
+    assert(dflt.nonEmpty && dflt.forall(_.getLong(1) >= thr))
   }
 }
