@@ -30,8 +30,9 @@ object ScaleBench {
     // NOTE the %10 split rule makes the "arriving snapshot" grow with
     // the corpus (20% of it); a real deployment's snapshot is bounded.
     "q82_dedup_incremental", "q83_dedup_incremental_embedding",
-    // retrieval/quality: q84's query set is doc_id % 37 (grows with the
-    // corpus — a serving deployment's request set is bounded); q85's LM
+    // retrieval/quality: q84's query set is doc_id % 37 under the
+    // absolute QuerySetCap bound (≤100 queries at any corpus size, so
+    // the driver-side request collect is O(1) in the corpus); q85's LM
     // tables are vocabulary²-bounded at any corpus size
     "q84_bm25_topk", "q85_lm_perplexity_filter",
     // span surgery: q65's gram-flagging scan + per-row array arithmetic

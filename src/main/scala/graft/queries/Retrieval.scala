@@ -57,14 +57,16 @@ object Retrieval {
 
   /** Q88 — hybrid top-10: BM25 top-20 (q84's artifact + scan kernel)
     * and exact-cosine top-20 (q25's quantized kernel) over the SAME
-    * request set (every 37th document, which is also vec_id in the
-    * aligned embeddings table), fused by RRF. Both legs exclude the
-    * query document itself. */
+    * request set (every 37th document under [[TextOps.QuerySetCap]] —
+    * absolutely bounded, ≤100 queries at any corpus size — which is
+    * also vec_id in the aligned embeddings table), fused by RRF. Both
+    * legs exclude the query document itself. */
   private val q88 = Q(
     fn = (s, d) => {
       val lex = TextOps.bm25TopK(
         TextOps.bm25StoreCached(s, d), TextOps.bm25QueryRows(s, d), Depth)
-      val dense = VectorOps.cosineTopK(s, d, _ % 37 === 0, Depth)
+      val dense = VectorOps.cosineTopK(s, d,
+        c => c % 37 === 0 && c < TextOps.QuerySetCap, Depth)
       rrfFuse(lex, dense, 10)
     },
     oracle = Some("""
@@ -90,7 +92,8 @@ object Retrieval {
                  (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
         FROM tf JOIN dlen USING (doc_id) JOIN idf USING (term)
       ), qterms AS (
-        SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 37 = 0
+        SELECT doc_id AS query_id, term FROM tf
+        WHERE doc_id % 37 = 0 AND doc_id < 3700
       ), scored_l AS (
         SELECT qterms.query_id, w.doc_id, CAST(SUM(w_fp) AS BIGINT) AS score_fp
         FROM qterms JOIN w USING (term)
@@ -116,7 +119,8 @@ object Retrieval {
                CAST(list_sum(list_transform(generate_series(1, len(a.qvv)),
                     i -> a.qvv[i] * b.qvv[i])) AS DOUBLE)
                  / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) AS score
-        FROM withn a JOIN withn b ON a.vec_id % 37 = 0 AND a.vec_id <> b.vec_id
+        FROM withn a JOIN withn b ON a.vec_id % 37 = 0 AND a.vec_id < 3700
+          AND a.vec_id <> b.vec_id
       ), dense AS (
         SELECT query_id, doc_id, dense_rank FROM (
           SELECT query_id, doc_id,
