@@ -968,48 +968,131 @@ object TextOps {
       GROUP BY a.doc_id
       ORDER BY a.doc_id"""))
 
-  /** Q20 — SimHash fingerprints + Hamming-distance pairs (brief's SimHash
-    * dedup). 64-bit simhash over distinct word-3-gram shingles (shingle
-    * features, not bare words — this corpus's word vocabulary is ~30
-    * terms, so word-set simhashes would collide everywhere; shingle sets
-    * overlap ~5% between unrelated docs and ~99% between near-dups).
-    * Banded into 8 bytes so any pair within Hamming distance 7 shares at
-    * least one exact band (pigeonhole) — candidate join is per-bucket,
-    * never all-pairs. xxhash64 is engine-specific, so this is
-    * rows-checked (pinned against the known near-dup pairs in tests).
+  /** Q20 — SimHash near-dup dedup (brief's SimHash): 64-bit simhash over
+    * distinct word-3-gram shingles (shingle features, not bare words —
+    * this corpus's word vocabulary is ~30 terms, so word-set simhashes
+    * would collide everywhere; shingle sets overlap ~5% between unrelated
+    * docs and ~99% between near-dups), banded into 8 bytes so any pair
+    * within Hamming distance 7 shares at least one exact band
+    * (pigeonhole) — candidate join is per-bucket, never all-pairs —
+    * then survivors of the hamming ≤ 7 filter are verified with exact
+    * Jaccard ≥ 0.5 (q19's device), so emitted pairs are true near-dups
+    * with their hamming distance attached.
+    *
+    * Full hash oracle: the 64-bit FEATURE hash is the signed
+    * reinterpretation of the first 16 hex chars of md5(shingle) — a
+    * value both engines compute bit-identically (DuckDB parses the same
+    * hex; Spark uses conv(·,16,−10)) — so simhash bit-majorities,
+    * banding, the hamming filter AND the exact verification are all
+    * replayed precisely by DuckDB. xxhash64 stays out of the semantics
+    * (it only powers the verification intersection via the shared
+    * sorted-hash arrays, exact up to 64-bit collisions — q18's
+    * argument). md5 costs more per shingle than xxhash64, but features
+    * are per DISTINCT shingle per doc and computed once per scan.
     */
   private val q20 = Q(
     fn = (s, d) => {
       import s.implicits._
-      // native one-pass kernel: one xxhash64 per shingle + 64 signed bit
-      // counters in a tight primitive loop (the old form was 64 separate
-      // interpreted aggregate() passes per document — the last surviving
-      // round-1-class HOF bottleneck; see graft.functions.SimHash64)
-      val withSim = shingled(s, d)
-        .select($"doc_id", graft.functions.expressions.simhash64($"hs").as("simhash"))
-      val banded = withSim.select($"doc_id", $"simhash",
-          explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-            shiftright($"simhash", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
-        .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bv".as("bv"))
-      // bucket-collect pairs: simhashes computed once, no self-join;
-      // pathological buckets capped (see capBucket)
-      val pairs = banded.groupBy($"band", $"bv")
-        .agg(collect_list(struct($"doc_id", $"simhash")).as("ds"))
-        .filter(size($"ds") > 1)
-        .withColumn("ds", capBucket($"ds", maxBucket(s)))
-        .select(explode(flatten(transform($"ds", (x, ix) =>
-          transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
-            y => struct(least(x("doc_id"), y("doc_id")).as("a"),
-              greatest(x("doc_id"), y("doc_id")).as("b"),
-              x("simhash").bitwiseXOR(y("simhash")).as("x")))))).as("p"))
-        .select($"p.a".as("i"), $"p.b".as("j"), bit_count($"p.x").as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 7)
-        .orderBy($"i", $"j")
-      pairs
+      // (doc_id, n, hs): the exact-verification operand — persisted
+      // across candidate generation + the two verify joins (q18's note)
+      val docs = shingled(s, d).persist()
+      try {
+        val withSim = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id",
+            graft.functions.expressions.word_shingles($"text").as("sh"))
+          .filter(size($"sh") >= 1)
+          // bit-majority kernel over md5-derived signed-64 features (one
+          // tight pass; see graft.functions.SimHash64)
+          .select($"doc_id", graft.functions.expressions.simhash64(
+            transform($"sh",
+              g => conv(substring(md5(g), 1, 16), 16, -10)
+                .cast("long"))).as("simhash"))
+        val banded = withSim.select($"doc_id", $"simhash",
+            explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+              shiftright($"simhash", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
+          .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bv".as("bv"))
+        // bucket-collect pairs: simhashes computed once, no self-join;
+        // pathological buckets capped (see capBucket)
+        val pairs = banded.groupBy($"band", $"bv")
+          .agg(collect_list(struct($"doc_id", $"simhash")).as("ds"))
+          .filter(size($"ds") > 1)
+          .withColumn("ds", capBucket($"ds", maxBucket(s)))
+          .select(explode(flatten(transform($"ds", (x, ix) =>
+            transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
+              y => struct(least(x("doc_id"), y("doc_id")).as("a"),
+                greatest(x("doc_id"), y("doc_id")).as("b"),
+                x("simhash").bitwiseXOR(y("simhash")).as("x")))))).as("p"))
+          .select($"p.a".as("i"), $"p.b".as("j"),
+            bit_count($"p.x").cast("long").as("hamming"))
+          .distinct()
+          .filter($"hamming" <= 7)
+          // bounded candidate set — materialized once, feeds both the
+          // verification join and the hamming re-attach
+          .localCheckpoint()
+        verifyPairs(pairs.select($"i", $"j"), docs, 0.5)
+          .join(broadcast(pairs), Seq("i", "j"))
+          .select($"i", $"j", $"hamming", $"n_i", $"n_j", $"common", $"jaccard")
+          .orderBy($"i", $"j")
+          .localCheckpoint()
+      } finally docs.unpersist()
     },
-    oracle = None,
-    doc = "SimHash banding; engine-specific hash → rows-only + pinned-pair tests")
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), feats AS (
+        SELECT doc_id, unnest(sh) AS g FROM shingled
+      ), fh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT::HUGEINT
+                 - CASE WHEN ('0x' || substr(md5(g), 1, 16))::UBIGINT
+                             >= 9223372036854775808::UHUGEINT
+                        THEN 18446744073709551616::HUGEINT
+                        ELSE 0::HUGEINT END AS BIGINT) AS h
+        FROM feats
+      ), bits AS (
+        SELECT doc_id, t.b,
+               SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        FROM fh CROSS JOIN generate_series(0, 63) t(b)
+        GROUP BY doc_id, t.b
+      ), sim AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN cnt <= 0 THEN 0::HUGEINT
+                             WHEN b = 63 THEN -9223372036854775808::HUGEINT
+                             ELSE (1::BIGINT << b)::HUGEINT END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+      ), banded AS (
+        SELECT s.doc_id, t.band, (s.simhash >> (8 * t.band)) & 255 AS bv
+        FROM sim s CROSS JOIN generate_series(0, 7) t(band)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      ), ham AS (
+        SELECT c.i, c.j,
+               CAST(bit_count(xor(si.simhash, sj.simhash)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sim si ON si.doc_id = c.i
+        JOIN sim sj ON sj.doc_id = c.j
+        WHERE bit_count(xor(si.simhash, sj.simhash)) <= 7
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      )
+      SELECT h.i, h.j, h.hamming,
+             any_value(a.n) AS n_i, any_value(b.n) AS n_j, COUNT(*) AS common,
+             CAST(COUNT(*) AS DOUBLE)
+               / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jaccard
+      FROM ham h
+      JOIN ex a ON a.doc_id = h.i
+      JOIN ex b ON b.doc_id = h.j AND b.s = a.s
+      GROUP BY h.i, h.j, h.hamming
+      HAVING CAST(COUNT(*) AS DOUBLE)
+               / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ORDER BY i, j"""))
 
   /** Q21 — n-gram/stopword-heuristic language ID (brief's "language-ID"),
     * scored against the labeled `lang` column as a confusion summary.

@@ -65,11 +65,19 @@ class QueriesSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
-  test("q20 SimHash pairs: perfect precision, recall >= 0.5 vs exact") {
+  test("q20 SimHash pairs: verified-exact precision, recall >= 0.5 vs exact") {
     val exact = run("q18_neardup_jaccard").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = run("q20_simhash_pairs").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(sim.subsetOf(exact), "hamming<=7 shingle-simhash pairs must be true near-dups")
+    val q20 = run("q20_simhash_pairs").collect()
+    val sim = q20.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // emitted pairs are jaccard-verified, so precision is 1 BY CONSTRUCTION;
+    // the subset assertion pins that the verification actually ran
+    assert(sim.subsetOf(exact), "verified simhash pairs must be true near-dups")
+    // hamming <= 7 is the semantics (oracle replays it), recall the trade
     assert(sim.size.toDouble / exact.size >= 0.5)
+    q20.foreach { r =>
+      assert(r.getLong(2) <= 7, "hamming filter is part of the contract")
+      assert(r.getDouble(6) >= 0.5, "every emitted pair is jaccard-verified")
+    }
   }
 
   test("q18/q19 release their scoped persist (no pinned cache after run)") {
@@ -80,6 +88,9 @@ class QueriesSpec extends SparkSpec {
     run("q19_neardup_minhash_lsh").count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "q19 must unpersist its shingled corpus after materializing the result")
+    run("q20_simhash_pairs").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q20 must unpersist its shingled corpus after materializing the result")
     run("q46_decontamination").count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "q46 must unpersist its split corpus after materializing the result")
