@@ -596,13 +596,16 @@ object expressions {
   /** array<float> embedding → array<int> of `nTables` random-hyperplane
     * LSH signatures (each `nPlanes` sign bits). Signs are the shared
     * splitmix constants sign(t,p,i) = ±1 by bit 0 of
-    * splitmix((t*nPlanes+p)*64 + i); projections accumulate in ascending
-    * dimension order, so each signature is bit-identical to the
-    * declarative `aggregate(zip_with(...))` form it replaces — which
-    * evaluated 48 interpreted lambda passes per row where this is one
-    * fused multiply-add loop. A null component makes every projection SQL
-    * null in the declarative form, turning every `when(proj > 0, ...)`
-    * bit off — mirrored here by returning all-zero signatures.
+    * splitmix((t*nPlanes+p)*64 + i). Projections accumulate over the
+    * QUANTIZED components (floor(x·2²⁰) — the q25 scoring quantizer) in
+    * exact long arithmetic, so each signature is order-free and
+    * engine-independent: DuckDB reproduces it from the literal sign
+    * table alone (q26's oracle), with no float-summation-order caveat.
+    * One fused multiply-add loop replaces the 48 interpreted lambda
+    * passes of the declarative `aggregate(zip_with(...))` form (parity
+    * spec in ExpressionsSpec). A null component makes every projection
+    * SQL null in the declarative form, turning every `when(proj > 0,
+    * ...)` bit off — mirrored here by returning all-zero signatures.
     */
   case class HyperplaneSigs(child: Expression, nTables: Int, nPlanes: Int, dims: Int)
       extends UnaryExpression {
@@ -610,9 +613,9 @@ object expressions {
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, ArrayType(FloatType), "hyperplane_sigs")
     // sign table laid out [t*nPlanes + p][i]
-    @transient private lazy val signs: Array[Array[Double]] =
+    @transient private lazy val signs: Array[Array[Long]] =
       Array.tabulate(nTables * nPlanes, dims)((tp, i) =>
-        if ((splitmix(tp * 64L + i) & 1L) == 1L) 1.0 else -1.0)
+        if ((splitmix(tp * 64L + i) & 1L) == 1L) 1L else -1L)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -623,10 +626,10 @@ object expressions {
         if (arr.isNullAt(i)) return new GenericArrayData(new Array[Int](nTables))
         i += 1
       }
-      val acc = new Array[Double](nTables * nPlanes)
+      val acc = new Array[Long](nTables * nPlanes)
       i = 0
       while (i < n) {
-        val x = arr.getFloat(i).toDouble
+        val x = math.floor(arr.getFloat(i).toDouble * 1048576.0).toLong
         var tp = 0
         while (tp < nTables * nPlanes) {
           acc(tp) += x * signs(tp)(i)

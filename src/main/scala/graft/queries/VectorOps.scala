@@ -120,20 +120,38 @@ object VectorOps {
       WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** The 8×6 hyperplane sign table as a '0'/'1' literal for q26's DuckDB
+    * oracle: char [(t·6+p)·64 + i] is '1' iff sign(t,p,i) = +1 — the
+    * SAME splitmix bits [[graft.functions.expressions.HyperplaneSigs]]
+    * uses, so the oracle replays the exact signatures from the literal
+    * alone (the signs are pure index constants, no data dependence). */
+  private val hyperSigns: String =
+    Array.tabulate(48 * 64)(k =>
+      if ((graft.functions.expressions.splitmix(k.toLong) & 1L) == 1L) '1'
+      else '0').mkString
+
   /** Q26 — LSH-bucketed approximate nearest neighbors (brief's scale
     * path). 8 independent hash tables of 6 deterministic random
-    * hyperplanes each (component signs from xxhash64(table, plane, dim)
+    * hyperplanes each (component signs from splitmix(table, plane, dim)
     * parity) give 64-bucket signatures; queries probe their bucket plus
     * all Hamming-1 neighbors in every table. Scoring and ranking reuse
     * Q25's exact quantized pipeline — the approximation is purely in
     * candidate pruning.
+    *
+    * Full hash oracle (round 8): projections accumulate over the
+    * QUANTIZED components (floor(x·2²⁰), q25's quantizer) in exact long
+    * arithmetic — order-free and engine-independent — and the sign
+    * constants are embedded in the oracle as a 3072-char literal
+    * ([[hyperSigns]]), so DuckDB reproduces signature, multiprobe
+    * candidate set, exact scoring and ranking bit-for-bit. The
+    * approximation (recall < 1 vs q25) is part of the replayed
+    * semantics, not an excuse for a weaker check.
     *
     * This corpus is near-random (top-5 cosine ≈ 0.35), the hardest case
     * for LSH: per-plane collision ≈ 0.61, so one table recalls ~0.26 and
     * the 8-table union ~0.9 (asserted >= 0.6 in VectorOpsSpec). On real
     * clustered embeddings the same structure prunes far more sharply; the
     * L-times index blowup is the standard multi-table LSH trade.
-    * Engine-specific hashing → rows-only check.
     */
   private val q26 = Q(
     fn = (s, d) => {
@@ -166,8 +184,51 @@ object VectorOps {
         .distinct()
       topK(scored, 5)
     },
-    oracle = None,
-    doc = "LSH random-hyperplane ANN, 8 tables x Hamming-1 multiprobe; recall vs q25 pinned in tests")
+    oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ), dims AS (
+        SELECT vec_id, unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos
+        FROM q
+      ), proj AS (
+        SELECT vec_id, t.tp,
+               SUM(CASE WHEN substr('$hyperSigns',
+                                    t.tp * 64 + pos, 1) = '1'
+                        THEN qx ELSE -qx END) AS acc
+        FROM dims CROSS JOIN generate_series(0, 47) t(tp)
+        GROUP BY vec_id, t.tp
+      ), sigs AS (
+        SELECT vec_id, tp // 6 AS tbl,
+               CAST(SUM(CASE WHEN acc > 0 THEN (1 << (tp % 6)) ELSE 0 END) AS BIGINT) AS sig
+        FROM proj GROUP BY vec_id, tp // 6
+      ), cand AS (
+        SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+        FROM sigs qs JOIN sigs cs ON qs.tbl = cs.tbl
+          AND qs.vec_id % 50 = 0 AND qs.vec_id <> cs.vec_id
+          AND cs.sig IN (qs.sig, xor(qs.sig, 1), xor(qs.sig, 2), xor(qs.sig, 4),
+                         xor(qs.sig, 8), xor(qs.sig, 16), xor(qs.sig, 32))
+      ), withn AS (
+        SELECT vec_id, qv,
+               list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
+        FROM q
+      ), scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                    i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                 / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) AS score
+        FROM cand c JOIN withn a ON a.vec_id = c.query_id
+                    JOIN withn b ON b.vec_id = c.neighbor_id
+      ), ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
 
   /** Q27 — per-label centroids (embedding aggregation at scale: posexplode
     * + partial map-side aggregation keeps the shuffle at 64 rows per label

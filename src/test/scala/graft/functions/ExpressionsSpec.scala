@@ -183,22 +183,24 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
-  test("hyperplane_sigs == declarative aggregate(zip_with) sign bits") {
+  test("hyperplane_sigs == declarative aggregate(zip_with) sign bits (quantized)") {
     import spark.implicits._
     val nPlanes = 6
     val nTables = 8
     val rnd = new scala.util.Random(11)
     val df = (1L to 40L).map(id => (id, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
       .toDF("id", "embedding")
-    def signRow(t: Int, p: Int): Seq[Double] =
+    def signRow(t: Int, p: Int): Seq[Long] =
       (0 until 64).map(i =>
-        if ((expressions.splitmix(((t * nPlanes + p) * 64L) + i) & 1L) == 1L) 1.0
-        else -1.0)
+        if ((expressions.splitmix(((t * nPlanes + p) * 64L) + i) & 1L) == 1L) 1L
+        else -1L)
+    // projections in the exact quantized-long domain (floor(x·2^20) —
+    // q25's scoring quantizer): order-free, engine-independent
     def sigOf(t: Int) = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with($"embedding", typedlit(signRow(t, p)),
-          (x, sgn) => x.cast("double") * sgn),
-        lit(0.0), (acc, v) => acc + v)
+          (x, sgn) => floor(x.cast("double") * 1048576.0).cast("long") * sgn),
+        lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
     val declarative = df.select($"id", array((0 until nTables).map(sigOf): _*).as("sigs"))
