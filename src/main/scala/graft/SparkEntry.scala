@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.MultimodalQ.all ++
       graft.queries.Windowed.all ++
       graft.queries.Retrieval.all ++
-      graft.queries.GraphOps.all
+      graft.queries.GraphOps.all ++
+      graft.queries.LangId.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

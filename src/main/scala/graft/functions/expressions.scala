@@ -140,6 +140,43 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** string → array<string> of ALL character `n`-gram OCCURRENCES (no
+    * dedup, document order) — the feature pass of the trained language
+    * classifier (q100). Semantics are exactly DuckDB's
+    * `substr(text, i, n) for i in 1..len-n+1` over code units (the
+    * corpus is ASCII, where Java chars, Unicode code points and bytes
+    * coincide; on supplementary-plane text Java's UTF-16 units would
+    * diverge from DuckDB's code points — documented, not hit). One
+    * native pass replaces a `transform(sequence(...), i -> substr)`
+    * HOF that evaluates an interpreted lambda per position per row.
+    */
+  case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "char_grams")
+
+    override def nullSafeEval(input: Any): Any = {
+      val str = input.toString
+      val len = str.length
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[AnyRef](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        out(i) = org.apache.spark.unsafe.types.UTF8String
+          .fromString(str.substring(i, i + n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cg", this, classOf[CharGrams].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): CharGrams = copy(child = c)
+  }
+
   /** string → struct<n_words, n_distinct, top_c, total2, d2> (all long):
     * the per-document repetition statistics of q48/q56 in ONE native
     * pass — total word tokens, distinct tokens, the most frequent token's
@@ -1797,6 +1834,8 @@ object expressions {
       exprs => WinnowFingerprint(one("winnow_fingerprint")(exprs), 8, 4), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => WordShingles(one("word_shingles")(exprs), 3), "scala_udf")
+    reg.createOrReplaceTempFunction("char_grams",
+      exprs => CharGrams(one("char_grams")(exprs), 3), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(one("simhash64")(exprs)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
@@ -1887,6 +1926,8 @@ object expressions {
     call_function("winnow_fingerprint", text)
   def word_shingles(text: Column): Column =
     call_function("word_shingles", text)
+  def char_grams(text: Column): Column =
+    call_function("char_grams", text)
   def simhash64(shingles: Column): Column =
     call_function("simhash64", shingles)
   def sorted_intersect_count(a: Column, b: Column): Column =

@@ -183,6 +183,20 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("char_grams == declarative substr sweep (occurrences, order kept)") {
+    import spark.implicits._
+    val df = Seq("abcdef", "ab", "abc", "a b c", "").toDF("t")
+    val declarative = df.select($"t",
+      when(length($"t") >= 3,
+        transform(sequence(lit(1), length($"t") - 2),
+          i => $"t".substr(i, lit(3))))
+        .otherwise(array().cast("array<string>")).as("gs"))
+    val native = df.select($"t",
+      expressions.char_grams($"t").as("gs"))
+    assert(native.orderBy("t").collect().toSeq ==
+      declarative.orderBy("t").collect().toSeq)
+  }
+
   test("hyperplane_sigs == declarative aggregate(zip_with) sign bits (quantized)") {
     import spark.implicits._
     val nPlanes = 6
