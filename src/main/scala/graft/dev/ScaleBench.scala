@@ -54,7 +54,13 @@ object ScaleBench {
     "q99b_pmi_sketch",
     // round-8: distributed BPE training (48 vocabulary-table rounds,
     // IndexCache'd — rep 1 pays training, min-of-reps is the apply scan)
-    "q23b_bpe_token_stats")
+    "q23b_bpe_token_stats",
+    // round-8: md5-featured SimHash + exact verification (banding keeps
+    // candidates ~linear; md5 cost is per distinct shingle per doc)
+    "q20_simhash_pairs",
+    // round-8: trained NB langid — training shuffle vocab×langs bounded,
+    // model broadcast, scoring scan-local
+    "q100_langid_trained")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -1679,6 +1679,86 @@ object expressions {
       copy(child = c)
   }
 
+  /** SimHash in-bucket pair generation: array<struct<doc_id:long,
+    * simhash:long>> (one (band, bv) bucket) → array<struct<i:long,
+    * j:long, hamming:long>> of the pairs within Hamming distance
+    * `maxHam` — q20's candidate explosion collapsed into one xor+popcount
+    * loop.
+    *
+    * Why this exists: single-byte banding admits ~m²/2 candidate
+    * COMPARISONS per bucket (uniform fingerprints land n/256 docs per
+    * bucket — the inherent Θ(n²/2⁸) of the 8-band/hamming-7 SimHash
+    * construction; the sub-quadratic near-dup workhorse at corpus scale
+    * is q19's MinHash-LSH). The declarative form materialized a struct
+    * row per comparison through interpreted HOF lambdas; here a
+    * comparison is one xor + one Long.bitCount (~ns), and only the rare
+    * survivors allocate. Bit-identical semantics: cap — buckets larger
+    * than `maxBucket` are sorted ascending by doc_id (unique within a
+    * bucket) and truncated, `capBucket`'s rule; pair orientation i =
+    * min, j = max; hamming = bit_count(xor).
+    */
+  case class SimHashBucketPairs(child: Expression, maxHam: Int, maxBucket: Int)
+      extends UnaryExpression {
+    private val entryType = StructType(Seq(
+      StructField("doc_id", LongType), StructField("simhash", LongType)))
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("i", LongType, nullable = false),
+        StructField("j", LongType, nullable = false),
+        StructField("hamming", LongType, nullable = false))),
+      containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(entryType), "simhash_bucket_pairs")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      var m = arr.numElements()
+      var ids = new Array[Long](m)
+      var sims = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val e = arr.getStruct(i, 2)
+        ids(i) = e.getLong(0); sims(i) = e.getLong(1)
+        i += 1
+      }
+      if (m > maxBucket) {
+        val order = Array.range(0, m).sortBy(ids)
+        val (ids2, sims2) = (new Array[Long](maxBucket), new Array[Long](maxBucket))
+        i = 0
+        while (i < maxBucket) {
+          val o = order(i)
+          ids2(i) = ids(o); sims2(i) = sims(o)
+          i += 1
+        }
+        ids = ids2; sims = sims2; m = maxBucket
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          val ham = java.lang.Long.bitCount(sims(i) ^ sims(j))
+          if (ham <= maxHam) {
+            val a = math.min(ids(i), ids(j))
+            val b = math.max(ids(i), ids(j))
+            out += org.apache.spark.sql.catalyst.InternalRow(a, b, ham.toLong)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shbp", this, classOf[SimHashBucketPairs].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashBucketPairs =
+      copy(child = c)
+  }
+
   /** Merge every non-overlapping left-to-right occurrence of the adjacent
     * token pair (l, r) in `seq` — BPE's single merge step, shared by the
     * [[BpeEncode]] apply kernel and [[trainBpeMerges]]' re-segmentation so
@@ -1898,6 +1978,16 @@ object expressions {
           exprs(1).eval().toString.toDouble,
           exprs(2).eval().toString.toInt)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_bucket_pairs",
+      exprs => {
+        require(exprs.length == 3,
+          "simhash_bucket_pairs requires exactly 3 arguments (bucket, maxHam, maxBucket)")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "simhash_bucket_pairs maxHam/maxBucket must be literals")
+        SimHashBucketPairs(exprs(0),
+          exprs(1).eval().toString.toInt,
+          exprs(2).eval().toString.toInt)
+      }, "scala_udf")
     // Spark's own runtime-filter bloom pair (catalyst aggregate +
     // scalar probe, a matched serialization), surfaced as callable
     // functions: build once over the small side, probe as a broadcast
@@ -1963,6 +2053,10 @@ object expressions {
   def ppjoin_pairs(bucket: Column, t: Double, maxBucket: Int): Column =
     call_function("ppjoin_pairs", bucket,
       org.apache.spark.sql.functions.lit(t),
+      org.apache.spark.sql.functions.lit(maxBucket))
+  def simhash_bucket_pairs(bucket: Column, maxHam: Int, maxBucket: Int): Column =
+    call_function("simhash_bucket_pairs", bucket,
+      org.apache.spark.sql.functions.lit(maxHam),
       org.apache.spark.sql.functions.lit(maxBucket))
   def bloom_agg(hashed: Column, estItems: Column): Column =
     call_function("bloom_agg", hashed, estItems)

@@ -1012,21 +1012,20 @@ object TextOps {
             explode(array((0 until 8).map(b => struct(lit(b).as("band"),
               shiftright($"simhash", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
           .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bv".as("bv"))
-        // bucket-collect pairs: simhashes computed once, no self-join;
-        // pathological buckets capped (see capBucket)
+        // bucket-collect pairs: simhashes computed once, no self-join; the
+        // in-bucket m² comparison sweep runs in the native xor+popcount
+        // kernel (only hamming<=7 survivors allocate — single-byte
+        // banding admits ~m²/2 comparisons per bucket, the inherent
+        // Θ(n²/2⁸) of the SimHash construction; q19 is the sub-quadratic
+        // near-dup path at corpus scale), pathological buckets capped
+        // inside the kernel (capBucket's rule)
         val pairs = banded.groupBy($"band", $"bv")
           .agg(collect_list(struct($"doc_id", $"simhash")).as("ds"))
           .filter(size($"ds") > 1)
-          .withColumn("ds", capBucket($"ds", maxBucket(s)))
-          .select(explode(flatten(transform($"ds", (x, ix) =>
-            transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
-              y => struct(least(x("doc_id"), y("doc_id")).as("a"),
-                greatest(x("doc_id"), y("doc_id")).as("b"),
-                x("simhash").bitwiseXOR(y("simhash")).as("x")))))).as("p"))
-          .select($"p.a".as("i"), $"p.b".as("j"),
-            bit_count($"p.x").cast("long").as("hamming"))
+          .select(explode(graft.functions.expressions
+            .simhash_bucket_pairs($"ds", 7, maxBucket(s))).as("p"))
+          .select($"p.i".as("i"), $"p.j".as("j"), $"p.hamming".as("hamming"))
           .distinct()
-          .filter($"hamming" <= 7)
           // bounded candidate set — materialized once, feeds both the
           // verification join and the hamming re-attach
           .localCheckpoint()

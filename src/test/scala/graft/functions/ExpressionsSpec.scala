@@ -183,6 +183,44 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("simhash_bucket_pairs == declarative pair explosion (incl. cap path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // buckets of varied sizes; a few simhashes close together so some
+    // pairs survive hamming<=7, most don't
+    val buckets = (1 to 20).map { b =>
+      val m = 1 + rnd.nextInt(12)
+      val base = rnd.nextLong()
+      (b.toLong, (0 until m).map { k =>
+        val id = rnd.nextInt(1000).toLong
+        val sim = if (k % 3 == 0) base ^ (1L << rnd.nextInt(64)) else rnd.nextLong()
+        (id, sim)
+      })
+    }
+    val df = buckets.toDF("bucket", "ds")
+      .select($"bucket", $"ds".cast("array<struct<doc_id:bigint,simhash:bigint>>"))
+    def declarative(maxBucket: Int) = df
+      .withColumn("ds", when(size($"ds") > maxBucket,
+        slice(array_sort($"ds"), 1, maxBucket)).otherwise($"ds"))
+      .select($"bucket", explode(flatten(transform($"ds", (x, ix) =>
+        transform(slice($"ds", ix + 2, greatest(size($"ds") - ix - 1, lit(0))),
+          y => struct(least(x("doc_id"), y("doc_id")).as("i"),
+            greatest(x("doc_id"), y("doc_id")).as("j"),
+            bit_count(x("simhash").bitwiseXOR(y("simhash"))).cast("long")
+              .as("hamming")))))).as("p"))
+      .filter($"p.hamming" <= 7)
+      .select($"bucket", $"p.i", $"p.j", $"p.hamming")
+      .collect().map(_.toString).sorted.toSeq
+    def native(maxBucket: Int) = df
+      .select($"bucket", explode(expressions
+        .simhash_bucket_pairs($"ds", 7, maxBucket)).as("p"))
+      .select($"bucket", $"p.i", $"p.j", $"p.hamming")
+      .collect().map(_.toString).sorted.toSeq
+    assert(native(4096) == declarative(4096), "uncapped path")
+    assert(native(5) == declarative(5), "capped path (sorted prefix)")
+    assert(native(4096).nonEmpty)
+  }
+
   test("char_grams == declarative substr sweep (occurrences, order kept)") {
     import spark.implicits._
     val df = Seq("abcdef", "ab", "abc", "a b c", "").toDF("t")
