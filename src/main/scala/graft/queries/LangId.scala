@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,67 +40,100 @@ import graft.sources.Tables
   */
 object LangId {
 
+  /** The fitted classifier: `weights` (lang, g, w_fp) — add-one smoothed
+    * fixed-point trigram log-likelihoods, |vocab|×|langs| rows — and
+    * `stats` (lang, prior_fp, unseen_fp) — one row per class. Both
+    * vocabulary-bounded at any corpus size; consumers broadcast them. */
+  private[graft] case class NbModel(weights: DataFrame, stats: DataFrame)
+
+  /** Fit the NB model on a labeled (lang, text) frame. The only shuffle
+    * is the (lang, trigram) count (map-side combined, ≤ |vocab|×|langs|
+    * rows); the two scalars (vocab size, doc count) are bounded driver
+    * actions. Both model tables are materialized before the intermediate
+    * count is released. */
+  private[graft] def trainLangIdNb(train: DataFrame): NbModel = {
+    import train.sparkSession.implicits._
+    val langGram = train
+      .select($"lang",
+        explode(graft.functions.expressions.char_grams($"text")).as("g"))
+      .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val v = langGram.select($"g").distinct().count()
+      val nTrain = train.count()
+      val langTot = langGram.groupBy($"lang").agg(sum($"c").as("nl"))
+      val priors = train.groupBy($"lang").agg(count(lit(1)).as("nd"))
+      val stats = langTot.join(priors, Seq("lang"))
+        .select($"lang",
+          floor(log($"nd".cast("double") / nTrain) * 1e6)
+            .cast("long").as("prior_fp"),
+          floor(log(lit(1.0) / ($"nl" + v).cast("double")) * 1e6)
+            .cast("long").as("unseen_fp"))
+        .localCheckpoint()
+      val weights = langGram.join(langTot, Seq("lang"))
+        .select($"lang", $"g",
+          floor(log(($"c" + 1).cast("double") / ($"nl" + v).cast("double")) * 1e6)
+            .cast("long").as("w_fp"))
+        .localCheckpoint()
+      NbModel(weights, stats)
+    } finally langGram.unpersist()
+  }
+
+  /** The model over dataset `d`'s stored split (doc_id % 10 < 8),
+    * trained once per JVM via [[IndexCache]] (bigramLmCached's pattern)
+    * — bench sweeps and the streaming gate share one training run and
+    * pay only the scoring leg. */
+  private[graft] def langIdModelCached(s: SparkSession, d: String): NbModel = {
+    val p = IndexCache.resolve(
+      s"langid|${IndexCache.dataKey(d)}", "langid") { path =>
+      import s.implicits._
+      val m = trainLangIdNb(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 < 8))
+      m.weights.write.mode("overwrite").parquet(s"$path/weights")
+      m.stats.write.mode("overwrite").parquet(s"$path/stats")
+    }
+    NbModel(s.read.parquet(s"$p/weights"), s.read.parquet(s"$p/stats"))
+  }
+
+  /** The scoring leg, shared verbatim by batch q100 and the streaming
+    * ingest gate: (doc_id, text) → (doc_id, lang_pred, score_fp). The
+    * model rides as broadcasts; scoring is one scan of `docs` — zero
+    * corpus-sized shuffles, cost ∝ |docs| at any stored-corpus size. */
+  private[graft] def langIdScoreDocs(docs: DataFrame, m: NbModel): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = docs.select($"doc_id",
+      graft.functions.expressions.char_grams($"text").as("gs"))
+    val counts = g.select($"doc_id", explode($"gs").as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tc"))
+    val seen = counts.join(broadcast(m.weights), Seq("g"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"tc" * $"w_fp").as("seen_fp"), sum($"tc").as("seen_c"))
+    g.select($"doc_id", size($"gs").cast("long").as("tt"))
+      .crossJoin(broadcast(m.stats))
+      .join(seen, Seq("doc_id", "lang"), "left")
+      .na.fill(0L, Seq("seen_fp", "seen_c"))
+      .select($"doc_id", $"lang",
+        ($"prior_fp" + $"seen_fp" + ($"tt" - $"seen_c") * $"unseen_fp")
+          .as("score_fp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score_fp".desc, $"lang")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang".as("lang_pred"), $"score_fp")
+  }
+
   private val q100 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
+      val test = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", $"lang", $"text")
-      val train = docs.filter($"doc_id" % 10 < 8)
-      val test = docs.filter($"doc_id" % 10 >= 8)
-
-      // per-(lang, trigram) occurrence counts — |vocab|×|langs| bounded;
-      // persisted: feeds the weight table, per-lang totals and the vocab
-      // scalar, then released after the result is materialized
-      val langGram = train
-        .select($"lang",
-          explode(graft.functions.expressions.char_grams($"text")).as("g"))
-        .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
-        .persist()
-      try {
-        val v = langGram.select($"g").distinct().count()
-        val nTrain = train.count()
-        val langTot = langGram.groupBy($"lang").agg(sum($"c").as("nl"))
-        val priors = train.groupBy($"lang").agg(count(lit(1)).as("nd"))
-        val langStats = langTot.join(priors, Seq("lang"))
-          .select($"lang",
-            floor(log($"nd".cast("double") / nTrain) * 1e6)
-              .cast("long").as("prior_fp"),
-            floor(log(lit(1.0) / ($"nl" + v).cast("double")) * 1e6)
-              .cast("long").as("unseen_fp"))
-        val weights = langGram.join(langTot, Seq("lang"))
-          .select($"lang", $"g",
-            floor(log(($"c" + 1).cast("double") / ($"nl" + v).cast("double")) * 1e6)
-              .cast("long").as("w_fp"))
-
-        val testG = test.select($"doc_id", $"lang".as("lang_true"),
-          graft.functions.expressions.char_grams($"text").as("gs"))
-        val testGrams = testG
-          .select($"doc_id", explode($"gs").as("g"))
-          .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tc"))
-        // seen-gram contributions per (doc, lang): the model rides as a
-        // broadcast — scoring never shuffles the corpus
-        val seen = testGrams
-          .join(broadcast(weights), Seq("g"))
-          .groupBy($"doc_id", $"lang")
-          .agg(sum($"tc" * $"w_fp").as("seen_fp"), sum($"tc").as("seen_c"))
-        val grid = testG
-          .select($"doc_id", $"lang_true", size($"gs").cast("long").as("tt"))
-          .crossJoin(broadcast(langStats))
-        val scored = grid.join(seen, Seq("doc_id", "lang"), "left")
-          .na.fill(0L, Seq("seen_fp", "seen_c"))
-          .select($"doc_id", $"lang_true", $"lang",
-            ($"prior_fp" + $"seen_fp" + ($"tt" - $"seen_c") * $"unseen_fp")
-              .as("score_fp"))
-        scored
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"score_fp".desc, $"lang")))
-          .filter($"rn" === 1)
-          .select($"lang_true".as("lang"), $"lang".as("lang_pred"))
-          .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
-          .orderBy($"lang", $"lang_pred")
-          .localCheckpoint()
-      } finally langGram.unpersist()
+        .filter($"doc_id" % 10 >= 8)
+      langIdScoreDocs(test.select($"doc_id", $"text"), langIdModelCached(s, d))
+        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+        .select($"lang", $"lang_pred")
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"lang_pred")
     },
     oracle = Some("""
       WITH train AS (

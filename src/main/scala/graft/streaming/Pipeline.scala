@@ -711,6 +711,35 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q100 — the trained language-ID gate on the ingest
+    * path: the NB model ([[graft.queries.LangId.langIdModelCached]]) is
+    * fitted ONCE at stream start on the stored split of `corpusDir`, and
+    * each arriving micro-batch is classified by EXACTLY the batch scoring
+    * leg ([[graft.queries.LangId.langIdScoreDocs]], shared function) — a
+    * document gets the same (lang_pred, score_fp) in stream and batch by
+    * construction (StreamingSpec pins it). Per-batch cost is one
+    * batch-sized scan against the broadcast model; the stored corpus is
+    * never touched after training.
+    */
+  def runLangIdGateStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val m = graft.queries.LangId.langIdModelCached(s, corpusDir)
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.LangId.langIdScoreDocs(
+          batch.select(col("doc_id"), col("text")), m)
+          .write.mode("append").parquet(s"$outDir/langid")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q82 — incremental near-dup dedup of an ARRIVING
     * document stream against a PERSISTED MinHash band index
     * ([[graft.queries.TextOps.saveMinHashIndex]]): the index is loaded

@@ -318,6 +318,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming langid gate: per-doc predictions == batch scoring, q100 is its confusion view") {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("lid_in")
+    val out = tmpDir("lid_out")
+    val ckpt = tmpDir("lid_ckpt")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    // arriving split re-serialized as JSONL, two files -> two micro-batches
+    val lines = docs.filter($"doc_id" % 10 >= 8)
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id", $"text")))
+      .collect().map(_.getString(0))
+    val half = lines.length / 2
+    writeJsonl(in, "b1.jsonl", lines.take(half).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines.drop(half).toIndexedSeq: _*)
+
+    Pipeline.runLangIdGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/langid")
+      .collect().map(_.toString).sorted.toSeq
+
+    // batch: the same shared train + score on the same rows
+    val m = graft.queries.LangId.trainLangIdNb(
+      docs.filter($"doc_id" % 10 < 8).select(col("lang"), col("text")))
+    val batch = graft.queries.LangId.langIdScoreDocs(
+      docs.filter($"doc_id" % 10 >= 8).select(col("doc_id"), col("text")), m)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // q100's declared output is the confusion-matrix view of exactly
+    // these predictions
+    val confusion = spark.read.parquet(s"$out/langid")
+      .select($"doc_id", $"lang_pred")
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang", $"lang_pred").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val q100rows = graft.SparkEntry.queries("q100_langid_trained")(spark, corpus)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(q100rows == confusion)
+  }
+
   test("streaming LM perplexity: per-doc scores == batch scoring, q85 is its worst-100 view") {
     import org.apache.spark.sql.functions.{col, lit, struct, to_json}
     import spark.implicits._
