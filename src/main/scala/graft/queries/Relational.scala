@@ -170,6 +170,54 @@ object Relational {
       WHERE rn = 1
       ORDER BY user_id"""))
 
+  /** Q101 — backward as-of join ([[graft.operators.AsofJoin]], round 8):
+    * purchase→view attribution — every purchase event picks up the same
+    * user's most recent view at or before its timestamp (kdb/QuestDB's
+    * `aj`, Flink's temporal join; DuckDB runs its native ASOF LEFT JOIN
+    * as the oracle). The reference side is deduped to one row per
+    * (user_id, ts) — max event_id, the operator's determinism contract —
+    * and left semantics keep purchases with no prior view (nulls). Plan:
+    * one hash exchange per side + a per-partition sort — a sort-merge
+    * join's exchange shape; no per-key loops, no range-join explosion.
+    */
+  private val q101 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val ref = ev.filter($"event_type" === "view")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)))
+        .filter($"rn" === 1)
+        .select($"user_id", $"ts",
+          $"event_id".as("ref_event_id"), $"value".as("ref_value"))
+      val probe = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      graft.operators.AsofJoin.asofJoin(probe, ref, "user_id", "ts")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"value",
+          $"asof_ref_event_id".as("ref_event_id"),
+          unix_micros($"asof_ts").as("ref_ts_us"),
+          $"asof_ref_value".as("ref_value"),
+          (unix_micros($"ts") - unix_micros($"asof_ts")).as("staleness_us"))
+        .orderBy($"event_id")
+    },
+    oracle = Some("""
+      WITH v AS (
+        SELECT user_id, ts, event_id AS ref_event_id, value AS ref_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'view')
+        WHERE rn = 1
+      ), p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+      )
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+             v.ref_event_id, epoch_us(v.ts) AS ref_ts_us, v.ref_value,
+             epoch_us(p.ts) - epoch_us(v.ts) AS staleness_us
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id"""))
+
   /** Q6 — distinct keys (SURVEY A7; reference queries.py:61–68). Partial
     * distinct happens map-side before the shuffle. At 100 TB the
     * approx_count_distinct variant (see Q9) avoids the full shuffle.
@@ -843,6 +891,7 @@ object Relational {
     "q03_orders_per_customer" -> q03,
     "q04_revenue_by_region" -> q04,
     "q05_latest_event_per_user" -> q05,
+    "q101_asof_attribution" -> q101,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,
