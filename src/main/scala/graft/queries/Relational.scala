@@ -170,11 +170,12 @@ object Relational {
       WHERE rn = 1
       ORDER BY user_id"""))
 
-  /** Q101 — backward as-of join ([[graft.operators.AsofJoin]], round 8):
-    * purchase→view attribution — every purchase event picks up the same
-    * user's most recent view at or before its timestamp (kdb/QuestDB's
-    * `aj`, Flink's temporal join; DuckDB runs its native ASOF LEFT JOIN
-    * as the oracle). The reference side is deduped to one row per
+  /** Q101 — backward as-of join, full-row form ([[graft.operators
+    * .AsofJoin]], round 8): purchase→view attribution where the matched
+    * view's PAYLOAD (event id, value) travels with the join — the shape
+    * q34's scalar-timestamp carry cannot express (kdb/QuestDB's `aj`,
+    * Flink's temporal join; DuckDB runs its native ASOF LEFT JOIN as
+    * the oracle). The reference side is deduped to one row per
     * (user_id, ts) — max event_id, the operator's determinism contract —
     * and left semantics keep purchases with no prior view (nulls). Plan:
     * one hash exchange per side + a per-partition sort — a sort-merge

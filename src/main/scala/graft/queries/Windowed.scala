@@ -45,12 +45,15 @@ object Windowed {
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, ts_us, event_id"""))
 
-  /** Q34 — as-of join: for every purchase, the most recent view at or
-    * before it per user. Implemented as the scalable union+last_value
-    * sweep (one shuffle on the key, linear scan — no range self-join):
-    * tag the two sides, order by (ts, tag) so same-instant views precede
-    * purchases, and carry the running last view timestamp forward.
-    * DuckDB's native ASOF LEFT JOIN is the oracle.
+  /** Q34 — as-of join, scalar form: for every purchase, the most recent
+    * view TIMESTAMP at or before it per user. Since round 8 this rides
+    * the generic [[graft.operators.AsofJoin]] operator (union +
+    * running-last sweep: one shuffle per side, linear partition scan —
+    * no range self-join); the reference side is the distinct (user, ts)
+    * view instants, satisfying the operator's (key, time)-uniqueness
+    * contract while leaving the declared output unchanged. q101 is the
+    * full-row-payload sibling (the matched event's id and value travel
+    * with the join). DuckDB's native ASOF LEFT JOIN is the oracle.
     */
   private val q34 = Q(
     fn = (s, d) => {
@@ -58,18 +61,13 @@ object Windowed {
       val ev = Tables.events(s, d)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
       val views = ev.filter($"event_type" === "view")
-        .select($"user_id", $"ts_us", $"event_id", lit(0).as("tag"))
+        .select($"user_id", $"ts_us").distinct()
       val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts_us", $"event_id", lit(1).as("tag"))
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"ts_us", $"tag", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      views.unionByName(purchases)
-        .withColumn("last_view_ts_us",
-          last(when($"tag" === 0, $"ts_us"), ignoreNulls = true).over(w))
-        .filter($"tag" === 1)
-        .select($"user_id", $"event_id", $"ts_us", $"last_view_ts_us",
-          ($"ts_us" - $"last_view_ts_us").as("since_view_us"))
+        .select($"user_id", $"event_id", $"ts_us")
+      graft.operators.AsofJoin.asofJoin(purchases, views, "user_id", "ts_us")
+        .select($"user_id", $"event_id", $"ts_us",
+          $"asof_ts_us".as("last_view_ts_us"),
+          ($"ts_us" - $"asof_ts_us").as("since_view_us"))
         .orderBy($"user_id", $"ts_us", $"event_id")
     },
     oracle = Some("""
