@@ -96,11 +96,13 @@ object LangId {
     NbModel(s.read.parquet(s"$p/weights"), s.read.parquet(s"$p/stats"))
   }
 
-  /** The scoring leg, shared verbatim by batch q100 and the streaming
-    * ingest gate: (doc_id, text) → (doc_id, lang_pred, score_fp). The
-    * model rides as broadcasts; scoring is one scan of `docs` — zero
-    * corpus-sized shuffles, cost ∝ |docs| at any stored-corpus size. */
-  private[graft] def langIdScoreDocs(docs: DataFrame, m: NbModel): DataFrame = {
+  /** The scoring core: (doc_id, text) → one (doc_id, lang, score_fp)
+    * row per document per class — the full posterior surface (fixed
+    * point, exact longs). The model rides as broadcasts; scoring is one
+    * scan of `docs` — zero corpus-sized shuffles, cost ∝ |docs|·|langs|
+    * at any stored-corpus size. [[langIdScoreDocs]] is its argmax view;
+    * q102 pivots it into a binary margin. */
+  private[graft] def langIdScoresAll(docs: DataFrame, m: NbModel): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val g = docs.select($"doc_id",
@@ -117,6 +119,16 @@ object LangId {
       .select($"doc_id", $"lang",
         ($"prior_fp" + $"seen_fp" + ($"tt" - $"seen_c") * $"unseen_fp")
           .as("score_fp"))
+  }
+
+  /** The scoring leg, shared verbatim by batch q100 and the streaming
+    * ingest gate: (doc_id, text) → (doc_id, lang_pred, score_fp) — the
+    * argmax of [[langIdScoresAll]] with the deterministic (score desc,
+    * lang asc) tie-break. */
+  private[graft] def langIdScoreDocs(docs: DataFrame, m: NbModel): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    langIdScoresAll(docs, m)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"score_fp".desc, $"lang")))
       .filter($"rn" === 1)
@@ -196,7 +208,145 @@ object LangId {
       GROUP BY lang_true, lang_pred
       ORDER BY lang, lang_pred"""))
 
+  /** The quality model: NB over character trigrams with BINARY classes
+    * ('keep'/'drop'), weak-supervised by the Gopher rule battery
+    * ([[TextOps.gopherStats]]) on the stored split — the GPT-3 §A /
+    * LLaMA recipe shape (train a cheap classifier to separate reference
+    * text from raw crawl, then score the whole corpus), with the rule
+    * battery standing in for the reference corpus as the label source.
+    * One training run per JVM (IndexCache). */
+  private[graft] def qualityModelCached(s: SparkSession, d: String): NbModel = {
+    val p = IndexCache.resolve(
+      s"qualnb|${IndexCache.dataKey(d)}", "qualnb") { path =>
+      import s.implicits._
+      val train = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 < 8)
+      val labeled = train
+        .join(TextOps.gopherStats(train).select($"doc_id", $"keep"), Seq("doc_id"))
+        .select(when($"keep", lit("keep")).otherwise(lit("drop")).as("lang"),
+          $"text")
+      val m = trainLangIdNb(labeled)
+      m.weights.write.mode("overwrite").parquet(s"$path/weights")
+      m.stats.write.mode("overwrite").parquet(s"$path/stats")
+    }
+    NbModel(s.read.parquet(s"$p/weights"), s.read.parquet(s"$p/stats"))
+  }
+
+  /** Q102 — model-based quality scoring (GPT-3 Appendix A / LLaMA's
+    * quality-classifier pass): the [[qualityModelCached]] binary NB,
+    * applied to the held-out split, emitting each document's rule label,
+    * the classifier's verdict and its fixed-point keep-margin
+    * (s_keep − s_drop), most-confidently-quality first — the ranking a
+    * pipeline thresholds or importance-samples over (q90's DSIR is the
+    * unigram-likelihood sibling of the same idea). The margin is exact
+    * long arithmetic end-to-end; prediction is margin > 0 (a zero
+    * margin falls to 'drop', the argmax lang-asc tie-break). Scale
+    * shape: q100's — rule labeling and scoring are scan-local, the
+    * model is vocabulary-bounded and broadcast.
+    */
+  private val q102 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val test = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 >= 8)
+      val rules = TextOps.gopherStats(test)
+        .select($"doc_id", $"keep".as("rule_keep"))
+      langIdScoresAll(test.select($"doc_id", $"text"), qualityModelCached(s, d))
+        .groupBy($"doc_id")
+        .agg(max(when($"lang" === "keep", $"score_fp")).as("s_keep"),
+          max(when($"lang" === "drop", $"score_fp")).as("s_drop"))
+        .join(rules, Seq("doc_id"))
+        .select($"doc_id", $"rule_keep",
+          ($"s_keep" - $"s_drop" > 0).as("nb_keep"),
+          ($"s_keep" - $"s_drop").as("margin_fp"))
+        .orderBy($"margin_fp".desc, $"doc_id")
+    },
+    oracle = Some("""
+      WITH wsp AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      ), feat AS (
+        SELECT doc_id, text,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+               CAST(len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop,
+               CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols
+        FROM wsp
+      ), lbl AS (
+        SELECT doc_id, text,
+               (n_words BETWEEN 50 AND 100000)
+                 AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                 AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+                 AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
+                 AND n_stop >= 2
+                 AND CAST(n_symbols AS DOUBLE) < CAST(n_words AS DOUBLE) * 0.1 AS keep
+        FROM feat
+      ), train AS (
+        SELECT doc_id, CASE WHEN keep THEN 'keep' ELSE 'drop' END AS lang, text
+        FROM lbl WHERE doc_id % 10 < 8
+      ), test AS (
+        SELECT doc_id, text FROM lbl WHERE doc_id % 10 >= 8
+      ), traing AS (
+        SELECT lang, unnest(list_transform(generate_series(1, len(text) - 2),
+               i -> substr(text, i, 3))) AS g
+        FROM train
+      ), lg AS (
+        SELECT lang, g, COUNT(*) AS c FROM traing GROUP BY lang, g
+      ), lt AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM lg GROUP BY lang
+      ), voc AS (
+        SELECT COUNT(DISTINCT g) AS v FROM lg
+      ), pri AS (
+        SELECT lang, COUNT(*) AS nd FROM train GROUP BY lang
+      ), ntot AS (
+        SELECT COUNT(*) AS nt FROM train
+      ), stats AS (
+        SELECT pri.lang,
+               CAST(FLOOR(LN(CAST(nd AS DOUBLE) / nt) * 1e6) AS BIGINT) AS prior_fp,
+               CAST(FLOOR(LN(1.0 / CAST(nl + v AS DOUBLE)) * 1e6) AS BIGINT) AS unseen_fp
+        FROM pri CROSS JOIN ntot JOIN lt ON lt.lang = pri.lang CROSS JOIN voc
+      ), w AS (
+        SELECT lg.lang, lg.g,
+               CAST(FLOOR(LN(CAST(c + 1 AS DOUBLE) / CAST(nl + v AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
+        FROM lg JOIN lt ON lt.lang = lg.lang CROSS JOIN voc
+      ), testg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(text) - 2),
+               i -> substr(text, i, 3))) AS g
+        FROM test
+      ), tc AS (
+        SELECT doc_id, g, COUNT(*) AS tc FROM testg GROUP BY doc_id, g
+      ), seen AS (
+        SELECT tc.doc_id, w.lang,
+               CAST(SUM(tc * w_fp) AS BIGINT) AS seen_fp,
+               CAST(SUM(tc) AS BIGINT) AS seen_c
+        FROM tc JOIN w USING (g)
+        GROUP BY tc.doc_id, w.lang
+      ), grid AS (
+        SELECT t.doc_id, s.lang, s.prior_fp, s.unseen_fp,
+               CAST(GREATEST(len(t.text) - 2, 0) AS BIGINT) AS tt
+        FROM test t CROSS JOIN stats s
+      ), scored AS (
+        SELECT g.doc_id, g.lang,
+               g.prior_fp + COALESCE(se.seen_fp, 0) +
+                 (g.tt - COALESCE(se.seen_c, 0)) * g.unseen_fp AS score_fp
+        FROM grid g LEFT JOIN seen se
+          ON se.doc_id = g.doc_id AND se.lang = g.lang
+      ), piv AS (
+        SELECT doc_id,
+               MAX(CASE WHEN lang = 'keep' THEN score_fp END) AS s_keep,
+               MAX(CASE WHEN lang = 'drop' THEN score_fp END) AS s_drop
+        FROM scored GROUP BY doc_id
+      )
+      SELECT p.doc_id, l.keep AS rule_keep,
+             (s_keep - s_drop) > 0 AS nb_keep,
+             CAST(s_keep - s_drop AS BIGINT) AS margin_fp
+      FROM piv p JOIN lbl l ON l.doc_id = p.doc_id
+      ORDER BY margin_fp DESC, p.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q100_langid_trained" -> q100,
+    "q102_quality_classifier" -> q102,
   )
 }
