@@ -740,6 +740,42 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q102 — the model-based quality gate on the ingest
+    * path: the weak-supervised binary NB
+    * ([[graft.queries.LangId.qualityModelCached]]) is fitted once at
+    * stream start, and each arriving micro-batch is scored into the
+    * (doc_id, nb_keep, margin_fp) verdict by the SHARED
+    * [[graft.queries.LangId.langIdScoresAll]] core — an arriving
+    * document gets the same margin in stream and batch by construction.
+    * Complements the rule gate ([[runGopherGateStream]]): rules judge
+    * form, the model judges resemblance to the kept corpus.
+    */
+  def runQualityGateStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val m = graft.queries.LangId.qualityModelCached(s, corpusDir)
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.{max, when}
+        graft.queries.LangId.langIdScoresAll(
+          batch.select(col("doc_id"), col("text")), m)
+          .groupBy(col("doc_id"))
+          .agg(max(when(col("lang") === "keep", col("score_fp"))).as("s_keep"),
+            max(when(col("lang") === "drop", col("score_fp"))).as("s_drop"))
+          .select(col("doc_id"),
+            (col("s_keep") - col("s_drop") > 0).as("nb_keep"),
+            (col("s_keep") - col("s_drop")).as("margin_fp"))
+          .write.mode("append").parquet(s"$outDir/quality")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q82 — incremental near-dup dedup of an ARRIVING
     * document stream against a PERSISTED MinHash band index
     * ([[graft.queries.TextOps.saveMinHashIndex]]): the index is loaded

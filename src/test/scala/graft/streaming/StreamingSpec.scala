@@ -359,6 +359,34 @@ class StreamingSpec extends SparkSpec {
     assert(q100rows == confusion)
   }
 
+  test("streaming quality gate: per-doc margins == batch q102 on the same rows") {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("qg_in")
+    val out = tmpDir("qg_out")
+    val ckpt = tmpDir("qg_ckpt")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    val lines = docs.filter($"doc_id" % 10 >= 8)
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id", $"text")))
+      .collect().map(_.getString(0))
+    val half = lines.length / 2
+    writeJsonl(in, "b1.jsonl", lines.take(half).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines.drop(half).toIndexedSeq: _*)
+
+    Pipeline.runQualityGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/quality")
+      .select($"doc_id", $"nb_keep", $"margin_fp")
+      .collect().map(_.toString).sorted.toSeq
+
+    val batch = graft.SparkEntry.queries("q102_quality_classifier")(spark, corpus)
+      .select($"doc_id", $"nb_keep", $"margin_fp")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming LM perplexity: per-doc scores == batch scoring, q85 is its worst-100 view") {
     import org.apache.spark.sql.functions.{col, lit, struct, to_json}
     import spark.implicits._
