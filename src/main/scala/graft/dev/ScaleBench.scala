@@ -60,7 +60,10 @@ object ScaleBench {
     "q20_simhash_pairs",
     // round-8: trained NB langid — training shuffle vocab×langs bounded,
     // model broadcast, scoring scan-local
-    "q100_langid_trained")
+    "q100_langid_trained",
+    // round-8: weak-supervised quality classifier — q100's shape with a
+    // rule-labeling scan on top (both legs scan-local)
+    "q102_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
