@@ -191,10 +191,13 @@ class ExpressionsSpec extends SparkSpec {
     val buckets = (1 to 20).map { b =>
       val m = 1 + rnd.nextInt(12)
       val base = rnd.nextLong()
-      (b.toLong, (0 until m).map { k =>
-        val id = rnd.nextInt(1000).toLong
+      // ids unique within a bucket (the operator's real invariant, and it
+      // keeps the kernel's stable sortBy == array_sort's struct order on
+      // the cap path regardless of seed)
+      val ids = rnd.shuffle((0 until 1000).toList).take(m)
+      (b.toLong, ids.zipWithIndex.map { case (id, k) =>
         val sim = if (k % 3 == 0) base ^ (1L << rnd.nextInt(64)) else rnd.nextLong()
-        (id, sim)
+        (id.toLong, sim)
       })
     }
     val df = buckets.toDF("bucket", "ds")
