@@ -1938,13 +1938,6 @@ object expressions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("freq_sketch",
       exprs => FreqSketch(one("freq_sketch")(exprs), 256), "scala_udf")
-    reg.createOrReplaceTempFunction("freq_sketch_k",
-      exprs => {
-        require(exprs.length == 2,
-          "freq_sketch_k requires exactly 2 arguments (token, k)")
-        require(exprs(1).foldable, "freq_sketch_k k must be a literal")
-        FreqSketch(exprs(0), exprs(1).eval().toString.toInt)
-      }, "scala_udf")
     reg.createOrReplaceTempFunction("bigram_hashes",
       exprs => BigramHashes(one("bigram_hashes")(exprs)), "scala_udf")
     reg.createOrReplaceTempFunction("bigram_spans",
@@ -2034,9 +2027,6 @@ object expressions {
     call_function("sq_dist", a, b)
   def freq_sketch(token: Column): Column =
     call_function("freq_sketch", token)
-  def freq_sketch_k(token: Column, k: Int): Column =
-    call_function("freq_sketch_k", token,
-      org.apache.spark.sql.functions.lit(k))
   def freq_sketch_long(hash: Column, k: Int): Column =
     call_function("freq_sketch_long", hash,
       org.apache.spark.sql.functions.lit(k))

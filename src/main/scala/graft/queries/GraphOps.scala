@@ -67,8 +67,13 @@ object GraphOps {
   private val q96 = Q(
     fn = (s, d) => {
       import s.implicits._
+      // persisted: the corpus explode feeds the dictionary build, the
+      // degree count and the adjacency materialization — without the
+      // persist each would re-scan and re-explode every document
+      // (q18's scoped-persist pattern; released in the finally)
       val inc = Tables.documents(s, d)
         .select($"doc_id", explode(array_distinct(split($"text", " "))).as("term"))
+        .persist()
       // lexicographic term dictionary: tid order == term order, so the
       // final tie-break can run on ids before decoding
       val dict = inc.select($"term").distinct()
@@ -115,7 +120,7 @@ object GraphOps {
             top("node") === dict("tid") * 2 + 1)
           .select($"term", $"pr")
           .orderBy($"pr".desc, $"term".asc)
-      } finally adj.unpersist()
+      } finally { adj.unpersist(); inc.unpersist() }
     },
     oracle = Some {
       val iters = (1 to Iters).map { i =>

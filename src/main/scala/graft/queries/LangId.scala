@@ -105,14 +105,18 @@ object LangId {
   private[graft] def langIdScoresAll(docs: DataFrame, m: NbModel): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val g = docs.select($"doc_id",
-      graft.functions.expressions.char_grams($"text").as("gs"))
-    val counts = g.select($"doc_id", explode($"gs").as("g"))
+    val counts = docs.select($"doc_id",
+        explode(graft.functions.expressions.char_grams($"text")).as("g"))
       .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tc"))
     val seen = counts.join(broadcast(m.weights), Seq("g"))
       .groupBy($"doc_id", $"lang")
       .agg(sum($"tc" * $"w_fp").as("seen_fp"), sum($"tc").as("seen_c"))
-    g.select($"doc_id", size($"gs").cast("long").as("tt"))
+    // total trigram occurrences in closed form — len−2 floored at 0 is
+    // exactly size(char_grams(text)) on this ASCII corpus (the kernel's
+    // documented code-unit assumption), so the CharGrams pass runs once,
+    // not twice, per scoring scan
+    docs.select($"doc_id",
+        greatest(length($"text") - 2, lit(0)).cast("long").as("tt"))
       .crossJoin(broadcast(m.stats))
       .join(seen, Seq("doc_id", "lang"), "left")
       .na.fill(0L, Seq("seen_fp", "seen_c"))

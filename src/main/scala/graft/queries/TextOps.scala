@@ -1067,9 +1067,18 @@ object TextOps {
       ), banded AS (
         SELECT s.doc_id, t.band, (s.simhash >> (8 * t.band)) & 255 AS bv
         FROM sim s CROSS JOIN generate_series(0, 7) t(band)
+      ), bandedc AS (
+        -- replay the kernel's pathological-bucket cap: buckets larger than
+        -- graft.text.maxBucket (default 4096 — this literal mirrors the
+        -- default) keep only the maxBucket smallest doc_ids
+        SELECT doc_id, band, bv FROM (
+          SELECT doc_id, band, bv,
+                 row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rk
+          FROM banded)
+        WHERE rk <= 4096
       ), cand AS (
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        FROM banded a JOIN banded b
+        FROM bandedc a JOIN bandedc b
           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
       ), ham AS (
         SELECT c.i, c.j,
@@ -3240,18 +3249,25 @@ object TextOps {
     * table `bgc` (bg, cxy), score, top-50. The unigram table is
     * vocabulary-bounded and materialized once (it feeds two joins and
     * the token total); the total-bigram denominator never needs the
-    * bigram table: N_bg == Σ max(len−1, 0), one scan-local aggregate.
+    * bigram table: N_bg == Σ max(len−1, 0), one scan-local aggregate —
+    * and a caller that already holds the exact total (q99b's sketch job
+    * computes it as a side output) passes it in and skips that scan
+    * entirely.
     */
-  private def pmiTop50(docs: DataFrame, bgc: DataFrame): DataFrame = {
+  private def pmiTop50(docs: DataFrame, bgc: DataFrame,
+      nBgKnown: Option[Long] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val uni = docs.select(explode(words($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val nTok = uni.agg(sum($"c").as("n_tok"))
-    val nBg = docs.select(
-      greatest(size(words($"text")) - 1, lit(0)).cast("long").as("nb"))
-      .agg(sum($"nb").as("n_bg"))
+    val nBg = nBgKnown match {
+      case Some(n) => Seq(n).toDF("n_bg")
+      case None => docs.select(
+        greatest(size(words($"text")) - 1, lit(0)).cast("long").as("nb"))
+        .agg(sum($"nb").as("n_bg"))
+    }
     def q(col: Column): Column =
       round(log(col) * 1000000).cast("long")
     bgc
@@ -3382,7 +3398,9 @@ object TextOps {
         .groupBy($"bg").agg(count(lit(1)).as("cxy"))
         .filter($"cxy" >= thr)
         .localCheckpoint()
-      pmiTop50(docs, bgc)
+      // the sketch job already produced the exact N_bg — hand it to the
+      // scoring leg so q99b pays three corpus scans, not four
+      pmiTop50(docs, bgc, nBgKnown = Some(nBg))
     },
     oracle = Some("""
       WITH w AS (

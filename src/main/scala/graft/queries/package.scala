@@ -125,24 +125,41 @@ package object queries {
       * holds a ConcurrentHashMap bin lock and unrelated keys that hash
       * to the same bin resolve concurrently; losers of the claim race
       * (and later callers) block on the future only. A failed build
-      * removes its future so a retry can rebuild instead of replaying
-      * the cached exception. */
+      * removes its future, and a waiter that observes the failure clears
+      * the slot and re-enters the claim race to attempt its own build —
+      * matching `computeIfAbsent`'s waiter-retry semantics — instead of
+      * replaying the winner's cached exception. */
     def resolve(key: String, prefix: String)(build: String => Unit): String = {
-      val mine = new java.util.concurrent.CompletableFuture[String]()
-      val won = paths.putIfAbsent(key, mine)
-      if (won == null) {
-        try {
-          val p = root.resolve(s"${prefix}_${seq.getAndIncrement()}").toString
-          build(p)
-          mine.complete(p)
-        } catch {
-          case e: Throwable =>
-            mine.completeExceptionally(e)
-            paths.remove(key, mine)
-            throw e
+      while (true) {
+        val mine = new java.util.concurrent.CompletableFuture[String]()
+        val won = paths.putIfAbsent(key, mine)
+        if (won == null) {
+          try {
+            val p = root.resolve(s"${prefix}_${seq.getAndIncrement()}").toString
+            build(p)
+            mine.complete(p)
+            return p
+          } catch {
+            case e: Throwable =>
+              mine.completeExceptionally(e)
+              paths.remove(key, mine)
+              throw e
+          }
+        } else {
+          try return won.join()
+          catch {
+            case _: java.util.concurrent.CompletionException =>
+              // Winner's build failed. Its own remove may not have landed
+              // yet; clear the slot (idempotent) and retry with our own
+              // build. Each pass through here corresponds to one real
+              // failed build, so a persistently failing build still
+              // surfaces its exception to every caller (from their own
+              // attempt), never an infinite spin.
+              paths.remove(key, won)
+          }
         }
-        mine.join()
-      } else won.join()
+      }
+      throw new IllegalStateException("unreachable")
     }
   }
 }
