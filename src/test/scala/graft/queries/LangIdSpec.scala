@@ -64,4 +64,20 @@ class LangIdSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "q100 must unpersist its (lang, trigram) counts after materializing")
   }
+
+  test("scoring plan runs the CharGrams kernel exactly once per scan") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 >= 8).select($"doc_id", $"text")
+    val m = LangId.langIdModelCached(spark, sf0001)
+    val plan = LangId.langIdScoresAll(docs, m)
+      .queryExecution.executedPlan.toString
+    // the trigram total is the closed form greatest(len-2, 0), NOT a
+    // second kernel pass over the text — a regression here doubles the
+    // feature-extraction cost of every batch score and streaming gate
+    // the kernel renders under its default prettyName, `chargrams(...)`
+    val kernelPasses = "(?i)char_?grams\\(".r.findAllIn(plan).size
+    assert(kernelPasses == 1,
+      s"expected exactly one char_grams pass in the scoring plan, got $kernelPasses")
+  }
 }

@@ -125,6 +125,20 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.unset("graft.text.maxBucket")
   }
 
+  test("q20: the oracle's cap literal (4096) never binds at test scale") {
+    // the DuckDB oracle replays the kernel's maxBucket cap with a literal
+    // 4096; this pins the complementary invariant that the default cap is
+    // inert on oracle-checked data — the pair set is identical with the
+    // cap effectively disabled, so the capped and uncapped formulations
+    // agree wherever the driver hashes them
+    val dflt = run("q20_simhash_pairs").collect().toSet
+    spark.conf.set("graft.text.maxBucket", (1 << 24).toString)
+    try {
+      val uncapped = run("q20_simhash_pairs").collect().toSet
+      assert(dflt == uncapped)
+    } finally spark.conf.unset("graft.text.maxBucket")
+  }
+
   test("q25/q26: ANN recall@5 >= 0.6 against exact KNN") {
     val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
