@@ -63,7 +63,10 @@ object ScaleBench {
     "q100_langid_trained",
     // round-8: weak-supervised quality classifier — q100's shape with a
     // rule-labeling scan on top (both legs scan-local)
-    "q102_quality_classifier")
+    "q102_quality_classifier",
+    // round-8: cross-source dup attribution — q19's banded pair
+    // generation + two pair-set equi-joins, |sources|²-bounded output
+    "q103_cross_source_dup_matrix")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -3434,6 +3434,91 @@ object TextOps {
       FROM j, tot t, nb n
       ORDER BY pmi_micro DESC, bg LIMIT 50"""))
 
+  /** Q103 — cross-source duplication matrix: for every (source, source)
+    * pair, how many verified near-duplicate document pairs span it and
+    * how many distinct documents are involved. This is dedup
+    * ATTRIBUTION — the curation question behind the dedup family: when
+    * two feeds overlap (a crawl re-collecting a curated dump, two
+    * crawls sharing frontier), the matrix says which pairings carry the
+    * duplication mass, i.e. which source to drop, dedup against, or
+    * de-prioritize. The reference's per-source accounting is the
+    * group-by-source leg of its metric queries (queries.py — per-vehicle
+    * rollups); this lifts the same shape onto the near-dup relation.
+    *
+    * Pipeline: q19's banded-LSH pair generation with exact
+    * verification ([[nearDupPairsLsh]] — never all-pairs, recall
+    * argument at q19), then each side's source is attached and the pair
+    * normalized to (src_a <= src_b). Both joins are 8-byte-key
+    * equi-joins of the pair set against a two-column corpus
+    * projection; NO broadcast hint on either side — the near-dup pair
+    * set grows with the corpus's dup mass, so AQE picks broadcast at
+    * test scale and degrades to a shuffle join at 100 TB (the q95
+    * lesson). The tagged pair set is checkpointed once and feeds both
+    * aggregates; the output is |sources|²-bounded.
+    *
+    * `n_docs` counts distinct documents touched by the pairing's pairs
+    * (union of both sides — for a within-source cell both sides draw
+    * from the same source's docs).
+    */
+  private val q103 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val src = Tables.documents(s, d).select($"doc_id", $"source")
+      val tagged = nearDupPairsLsh(s, d).select($"i", $"j")
+        .join(src.select($"doc_id".as("i"), $"source".as("src_i")), Seq("i"))
+        .join(src.select($"doc_id".as("j"), $"source".as("src_j")), Seq("j"))
+        .select($"i", $"j",
+          least($"src_i", $"src_j").as("src_a"),
+          greatest($"src_i", $"src_j").as("src_b"))
+        .localCheckpoint()
+      val byPair = tagged.groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+      val byDoc = tagged.select($"src_a", $"src_b", $"i".as("doc_id"))
+        .unionByName(tagged.select($"src_a", $"src_b", $"j".as("doc_id")))
+        .groupBy($"src_a", $"src_b")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      byPair.join(byDoc, Seq("src_a", "src_b"))
+        .orderBy($"src_a", $"src_b")
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE)
+                 / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), tagged AS (
+        SELECT p.i, p.j,
+               CASE WHEN di.source <= dj.source THEN di.source
+                    ELSE dj.source END AS src_a,
+               CASE WHEN di.source <= dj.source THEN dj.source
+                    ELSE di.source END AS src_b
+        FROM pairs p
+        JOIN documents di ON di.doc_id = p.i
+        JOIN documents dj ON dj.doc_id = p.j
+      ), m1 AS (
+        SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM tagged GROUP BY src_a, src_b
+      ), inv AS (
+        SELECT src_a, src_b, i AS doc_id FROM tagged
+        UNION ALL
+        SELECT src_a, src_b, j AS doc_id FROM tagged
+      ), m2 AS (
+        SELECT src_a, src_b, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM inv GROUP BY src_a, src_b
+      )
+      SELECT m1.src_a, m1.src_b, m1.n_pairs, m2.n_docs
+      FROM m1 JOIN m2 USING (src_a, src_b)
+      ORDER BY src_a, src_b"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -3479,5 +3564,6 @@ object TextOps {
     "q98_vocab_growth" -> q98,
     "q99_pmi_collocations" -> q99,
     "q99b_pmi_sketch" -> q99b,
+    "q103_cross_source_dup_matrix" -> q103,
   )
 }

@@ -139,6 +139,21 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.unset("graft.text.maxBucket")
   }
 
+  test("q103: matrix is normalized and conserves the q19 pair set") {
+    val m = run("q103_cross_source_dup_matrix").collect()
+    assert(m.nonEmpty)
+    // normalized cells, each backed by at least one pair (>= 2 docs)
+    m.foreach { r =>
+      assert(r.getString(0) <= r.getString(1))
+      assert(r.getLong(2) >= 1)
+      assert(r.getLong(3) >= 2 && r.getLong(3) <= 2 * r.getLong(2))
+    }
+    // attribution is a partition of the near-dup relation: cell pair
+    // counts sum to exactly the q19 pair count
+    val total = m.map(_.getLong(2)).sum
+    assert(total == run("q19_neardup_minhash_lsh").count())
+  }
+
   test("q25/q26: ANN recall@5 >= 0.6 against exact KNN") {
     val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
