@@ -347,6 +347,93 @@ object Pipeline {
       .start()
   }
 
+  /** Proximity-pair join — the real-time generalization of the
+    * reference's within-poll proximity perception
+    * (opensky_source.py:101–143) and the streaming twin of q13's banded
+    * self-pairing: emit every pair of DIFFERENT vehicles whose position
+    * reports lie within `radiusM` metres (planar dlat/dlon metric,
+    * [[graft.sources.OpenSkyMap.proximityPerception]]'s formula) AND
+    * within ±`tolerance` of each other in event time.
+    *
+    * Candidates come from a lat/lon grid equi-join, never a cross
+    * product: the left leg explodes each report into its own grid cell
+    * plus the 8 neighbors, the right leg keeps its single own cell, and
+    * the cell widths equal the maximum per-axis delta an in-radius pair
+    * can have (radius/111 km latitude; the 0.7 longitude-scale floor) —
+    * so any in-radius pair meets in exactly ONE bucket (the right row's
+    * own cell) and the join key cardinality grows with airspace density
+    * instead of going quadratic. `left_vehicle_id < right_vehicle_id`
+    * halves the state and de-duplicates the symmetric pair.
+    *
+    * Works unchanged on static frames (the spec's batch twin) and on
+    * streams: callers watermark BOTH inputs before the call, and the
+    * time-range predicate is what lets Structured Streaming expire
+    * per-cell state at `watermark + tolerance` — state is
+    * O(rate × (watermark + tolerance)) at any stream length, the
+    * [[perceptionTelemetryJoin]] bound applied to a self-join.
+    */
+  def proximityPairJoin(left: DataFrame, right: DataFrame,
+      radiusM: Double = 500.0,
+      tolerance: String = "10 seconds"): DataFrame = {
+    // cell width == max per-axis delta (|Δ| <= width ⇒ cells at most 1
+    // apart ⇒ the 3×3 explode covers every in-radius pair)
+    val cellLatDeg = radiusM / 111000.0
+    val cellLonDeg = radiusM / (111000.0 * 0.7)
+    def cellLat(c: org.apache.spark.sql.Column) =
+      floor(c / cellLatDeg).cast("long")
+    def cellLon(c: org.apache.spark.sql.Column) =
+      floor(c / cellLonDeg).cast("long")
+    val probe = left
+      .filter(col("latitude").isNotNull && col("longitude").isNotNull)
+      .select(col("vehicle_id").as("l_vehicle_id"), col("time").as("l_time"),
+        col("latitude").as("l_lat"), col("longitude").as("l_lon"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+          struct((cellLat(col("latitude")) + dx).as("clat"),
+            (cellLon(col("longitude")) + dy).as("clon"))): _*)).as("c"))
+      .select(col("l_vehicle_id"), col("l_time"), col("l_lat"), col("l_lon"),
+        col("c.clat").as("clat"), col("c.clon").as("clon"))
+    val build = right
+      .filter(col("latitude").isNotNull && col("longitude").isNotNull)
+      .select(col("vehicle_id").as("r_vehicle_id"), col("time").as("r_time"),
+        col("latitude").as("r_lat"), col("longitude").as("r_lon"),
+        cellLat(col("latitude")).as("clat"), cellLon(col("longitude")).as("clon"))
+    val dlat = (col("l_lat") - col("r_lat")) * 111000.0
+    val dlon = (col("l_lon") - col("r_lon")) * 111000.0 *
+      greatest(lit(0.7), abs(col("r_lat")) / 90.0)
+    probe.join(build,
+        col("l_vehicle_id") < col("r_vehicle_id") &&
+          probe("clat") === build("clat") && probe("clon") === build("clon") &&
+          col("r_time") >= col("l_time") - expr(s"INTERVAL $tolerance") &&
+          col("r_time") <= col("l_time") + expr(s"INTERVAL $tolerance"))
+      .withColumn("dist_m", round(sqrt(dlat * dlat + dlon * dlon), 2))
+      .filter(col("dist_m") <= radiusM)
+      .select(col("l_vehicle_id"), col("r_vehicle_id"),
+        col("l_time"), col("r_time"), col("dist_m"))
+  }
+
+  /** Proximity-pair runner: the telemetry landing dir self-joined into a
+    * continuous stream of close-encounter pairs, appended as parquet —
+    * the collision-risk rule (consumer.py:110–120) lifted from
+    * per-record perception input to PAIRS derived from positions alone.
+    */
+  def runProximityStream(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, radiusM: Double = 500.0,
+      tolerance: String = "10 seconds",
+      watermark: String = "2 minutes"): StreamingQuery = {
+    val tel = telemetryFileStream(s, inDir)
+      .select(col("vehicle_id"), col("time"), col("latitude"), col("longitude"))
+    val l = tel.withWatermark("time", watermark)
+    val r = tel.withWatermark("time", watermark)
+    proximityPairJoin(l, r, radiusM, tolerance)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/proximity_pairs")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming corpus heavy hitters: the Misra–Gries aggregate
     * ([[graft.functions.expressions.FreqSketch]]) as STREAMING STATE — a
     * mergeable sketch is exactly what a streaming global aggregate needs,

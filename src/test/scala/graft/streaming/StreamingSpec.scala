@@ -722,6 +722,46 @@ class StreamingSpec extends SparkSpec {
       "null-padded telemetry side")
   }
 
+  test("streaming proximity pairs == batch twin; grid never drops a boundary pair") {
+    val in = tmpDir("prox_in")
+    val out = tmpDir("prox_out")
+    val ckpt = tmpDir("prox_ckpt")
+    def tRow(v: Int, ts: String, lat: Double, lon: Double) =
+      s"""{"vehicle_id":"$v","timestamp":"$ts","current_speed_kmh":"50","speed_limit_violation":"false","latitude":"$lat","longitude":"$lon"}"""
+    // near the origin 0.001 deg lat ~ 111 m; radius 500 m, tolerance 10 s.
+    // v1/v2/v5 cluster within radius+tolerance; v6 sits in the adjacent
+    // grid cell (lat < 0) but only ~111 m from v1 — the boundary pair the
+    // 3x3 explode exists to keep; v3 is spatially out (>800 m from all),
+    // v4 is spatially in but 25 s late.
+    writeJsonl(in, "t.jsonl",
+      tRow(1, "2026-03-01 08:00:00", 0.0000, 0.0000),
+      tRow(2, "2026-03-01 08:00:05", 0.0020, 0.0000),
+      tRow(3, "2026-03-01 08:00:06", 0.0100, 0.0000),
+      tRow(4, "2026-03-01 08:00:30", 0.0020, 0.0010),
+      tRow(5, "2026-03-01 08:00:08", 0.0025, 0.0002),
+      tRow(6, "2026-03-01 08:00:02", -0.0010, 0.0000))
+    Pipeline.runProximityStream(spark, in, out, ckpt).awaitTermination()
+    val pairs = spark.read.parquet(s"$out/proximity_pairs")
+    val got = pairs.select("l_vehicle_id", "r_vehicle_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((1, 2), (1, 5), (2, 5), (1, 6), (2, 6), (5, 6)),
+      s"expected the 4-clique minus time/space exclusions, got $got")
+    // v3 (spatially out) and v4 (temporally out) appear nowhere
+    assert(!got.exists(p => p._1 == 3 || p._2 == 3 || p._1 == 4 || p._2 == 4))
+    // normalization: left id strictly below right id
+    assert(got.forall(p => p._1 < p._2))
+    // the batch twin over the SAME join body on a static frame agrees
+    // row-for-row (watermarks are the only streaming-side addition)
+    val st = graft.sources.FileReplay.normalize(
+        spark.read.schema(graft.model.Schemas.telemetryWire).json(in))
+      .select(col("vehicle_id"), col("time"), col("latitude"), col("longitude"))
+    val batch = Pipeline.proximityPairJoin(st, st).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3), r.getDouble(4))).toSet
+    val stream = pairs.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3), r.getDouble(4))).toSet
+    assert(stream == batch)
+  }
+
   test("watermarked ingest dedup: replayed wire records land exactly once") {
     import org.apache.spark.sql.functions.col
     val in = tmpDir("dd_in")
