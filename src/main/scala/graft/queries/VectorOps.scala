@@ -737,6 +737,104 @@ object VectorOps {
       WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q104 — ANN index-quality audit: per-query recall@5 of the IVF
+    * pipeline (q39) against exact brute-force KNN (q25), emitted as a
+    * first-class monitored quantity. This is the production health check
+    * for an approximate index: recall degrades silently as the corpus
+    * drifts away from the cell structure it was blocked under, and the
+    * right response to a q81 embedding-drift alarm is exactly this
+    * measurement — "is the index still good where my queries live?" —
+    * run on a query SAMPLE, not the corpus (the audit costs one exact
+    * top-k over the sampled queries, which is the bounded brute-force
+    * leg q25 already implements).
+    *
+    * Both legs are the EXISTING hash-verified pipelines, so the audit's
+    * own DuckDB oracle is their composition: the exact top-5 left-joined
+    * to the IVF top-5 on (query, neighbor), hits counted per query.
+    * recall = n_hit/5.0 is one IEEE division over identical small
+    * integers — bit-identical across engines.
+    */
+  private val q104 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val exact = cosineTopK(s, d, isQuery, 5)
+        .select($"query_id", $"neighbor_id")
+      val ann = q39.fn(s, d)
+        .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select($"query_id", $"n_hit",
+          ($"n_hit".cast("double") / 5.0).as("recall_at_5"))
+        .orderBy($"query_id")
+    },
+    oracle = Some("""
+      WITH qv AS (
+        SELECT vec_id, label, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ), qn AS (
+        SELECT vec_id, label, qv,
+               list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
+        FROM qv
+      ), exact_ranked AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                     / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) DESC,
+                   b.vec_id) AS rank
+          FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+        ) WHERE rank <= 5
+      ), cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+        GROUP BY label, pos
+      ), cn AS (
+        SELECT c_label, cqv,
+               list_sum(list_transform(generate_series(1, len(cqv)), i -> cqv[i] * cqv[i])) AS cc
+        FROM (
+          SELECT label AS c_label,
+                 list(CAST(FLOOR(CAST(CAST(c / 1048576.0 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)
+                      ORDER BY pos) AS cqv
+          FROM cent GROUP BY label)
+      ), probes AS (
+        SELECT query_id, label FROM (
+          SELECT q.vec_id AS query_id, c.c_label AS label,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] * c.cqv[i])) AS DOUBLE)
+                     / (SQRT(CAST(q.qq AS DOUBLE)) * SQRT(CAST(c.cc AS DOUBLE))) DESC,
+                   c.c_label) AS pr
+          FROM qn q CROSS JOIN cn c
+          WHERE q.vec_id % 50 = 0
+        ) WHERE pr <= 3
+      ), ivf_ranked AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, len(s.qv)),
+                        i -> s.qv[i] * e.qv[i])) AS DOUBLE)
+                     / (SQRT(CAST(s.qq AS DOUBLE)) * SQRT(CAST(e.qq AS DOUBLE))) DESC,
+                   e.vec_id) AS rank
+          FROM probes p
+          JOIN qn e ON e.label = p.label
+          JOIN qn s ON s.vec_id = p.query_id
+          WHERE e.vec_id <> p.query_id
+        ) WHERE rank <= 5
+      )
+      SELECT e.query_id,
+             CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+             CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+      FROM exact_ranked e
+      LEFT JOIN ivf_ranked i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+      ORDER BY e.query_id"""))
+
   /** Q66 — per-dimension corpus statistics of the embedding column
     * (count, mean, standard deviation), the inputs to whitening /
     * z-normalization before ANN indexing and to embedding-drift
@@ -1629,6 +1727,7 @@ object VectorOps {
     "q27_label_centroids" -> q27,
     "q38_neardup_embedding" -> q38,
     "q39_knn_ann_ivf" -> q39,
+    "q104_ann_recall_audit" -> q104,
     "q66_embedding_dim_stats" -> q66,
     "q74_kmeans_lloyd" -> q74,
     "q75_semantic_dedup" -> q75,

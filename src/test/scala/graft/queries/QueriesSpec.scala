@@ -154,6 +154,23 @@ class QueriesSpec extends SparkSpec {
     assert(total == run("q19_neardup_minhash_lsh").count())
   }
 
+  test("q104: audit rows == recomputed q25-vs-q39 overlap, one row per query") {
+    val audit = run("q104_ann_recall_audit").collect()
+    val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("q39_knn_ann_ivf").select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audit.map(_.getLong(0)).toSet == exact.map(_._1),
+      "one audit row per exact-KNN query")
+    audit.foreach { r =>
+      val q = r.getLong(0)
+      val expectHits = (exact.filter(_._1 == q) & ivf).size.toLong
+      assert(r.getLong(1) == expectHits)
+      assert(r.getDouble(2) == expectHits / 5.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("q25/q26: ANN recall@5 >= 0.6 against exact KNN") {
     val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
