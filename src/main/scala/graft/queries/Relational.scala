@@ -219,6 +219,39 @@ object Relational {
       FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       ORDER BY p.event_id"""))
 
+  /** Q105 — two-dimensional box query over a Z-ORDERED store
+    * ([[graft.sinks.ZOrder]], round 8): the events table laid out on the
+    * Morton curve of (user_id, value), queried with a selective box on
+    * BOTH columns. Day partitioning (the store's default layout,
+    * [[graft.sinks.Sinks.writePartitioned]]) prunes only time; the
+    * z-layout makes a two-column box read only the covering cells —
+    * ~box-area fraction of the store instead of a full scan
+    * (ZOrderSpec asserts the partition count read). The layout is an
+    * IndexCache artifact (built once per dataset per JVM, the PQ-index
+    * pattern); the RESULT is layout-independent — the DuckDB oracle is
+    * the plain box predicate on raw events, so the hash match proves
+    * pruning loses nothing. */
+  private val q105 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val p = IndexCache.resolve(
+        s"zorder_events|${IndexCache.dataKey(d)}", "zorder") { path =>
+        graft.sinks.ZOrder.writeZOrdered(
+          Tables.events(s, d)
+            .select($"event_id", $"user_id", $"event_type", $"value"),
+          "user_id", "value", path)
+      }
+      graft.sinks.ZOrder.boxQuery(s, p, 40, 90, 100.0, 400.0)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    },
+    oracle = Some("""
+      SELECT event_id, user_id, event_type, value
+      FROM events
+      WHERE CAST(user_id AS DOUBLE) BETWEEN 40 AND 90
+        AND value BETWEEN 100.0 AND 400.0
+      ORDER BY event_id"""))
+
   /** Q6 — distinct keys (SURVEY A7; reference queries.py:61–68). Partial
     * distinct happens map-side before the shuffle. At 100 TB the
     * approx_count_distinct variant (see Q9) avoids the full shuffle.
@@ -893,6 +926,7 @@ object Relational {
     "q04_revenue_by_region" -> q04,
     "q05_latest_event_per_user" -> q05,
     "q101_asof_attribution" -> q101,
+    "q105_zorder_box" -> q105,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,
