@@ -252,6 +252,63 @@ object Relational {
         AND value BETWEEN 100.0 AND 400.0
       ORDER BY event_id"""))
 
+  /** Q106 — declarative data-quality expectation audit
+    * ([[graft.operators.Expectations]], round 8): the events stream's
+    * admission contract evaluated set-oriented — the Deequ/dbt-test
+    * pattern, and the batch generalization of the reference's per-record
+    * `.get()`-with-default shape validation (consumer.py:90–123). The
+    * contract is deliberately stricter than the data on two axes (value
+    * capped at 450, membership without 'signup') so the audit shows real
+    * violation counts alongside passing checks. All row-local checks
+    * ride ONE aggregate pass; the uniqueness check is one key-count
+    * aggregate on event_id. */
+  private val q106 = Q(
+    fn = (s, d) => {
+      graft.operators.Expectations.suite
+        .notNull("user_id")
+        .notNull("event_type")
+        .inRange("value", 0.0, 450.0)
+        .isIn("event_type", Seq("click", "view", "purchase", "error"))
+        .matches("props", "^\\{.*\\}$")
+        .unique("event_id")
+        .audit(Tables.events(s, d))
+    },
+    oracle = Some("""
+      WITH v AS (
+        SELECT 'not_null' AS c, 'user_id' AS col,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM events
+        UNION ALL
+        SELECT 'not_null', 'event_type',
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'in_range', 'value',
+               CAST(SUM(CASE WHEN value IS NOT NULL
+                              AND (value < 0.0 OR value > 450.0)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'is_in', 'event_type',
+               CAST(SUM(CASE WHEN event_type IS NOT NULL
+                              AND event_type NOT IN ('click','view','purchase','error')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'matches', 'props',
+               CAST(SUM(CASE WHEN props IS NOT NULL
+                              AND NOT regexp_matches(props, '^\{.*\}$')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'unique', 'event_id', CAST(COALESCE(SUM(n), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM events
+              GROUP BY event_id HAVING COUNT(*) > 1)
+      )
+      SELECT c AS "check", col AS "column", n AS n_violations,
+             n = 0 AS passed
+      FROM v ORDER BY "check", "column""""))
+
   /** Q6 — distinct keys (SURVEY A7; reference queries.py:61–68). Partial
     * distinct happens map-side before the shuffle. At 100 TB the
     * approx_count_distinct variant (see Q9) avoids the full shuffle.
@@ -927,6 +984,7 @@ object Relational {
     "q05_latest_event_per_user" -> q05,
     "q101_asof_attribution" -> q101,
     "q105_zorder_box" -> q105,
+    "q106_expectation_audit" -> q106,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,
