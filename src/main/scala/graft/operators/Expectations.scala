@@ -79,6 +79,26 @@ object Expectations {
         throw new IllegalStateException("unique is not row-local")
     }
 
+    /** Row-level annotation: every row gains a `violations` column —
+      * the array of `name:column` tags of the row-local checks it
+      * fails (empty ⇒ the row passes the contract). ONE codegen'd
+      * projection, no aggregate — this is the split point for
+      * quarantine routing (the streaming expectation gate): rows with
+      * an empty array proceed, the rest land in the dead-letter store
+      * with their reasons attached. `unique` is not row-local and is
+      * rejected here (a single row cannot know its key's multiplicity;
+      * uniqueness on a stream is the watermarked-dedup store's job —
+      * Pipeline.runDedupedAlertPipeline). */
+    def annotate(df: DataFrame): DataFrame = {
+      require(checks.nonEmpty, "annotate with an empty expectation suite")
+      require(!checks.exists(_.isInstanceOf[Unique]),
+        "unique is not row-local; annotate supports row-local checks only")
+      df.withColumn("violations",
+        filter(array(checks.map(c =>
+          when(violation(c), lit(s"${c.name}:${c.col}"))): _*),
+          x => x.isNotNull))
+    }
+
     /** One (check, column, n_violations, passed) row per expectation, in
       * declaration order. Row-local checks ride one aggregate pass;
       * each `unique` adds one key-count aggregate on its column. */

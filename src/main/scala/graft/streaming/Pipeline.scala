@@ -1050,4 +1050,59 @@ object Pipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The RAW-WIRE admission contract: validated BEFORE
+    * [[graft.sources.FileReplay.normalize]]'s lenient coercions, which
+    * silently default whatever they cannot parse (the reference's
+    * `.get()`-with-default shape, consumer.py:90–123). The gate makes
+    * the silent path loud: a record that would have been defaulted is
+    * quarantined with its reasons instead. */
+  def telemetryWireContract: graft.operators.Expectations.Suite =
+    graft.operators.Expectations.suite
+      .notNull("vehicle_id")
+      .matches("vehicle_id", "^-?[0-9]+(\\.[0-9]+)?$")
+      .matches("timestamp", "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$")
+      .matches("current_speed_kmh", "^-?[0-9]+(\\.[0-9]+)?$")
+
+  /** Streaming expectation gate — the data-contract twin of the batch
+    * q106 audit, applied at the INGEST boundary with dead-letter
+    * routing: each arriving micro-batch is row-annotated by the
+    * row-local contract ([[graft.operators.Expectations.Suite.annotate]]
+    * — one codegen'd projection), clean rows are normalized and admitted
+    * to the store, violating rows land in `quarantine/` with their
+    * `violations` reason tags and batch id, and the per-batch audit
+    * summary (the same (check, column, n_violations, passed) rows as
+    * q106) appends to `audit/` — the contract's time series, the input
+    * to "wire quality degraded" alerting.
+    *
+    * Delivery: the three appends inside foreachBatch are at-least-once
+    * on failure replay; `batch_id` rides quarantine and audit rows so a
+    * replayed batch is reconcilable, and an exactly-once admitted store
+    * swaps the plain append for [[graft.sinks.Sinks.upsertPartitioned]]
+    * keyed on the wire identity ([[runDedupedAlertPipeline]]'s device).
+    */
+  def runExpectationGateStream(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String,
+      contract: graft.operators.Expectations.Suite = telemetryWireContract,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val wire = s.readStream.schema(Schemas.telemetryWire)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).json(inDir)
+    wire.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ann = contract.annotate(batch).persist()
+        try {
+          FileReplay.normalize(
+              ann.filter(size(col("violations")) === 0).drop("violations"))
+            .write.mode("append").parquet(s"$outDir/admitted")
+          ann.filter(size(col("violations")) > 0)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$outDir/quarantine")
+          contract.audit(batch).withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$outDir/audit")
+        } finally ann.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -762,6 +762,48 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("expectation gate: bad wire records quarantined with reasons, clean ones admitted") {
+    val in = tmpDir("eg_in")
+    val out = tmpDir("eg_out")
+    val ckpt = tmpDir("eg_ckpt")
+    writeJsonl(in, "b1.jsonl",
+      row1, // clean
+      // non-numeric vehicle_id: would coerce to default 1 silently
+      """{"vehicle_id":"x1","timestamp":"2026-03-01 08:00:03","current_speed_kmh":"50","speed_limit_violation":"false"}""",
+      // non-numeric speed
+      """{"vehicle_id":"4","timestamp":"2026-03-01 08:00:04","current_speed_kmh":"fast","speed_limit_violation":"false"}""")
+    writeJsonl(in, "b2.jsonl",
+      row2, // clean
+      // malformed timestamp
+      """{"vehicle_id":"5","timestamp":"yesterday","current_speed_kmh":"60","speed_limit_violation":"false"}""",
+      // vehicle_id missing entirely -> notNull (matches tolerates the null)
+      """{"timestamp":"2026-03-01 08:00:06","current_speed_kmh":"10","speed_limit_violation":"false"}""")
+    // one file per micro-batch so the audit time series has two batches
+    Pipeline.runExpectationGateStream(spark, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val admitted = spark.read.parquet(s"$out/admitted")
+    assert(admitted.count() == 2)
+    assert(admitted.select("vehicle_id").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    assert(admitted.schema("time").dataType.typeName == "timestamp",
+      "admitted rows are normalized, not raw wire")
+    val quarantine = spark.read.parquet(s"$out/quarantine")
+    assert(quarantine.count() == 4)
+    val reasons = quarantine.collect().map(r =>
+      (Option(r.getAs[String]("vehicle_id")),
+        r.getSeq[String](r.fieldIndex("violations")).toSet)).toMap
+    assert(reasons(Some("x1")) == Set("matches:vehicle_id"))
+    assert(reasons(Some("4")) == Set("matches:current_speed_kmh"))
+    assert(reasons(Some("5")) == Set("matches:timestamp"))
+    assert(reasons(None) == Set("not_null:vehicle_id"))
+    // per-batch audit: 4 contract rows per micro-batch, violation mass
+    // matches the quarantine reasons
+    val audit = spark.read.parquet(s"$out/audit")
+    assert(audit.select("batch_id").distinct().count() == 2)
+    assert(audit.count() == 8)
+    val totalViolations = audit.agg(sum("n_violations")).head().getLong(0)
+    assert(totalViolations == 4)
+  }
+
   test("watermarked ingest dedup: replayed wire records land exactly once") {
     import org.apache.spark.sql.functions.col
     val in = tmpDir("dd_in")
