@@ -236,10 +236,14 @@ object Relational {
       import s.implicits._
       val p = IndexCache.resolve(
         s"zorder_events|${IndexCache.dataKey(d)}", "zorder") { path =>
+        // bits=4 (256 cells): the scaladoc's sizing rule applied to the
+        // test-scale table — cells should hold executor-batch bytes, and
+        // the default 6 bits (4096 dirs) drowns a 100k-row store in
+        // directory listings (measured 4.4 s vs sub-second here)
         graft.sinks.ZOrder.writeZOrdered(
           Tables.events(s, d)
             .select($"event_id", $"user_id", $"event_type", $"value"),
-          "user_id", "value", path)
+          "user_id", "value", path, bits = 4)
       }
       graft.sinks.ZOrder.boxQuery(s, p, 40, 90, 100.0, 400.0)
         .select($"event_id", $"user_id", $"event_type", $"value")

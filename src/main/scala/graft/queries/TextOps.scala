@@ -3519,6 +3519,67 @@ object TextOps {
       FROM m1 JOIN m2 USING (src_a, src_b)
       ORDER BY src_a, src_b"""))
 
+  /** Q107 — leakage-free train/val/test split: q45's deterministic
+    * md5-nibble assignment applied to the near-dup CLUSTER, not the
+    * document. Splitting documents independently leaks evaluation data:
+    * two near-duplicates can land on opposite sides, and the test copy
+    * "measures" what the train copy memorized — q46's decontamination
+    * CATCHES such pairs after the fact; this split prevents them by
+    * construction. Every member of a verified near-dup cluster
+    * ([[dedupClustersCached]] — the q47/q91 artifact, shared again, so
+    * the clustering is still paid for once) inherits the hash of its
+    * cluster representative; the singleton majority (no pair, LEFT join
+    * miss) hashes its own id, which on dup-free data reduces q107 to
+    * exactly q45. The split frame itself is one corpus-scale projection
+    * + one left join against the pair-bounded cluster table.
+    */
+  private val q107 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val clusters = dedupClustersCached(s, d).select($"doc_id", $"cluster_rep")
+      Tables.documents(s, d).select($"doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("unit_id", coalesce($"cluster_rep", $"doc_id"))
+        .select($"doc_id", $"unit_id", splitOf($"unit_id").as("split"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE)
+                 / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), edges AS (
+        SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs
+      ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u
+      ), cl AS (
+        SELECT u AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY u
+      )
+      SELECT d.doc_id,
+             COALESCE(cl.cluster_rep, d.doc_id) AS unit_id,
+             CASE WHEN substr(md5(CAST(COALESCE(cl.cluster_rep, d.doc_id)
+                                       AS VARCHAR)), 1, 1) IN
+                       ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train'
+                  WHEN substr(md5(CAST(COALESCE(cl.cluster_rep, d.doc_id)
+                                       AS VARCHAR)), 1, 1) IN ('c','d')
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -3565,5 +3626,6 @@ object TextOps {
     "q99_pmi_collocations" -> q99,
     "q99b_pmi_sketch" -> q99b,
     "q103_cross_source_dup_matrix" -> q103,
+    "q107_leakage_free_split" -> q107,
   )
 }

@@ -171,6 +171,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q107: near-dup clusters never straddle the split; singletons == q45") {
+    val split = run("q107_leakage_free_split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(split.size.toLong == docs, "one split row per document")
+    // cohesion: every member of a q47 cluster carries the same split
+    val clusters = run("q47_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      val splits = members.map(m => split(m._1)._2).toSet
+      assert(splits.size == 1, s"cluster $rep straddles splits: $splits")
+    }
+    // singletons (docs in no cluster) fall back to exactly q45's assignment
+    val clustered = clusters.map(_._1).toSet
+    val q45s = run("q45_dataset_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    split.foreach { case (id, (unit, sp)) =>
+      if (!clustered.contains(id)) {
+        assert(unit == id)
+        assert(sp == q45s(id), s"singleton $id diverges from q45")
+      }
+    }
+  }
+
   test("q25/q26: ANN recall@5 >= 0.6 against exact KNN") {
     val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
