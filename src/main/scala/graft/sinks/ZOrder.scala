@@ -141,4 +141,5 @@ object ZOrder {
         col(m.colB).cast("double").between(bLo, bHi))
       .drop("p_z")
   }
+
 }

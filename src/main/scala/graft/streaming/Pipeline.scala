@@ -422,6 +422,12 @@ object Pipeline {
       watermark: String = "2 minutes"): StreamingQuery = {
     val tel = telemetryFileStream(s, inDir)
       .select(col("vehicle_id"), col("time"), col("latitude"), col("longitude"))
+      // normalize defaults a missing position to (0, 0) — "null island".
+      // A position-less report must not manufacture close encounters
+      // there, so the exact origin is excluded (a real fix at 0°N 0°E is
+      // six significant figures away from (0.000000, 0.000000) in the
+      // wire's 6-dp rounding, reference producer.py:72)
+      .filter(!(col("latitude") === 0.0 && col("longitude") === 0.0))
     val l = tel.withWatermark("time", watermark)
     val r = tel.withWatermark("time", watermark)
     proximityPairJoin(l, r, radiusM, tolerance)

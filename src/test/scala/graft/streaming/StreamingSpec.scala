@@ -734,20 +734,26 @@ class StreamingSpec extends SparkSpec {
     // 3x3 explode exists to keep; v3 is spatially out (>800 m from all),
     // v4 is spatially in but 25 s late.
     writeJsonl(in, "t.jsonl",
-      tRow(1, "2026-03-01 08:00:00", 0.0000, 0.0000),
+      tRow(1, "2026-03-01 08:00:00", 0.0000, 0.0005),
       tRow(2, "2026-03-01 08:00:05", 0.0020, 0.0000),
       tRow(3, "2026-03-01 08:00:06", 0.0100, 0.0000),
       tRow(4, "2026-03-01 08:00:30", 0.0020, 0.0010),
       tRow(5, "2026-03-01 08:00:08", 0.0025, 0.0002),
-      tRow(6, "2026-03-01 08:00:02", -0.0010, 0.0000))
+      tRow(6, "2026-03-01 08:00:02", -0.0010, 0.0000),
+      // two position-less reports: normalize defaults them to (0,0),
+      // where they would otherwise pair with each other AND with v1
+      // (111 m away) — the null-island guard must drop them
+      """{"vehicle_id":"7","timestamp":"2026-03-01 08:00:01","current_speed_kmh":"20","speed_limit_violation":"false"}""",
+      """{"vehicle_id":"8","timestamp":"2026-03-01 08:00:02","current_speed_kmh":"21","speed_limit_violation":"false"}""")
     Pipeline.runProximityStream(spark, in, out, ckpt).awaitTermination()
     val pairs = spark.read.parquet(s"$out/proximity_pairs")
     val got = pairs.select("l_vehicle_id", "r_vehicle_id").collect()
       .map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(got == Set((1, 2), (1, 5), (2, 5), (1, 6), (2, 6), (5, 6)),
       s"expected the 4-clique minus time/space exclusions, got $got")
-    // v3 (spatially out) and v4 (temporally out) appear nowhere
-    assert(!got.exists(p => p._1 == 3 || p._2 == 3 || p._1 == 4 || p._2 == 4))
+    // v3 (spatially out) and v4 (temporally out) appear nowhere; neither
+    // do the position-less v7/v8, whose (0,0) defaults the guard drops
+    assert(!got.exists(p => Set(3, 4, 7, 8)(p._1) || Set(3, 4, 7, 8)(p._2)))
     // normalization: left id strictly below right id
     assert(got.forall(p => p._1 < p._2))
     // the batch twin over the SAME join body on a static frame agrees
@@ -755,6 +761,8 @@ class StreamingSpec extends SparkSpec {
     val st = graft.sources.FileReplay.normalize(
         spark.read.schema(graft.model.Schemas.telemetryWire).json(in))
       .select(col("vehicle_id"), col("time"), col("latitude"), col("longitude"))
+      // the runner's null-island guard, mirrored
+      .filter(!(col("latitude") === 0.0 && col("longitude") === 0.0))
     val batch = Pipeline.proximityPairJoin(st, st).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3), r.getDouble(4))).toSet
     val stream = pairs.collect()
