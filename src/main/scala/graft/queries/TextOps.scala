@@ -3580,6 +3580,71 @@ object TextOps {
       FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Q108 — held-out out-of-vocabulary rate by source: the fraction of
+    * test-split token OCCURRENCES whose word never appears in the train
+    * split, per source — the generalization-hygiene twin of the
+    * leakage checks (q46 asks "did test CONTENT leak into train?"; this
+    * asks the complement, "does train vocabulary COVER test?"), and the
+    * per-source ranking says which feed's held-out half is most alien
+    * to what the model will have seen. Split assignment is q45's shared
+    * md5-nibble hash.
+    *
+    * Scale shape: test tokens collapse map-side to (source, word,
+    * count) BEFORE any join (the explode dies in its scan task), the
+    * train vocabulary is a Heaps-bounded distinct, and the left join
+    * runs on vocabulary-bounded rows on both sides — no token-stream
+    * shuffle anywhere. The rate is one IEEE long-to-double division,
+    * bit-identical across engines.
+    */
+  private val q108 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("split", splitOf($"doc_id"))
+      val trainVocab = docs.filter($"split" === "train")
+        .select(explode(words($"text")).as("w")).distinct()
+        .withColumn("seen", lit(1))
+      val testCounts = docs.filter($"split" === "test")
+        .select($"source", explode(words($"text")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      testCounts.join(trainVocab, Seq("w"), "left")
+        .groupBy($"source")
+        .agg(sum($"c").as("n_test_tokens"),
+          sum(when($"seen".isNull, $"c").otherwise(0L)).as("n_oov"))
+        .select($"source", $"n_test_tokens", $"n_oov",
+          ($"n_oov".cast("double") / $"n_test_tokens".cast("double"))
+            .as("oov_rate"))
+        .orderBy($"source")
+    },
+    oracle = Some("""
+      WITH sp AS (
+        SELECT doc_id, source, text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                         ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+      ), tv AS (
+        SELECT DISTINCT t FROM (
+          SELECT unnest(string_split(text, ' ')) AS t
+          FROM sp WHERE split = 'train')
+      ), tt AS (
+        SELECT source, t, COUNT(*) AS c FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS t
+          FROM sp WHERE split = 'test')
+        GROUP BY source, t
+      )
+      SELECT tt.source,
+             CAST(SUM(tt.c) AS BIGINT) AS n_test_tokens,
+             CAST(SUM(CASE WHEN tv.t IS NULL THEN tt.c ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(SUM(CASE WHEN tv.t IS NULL THEN tt.c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(tt.c) AS DOUBLE) AS oov_rate
+      FROM tt LEFT JOIN tv ON tv.t = tt.t
+      GROUP BY tt.source
+      ORDER BY tt.source"""))
+
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
@@ -3627,5 +3692,6 @@ object TextOps {
     "q99b_pmi_sketch" -> q99b,
     "q103_cross_source_dup_matrix" -> q103,
     "q107_leakage_free_split" -> q107,
+    "q108_oov_rate" -> q108,
   )
 }

@@ -195,6 +195,35 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q108: oov mass bounded and consistent with a direct recompute") {
+    import spark.implicits._
+    val rows = run("q108_oov_rate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+    // direct recompute of the global OOV mass (split + vocab from scratch)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5n(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(1)
+      .map("%02x".format(_)).mkString.take(1)
+    def splitOf(id: Long) = md5n(id) match {
+      case n if n <= "9" || n == "a" || n == "b" => "train"
+      case "c" | "d" => "val"
+      case _ => "test"
+    }
+    val vocab = docs.filter(d => splitOf(d._1) == "train")
+      .flatMap(_._3.split(" ", -1)).toSet
+    val test = docs.filter(d => splitOf(d._1) == "test")
+    val expectTokens = test.map(_._3.split(" ", -1).length.toLong).sum
+    val expectOov = test.map(_._3.split(" ", -1).count(w => !vocab(w)).toLong).sum
+    assert(rows.map(_.getLong(1)).sum == expectTokens)
+    assert(rows.map(_.getLong(2)).sum == expectOov)
+  }
+
   test("q25/q26: ANN recall@5 >= 0.6 against exact KNN") {
     val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
