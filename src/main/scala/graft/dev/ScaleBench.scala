@@ -66,7 +66,13 @@ object ScaleBench {
     "q102_quality_classifier",
     // round-8: cross-source dup attribution — q19's banded pair
     // generation + two pair-set equi-joins, |sources|²-bounded output
-    "q103_cross_source_dup_matrix")
+    "q103_cross_source_dup_matrix",
+    // round-8: cluster-unit split — one projection + one left join
+    // against the pair-bounded cluster artifact (shared with q47/q91)
+    "q107_leakage_free_split",
+    // round-8: cross-split OOV — map-side token collapse, vocab-bounded
+    // join
+    "q108_oov_rate")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
