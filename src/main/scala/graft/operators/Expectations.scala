@@ -67,8 +67,16 @@ object Expectations {
     private def violation(c: Check): Column = c match {
       case NotNull(col0) => col(col0).isNull
       case InRange(col0, lo, hi, nv) =>
-        val out = col(col0).cast("double") < lo || col(col0).cast("double") > hi
-        if (nv) col(col0).isNull || out else out && col(col0).isNotNull
+        // a PRESENT value that doesn't parse as a number is always a
+        // violation — conflating cast-null with real null would report
+        // garbage (e.g. "fast" in a numeric column) as in-range.
+        // try_cast: ANSI mode makes a plain cast ABORT the job on the
+        // first malformed value (FileReplay.normalize's note)
+        val parsed = col(col0).try_cast("double")
+        val unparseable = col(col0).isNotNull && parsed.isNull
+        val out = unparseable || parsed < lo || parsed > hi
+        if (nv) col(col0).isNull || out
+        else col(col0).isNotNull && coalesce(out, lit(false))
       case IsIn(col0, vs, nv) =>
         val out = !col(col0).isInCollection(vs)
         if (nv) col(col0).isNull || out else out && col(col0).isNotNull

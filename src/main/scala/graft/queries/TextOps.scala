@@ -3587,7 +3587,13 @@ object TextOps {
     * asks the complement, "does train vocabulary COVER test?"), and the
     * per-source ranking says which feed's held-out half is most alien
     * to what the model will have seen. Split assignment is q45's shared
-    * md5-nibble hash.
+    * md5-nibble hash — the DOCUMENT-level split, deliberately: OOV is a
+    * token-level statistic, and a leaked near-duplicate biases coverage
+    * only through tokens that almost surely exist elsewhere in train
+    * (second-order next to q46/q107's content-level leakage). A
+    * deployment wanting the cluster-unit denominator swaps
+    * `splitOf($"doc_id")` for q107's `splitOf(unit_id)` — one line, the
+    * rest of the pipeline is split-agnostic.
     *
     * Scale shape: test tokens collapse map-side to (source, word,
     * count) BEFORE any join (the explode dies in its scan task), the

@@ -85,6 +85,9 @@ object ZOrder {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"writeZOrdered: empty input or all-null layout column ($colA/$colB) " +
+        "— no quantization bounds exist")
     val (aLo, aHi, bLo, bHi) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     df.withColumn("p_z", interleave(

@@ -359,7 +359,10 @@ object Pipeline {
     * product: the left leg explodes each report into its own grid cell
     * plus the 8 neighbors, the right leg keeps its single own cell, and
     * the cell widths equal the maximum per-axis delta an in-radius pair
-    * can have (radius/111 km latitude; the 0.7 longitude-scale floor) —
+    * can have (radius/111 km latitude; the 0.7 longitude-scale floor —
+    * the SAME planar metric and coverage rule as
+    * [[graft.sources.OpenSkyMap.proximityPerception]]'s 50 km batch
+    * form; a change to either formula must land in both) —
     * so any in-radius pair meets in exactly ONE bucket (the right row's
     * own cell) and the join key cardinality grows with airspace density
     * instead of going quadratic. `left_vehicle_id < right_vehicle_id`
@@ -1061,11 +1064,19 @@ object Pipeline {
     * [[graft.sources.FileReplay.normalize]]'s lenient coercions, which
     * silently default whatever they cannot parse (the reference's
     * `.get()`-with-default shape, consumer.py:90–123). The gate makes
-    * the silent path loud: a record that would have been defaulted is
-    * quarantined with its reasons instead. */
+    * the silent path loud for the IDENTITY and MEASUREMENT fields: a
+    * record whose vehicle_id / timestamp / speed is absent or
+    * malformed is quarantined with its reasons instead of defaulted.
+    * Position and battery fields stay lenient BY DESIGN — a
+    * position-less report is legitimate telemetry (normalize's (0,0)
+    * default is guarded where it matters, [[runProximityStream]]'s
+    * null-island filter), and quarantining it would drop real speed
+    * and battery signal. */
   def telemetryWireContract: graft.operators.Expectations.Suite =
     graft.operators.Expectations.suite
       .notNull("vehicle_id")
+      .notNull("timestamp")
+      .notNull("current_speed_kmh")
       .matches("vehicle_id", "^-?[0-9]+(\\.[0-9]+)?$")
       .matches("timestamp", "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$")
       .matches("current_speed_kmh", "^-?[0-9]+(\\.[0-9]+)?$")
@@ -1103,7 +1114,11 @@ object Pipeline {
           ann.filter(size(col("violations")) > 0)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$outDir/quarantine")
-          contract.audit(batch).withColumn("batch_id", lit(batchId))
+          // audit the PERSISTED annotated frame, not the source batch —
+          // auditing `batch` would re-list and re-parse the trigger's
+          // JSON a third time on every micro-batch
+          contract.audit(ann.drop("violations"))
+            .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$outDir/audit")
         } finally ann.unpersist()
       }

@@ -36,6 +36,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(m(("matches", "s")) == (2L, false))
   }
 
+  test("inRange: a present unparseable value violates regardless of null policy") {
+    import spark.implicits._
+    val df = Seq("5", "fast", null, "200").toDF("v")
+    // tolerant: "fast" and "200" violate, null passes
+    val tolerant = Expectations.suite.inRange("v", 0, 100).audit(df).head()
+    assert(tolerant.getLong(2) == 2 && !tolerant.getBoolean(3))
+    // strict: the null joins them
+    val strict = Expectations.suite
+      .inRange("v", 0, 100, nullIsViolation = true).audit(df).head()
+    assert(strict.getLong(2) == 3)
+    // annotate tags the garbage row
+    val tags = Expectations.suite.inRange("v", 0, 100).annotate(df)
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[String](1).toSet).toMap
+    assert(tags(Some("fast")) == Set("in_range:v"))
+    assert(tags(Some("5")).isEmpty && tags(None).isEmpty)
+  }
+
   test("unique: duplicated keys count every carrying row; empty frame passes") {
     import spark.implicits._
     val df = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("k")

@@ -803,11 +803,11 @@ class StreamingSpec extends SparkSpec {
     assert(reasons(Some("4")) == Set("matches:current_speed_kmh"))
     assert(reasons(Some("5")) == Set("matches:timestamp"))
     assert(reasons(None) == Set("not_null:vehicle_id"))
-    // per-batch audit: 4 contract rows per micro-batch, violation mass
+    // per-batch audit: 6 contract rows per micro-batch, violation mass
     // matches the quarantine reasons
     val audit = spark.read.parquet(s"$out/audit")
     assert(audit.select("batch_id").distinct().count() == 2)
-    assert(audit.count() == 8)
+    assert(audit.count() == 12)
     val totalViolations = audit.agg(sum("n_violations")).head().getLong(0)
     assert(totalViolations == 4)
   }
