@@ -313,6 +313,114 @@ object Relational {
              n = 0 AS passed
       FROM v ORDER BY "check", "column""""))
 
+  /** Q109 — ordered funnel analysis over the event stream: how many
+    * users progress view → click → purchase IN ORDER (each stage's
+    * event strictly after the previous stage's first occurrence) — the
+    * classic conversion-funnel workload, absent from the inventory
+    * until now (q35 sessionizes, q41 intersects cohorts; neither is
+    * order-aware). Three stage aggregates, each one shuffle on
+    * user_id: stage k's candidates join stage k−1's first-times and
+    * keep only later events, so the funnel's ORDER constraint is an
+    * equi-join + filter, never a per-user sort or UDF loop. The
+    * summary attaches each stage's conversion vs the previous stage
+    * with one 4-row window.
+    */
+  private val q109 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      val t1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+        .filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
+        .filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      val stages =
+        ev.agg(countDistinct($"user_id").as("n_users"))
+          .select(lit(0).as("stage_idx"), lit("any_activity").as("stage"), $"n_users")
+        .unionByName(t1.agg(count(lit(1)).as("n_users"))
+          .select(lit(1).as("stage_idx"), lit("view").as("stage"), $"n_users"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage_idx"), lit("click_after_view").as("stage"), $"n_users"))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage_idx"), lit("purchase_after_click").as("stage"), $"n_users"))
+      val w = Window.orderBy($"stage_idx")
+      stages
+        .withColumn("pct_of_prev",
+          $"n_users".cast("double") / lag($"n_users", 1).over(w).cast("double"))
+        .orderBy($"stage_idx")
+    },
+    oracle = Some("""
+      WITH t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ), t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+        GROUP BY e.user_id
+      ), t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        GROUP BY e.user_id
+      ), stages AS (
+        SELECT 0 AS stage_idx, 'any_activity' AS stage,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        UNION ALL
+        SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM t1
+        UNION ALL
+        SELECT 2, 'click_after_view', CAST(COUNT(*) AS BIGINT) FROM t2
+        UNION ALL
+        SELECT 3, 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM t3
+      )
+      SELECT stage_idx, stage, n_users,
+             CAST(n_users AS DOUBLE)
+               / CAST(LAG(n_users) OVER (ORDER BY stage_idx) AS DOUBLE)
+               AS pct_of_prev
+      FROM stages ORDER BY stage_idx"""))
+
+  /** Q110 — retention cohort matrix: users bucketed by first-activity
+    * week (their cohort), each cohort's active-user count tracked at
+    * every later week offset — the retention triangle behind every
+    * engagement dashboard. Scale shape: the (user, week) activity grid
+    * is distinct-collapsed map-side FIRST (one row per user-week, not
+    * per event), the cohort assignment is one min-aggregate over it,
+    * and the matrix is one count over the joined grid — output is
+    * #cohorts × #offsets, weeks-squared bounded regardless of event
+    * volume.
+    */
+  private val q110 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val activity = Tables.events(s, d)
+        .select($"user_id", date_trunc("week", $"ts").as("wk"))
+        .distinct()
+      val cohort = activity.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      activity.join(cohort, "user_id")
+        .select($"cohort_wk",
+          (datediff($"wk", $"cohort_wk") / lit(7)).cast("int").as("week_offset"))
+        .groupBy($"cohort_wk", $"week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .select(unix_micros($"cohort_wk").as("cohort_week_us"),
+          $"week_offset", $"n_users")
+        .orderBy($"cohort_week_us", $"week_offset")
+    },
+    oracle = Some("""
+      WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      ), cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
+      )
+      SELECT epoch_us(c.cohort_wk) AS cohort_week_us,
+             CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS INT) AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM activity a JOIN cohort c ON c.user_id = a.user_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   /** Q6 — distinct keys (SURVEY A7; reference queries.py:61–68). Partial
     * distinct happens map-side before the shuffle. At 100 TB the
     * approx_count_distinct variant (see Q9) avoids the full shuffle.
@@ -989,6 +1097,8 @@ object Relational {
     "q101_asof_attribution" -> q101,
     "q105_zorder_box" -> q105,
     "q106_expectation_audit" -> q106,
+    "q109_funnel" -> q109,
+    "q110_retention_cohorts" -> q110,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,

@@ -224,6 +224,34 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == expectOov)
   }
 
+  test("q109: funnel is monotone and order-aware") {
+    val rows = run("q109_funnel").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    // each stage is a subset of the previous: counts never increase
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    assert(rows.head.isNullAt(3), "stage 0 has no previous stage")
+    rows.tail.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("q110: cohort 0-offset counts the cohort itself; offsets non-negative") {
+    val m = run("q110_retention_cohorts").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m.nonEmpty)
+    assert(m.keys.forall(_._2 >= 0))
+    // week 0 row exists for every cohort and is its maximum (every
+    // cohort member is by definition active in their first week)
+    m.keys.map(_._1).foreach { c =>
+      val zero = m((c, 0))
+      assert(m.filter(_._1._1 == c).values.forall(_ <= zero))
+    }
+    // total cohort mass == distinct users
+    import spark.implicits._
+    val users = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(m.collect { case ((_, 0), n) => n }.sum == users)
+  }
+
   test("q25/q26: ANN recall@5 >= 0.6 against exact KNN") {
     val exact = run("q25_knn_cosine_exact").select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
