@@ -223,6 +223,81 @@ object Pipeline {
     }
   }
 
+  /** One event on the funnel stream's wire. */
+  final case class FunnelEvent(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String)
+  /** Per-user funnel clock: first qualifying time of each stage, −1 =
+    * not reached. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  /** Emitted once per user per stage TRANSITION (the funnel event log —
+    * stage counts are one group-by over it). */
+  final case class FunnelTransition(user_id: Long, stage: Int, at_us: Long)
+
+  /** Streaming funnel — the stateful twin of batch q109's ordered
+    * view → click → purchase funnel: a per-user three-slot state
+    * machine (first view; first click after it; first purchase after
+    * that), emitting one row per stage transition. State is three longs
+    * per user, no timers, bounded by user cardinality.
+    *
+    * Ordering contract: within a micro-batch rows process in event-time
+    * order, so the operator equals batch q109 whenever each user's
+    * events ARRIVE in time order across batches (the usual funnel-feed
+    * assumption). A later batch delivering an EARLIER view cannot
+    * retract an already-locked stage — the streaming result is then a
+    * conservative approximation, exactly the stream-vs-batch gap every
+    * no-retraction funnel has; the batch query is the reconciliation.
+    */
+  final class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelEvent, FunnelTransition] {
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[FunnelEvent],
+        timers: TimerValues): Iterator[FunnelTransition] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      val out = Seq.newBuilder[FunnelTransition]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val us = e.ts.getTime * 1000L
+        e.event_type match {
+          case "view" if s.t1 < 0 =>
+            s = s.copy(t1 = us); out += FunnelTransition(uid, 1, us)
+          case "click" if s.t1 >= 0 && s.t2 < 0 && us > s.t1 =>
+            s = s.copy(t2 = us); out += FunnelTransition(uid, 2, us)
+          case "purchase" if s.t2 >= 0 && s.t3 < 0 && us > s.t2 =>
+            s = s.copy(t3 = us); out += FunnelTransition(uid, 3, us)
+          case _ =>
+        }
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Funnel-stream runner: JSONL event batches → stage-transition log,
+    * appended as parquet ([[runOdometerProgress]]'s RocksDB setup). */
+  def runFunnelStream(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.readStream
+      .schema("ts TIMESTAMP, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/funnel_transitions")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Per-vehicle cumulative distance rows, one per vehicle per batch. */
   def odometerProgress(telemetry: Dataset[Telemetry]): Dataset[OdometerUpdate] = {
     import telemetry.sparkSession.implicits._

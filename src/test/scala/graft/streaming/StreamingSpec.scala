@@ -812,6 +812,42 @@ class StreamingSpec extends SparkSpec {
     assert(totalViolations == 4)
   }
 
+  test("streaming funnel: per-user stage machine matches the batch funnel law") {
+    val in = tmpDir("fn_in")
+    val out = tmpDir("fn_out")
+    val ckpt = tmpDir("fn_ckpt")
+    def e(ts: String, u: Long, t: String) =
+      s"""{"ts":"$ts","user_id":$u,"event_type":"$t"}"""
+    // u1 completes the funnel; u2 purchases WITHOUT a click (stops at
+    // view); u3's click precedes their first view (ignored), the click
+    // after the view counts; u4 only clicks (never views -> no stages)
+    writeJsonl(in, "b1.jsonl",
+      e("2026-03-01 08:00:00", 1, "view"),
+      e("2026-03-01 08:00:05", 1, "click"),
+      e("2026-03-01 08:00:01", 2, "view"),
+      e("2026-03-01 08:00:02", 3, "click"),
+      e("2026-03-01 08:00:03", 3, "view"),
+      e("2026-03-01 08:00:04", 4, "click"))
+    writeJsonl(in, "b2.jsonl",
+      e("2026-03-01 08:01:00", 1, "purchase"),
+      e("2026-03-01 08:01:01", 2, "purchase"),
+      e("2026-03-01 08:01:02", 3, "click"))
+    // strictly increasing mtimes: batch order == event-time order
+    for ((stem, i) <- Seq("b1", "b2").zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(in, s"$stem.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    Pipeline.runFunnelStream(spark, in, out, ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val tr = spark.read.parquet(s"$out/funnel_transitions").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(tr == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1), (3L, 2)),
+      s"got $tr")
+    // the batch q109 law on the same events: stage counts are the
+    // distinct users whose transition log reaches that stage
+    val byStage = (1 to 3).map(k => tr.count(_._2 == k))
+    assert(byStage == Seq(3, 2, 1))
+  }
+
   test("watermarked ingest dedup: replayed wire records land exactly once") {
     import org.apache.spark.sql.functions.col
     val in = tmpDir("dd_in")
