@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 import graft.Sessions
+import graft.sinks.Sinks
 
 /** Measured evidence for the Z-order layout's pruning claim (dev tool,
   * SCALE.md): generate an n-row synthetic events-like table
@@ -45,8 +46,13 @@ object ZOrderBench {
       (pmod(xxhash64($"id" + 1000000007L), lit(100000L)).cast("double") / 200.0)
         .as("value"))
     val zdir = s"$root/z"
+    val zcdir = s"$root/zclustered"
     val flatdir = s"$root/flat"
     graft.sinks.ZOrder.writeZOrdered(ev, "user_id", "value", zdir, bits = 5)
+    // the clustered sibling: quantile-bucketed curve, range-disjoint
+    // sorted FILES, no reader machinery — per-column pushdown does the
+    // skipping against tightened min/max stats
+    Sinks.writeZOrdered(ev, zcdir, Seq("user_id", "value"), nFiles = 256)
     // 1-D baseline: range-partitioned + sorted by user_id, so parquet
     // row-group stats prune the user dimension as well as 1-D can
     ev.repartitionByRange(32, $"user_id").sortWithinPartitions($"user_id")
@@ -61,6 +67,11 @@ object ZOrderBench {
     for ((bn, (uLo, uHi, vLo, vHi)) <- boxes) {
       time(s"$bn z-partitioned", 5) {
         val q = graft.sinks.ZOrder.boxQuery(s, zdir, uLo, uHi, vLo, vHi)
+        (q.count(), filesRead(q))
+      }
+      time(s"$bn z-clustered", 5) {
+        val q = s.read.parquet(zcdir)
+          .filter($"user_id".between(uLo, uHi) && $"value".between(vLo, vHi))
         (q.count(), filesRead(q))
       }
       time(s"$bn 1d-sorted", 5) {

@@ -7,6 +7,19 @@ import org.apache.spark.sql.functions._
   * — the multi-dimensional generalization of [[Sinks.writePartitioned]]'s
   * one-dimensional time chunking.
   *
+  * Sibling of [[Sinks.writeZOrdered]] and deliberately different in
+  * mechanism: that operator CLUSTERS files along the curve (quantile
+  * buckets, range-disjoint sorted files) and lets ordinary per-column
+  * predicate pushdown exploit the tightened min/max stats — no special
+  * reader, any filter benefits. THIS module materializes the curve as
+  * explicit partition DIRECTORIES plus a covering-cell reader, which
+  * buys a provable pruning contract (the exact partition count a box
+  * reads is plan-asserted, and q105's oracle pins that pruning loses
+  * nothing) at the price of directory-listing overhead. ZOrderBench
+  * measures both against a 1-D sort; prefer the clustered form as the
+  * default and this form where directory-level isolation matters
+  * (per-cell retention/deletes, listing absorbed by a catalog).
+  *
   * Day partitioning prunes `time` predicates and nothing else; a query
   * box over TWO selective columns (the reference's dashboards filter
   * vehicle AND time — dashboard.py's per-vehicle windows; the analog
