@@ -75,8 +75,10 @@ object Expectations {
         val parsed = col(col0).try_cast("double")
         val unparseable = col(col0).isNotNull && parsed.isNull
         val out = unparseable || parsed < lo || parsed > hi
+        // FALSE && NULL = FALSE, so the isNotNull guard alone suffices
+        // (same null-guard shape as IsIn/Matches below)
         if (nv) col(col0).isNull || out
-        else col(col0).isNotNull && coalesce(out, lit(false))
+        else col(col0).isNotNull && out
       case IsIn(col0, vs, nv) =>
         val out = !col(col0).isInCollection(vs)
         if (nv) col(col0).isNull || out else out && col(col0).isNotNull

@@ -328,7 +328,11 @@ object Relational {
   private val q109 = Q(
     fn = (s, d) => {
       import s.implicits._
+      // null users are excluded up front: countDistinct at stage 0 drops
+      // nulls while groupBy at later stages would keep a null group —
+      // the asymmetry would make the funnel non-monotone
       val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+        .filter($"user_id".isNotNull)
       val t1 = ev.filter($"event_type" === "view")
         .groupBy($"user_id").agg(min($"ts").as("t1"))
       val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
@@ -353,22 +357,24 @@ object Relational {
         .orderBy($"stage_idx")
     },
     oracle = Some("""
-      WITH t1 AS (
-        SELECT user_id, MIN(ts) AS t1 FROM events
+      WITH ev AS (
+        SELECT user_id, event_type, ts FROM events WHERE user_id IS NOT NULL
+      ), t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM ev
         WHERE event_type = 'view' GROUP BY user_id
       ), t2 AS (
-        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
         JOIN t1 ON t1.user_id = e.user_id
         WHERE e.event_type = 'click' AND e.ts > t1.t1
         GROUP BY e.user_id
       ), t3 AS (
-        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
         JOIN t2 ON t2.user_id = e.user_id
         WHERE e.event_type = 'purchase' AND e.ts > t2.t2
         GROUP BY e.user_id
       ), stages AS (
         SELECT 0 AS stage_idx, 'any_activity' AS stage,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
         UNION ALL
         SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM t1
         UNION ALL

@@ -249,22 +249,31 @@ object Pipeline {
     */
   final class FunnelProcessor
       extends StatefulProcessor[Long, FunnelEvent, FunnelTransition] {
+    // "not reached" sentinel: Long.MinValue, NOT -1 — pre-epoch
+    // timestamps are legal negative micros and must not re-open a
+    // locked stage
+    private val Unset = Long.MinValue
     @transient private var st: ValueState[FunnelState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FunnelState]("funnel",
         Encoders.product[FunnelState], TTLConfig.NONE)
     override def handleInputRows(uid: Long, rows: Iterator[FunnelEvent],
         timers: TimerValues): Iterator[FunnelTransition] = {
-      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      var s = if (st.exists()) st.get() else FunnelState(Unset, Unset, Unset)
       val out = Seq.newBuilder[FunnelTransition]
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val us = e.ts.getTime * 1000L
+      // full microsecond resolution: getTime is ms-truncated, the
+      // sub-ms part rides in getNanos — dropping it would collapse
+      // sub-millisecond stage gaps the batch funnel counts
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        val us = micros(e.ts)
         e.event_type match {
-          case "view" if s.t1 < 0 =>
+          case "view" if s.t1 == Unset =>
             s = s.copy(t1 = us); out += FunnelTransition(uid, 1, us)
-          case "click" if s.t1 >= 0 && s.t2 < 0 && us > s.t1 =>
+          case "click" if s.t1 != Unset && s.t2 == Unset && us > s.t1 =>
             s = s.copy(t2 = us); out += FunnelTransition(uid, 2, us)
-          case "purchase" if s.t2 >= 0 && s.t3 < 0 && us > s.t2 =>
+          case "purchase" if s.t2 != Unset && s.t3 == Unset && us > s.t2 =>
             s = s.copy(t3 = us); out += FunnelTransition(uid, 3, us)
           case _ =>
         }
@@ -285,6 +294,12 @@ object Pipeline {
       .schema("ts TIMESTAMP, user_id LONG, event_type STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
+      // permissive JSON nulls a malformed field; an unguarded null ts
+      // or user_id would abort the query and checkpoint-replay the same
+      // file forever. Rows needing quarantine instead of a drop route
+      // through runExpectationGateStream's contract first.
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
