@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -325,22 +325,32 @@ object Relational {
     * summary attaches each stage's conversion vs the previous stage
     * with one 4-row window.
     */
+  /** The funnel's three stage tables, shared by q109 (counts) and q111
+    * (latency distribution): per user, first view; first click after
+    * it; first purchase after that. Null users excluded up front:
+    * countDistinct at stage 0 drops nulls while groupBy at later stages
+    * would keep a null group — the asymmetry would make the funnel
+    * non-monotone. */
+  private def funnelTimes(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      .filter($"user_id".isNotNull)
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    (ev, t1, t2, t3)
+  }
+
   private val q109 = Q(
     fn = (s, d) => {
       import s.implicits._
-      // null users are excluded up front: countDistinct at stage 0 drops
-      // nulls while groupBy at later stages would keep a null group —
-      // the asymmetry would make the funnel non-monotone
-      val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
-        .filter($"user_id".isNotNull)
-      val t1 = ev.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
-      val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
-        .filter($"ts" > $"t1")
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
-      val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
-        .filter($"ts" > $"t2")
-        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      val (ev, t1, t2, t3) = funnelTimes(s, d)
       val stages =
         ev.agg(countDistinct($"user_id").as("n_users"))
           .select(lit(0).as("stage_idx"), lit("any_activity").as("stage"), $"n_users")
@@ -387,6 +397,58 @@ object Relational {
                / CAST(LAG(n_users) OVER (ORDER BY stage_idx) AS DOUBLE)
                AS pct_of_prev
       FROM stages ORDER BY stage_idx"""))
+
+  /** Q111 — conversion-latency distribution: for every user who
+    * completes q109's ordered funnel, the time from FIRST VIEW to the
+    * completing purchase, summarized as exact interpolated percentiles
+    * (q36's `percentile`/`quantile_cont` parity device — sort-based
+    * exact over identical doubles on both engines). The funnel tells
+    * you HOW MANY convert; this tells you HOW LONG conversion takes —
+    * the number an attribution window or a cache TTL is actually sized
+    * from. Converters are the funnel's tip (≪ corpus), so the exact
+    * single-group percentile buffer is bounded by construction — the
+    * same documented contract as q36's per-type groups, with q36b's
+    * sketch as the fallback if a deployment's converter set explodes.
+    */
+  private val q111 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val (_, t1, _, t3) = funnelTimes(s, d)
+      t3.join(t1, "user_id")
+        .select((unix_micros($"t3") - unix_micros($"t1"))
+          .cast("double").as("lat_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          min($"lat_us").cast("long").as("min_us"),
+          percentile($"lat_us", lit(0.5)).as("p50_us"),
+          percentile($"lat_us", lit(0.9)).as("p90_us"),
+          max($"lat_us").cast("long").as("max_us"))
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, ts FROM events WHERE user_id IS NOT NULL
+      ), t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+      ), t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+        JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+        GROUP BY e.user_id
+      ), t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+        JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        GROUP BY e.user_id
+      ), lat AS (
+        SELECT CAST(epoch_us(t3.t3) - epoch_us(t1.t1) AS DOUBLE) AS lat_us
+        FROM t3 JOIN t1 ON t1.user_id = t3.user_id
+      )
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+             CAST(MIN(lat_us) AS BIGINT) AS min_us,
+             quantile_cont(lat_us, 0.5) AS p50_us,
+             quantile_cont(lat_us, 0.9) AS p90_us,
+             CAST(MAX(lat_us) AS BIGINT) AS max_us
+      FROM lat"""))
 
   /** Q110 — retention cohort matrix: users bucketed by first-activity
     * week (their cohort), each cohort's active-user count tracked at
@@ -1105,6 +1167,7 @@ object Relational {
     "q106_expectation_audit" -> q106,
     "q109_funnel" -> q109,
     "q110_retention_cohorts" -> q110,
+    "q111_conversion_latency" -> q111,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,

@@ -234,6 +234,18 @@ class QueriesSpec extends SparkSpec {
     rows.tail.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("q111: latency quantiles ordered; converter count == q109 stage 3") {
+    val r = run("q111_conversion_latency").head()
+    val (n, lo, p50, p90, hi) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+    assert(n > 0)
+    assert(lo <= p50 && p50 <= p90 && p90 <= hi)
+    assert(lo > 0, "a completed funnel has strictly positive latency")
+    val stage3 = run("q109_funnel").collect()
+      .find(_.getInt(0) == 3).get.getLong(2)
+    assert(n == stage3, "every funnel completer has exactly one latency row")
+  }
+
   test("q110: cohort 0-offset counts the cohort itself; offsets non-negative") {
     val m = run("q110_retention_cohorts").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
