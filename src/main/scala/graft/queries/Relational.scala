@@ -1156,6 +1156,68 @@ object Relational {
         SELECT 'rowcount', CAST(COUNT(*) AS BIGINT) FROM lineitem)
       ORDER BY "check""""))
 
+  /** Q115 — event-type co-occurrence lift (association-rule mining's
+    * support/confidence/lift over the user×event-type basket; Agrawal &
+    * Srikant, VLDB'94): which behaviors travel together across users —
+    * the product-analytics question behind "do users who error also
+    * purchase?", and the categorical sibling of q110's retention matrix.
+    *
+    * Scale shape: the (user, type) grid distinct-collapses map-side
+    * FIRST (partial aggregation on a 2-column projection — the only pass
+    * over raw events), so the self-join runs on ≤|types| rows per user,
+    * never on the event stream; per-type supports and the user total are
+    * |types|-row / 1-row broadcasts. All counts exact longs; lift and the
+    * two confidences are single double divisions on identical operands,
+    * so the oracle hashes bit-for-bit. Output is |types|²-bounded at any
+    * event volume.
+    */
+  private val q115 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ut = Tables.events(s, d)
+        .select($"user_id", $"event_type").distinct()
+      val tot = ut.select($"user_id").distinct().agg(count(lit(1)).as("n_users"))
+      val nt = ut.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = ut.as("a").join(ut.as("b"), Seq("user_id"))
+        .filter($"a.event_type" < $"b.event_type")
+        .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(nt.select($"event_type".as("type_a"), $"n_t".as("n_a"))), Seq("type_a"))
+        .join(broadcast(nt.select($"event_type".as("type_b"), $"n_t".as("n_b"))), Seq("type_b"))
+        .crossJoin(broadcast(tot))
+        .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b",
+          (($"n_ab" * $"n_users").cast("double")
+            / ($"n_a" * $"n_b").cast("double")).as("lift"),
+          ($"n_ab".cast("double") / $"n_a".cast("double")).as("conf_a_to_b"),
+          ($"n_ab".cast("double") / $"n_b".cast("double")).as("conf_b_to_a"))
+        .orderBy($"type_a", $"type_b")
+    },
+    oracle = Some("""
+      WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+      ), tot AS (
+        SELECT COUNT(DISTINCT user_id) AS n_users FROM ut
+      ), nt AS (
+        SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type
+      ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_ab
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type)
+      SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+             CAST(na.n_t AS BIGINT) AS n_a, CAST(nb.n_t AS BIGINT) AS n_b,
+             CAST(p.n_ab * t.n_users AS DOUBLE)
+               / CAST(na.n_t * nb.n_t AS DOUBLE) AS lift,
+             CAST(p.n_ab AS DOUBLE) / CAST(na.n_t AS DOUBLE) AS conf_a_to_b,
+             CAST(p.n_ab AS DOUBLE) / CAST(nb.n_t AS DOUBLE) AS conf_b_to_a
+      FROM pairs p
+      JOIN nt na ON na.event_type = p.type_a
+      JOIN nt nb ON nb.event_type = p.type_b
+      CROSS JOIN tot t
+      ORDER BY type_a, type_b"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -1168,6 +1230,7 @@ object Relational {
     "q109_funnel" -> q109,
     "q110_retention_cohorts" -> q110,
     "q111_conversion_latency" -> q111,
+    "q115_event_cooccurrence_lift" -> q115,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,

@@ -269,6 +269,105 @@ object TextOps {
     fn = (s, d) => nearDupPairs(s, d),
     oracle = Some(nearDupOracle))
 
+  /** Q114 — asymmetric containment near-dup: pairs (i, j) where shingle
+    * set i is ≥ t-contained in shingle set j (C(A,B) = |A∩B|/|A|,
+    * n_i ≤ n_j). The dedup question Jaccard structurally misses: a
+    * paragraph quoted inside a 100× longer document has J ≈ |A|/|B| → 0
+    * but C = 1 — containment is the standard detector for quote/subset/
+    * boilerplate-wrapper duplication (Broder's resemblance vs containment
+    * split, SEQUENCES'97; q86 removes duplicated SPANS, this FINDS the
+    * engulfing relations pair-wise).
+    *
+    * Candidate generation is q18's rare-first prefix device, re-derived
+    * for the asymmetric bound: a pair at C ≥ t shares ≥ ceil(t·n_i)
+    * shingles, so under any fixed global shingle order the CONTAINED
+    * side's prefix of length n_i − ceil(t·n_i) + 1 must hold a shared
+    * shingle (pigeonhole — all shared shingles outside the prefix would
+    * number ≤ ceil(t·n_i) − 1). Unlike Jaccard's symmetric join, the
+    * container side cannot be prefix-truncated (its required rank depends
+    * on the probe's n_i, unknown at index time), so prefixes probe the
+    * FULL posting list — the inverted index q71 materializes anyway.
+    * Pruning in the join: the length filter n_j ≥ ceil(t·n_i), the
+    * position filter min(n_i − rk_i, n_j − rk_j) + 1 ≥ ceil(t·n_i) (the
+    * first shared shingle bounds achievable overlap from both ranks; both
+    * rank vectors share the (df, h) order so the bound is lossless), and
+    * integer alpha arithmetic so float rounding can never over-prune.
+    *
+    * Scale shape: one df count, two in-row prefix/rank sorts under one
+    * doc_id exchange, one equi-join keyed by 8-byte shingle hash whose
+    * probe side is rare-first prefixes (hot shingles never probe; df=1
+    * postings can match no second doc but survive on the index side for
+    * losslessness), candidates distinct-collapsed before the broadcast
+    * verification join (q18's merge-intersect kernel). At 100 TB the
+    * in-bucket pair loop moves into a PPJoinPairs-style kernel with the
+    * asymmetric alpha — declared lever, not needed at measured scale
+    * (ScaleBench row in SCALE.md).
+    */
+  private val q114 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val t = 0.8
+      val docs = shingled(s, d).persist()
+      try {
+        val ex = docs.select($"doc_id", $"n", explode($"hs").as("h"))
+        val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+        // one in-row (df, h)-ascending sort per doc serves BOTH legs:
+        // ranks for the index side, the first n - ceil(t*n) + 1 entries
+        // for the probe side (q18's ObjectHashAggregate + array_sort
+        // device — same memory contract)
+        val ranked = ex.join(dfreq, Seq("h"))
+          .groupBy($"doc_id")
+          .agg(first($"n").as("n"),
+            array_sort(collect_list(struct($"df", $"h"))).as("sh"))
+          .select($"doc_id", $"n",
+            posexplode($"sh").as(Seq("p0", "e")))
+          .select($"doc_id", $"n", ($"p0" + 1).as("rk"), $"e.h".as("h"))
+        val probe = ranked
+          .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
+          .select($"doc_id".as("i"), $"n".as("n_a"), $"rk".as("rk_a"), $"h")
+        val index = ranked
+          .select($"doc_id".as("j"), $"n".as("n_b"), $"rk".as("rk_b"), $"h")
+        val alpha = ceil($"n_a" * t).cast("int")
+        val cand = probe.join(index, Seq("h"))
+          .filter($"i" =!= $"j")
+          .filter($"n_a" < $"n_b" || ($"n_a" === $"n_b" && $"i" < $"j"))
+          .filter($"n_b" >= alpha)
+          .filter(least($"n_a" - $"rk_a", $"n_b" - $"rk_b") + 1 >= alpha)
+          .select($"i", $"j").distinct()
+        broadcast(cand)
+          .join(docs.select($"doc_id".as("i"), $"hs".as("hs_i"), $"n".as("n_i")), Seq("i"))
+          .join(docs.select($"doc_id".as("j"), $"hs".as("hs_j"), $"n".as("n_j")), Seq("j"))
+          .withColumn("common",
+            graft.functions.expressions.sorted_intersect_count($"hs_i", $"hs_j"))
+          .withColumn("containment", $"common".cast("double") / $"n_i")
+          .filter($"containment" >= t)
+          .select($"i", $"j", $"n_i".cast("long").as("n_i"),
+            $"n_j".cast("long").as("n_j"), $"common".cast("long").as("common"),
+            $"containment")
+          .orderBy($"i", $"j")
+          .localCheckpoint()
+      } finally docs.unpersist()
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      )
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             any_value(a.n) AS n_i, any_value(b.n) AS n_j,
+             COUNT(*) AS common,
+             CAST(COUNT(*) AS DOUBLE) / any_value(a.n) AS containment
+      FROM ex a JOIN ex b ON a.s = b.s
+       AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(COUNT(*) AS DOUBLE) / any_value(a.n) >= 0.8
+      ORDER BY i, j"""))
+
   /** One alternation step of the large-star/small-star connected-components
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14). Edges are undirected, kept with no self-loops.
@@ -3654,6 +3753,7 @@ object TextOps {
   val all: Map[String, Q] = Map(
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
+    "q114_containment_dedup" -> q114,
     "q19_neardup_minhash_lsh" -> q19,
     "q20_simhash_pairs" -> q20,
     "q21_lang_id" -> q21,

@@ -468,6 +468,133 @@ object Windowed {
                               AND epoch_us(e.ts) + 14400000000
       ORDER BY e.user_id, err_id, clk_id"""))
 
+  /** Q112 — robust anomaly detection: per-group median/MAD z-score over
+    * `events.value` (Iglewicz–Hoaglin modified z-score; Leys et al., J. Exp.
+    * Soc. Psych. 2013 for why MAD beats mean/stddev on contaminated data —
+    * a single extreme value shifts a mean-based z toward itself and masks
+    * its own outlierness; the median pair is 50%-breakdown robust).
+    *
+    * Two exact interpolated medians (q36's `percentile`/`quantile_cont`
+    * parity device): per-type median of `value`, then per-type median of
+    * the absolute deviations (= MAD). Both 5-row results broadcast back;
+    * the score `adev / (1.4826 · mad)` is one double multiply + divide on
+    * identical operands in both engines, so the filter and ordering agree
+    * bit-for-bit. Groups where MAD = 0 (more than half the values at the
+    * median — no robust scale exists) are excluded by contract.
+    *
+    * Scale shape: two scans of events, two bounded (|event_type|-row)
+    * broadcast joins, no window over the full table. Exact `percentile`
+    * buffers per group — fine for bounded group count with bounded values
+    * per group; at unbounded per-group cardinality swap both medians for
+    * `approx_percentile` (q36b's declared fallback — the score stays
+    * identical in form, the cut line moves within sketch ε).
+    */
+  private val q112 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_id", $"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(percentile($"value", lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs($"value" - $"med"))
+      val mad = dev.groupBy($"event_type")
+        .agg(percentile($"adev", lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter($"mad" > 0)
+        .withColumn("score", $"adev" / (lit(1.4826) * $"mad"))
+        .filter($"score" > 3.5)
+        .select($"event_id", $"event_type", $"value", $"med", $"mad", $"score")
+        .orderBy($"score".desc, $"event_id")
+    },
+    oracle = Some("""
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+      ), dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+      ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+             d.adev / (1.4826 * m.mad) AS score
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE m.mad > 0 AND d.adev / (1.4826 * m.mad) > 3.5
+      ORDER BY score DESC, event_id"""))
+
+  /** Q113 — per-user value trend: least-squares slope of `value` against
+    * event time, surfacing the steepest-declining users (the engagement /
+    * battery-drain trend question; the reference's dashboard plots exactly
+    * this curve per vehicle, visualization/dashboard.py:60–189 — here as a
+    * set-oriented ranking instead of a chart).
+    *
+    * q97's fixed-point closed-form device, adapted to time series:
+    * x = whole seconds since the USER'S first event (slope is invariant
+    * under per-group x-translation, so the anchor costs one window min
+    * over the same user_id partitioning the aggregate needs — Catalyst
+    * reuses the exchange), y = value quantized to 1e-4 units. Every
+    * regression sum is exact (per-row products bounded: x ≤ 3.2e7 for a
+    * year-long history, yq ≤ 5e9 for 1e5-magnitude values ⇒ x·yq ≤ 1.6e17
+    * inside long; sums routed through decimal(20,0)→(30,0) in Spark and
+    * HUGEINT in DuckDB — no wrap at any corpus size). The closed form
+    * n·Σxy − Σx·Σy / n·Σxx − (Σx)² is evaluated in exact decimal, each
+    * side cast once to double (DuckDB via the VARCHAR bridge — its direct
+    * HUGEINT→DOUBLE cast is correctly rounded but the bridge removes the
+    * doubt), and the single division + the 8.64 unit fold (86400 s/day ÷
+    * 1e4 quantization) run on identical doubles in both engines.
+    *
+    * Degenerate fits are contract-excluded: n < 3 (no meaningful trend)
+    * and zero x-variance (all events in the same second).
+    */
+  private val q113 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val xs = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          expr("CAST(round(value * 10000) AS BIGINT)").as("yq"))
+        .withColumn("x", expr("(ts_us - min(ts_us) OVER (PARTITION BY user_id)) div 1000000"))
+      val fit = xs.groupBy($"user_id").agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("decimal(20,0)")).as("sx"),
+        sum($"yq".cast("decimal(20,0)")).as("sy"),
+        sum(($"x" * $"yq").cast("decimal(20,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(20,0)")).as("sxx"))
+      val nDec = $"n".cast("decimal(20,0)")
+      fit
+        .withColumn("num", nDec * $"sxy" - $"sx" * $"sy")
+        .withColumn("den", nDec * $"sxx" - $"sx" * $"sx")
+        .filter($"n" >= 3 && $"den" =!= 0)
+        .select($"user_id", $"n".as("n_events"),
+          ($"num".cast("double") / $"den".cast("double") * lit(8.64))
+            .as("slope_per_day"))
+        .orderBy($"slope_per_day".asc, $"user_id")
+        .limit(50)
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(round(value * 10000) AS BIGINT) AS yq
+        FROM events
+      ), xs AS (
+        SELECT user_id,
+               (ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) // 1000000 AS x,
+               yq
+        FROM base
+      ), fit AS (
+        SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(yq) AS sy,
+               SUM(x*yq) AS sxy, SUM(x*x) AS sxx
+        FROM xs GROUP BY user_id
+        HAVING COUNT(*) >= 3
+           AND COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) <> 0)
+      SELECT user_id, CAST(n AS BIGINT) AS n_events,
+             CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) * 8.64
+               AS slope_per_day
+      FROM fit
+      ORDER BY slope_per_day ASC, user_id
+      LIMIT 50"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -479,5 +606,7 @@ object Windowed {
     "q55_gapfill_resample" -> q55,
     "q58_interval_join" -> q58,
     "q64_scd2" -> q64,
+    "q112_value_anomaly_mad" -> q112,
+    "q113_user_trend_slope" -> q113,
   )
 }

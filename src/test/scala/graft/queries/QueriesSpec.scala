@@ -1391,4 +1391,106 @@ class QueriesSpec extends SparkSpec {
     val thr = math.max(math.ceil(0.0001 * nBg).toLong, 1L)
     assert(dflt.nonEmpty && dflt.forall(_.getLong(1) >= thr))
   }
+
+  test("q112 MAD anomaly: score law exact, med/mad match a naive recompute") {
+    val rows = run("q112_value_anomaly_mad").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, med, mad, score) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mad > 0 && score > 3.5)
+      assert(score == math.abs(v - med) / (1.4826 * mad))
+    }
+    // interpolated-median recompute (quantile_cont semantics)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val rank = (s.length - 1) * 0.5
+      val l = rank.toInt
+      if (l + 1 < s.length) s(l) + (s(l + 1) - s(l)) * (rank - l) else s(l)
+    }
+    val byType = graft.sources.Tables.events(spark, sf0001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (tpe, rs) =>
+      val med = medianOf(byType(tpe))
+      val mad = medianOf(byType(tpe).map(v => math.abs(v - med)))
+      assert(math.abs(rs.head.getDouble(3) - med) < 1e-12)
+      assert(math.abs(rs.head.getDouble(4) - mad) < 1e-12)
+    }
+  }
+
+  test("q113 trend slope: matches exact naive OLS, asc order, caps at 50") {
+    val out = run("q113_user_trend_slope").collect()
+    assert(out.nonEmpty && out.length <= 50)
+    val emitted = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(emitted.map(_._3).toSeq == emitted.map(_._3).toSeq.sorted)
+    // exact BigInt closed form over the same (x, yq) quantization
+    val naive = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "value").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          math.round(r.getDouble(2) * 10000))
+      }.toSeq.groupBy(_._1).flatMap { case (u, es) =>
+        val t0 = es.map(_._2).min
+        val pts = es.map(e => (BigInt((e._2 - t0) / 1000000L), BigInt(e._3)))
+        val n = BigInt(pts.length)
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val den = n * sxx - sx * sx
+        if (pts.length >= 3 && den != 0)
+          Some(u -> ((n * sxy - sx * sy).toDouble / den.toDouble * 8.64))
+        else None
+      }
+    emitted.foreach { case (u, n, slope) =>
+      assert(n >= 3)
+      assert(math.abs(slope - naive(u)) <= 1e-12 * math.max(1.0, math.abs(slope)))
+    }
+    // the emitted 50 are the 50 smallest slopes
+    val floor50 = naive.values.toSeq.sorted.take(out.length)
+    assert(emitted.map(_._3).toSeq == floor50)
+  }
+
+  test("q114 containment == brute-force over the same shingle sets (sf0.01)") {
+    val d = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q114_containment_dedup")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(5) >= 0.8)
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) <= r.getLong(2)) // common <= n_i
+    }
+    val sets = TextOps.shingleDocs(graft.sources.Tables.documents(spark, d))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toSet))
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia != ib
+      if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+      common = (sa & sb).size
+      if common.toDouble / sa.size >= 0.8
+    } yield (ia, ib, common.toLong)).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet == brute)
+  }
+
+  test("q115 lift: exact recompute from distinct baskets") {
+    val out = run("q115_event_cooccurrence_lift").collect()
+    assert(out.nonEmpty)
+    val baskets = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val nUsers = baskets.map(_._1).size
+    val nT = baskets.groupBy(_._2).view.mapValues(_.map(_._1).size).toMap
+    out.foreach { r =>
+      val (typeA, typeB) = (r.getString(0), r.getString(1))
+      val nab = baskets.filter(_._2 == typeA).map(_._1)
+        .intersect(baskets.filter(_._2 == typeB).map(_._1)).size
+      assert(r.getLong(2) == nab)
+      assert(nab <= math.min(nT(typeA), nT(typeB)))
+      assert(r.getDouble(5) ==
+        (nab.toLong * nUsers).toDouble / (nT(typeA).toLong * nT(typeB)).toDouble)
+    }
+  }
 }
