@@ -156,7 +156,97 @@ object GraphOps {
       ORDER BY pr DESC, term LIMIT $TopK"""
     })
 
+  /** Q117 — triangle counting + local clustering coefficient over the
+    * part co-purchase graph (parts sharing an order), via the
+    * degree-oriented wedge-closure algorithm (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11;
+    * node-iterator++ in Schank & Wagner's taxonomy). Triangle density is
+    * the community-structure diagnostic CC (q47) and PageRank (q96)
+    * can't see: it distinguishes a hub that bridges strangers from a
+    * clique member, and `local_cc = 2·tri / (deg·(deg−1))` is the
+    * standard per-node form (Watts & Strogatz, Nature 1998).
+    *
+    * Why orientation matters at scale: counting each triangle once via
+    * its (degree, id)-minimum corner caps per-node wedge generation at
+    * C(outdeg, 2) where Σ outdeg² ≤ O(m^1.5) for ANY degree
+    * distribution — the naive undirected wedge join is Σ deg², which a
+    * single celebrity node turns quadratic ("the curse of the last
+    * reducer" is precisely this asymmetry). The (deg, id) pair is a
+    * total order, so ties never drop or double-count a triangle.
+    *
+    * Scale shape: per-order pair generation is bounded-quadratic per
+    * key (TPC-H caps lineitems per order at 7; a pathological basket
+    * feed would cap or sample items per basket first — q115's
+    * distinct-collapse lesson); everything after runs on the edge list:
+    * one degree count, two deg-attach joins, one wedge self-join keyed
+    * by apex, one closure equi-join keyed by the (x, y) pair, one
+    * corner-explode count. All longs; the clustering coefficient is the
+    * single double division, on identical operands in both engines.
+    */
+  private val q117 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      val edges = pairs.distinct().localCheckpoint()
+      val deg = edges.select($"pa".as("u")).unionByName(edges.select($"pb".as("u")))
+        .groupBy($"u").agg(count(lit(1)).as("deg"))
+      val o = edges
+        .join(deg.select($"u".as("pa"), $"deg".as("da")), Seq("pa"))
+        .join(deg.select($"u".as("pb"), $"deg".as("db")), Seq("pb"))
+        .select(
+          when(struct($"da", $"pa") < struct($"db", $"pb"), $"pa").otherwise($"pb").as("src"),
+          when(struct($"da", $"pa") < struct($"db", $"pb"), $"pb").otherwise($"pa").as("dst"))
+      // wedges from each apex's out-pairs; x < y by id, matching the
+      // canonical pa < pb edge orientation, so closure is one equi-join
+      val wedges = o.as("e1").join(o.as("e2"), Seq("src"))
+        .filter($"e1.dst" < $"e2.dst")
+        .select($"src".as("apex"), $"e1.dst".as("pa"), $"e2.dst".as("pb"))
+      val tri = wedges.join(edges, Seq("pa", "pb"))
+      val perNode = tri
+        .select(explode(array($"apex", $"pa", $"pb")).as("u"))
+        .groupBy($"u").agg(count(lit(1)).as("n_tri"))
+      perNode.join(deg, Seq("u"))
+        .select($"u".as("partkey"), $"deg", $"n_tri",
+          (($"n_tri" * 2).cast("double") / ($"deg" * ($"deg" - 1)).cast("double"))
+            .as("local_cc"))
+        .orderBy($"n_tri".desc, $"partkey".asc)
+        .limit(50)
+    },
+    oracle = Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+      ), pr AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ), deg AS (
+        SELECT u, COUNT(*) AS deg FROM (
+          SELECT pa AS u FROM pr UNION ALL SELECT pb FROM pr) GROUP BY u
+      ), o AS (
+        SELECT CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pb ELSE e.pa END AS dst
+        FROM pr e JOIN deg da ON da.u = e.pa JOIN deg db ON db.u = e.pb
+      ), wed AS (
+        SELECT e1.src AS apex, e1.dst AS pa, e2.dst AS pb
+        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      ), tri AS (
+        SELECT apex, pa, pb FROM wed JOIN pr USING (pa, pb)
+      ), corners AS (
+        SELECT u, COUNT(*) AS n_tri FROM (
+          SELECT unnest([apex, pa, pb]) AS u FROM tri) GROUP BY u)
+      SELECT c.u AS partkey, CAST(d.deg AS BIGINT) AS deg,
+             CAST(c.n_tri AS BIGINT) AS n_tri,
+             CAST(c.n_tri * 2 AS DOUBLE) / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+               AS local_cc
+      FROM corners c JOIN deg d ON d.u = c.u
+      ORDER BY n_tri DESC, partkey ASC
+      LIMIT 50"""))
+
   val all: Map[String, Q] = Map(
     "q96_textrank_keywords" -> q96,
+    "q117_triangle_count" -> q117,
   )
 }

@@ -595,6 +595,70 @@ object Windowed {
       ORDER BY slope_per_day ASC, user_id
       LIMIT 50"""))
 
+  /** Q116 — OHLC bar downsampling: per event type, 6-hour bars carrying
+    * open/high/low/close of `value` plus count and exact sum — the
+    * canonical time-series compaction every monitoring/market stack ships
+    * (and the batch form of what the reference's dashboard recomputes per
+    * refresh tick, visualization/dashboard.py:60–189). Open/close are
+    * first/last BY EVENT TIME with event_id as the total tie-break, so
+    * the result is deterministic under equal timestamps — the law the
+    * oracle's hash compare enforces.
+    *
+    * Plan shape: one exchange on (event_type, bar) serves both window
+    * passes (ascending + descending row_number — same partitioning, two
+    * in-partition sorts) and the final aggregation; no self-join, no
+    * argmax subquery. The sum routes through decSum so partial/final
+    * aggregation order can't shift a ulp. At 100 TB the bar width is the
+    * lever: bars are the partition unit and each holds rate × 6 h rows —
+    * a hotter feed narrows the bar (or pre-aggregates per-file partial
+    * bars) rather than changing the operator.
+    */
+  private val q116 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val barUs = 6L * 3600 * 1000000
+      val b = Tables.events(s, d)
+        .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"), $"value")
+        .withColumn("bar", expr(s"ts_us div $barUs"))
+      val wA = Window.partitionBy($"event_type", $"bar")
+        .orderBy($"ts_us".asc, $"event_id".asc)
+      val wD = Window.partitionBy($"event_type", $"bar")
+        .orderBy($"ts_us".desc, $"event_id".desc)
+      b.withColumn("ra", row_number().over(wA))
+        .withColumn("rd", row_number().over(wD))
+        .groupBy($"event_type", $"bar")
+        .agg(max(when($"ra" === 1, $"value")).as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max(when($"rd" === 1, $"value")).as("close"),
+          count(lit(1)).as("n_events"),
+          decSum($"value").as("sum_value"))
+        .select($"event_type", timestamp_micros($"bar" * barUs).as("bar_start"),
+          $"open", $"high", $"low", $"close", $"n_events", $"sum_value")
+        .orderBy($"event_type", $"bar_start")
+    },
+    oracle = Some("""
+      WITH b AS (
+        SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+               epoch_us(ts) // 21600000000 AS bar
+        FROM events
+      ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                  ORDER BY ts_us ASC, event_id ASC) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                  ORDER BY ts_us DESC, event_id DESC) AS rd
+        FROM b)
+      SELECT event_type, make_timestamp(bar * 21600000000) AS bar_start,
+             MAX(CASE WHEN ra = 1 THEN value END) AS open,
+             MAX(value) AS high, MIN(value) AS low,
+             MAX(CASE WHEN rd = 1 THEN value END) AS close,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+               AS sum_value
+      FROM r GROUP BY event_type, bar
+      ORDER BY event_type, bar_start"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -608,5 +672,6 @@ object Windowed {
     "q64_scd2" -> q64,
     "q112_value_anomaly_mad" -> q112,
     "q113_user_trend_slope" -> q113,
+    "q116_ohlc_bars" -> q116,
   )
 }

@@ -1475,6 +1475,62 @@ class QueriesSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet == brute)
   }
 
+  test("q116 OHLC: bar invariants hold, open/close match the time-ordered rows") {
+    val out = run("q116_ohlc_bars").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (o, h, l, c) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(h >= math.max(o, c) && l <= math.min(o, c))
+      assert(r.getLong(6) >= 1)
+    }
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        val us = t.getEpochSecond * 1000000L + t.getNano / 1000L
+        (r.getString(0), us / 21600000000L, us, r.getLong(2), r.getDouble(3))
+      }
+    assert(out.map(_.getLong(6)).sum == ev.length)
+    val naive = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      k -> (sorted.head._5, sorted.last._5)
+    }
+    out.foreach { r =>
+      val bar = r.getTimestamp(1).toInstant.getEpochSecond * 1000000L / 21600000000L
+      val (open, close) = naive((r.getString(0), bar))
+      assert(r.getDouble(2) == open && r.getDouble(5) == close)
+    }
+  }
+
+  test("q117 triangles == brute-force over the co-purchase graph") {
+    val out = run("q117_triangle_count").collect()
+    assert(out.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = adj.keys.map { u =>
+      u -> adj(u).toSeq.flatMap(v => (adj(u) & adj(v)).map(w => Set(u, v, w)))
+        .distinct.size.toLong
+    }.toMap
+    val naiveTop = triPerNode.toSeq.filter(_._2 > 0)
+      .sortBy { case (u, t) => (-t, u) }.take(50)
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == naiveTop)
+    out.foreach { r =>
+      val (u, deg, tri, cc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg == adj(u).size)
+      assert(cc == (tri * 2).toDouble / (deg * (deg - 1)).toDouble)
+      assert(tri <= deg * (deg - 1) / 2)
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
