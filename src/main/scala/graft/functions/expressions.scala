@@ -630,6 +630,53 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** [[SortedIntersectCount]]'s elements sibling: (array<long>,
+    * array<long>) → array<long> of the DISTINCT values common to two
+    * ascending-sorted long arrays, in ascending order, one merge pass.
+    * For callers that need the intersection's IDENTITY, not just its
+    * size — q117 attributes each triangle to its third corner from this.
+    * Same contract: inputs must be sorted ascending or the output is
+    * unspecified.
+    */
+  case class SortedIntersect(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, ArrayType(LongType), "sorted_intersect")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, ArrayType(LongType), "sorted_intersect")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val m = b.numElements()
+      val out = new Array[Long](math.min(n, m))
+      var i = 0; var j = 0; var c = 0
+      while (i < n && j < m) {
+        val av = a.getLong(i)
+        val bv = b.getLong(j)
+        if (av < bv) i += 1
+        else if (av > bv) j += 1
+        else {
+          out(c) = av; c += 1
+          while (i < n && a.getLong(i) == av) i += 1
+          while (j < m && b.getLong(j) == av) j += 1
+        }
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, c))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("si", this, classOf[SortedIntersect].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($l, $r);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersect =
+      copy(left = l, right = r)
+  }
+
   /** array<float> embedding → array<int> of `nTables` random-hyperplane
     * LSH signatures (each `nPlanes` sign bits). Signs are the shared
     * splitmix constants sign(t,p,i) = ±1 by bit 0 of
@@ -1923,6 +1970,11 @@ object expressions {
         require(exprs.length == 2, "sorted_intersect_count requires exactly 2 arguments")
         SortedIntersectCount(exprs(0), exprs(1))
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect",
+      exprs => {
+        require(exprs.length == 2, "sorted_intersect requires exactly 2 arguments")
+        SortedIntersect(exprs(0), exprs(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_sigs",
       exprs => HyperplaneSigs(one("hyperplane_sigs")(exprs), 8, 6, 64), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
@@ -2015,6 +2067,8 @@ object expressions {
     call_function("simhash64", shingles)
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+  def sorted_intersect(a: Column, b: Column): Column =
+    call_function("sorted_intersect", a, b)
   def hyperplane_sigs(embedding: Column): Column =
     call_function("hyperplane_sigs", embedding)
   def shingle_hashes(text: Column): Column =

@@ -183,6 +183,29 @@ class ExpressionsSpec extends SparkSpec {
       declarative.orderBy("id").collect().toSeq)
   }
 
+  test("sorted_intersect == sorted array_intersect; size law vs count kernel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 50L).map { id =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).sorted
+      (id, a, b)
+    } :+ ((51L, Seq.empty[Long], Seq(1L, 2L))) :+
+      ((52L, Seq(5L, 5L, 7L), Seq(5L, 7L, 7L, 9L)))
+    val df = rows.toDF("id", "a", "b")
+    // array_intersect keeps left-side first-occurrence order; on sorted
+    // distinct-collapsed inputs that IS ascending order
+    val declarative = df.select($"id",
+      array_sort(array_intersect($"a", $"b")).as("w"))
+    val native = df.select($"id", expressions.sorted_intersect($"a", $"b").as("w"))
+    assert(native.orderBy("id").collect().toSeq ==
+      declarative.orderBy("id").collect().toSeq)
+    val law = df.select(
+      (size(expressions.sorted_intersect($"a", $"b")).cast("long") =!=
+        expressions.sorted_intersect_count($"a", $"b")).as("bad"))
+    assert(law.filter($"bad").count() == 0)
+  }
+
   test("simhash_bucket_pairs == declarative pair explosion (incl. cap path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
