@@ -72,7 +72,10 @@ object ScaleBench {
     "q107_leakage_free_split",
     // round-8: cross-split OOV — map-side token collapse, vocab-bounded
     // join
-    "q108_oov_rate")
+    "q108_oov_rate",
+    // round-8: asymmetric containment — prefix-probe vs full-posting
+    // inverted-index join + merge-intersect verification
+    "q114_containment_dedup")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

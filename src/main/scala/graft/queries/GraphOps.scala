@@ -229,6 +229,9 @@ object GraphOps {
         .localCheckpoint()
       val outAdj = o.groupBy($"src")
         .agg(sort_array(collect_list($"dst")).as("adj"))
+        // materialized once — joined on BOTH sides below; lazily the
+        // groupBy + per-node sort would run once per join subtree
+        .localCheckpoint()
       // inner joins: an edge whose endpoint has no out-neighbors can
       // close no triangle at this base (its W would be empty)
       val withW = o

@@ -1174,9 +1174,15 @@ object Relational {
   private val q115 = Q(
     fn = (s, d) => {
       import s.implicits._
+      // materialized once: the grid feeds the user total, the per-type
+      // supports AND both self-join sides — four subtrees that would
+      // each replay the events scan + distinct exchange
       val ut = Tables.events(s, d)
-        .select($"user_id", $"event_type").distinct()
-      val tot = ut.select($"user_id").distinct().agg(count(lit(1)).as("n_users"))
+        .select($"user_id", $"event_type").distinct().localCheckpoint()
+      // countDistinct skips a NULL user (matching the oracle's
+      // COUNT(DISTINCT) and q109's null-user contract); the null row may
+      // still sit in `ut` but can never equi-join itself in either engine
+      val tot = ut.agg(countDistinct($"user_id").as("n_users"))
       val nt = ut.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
       val pairs = ut.as("a").join(ut.as("b"), Seq("user_id"))
         .filter($"a.event_type" < $"b.event_type")

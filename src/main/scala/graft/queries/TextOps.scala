@@ -203,6 +203,35 @@ object TextOps {
       finally docs.unpersist()
   }
 
+  /** Each document's shingle set ranked rare-first by the global
+    * (df, h) order: (doc_id, n, sh: array<struct<df, h>>) with `sh`
+    * ascending — the shared stage under q18's prefix-sliced candidate
+    * generation and q114's full-rank probe/index legs.
+    *
+    * Works on the 8-byte shingle hashes (`hs`, hashed once under the
+    * cache), not strings: df counting, ranking and bucketing only need a
+    * consistent identity, and a rare hash collision merely merges two
+    * buckets — extra candidates that verification filters right back
+    * out. Ranking is a per-doc in-row sort (ObjectHashAggregate +
+    * array_sort) instead of a sort-based window: the exchange by doc_id
+    * is the same, but the partition-wide sort of every (doc, shingle)
+    * row becomes ~shingles-per-doc-sized in-row sorts. Memory trade:
+    * collect_list holds one doc's full (df, h) array in the agg buffer
+    * (~16 B/shingle) where the window form spilled — bounded because
+    * documents are length-bounded upstream (q48's quality gate); a
+    * corpus of pathological multi-GB "documents" should use the window
+    * form instead.
+    */
+  private def dfRankedShingles(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ex = docs.select($"doc_id", $"n", explode($"hs").as("h"))
+    val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(first($"n").as("n"),
+        array_sort(collect_list(struct($"df", $"h"))).as("sh"))
+  }
+
   /** q18's candidate-generation leg (PPJoin prefix + length + position
     * filters over a shingled corpus), exposed for reuse and leg-level
     * profiling. Returns distinct (i, j) candidate pairs, i < j (see
@@ -212,27 +241,10 @@ object TextOps {
       import docs.sparkSession.implicits._
       {
         val s = docs.sparkSession
-        // Work on the 8-byte shingle hashes (`hs`, hashed once under the
-        // cache), not strings: df counting, ranking and bucketing only
-        // need a consistent identity, and a rare hash collision merely
-        // merges two buckets — extra candidates that the verification
-        // filters right back out.
-        val ex = docs.select($"doc_id", $"n", explode($"hs").as("h"))
-        val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
-        // prefix selection via per-doc in-row sort (ObjectHashAggregate
-        // + array_sort) instead of a sort-based window: the exchange by
-        // doc_id is the same, but the partition-wide sort of every
-        // (doc, shingle) row is replaced by ~shingles-per-doc-sized
-        // in-row sorts, and only the prefix survives the explode.
-        // Memory trade: collect_list holds one doc's full (df, h) array
-        // in the agg buffer (~16 B/shingle) where the window form
-        // spilled — bounded because documents are length-bounded
-        // upstream (q48's quality gate); a corpus of pathological
-        // multi-GB "documents" should keep the window form instead
-        val prefix = ex.join(dfreq, Seq("h"))
-          .groupBy($"doc_id")
-          .agg(first($"n").as("n"),
-            array_sort(collect_list(struct($"df", $"h"))).as("sh"))
+        // only the prefix survives the explode (q114 explodes the full
+        // ranking for its index side — the shared stage is factored as
+        // dfRankedShingles)
+        val prefix = dfRankedShingles(docs)
           .select($"doc_id", $"n",
             posexplode(slice($"sh", lit(1),
               ($"n" - ceil($"n" * t) + 1).cast("int"))).as(Seq("p0", "e")))
@@ -309,25 +321,26 @@ object TextOps {
       val t = 0.8
       val docs = shingled(s, d).persist()
       try {
-        val ex = docs.select($"doc_id", $"n", explode($"hs").as("h"))
-        val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
-        // one in-row (df, h)-ascending sort per doc serves BOTH legs:
-        // ranks for the index side, the first n - ceil(t*n) + 1 entries
-        // for the probe side (q18's ObjectHashAggregate + array_sort
-        // device — same memory contract)
-        val ranked = ex.join(dfreq, Seq("h"))
-          .groupBy($"doc_id")
-          .agg(first($"n").as("n"),
-            array_sort(collect_list(struct($"df", $"h"))).as("sh"))
+        // one in-row (df, h)-ascending sort per doc ([[dfRankedShingles]],
+        // shared with q18) serves BOTH legs: full ranks for the index
+        // side, the first n - ceil(t*n) + 1 entries for the probe side
+        // materialized once — the probe and index legs below are two
+        // independent subtrees of the same ranking
+        val ranked = dfRankedShingles(docs)
           .select($"doc_id", $"n",
             posexplode($"sh").as(Seq("p0", "e")))
           .select($"doc_id", $"n", ($"p0" + 1).as("rk"), $"e.h".as("h"))
+          .localCheckpoint()
+        // alpha = ceil(0.8·n) computed EXACTLY in integers as
+        // (4n + 4) div 5 — double ceil(n*0.8) could round across an
+        // integer for other thresholds and silently over-prune (q18's
+        // kernel carries the same discipline for its t = 0.5 bound)
         val probe = ranked
-          .filter($"rk" <= $"n" - ceil($"n" * t) + 1)
+          .filter($"rk" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
           .select($"doc_id".as("i"), $"n".as("n_a"), $"rk".as("rk_a"), $"h")
         val index = ranked
           .select($"doc_id".as("j"), $"n".as("n_b"), $"rk".as("rk_b"), $"h")
-        val alpha = ceil($"n_a" * t).cast("int")
+        val alpha = expr("(n_a * 4 + 4) div 5")
         val cand = probe.join(index, Seq("h"))
           .filter($"i" =!= $"j")
           .filter($"n_a" < $"n_b" || ($"n_a" === $"n_b" && $"i" < $"j"))

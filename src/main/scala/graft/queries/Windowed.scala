@@ -482,10 +482,13 @@ object Windowed {
     * bit-for-bit. Groups where MAD = 0 (more than half the values at the
     * median — no robust scale exists) are excluded by contract.
     *
-    * Scale shape: two scans of events, two bounded (|event_type|-row)
-    * broadcast joins, no window over the full table. Exact `percentile`
-    * buffers per group — fine for bounded group count with bounded values
-    * per group; at unbounded per-group cardinality swap both medians for
+    * Scale shape: three scans of events (the information-theoretic floor
+    * without caching the corpus: one per median pass, one for the output
+    * rows — both 5-row median tables are materialized once so no subtree
+    * replays a pass), two bounded (|event_type|-row) broadcast joins, no
+    * window over the full table. Exact `percentile` buffers per group —
+    * fine for bounded group count with bounded values per group; at
+    * unbounded per-group cardinality swap both medians for
     * `approx_percentile` (q36b's declared fallback — the score stays
     * identical in form, the cut line moves within sketch ε).
     */
@@ -495,10 +498,12 @@ object Windowed {
       val ev = Tables.events(s, d).select($"event_id", $"event_type", $"value")
       val med = ev.groupBy($"event_type")
         .agg(percentile($"value", lit(0.5)).as("med"))
+        .localCheckpoint()
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("adev", abs($"value" - $"med"))
       val mad = dev.groupBy($"event_type")
         .agg(percentile($"adev", lit(0.5)).as("mad"))
+        .localCheckpoint()
       dev.join(broadcast(mad), Seq("event_type"))
         .filter($"mad" > 0)
         .withColumn("score", $"adev" / (lit(1.4826) * $"mad"))
@@ -619,7 +624,11 @@ object Windowed {
       val barUs = 6L * 3600 * 1000000
       val b = Tables.events(s, d)
         .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"), $"value")
-        .withColumn("bar", expr(s"ts_us div $barUs"))
+        // FLOOR division (Spark `div` truncates toward zero; DuckDB `//`
+        // floors — they disagree on pre-1970 timestamps, so the sign
+        // correction keeps the engines on the same bar everywhere)
+        .withColumn("bar", expr(
+          s"ts_us div $barUs - (CASE WHEN ts_us % $barUs < 0 THEN 1 ELSE 0 END)"))
       val wA = Window.partitionBy($"event_type", $"bar")
         .orderBy($"ts_us".asc, $"event_id".asc)
       val wD = Window.partitionBy($"event_type", $"bar")
