@@ -668,6 +668,57 @@ object Windowed {
       FROM r GROUP BY event_type, bar
       ORDER BY event_type, bar_start"""))
 
+  /** Q118 — sequence-pattern (CEP) detection: per user, three STRICTLY
+    * consecutive 'error' events (no event of any other type between
+    * them) whose span fits inside 24 hours — the MATCH_RECOGNIZE /
+    * Flink-CEP workload ("three failures in a row = incident") that
+    * Spark has no native operator for, expressed as a lead-window scan:
+    * the pattern `error error error` over a row-adjacent window is
+    * exactly two LEADs and a span predicate, one exchange per user, no
+    * per-user loops or UDFs (SQL-2016 row-pattern semantics for a
+    * fixed-length strict-contiguity pattern reduce to this; variable-
+    * length patterns — `error+` — would move to transformWithState,
+    * the streaming twin's shape, [[graft.streaming.Pipeline]]).
+    *
+    * Incidents may overlap (each anchor row reports once — the
+    * AFTER MATCH SKIP TO NEXT ROW policy); emitted spans are
+    * deterministic via the (ts, event_id) total order.
+    */
+  private val q118 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .select($"user_id", $"event_id", $"event_type", $"ts_us",
+          lead($"event_type", 1).over(w).as("t2"),
+          lead($"event_type", 2).over(w).as("t3"),
+          lead($"event_id", 2).over(w).as("id3"),
+          lead($"ts_us", 2).over(w).as("ts3"))
+        .filter($"event_type" === "error" && $"t2" === "error" && $"t3" === "error"
+          && $"ts3" - $"ts_us" <= 86400000000L)
+        .select($"user_id", $"event_id".as("first_id"), $"id3".as("last_id"),
+          $"ts_us".as("start_us"), $"ts3".as("end_us"),
+          ($"ts3" - $"ts_us").as("span_us"))
+        .orderBy($"user_id", $"first_id")
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3,
+               LEAD(event_id, 2) OVER w AS id3,
+               LEAD(epoch_us(ts), 2) OVER w AS ts3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT user_id, event_id AS first_id, id3 AS last_id,
+             CAST(ts_us AS BIGINT) AS start_us, CAST(ts3 AS BIGINT) AS end_us,
+             CAST(ts3 - ts_us AS BIGINT) AS span_us
+      FROM r
+      WHERE event_type = 'error' AND t2 = 'error' AND t3 = 'error'
+        AND ts3 - ts_us <= 86400000000
+      ORDER BY user_id, first_id"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -682,5 +733,6 @@ object Windowed {
     "q112_value_anomaly_mad" -> q112,
     "q113_user_trend_slope" -> q113,
     "q116_ohlc_bars" -> q116,
+    "q118_error_burst_cep" -> q118,
   )
 }

@@ -313,6 +313,85 @@ object Pipeline {
       .start()
   }
 
+  /** Last two events of ANY type per user (the CEP pattern needs strict
+    * contiguity, so non-error events must be SEEN to break a run);
+    * n = how many events observed so far (0/1/2+). */
+  final case class CepState(n: Int, id1: Long, ts1: Long, e1: Boolean,
+      id2: Long, ts2: Long, e2: Boolean)
+  final case class CepEvent(ts: java.sql.Timestamp, user_id: Long,
+      event_id: Long, event_type: String)
+  /** One row per detected incident — batch q118's exact schema. */
+  final case class CepIncident(user_id: Long, first_id: Long, last_id: Long,
+      start_us: Long, end_us: Long, span_us: Long)
+
+  /** Streaming sequence-pattern (CEP) detection — the stateful twin of
+    * batch q118: three strictly consecutive 'error' events per user
+    * within `windowUs`, emitted as one incident per anchor (AFTER MATCH
+    * SKIP TO NEXT ROW, like the batch lead-window form). State is the
+    * last TWO events per user — a fixed-length strict-contiguity
+    * pattern needs exactly (patternLen − 1) rows of lookback, the
+    * transformWithState analogue of the batch query's two LEADs; a
+    * variable-length pattern (`error+`) would grow this to an open run
+    * summary, same operator shape.
+    *
+    * Ordering contract ([[FunnelProcessor]]'s): rows sort by
+    * (event time, event_id) within a micro-batch, so the stream equals
+    * batch q118 whenever each user's events arrive time-ordered across
+    * batches; a late event cannot retro-break an already-emitted run —
+    * the batch query is the reconciliation.
+    */
+  final class CepProcessor(windowUs: Long)
+      extends StatefulProcessor[Long, CepEvent, CepIncident] {
+    @transient private var st: ValueState[CepState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CepState]("cep",
+        Encoders.product[CepState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[CepEvent],
+        timers: TimerValues): Iterator[CepIncident] = {
+      var s = if (st.exists()) st.get() else CepState(0, 0L, 0L, false, 0L, 0L, false)
+      val out = Seq.newBuilder[CepIncident]
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val us = micros(e.ts)
+        val isErr = e.event_type == "error"
+        if (s.n >= 2 && s.e1 && s.e2 && isErr && us - s.ts1 <= windowUs)
+          out += CepIncident(uid, s.id1, e.event_id, s.ts1, us, us - s.ts1)
+        s = CepState(math.min(s.n + 1, 2),
+          s.id2, s.ts2, s.e2, e.event_id, us, isErr)
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** CEP-stream runner: JSONL event batches → incident log, appended as
+    * parquet ([[runOdometerProgress]]'s RocksDB setup). */
+  def runErrorBurstStream(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, windowUs: Long = 86400000000L,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.readStream
+      .schema("ts TIMESTAMP, user_id LONG, event_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .as[CepEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new CepProcessor(windowUs), TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/error_incidents")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Per-vehicle cumulative distance rows, one per vehicle per batch. */
   def odometerProgress(telemetry: Dataset[Telemetry]): Dataset[OdometerUpdate] = {
     import telemetry.sparkSession.implicits._

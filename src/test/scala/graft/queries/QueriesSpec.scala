@@ -1531,6 +1531,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q118 CEP: incidents == naive scan of per-user time-ordered sequences") {
+    val out = run("q118_error_burst_cep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.nonEmpty)
+    val seqs = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          r.getLong(2), r.getString(3))
+      }.toSeq.groupBy(_._1)
+    val naive = seqs.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.sliding(3).filter(w => w.length == 3 &&
+          w.forall(_._4 == "error") && w(2)._2 - w(0)._2 <= 86400000000L)
+        .map(w => (u, w(0)._3, w(2)._3))
+    }.toSet
+    assert(out == naive)
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)

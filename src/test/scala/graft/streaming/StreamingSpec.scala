@@ -812,6 +812,52 @@ class StreamingSpec extends SparkSpec {
     assert(totalViolations == 4)
   }
 
+  test("streaming CEP: error-burst incidents match the batch lead-window law") {
+    val in = tmpDir("cep_in")
+    val out = tmpDir("cep_out")
+    val ckpt = tmpDir("cep_ckpt")
+    def e(ts: String, u: Long, id: Long, t: String) =
+      s"""{"ts":"$ts","user_id":$u,"event_id":$id,"event_type":"$t"}"""
+    // u1: clean triple SPLIT ACROSS BATCHES (state must carry over);
+    // u2: a view breaks the first run, a later triple completes;
+    // u3: three errors spanning > 24h (out of window);
+    // u4: four errors in window -> TWO overlapping incidents
+    writeJsonl(in, "b1.jsonl",
+      e("2026-03-01 08:00:00", 1, 101, "error"),
+      e("2026-03-01 08:10:00", 1, 102, "error"),
+      e("2026-03-01 08:00:00", 2, 201, "error"),
+      e("2026-03-01 08:01:00", 2, 202, "view"),
+      e("2026-03-01 08:02:00", 2, 203, "error"),
+      e("2026-03-01 00:00:00", 3, 301, "error"),
+      e("2026-03-01 13:00:00", 3, 302, "error"),
+      e("2026-03-01 08:00:00", 4, 401, "error"),
+      e("2026-03-01 08:01:00", 4, 402, "error"))
+    writeJsonl(in, "b2.jsonl",
+      e("2026-03-01 08:20:00", 1, 103, "error"),
+      e("2026-03-01 08:03:00", 2, 204, "error"),
+      e("2026-03-01 08:04:00", 2, 205, "error"),
+      e("2026-03-02 02:00:00", 3, 303, "error"),
+      e("2026-03-01 08:02:00", 4, 403, "error"),
+      e("2026-03-01 08:03:00", 4, 404, "error"))
+    for ((stem, i) <- Seq("b1", "b2").zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(in, s"$stem.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    Pipeline.runErrorBurstStream(spark, in, out, ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$out/error_incidents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 101L, 103L),   // cross-batch triple
+      (2L, 203L, 205L),   // run re-formed after the view broke it
+      (4L, 401L, 403L), (4L, 402L, 404L)), // overlapping incidents
+      s"got $got")
+    // span law: every incident's span equals end - start and fits the window
+    spark.read.parquet(s"$out/error_incidents").collect().foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3))
+      assert(r.getLong(5) <= 86400000000L)
+    }
+  }
+
   test("streaming funnel: per-user stage machine matches the batch funnel law") {
     val in = tmpDir("fn_in")
     val out = tmpDir("fn_out")
