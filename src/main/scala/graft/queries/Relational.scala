@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1224,6 +1224,82 @@ object Relational {
       CROSS JOIN tot t
       ORDER BY type_a, type_b"""))
 
+  /** Q119 — key-skew audit: per join/aggregation key, the distribution
+    * facts that predict shuffle behavior at scale — row count, distinct
+    * keys, the hottest key's count and share, and the coefficient of
+    * variation of per-key counts. The pre-flight behind every skew
+    * decision this engine documents (salting, AQE skew-join, q13's
+    * banding): a key with max_share ≫ 1/shuffle_partitions is a straggler
+    * in waiting, and cnt_cv ≈ 0 means uniform keys where none of that
+    * machinery is needed.
+    *
+    * Deliberately sort-free (the metric must be cheaper than the problem
+    * it predicts): each audited key costs one map-side-combined count
+    * aggregate over its column plus a single-row fold of the count table.
+    * cv comes from the closed form cv² = K·Σc²/N² − 1 — Σc² and the
+    * products are exact (decimal/HUGEINT), then one division, one
+    * subtraction and one IEEE sqrt on identical operands in both engines.
+    * No global rank/Gini: those need a full sort of the count table,
+    * which at 10⁹ keys is itself a skew hazard; max + cv carry the
+    * actionable signal.
+    */
+  private val q119 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      def audit(name: String, df: DataFrame, key: Column): DataFrame = {
+        val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        counts.agg(
+            sum($"c").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max($"c").as("max_cnt"),
+            sum(($"c" * $"c").cast("decimal(38,0)")).as("sumsq"))
+          .select(lit(name).as("audited_key"),
+            $"n_rows", $"n_keys", $"max_cnt",
+            ($"max_cnt".cast("double") / $"n_rows".cast("double")).as("max_share"),
+            // K·Σc² ≥ N² exactly (Cauchy–Schwarz), and below 2^53 both
+            // products convert exactly, so the ratio rounds to ≥ 1.0;
+            // past 2^53 conversion rounding could dip the difference a
+            // ulp under zero — the greatest() keeps sqrt off NaN at any
+            // magnitude, identically in both engines
+            sqrt(greatest(
+              ($"n_keys".cast("decimal(20,0)") * $"sumsq").cast("double")
+                / ($"n_rows".cast("decimal(20,0)") * $"n_rows").cast("double")
+                - lit(1.0),
+              lit(0.0))).as("cnt_cv"))
+      }
+      val ev = Tables.events(s, d)
+      val li = Tables.lineitem(s, d)
+      audit("events.user_id", ev, $"user_id")
+        .unionByName(audit("events.event_type", ev, $"event_type"))
+        .unionByName(audit("lineitem.l_orderkey", li, $"l_orderkey"))
+        .unionByName(audit("lineitem.l_partkey", li, $"l_partkey"))
+        .unionByName(audit("orders.o_custkey", Tables.orders(s, d), $"o_custkey"))
+        .orderBy($"audited_key")
+    },
+    oracle = Some("""
+      WITH a AS (
+        SELECT 'events.user_id' AS audited_key, CAST(user_id AS VARCHAR) AS k
+        FROM events
+        UNION ALL
+        SELECT 'events.event_type', event_type FROM events
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      ), counts AS (
+        SELECT audited_key, k, COUNT(*) AS c FROM a GROUP BY audited_key, k)
+      SELECT audited_key,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_cnt,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS max_share,
+             sqrt(GREATEST(CAST(COUNT(*) * SUM(c*c) AS DOUBLE)
+               / CAST(SUM(c) * SUM(c) AS DOUBLE) - 1.0, 0.0)) AS cnt_cv
+      FROM counts GROUP BY audited_key
+      ORDER BY audited_key"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -1237,6 +1313,7 @@ object Relational {
     "q110_retention_cohorts" -> q110,
     "q111_conversion_latency" -> q111,
     "q115_event_cooccurrence_lift" -> q115,
+    "q119_key_skew_audit" -> q119,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,

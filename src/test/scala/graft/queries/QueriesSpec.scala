@@ -1551,6 +1551,33 @@ class QueriesSpec extends SparkSpec {
     assert(out == naive)
   }
 
+  test("q119 skew audit: exact recompute per audited key") {
+    val out = run("q119_key_skew_audit").collect()
+    assert(out.length == 5)
+    def naive(pairs: Seq[Any]): (Long, Long, Long, Double, Double) = {
+      val cnts = pairs.groupBy(identity).values.map(_.size.toLong).toSeq
+      val n = cnts.sum; val k = cnts.length.toLong; val mx = cnts.max
+      val sumsq = cnts.map(c => c * c).sum
+      (n, k, mx, mx.toDouble / n.toDouble,
+        math.sqrt(math.max((k * sumsq).toDouble / (n * n).toDouble - 1.0, 0.0)))
+    }
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id", "event_type").collect()
+    val expect = Map(
+      "events.user_id" -> naive(ev.map(_.get(0)).toSeq),
+      "events.event_type" -> naive(ev.map(_.get(1)).toSeq))
+    out.filter(r => expect.contains(r.getString(0))).foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((e._1, e._2, e._3)))
+      assert(math.abs(r.getDouble(4) - e._4) < 1e-15)
+      assert(math.abs(r.getDouble(5) - e._5) < 1e-12)
+    }
+    out.foreach { r =>
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0 && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
