@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -492,22 +493,43 @@ object Windowed {
     * `approx_percentile` (q36b's declared fallback — the score stays
     * identical in form, the cut line moves within sketch ε).
     */
+  /** q112's fitted robust-location model: (event_type, med, mad), both
+    * 5-row median tables materialized once. Shared by the batch query
+    * and [[graft.streaming.Pipeline.runAnomalyGateStream]], so a stream
+    * scores arriving events against EXACTLY the medians the batch audit
+    * reports. */
+  private[graft] def madModel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+      .localCheckpoint()
+    ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs($"value" - $"med"))
+      .groupBy($"event_type")
+      .agg(first($"med").as("med"), percentile($"adev", lit(0.5)).as("mad"))
+      .localCheckpoint()
+  }
+
+  /** Score rows of (…, event_type, value) against a fitted (event_type,
+    * med, mad) model — the shared scoring core of batch q112 and the
+    * streaming gate. Emits only anomalies (score > threshold; MAD = 0
+    * groups contract-excluded). */
+  private[graft] def madScore(rows: DataFrame, model: DataFrame,
+      threshold: Double = 3.5): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.join(broadcast(model), Seq("event_type"))
+      .filter($"mad" > 0)
+      .withColumn("adev", abs($"value" - $"med"))
+      .withColumn("score", $"adev" / (lit(1.4826) * $"mad"))
+      .filter($"score" > threshold)
+  }
+
   private val q112 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).select($"event_id", $"event_type", $"value")
-      val med = ev.groupBy($"event_type")
-        .agg(percentile($"value", lit(0.5)).as("med"))
-        .localCheckpoint()
-      val dev = ev.join(broadcast(med), Seq("event_type"))
-        .withColumn("adev", abs($"value" - $"med"))
-      val mad = dev.groupBy($"event_type")
-        .agg(percentile($"adev", lit(0.5)).as("mad"))
-        .localCheckpoint()
-      dev.join(broadcast(mad), Seq("event_type"))
-        .filter($"mad" > 0)
-        .withColumn("score", $"adev" / (lit(1.4826) * $"mad"))
-        .filter($"score" > 3.5)
+      madScore(Tables.events(s, d).select($"event_id", $"event_type", $"value"),
+          madModel(s, d))
         .select($"event_id", $"event_type", $"value", $"med", $"mad", $"score")
         .orderBy($"score".desc, $"event_id")
     },

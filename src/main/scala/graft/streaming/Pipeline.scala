@@ -392,6 +392,37 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming anomaly gate — q112's robust median/MAD model fitted ONCE
+    * from the stored corpus at stream start ([[graft.queries.Windowed.madModel]],
+    * the langid/quality-gate pattern), each arriving micro-batch scored
+    * by the SHARED scoring core: an arriving event flags if and only if
+    * the batch audit would flag it against the same corpus medians.
+    * Anomalies land as an append-only log with the score attached; the
+    * 5-row model broadcast makes the per-batch cost one map-side join.
+    */
+  def runAnomalyGateStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String,
+      threshold: Double = 3.5,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val model = graft.queries.Windowed.madModel(s, corpusDir)
+    s.readStream
+      .schema("ts TIMESTAMP, event_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.Windowed.madScore(
+            batch.select(col("event_id"), col("event_type"), col("value")),
+            model, threshold)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("med"), col("mad"), col("score"))
+          .write.mode("append").parquet(s"$outDir/anomalies")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Per-vehicle cumulative distance rows, one per vehicle per batch. */
   def odometerProgress(telemetry: Dataset[Telemetry]): Dataset[OdometerUpdate] = {
     import telemetry.sparkSession.implicits._

@@ -812,6 +812,22 @@ class StreamingSpec extends SparkSpec {
     assert(totalViolations == 4)
   }
 
+  test("streaming anomaly gate: replayed corpus flags exactly the batch q112 rows") {
+    val in = tmpDir("an_in")
+    val out = tmpDir("an_out")
+    val ckpt = tmpDir("an_ckpt")
+    graft.sources.Tables.events(spark, sf0001)
+      .select("ts", "event_id", "event_type", "value")
+      .coalesce(2).write.mode("overwrite").json(in)
+    Pipeline.runAnomalyGateStream(spark, sf0001, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val got = spark.read.parquet(s"$out/anomalies").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(5))).toSet
+    val want = graft.SparkEntry.queries("q112_value_anomaly_mad")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(5))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming CEP: error-burst incidents match the batch lead-window law") {
     val in = tmpDir("cep_in")
     val out = tmpDir("cep_out")
