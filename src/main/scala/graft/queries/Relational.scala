@@ -1236,8 +1236,10 @@ object Relational {
     * Deliberately sort-free (the metric must be cheaper than the problem
     * it predicts): each audited key costs one map-side-combined count
     * aggregate over its column plus a single-row fold of the count table.
-    * cv comes from the closed form cv² = K·Σc²/N² − 1 — Σc² and the
-    * products are exact (decimal/HUGEINT), then one division, one
+    * cv comes from the closed form cv² = K·Σc²/N² − 1 — Σc² is exact
+    * (per-row decimal/HUGEINT squares, no long wrap at any count), the
+    * ratio is assembled in double after one correctly-rounded conversion
+    * per factor (no decimal-precision cliff), then one division, one
     * subtraction and one IEEE sqrt on identical operands in both engines.
     * No global rank/Gini: those need a full sort of the count table,
     * which at 10⁹ keys is itself a skew hazard; max + cv carry the
@@ -1248,22 +1250,31 @@ object Relational {
       import s.implicits._
       def audit(name: String, df: DataFrame, key: Column): DataFrame = {
         val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        // c is cast to decimal BEFORE squaring (a long×long c*c wraps
+        // silently past c ≈ 3e9 — precisely the pathological hot key
+        // this audit exists to flag); Σc² stays exact decimal/HUGEINT
         counts.agg(
             sum($"c").as("n_rows"),
             count(lit(1)).as("n_keys"),
             max($"c").as("max_cnt"),
-            sum(($"c" * $"c").cast("decimal(38,0)")).as("sumsq"))
+            sum(($"c".cast("decimal(19,0)") * $"c".cast("decimal(19,0)")))
+              .as("sumsq"))
           .select(lit(name).as("audited_key"),
             $"n_rows", $"n_keys", $"max_cnt",
             ($"max_cnt".cast("double") / $"n_rows".cast("double")).as("max_share"),
-            // K·Σc² ≥ N² exactly (Cauchy–Schwarz), and below 2^53 both
-            // products convert exactly, so the ratio rounds to ≥ 1.0;
-            // past 2^53 conversion rounding could dip the difference a
-            // ulp under zero — the greatest() keeps sqrt off NaN at any
-            // magnitude, identically in both engines
+            // the K·Σc²/N² ratio is assembled in DOUBLE after one exact
+            // (correctly-rounded) conversion per factor — a decimal
+            // K·Σc² product would hit Spark's precision-38 cliff around
+            // 10^38 and NULL out silently, inverting the signal via
+            // greatest(NULL, 0); double products are deterministic and
+            // identical in both engines at any magnitude. The ratio is
+            // ≥ 1 − ε exactly (Cauchy–Schwarz), and below 2^53 the
+            // conversions are exact so it rounds to ≥ 1.0; past that a
+            // ulp could dip the difference under zero — the greatest()
+            // keeps sqrt off NaN, identically in both engines
             sqrt(greatest(
-              ($"n_keys".cast("decimal(20,0)") * $"sumsq").cast("double")
-                / ($"n_rows".cast("decimal(20,0)") * $"n_rows").cast("double")
+              $"n_keys".cast("double") * $"sumsq".cast("double")
+                / ($"n_rows".cast("double") * $"n_rows".cast("double"))
                 - lit(1.0),
               lit(0.0))).as("cnt_cv"))
       }
@@ -1295,8 +1306,10 @@ object Relational {
              CAST(COUNT(*) AS BIGINT) AS n_keys,
              CAST(MAX(c) AS BIGINT) AS max_cnt,
              CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS max_share,
-             sqrt(GREATEST(CAST(COUNT(*) * SUM(c*c) AS DOUBLE)
-               / CAST(SUM(c) * SUM(c) AS DOUBLE) - 1.0, 0.0)) AS cnt_cv
+             sqrt(GREATEST(CAST(COUNT(*) AS DOUBLE)
+                 * CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+               / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+               - 1.0, 0.0)) AS cnt_cv
       FROM counts GROUP BY audited_key
       ORDER BY audited_key"""))
 

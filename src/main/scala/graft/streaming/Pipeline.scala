@@ -261,13 +261,8 @@ object Pipeline {
         timers: TimerValues): Iterator[FunnelTransition] = {
       var s = if (st.exists()) st.get() else FunnelState(Unset, Unset, Unset)
       val out = Seq.newBuilder[FunnelTransition]
-      // full microsecond resolution: getTime is ms-truncated, the
-      // sub-ms part rides in getNanos — dropping it would collapse
-      // sub-millisecond stage gaps the batch funnel counts
-      def micros(t: java.sql.Timestamp): Long =
-        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-        val us = micros(e.ts)
+      rows.toSeq.sortBy(e => eventMicros(e.ts)).foreach { e =>
+        val us = eventMicros(e.ts)
         e.event_type match {
           case "view" if s.t1 == Unset =>
             s = s.copy(t1 = us); out += FunnelTransition(uid, 1, us)
@@ -313,6 +308,13 @@ object Pipeline {
       .start()
   }
 
+  /** Timestamp → epoch micros at FULL microsecond resolution: getTime is
+    * ms-truncated, the sub-ms part rides in getNanos — dropping it would
+    * collapse sub-millisecond gaps the batch queries count. Shared by
+    * every stateful processor that sorts or compares event times. */
+  private def eventMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Last two events of ANY type per user (the CEP pattern needs strict
     * contiguity, so non-error events must be SEEN to break a run);
     * n = how many events observed so far (0/1/2+). */
@@ -350,12 +352,16 @@ object Pipeline {
         timers: TimerValues): Iterator[CepIncident] = {
       var s = if (st.exists()) st.get() else CepState(0, 0L, 0L, false, 0L, 0L, false)
       val out = Seq.newBuilder[CepIncident]
-      def micros(t: java.sql.Timestamp): Long =
-        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-        val us = micros(e.ts)
+      rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+        val us = eventMicros(e.ts)
         val isErr = e.event_type == "error"
-        if (s.n >= 2 && s.e1 && s.e2 && isErr && us - s.ts1 <= windowUs)
+        // monotonicity guard (ts1 <= ts2 <= us): a LATE event — one
+        // arriving after a later-timestamped event already entered the
+        // state — must not form an incident (us - ts1 could be negative
+        // and would pass the window check trivially); the conservative
+        // no-retraction contract, batch q118 is the reconciliation
+        if (s.n >= 2 && s.e1 && s.e2 && isErr
+            && s.ts1 <= s.ts2 && s.ts2 <= us && us - s.ts1 <= windowUs)
           out += CepIncident(uid, s.id1, e.event_id, s.ts1, us, us - s.ts1)
         s = CepState(math.min(s.n + 1, 2),
           s.id2, s.ts2, s.e2, e.event_id, us, isErr)
@@ -410,13 +416,18 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent on replay: a batch re-run after a crash between
+        // write and checkpoint commit OVERWRITES its own directory
+        // instead of appending a duplicate (foreachBatch gives
+        // at-least-once; batchId-keyed overwrite restores exactly-once
+        // for downstream readers of the root path)
         graft.queries.Windowed.madScore(
             batch.select(col("event_id"), col("event_type"), col("value")),
             model, threshold)
           .select(col("event_id"), col("event_type"), col("value"),
             col("med"), col("mad"), col("score"))
-          .write.mode("append").parquet(s"$outDir/anomalies")
+          .write.mode("overwrite").parquet(s"$outDir/anomalies/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

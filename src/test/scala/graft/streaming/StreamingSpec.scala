@@ -847,14 +847,20 @@ class StreamingSpec extends SparkSpec {
       e("2026-03-01 00:00:00", 3, 301, "error"),
       e("2026-03-01 13:00:00", 3, 302, "error"),
       e("2026-03-01 08:00:00", 4, 401, "error"),
-      e("2026-03-01 08:01:00", 4, 402, "error"))
+      e("2026-03-01 08:01:00", 4, 402, "error"),
+      e("2026-03-01 08:00:00", 5, 501, "error"),
+      e("2026-03-01 09:00:00", 5, 502, "error"))
     writeJsonl(in, "b2.jsonl",
       e("2026-03-01 08:20:00", 1, 103, "error"),
       e("2026-03-01 08:03:00", 2, 204, "error"),
       e("2026-03-01 08:04:00", 2, 205, "error"),
       e("2026-03-02 02:00:00", 3, 303, "error"),
       e("2026-03-01 08:02:00", 4, 403, "error"),
-      e("2026-03-01 08:03:00", 4, 404, "error"))
+      e("2026-03-01 08:03:00", 4, 404, "error"),
+      // u5: a LATE error (earlier event time than what the state holds)
+      // must not form an incident — the monotonicity guard (a negative
+      // span would trivially pass the window check)
+      e("2026-03-01 07:00:00", 5, 503, "error"))
     for ((stem, i) <- Seq("b1", "b2").zipWithIndex)
       Files.setLastModifiedTime(Paths.get(in, s"$stem.jsonl"),
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
