@@ -741,6 +741,100 @@ object Windowed {
         AND ts3 - ts_us <= 86400000000
       ORDER BY user_id, first_id"""))
 
+  /** Q120 — rolling active users: per day, DAU, trailing-7-day WAU and
+    * the DAU/WAU stickiness ratio — the product-health triple every
+    * engagement stack reports. Exact sliding-window DISTINCT without a
+    * window function: the (day, user) grid distinct-collapses map-side
+    * FIRST (the only pass over raw events), then each grid row fans out
+    * to the ≤7 trailing cover days it contributes to, and WAU is one
+    * distinct-count per cover day — the fan-out multiplies the
+    * users×days GRID (bounded by both cardinalities), never the event
+    * stream. Day bucketing uses the sign-corrected floor division
+    * (q116's device), so both engines agree on any epoch.
+    *
+    * Days are emitted as epoch-day numbers (TZ-free by construction;
+    * the session is UTC but an integer day survives any client TZ).
+    * Only days with ≥1 active user are emitted, and stickiness is a
+    * single double division on exact longs.
+    */
+  private val q120 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val dayUs = 86400000000L
+      val grid = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("day", expr(
+          s"ts_us div $dayUs - (CASE WHEN ts_us % $dayUs < 0 THEN 1 ELSE 0 END)"))
+        .select($"day", $"user_id").distinct()
+        .localCheckpoint()
+      val dau = grid.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = grid
+        .select(explode(sequence($"day", $"day" + 6)).as("cover"), $"user_id")
+        .distinct()
+        .groupBy($"cover".as("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select($"day".as("day_num"), $"dau", $"wau",
+          ($"dau".cast("double") / $"wau".cast("double")).as("stickiness"))
+        .orderBy($"day_num")
+    },
+    oracle = Some("""
+      WITH grid AS (
+        SELECT DISTINCT
+               epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events
+      ), dau AS (
+        SELECT day, COUNT(*) AS dau FROM grid GROUP BY day
+      ), wau AS (
+        SELECT day + o AS day, user_id
+        FROM grid, unnest(generate_series(0, 6)) AS t(o)
+        GROUP BY day + o, user_id
+      ), wauc AS (
+        SELECT day, COUNT(*) AS wau FROM wau GROUP BY day)
+      SELECT CAST(d.day AS BIGINT) AS day_num,
+             CAST(d.dau AS BIGINT) AS dau,
+             CAST(w.wau AS BIGINT) AS wau,
+             CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+      FROM dau d JOIN wauc w USING (day)
+      ORDER BY day_num"""))
+
+  /** Q121 — frequent consecutive event-type sequences (length-3): the
+    * sequential-pattern-mining complement of q118's fixed-pattern CEP —
+    * q118 asks "did THIS pattern fire", this asks "WHICH patterns are
+    * common" (PrefixSpan's contiguous-trigram core, enumerable exactly
+    * because the pattern length is fixed). Same per-user lead-window
+    * scan as q118 (one exchange), then a |types|³-bounded count with
+    * occurrence and distinct-user support per trigram, top-20.
+    */
+  private val q121 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .select($"user_id", $"event_type".as("t1"),
+          lead($"event_type", 1).over(w).as("t2"),
+          lead($"event_type", 2).over(w).as("t3"))
+        .filter($"t2".isNotNull && $"t3".isNotNull)
+        .groupBy($"t1", $"t2", $"t3")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct($"user_id").as("n_users"))
+        .orderBy($"n_occurrences".desc, $"t1", $"t2", $"t3")
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT user_id, event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT t1, t2, t3, COUNT(*) AS n_occurrences,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM r WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY t1, t2, t3
+      ORDER BY n_occurrences DESC, t1, t2, t3
+      LIMIT 20"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -756,5 +850,7 @@ object Windowed {
     "q113_user_trend_slope" -> q113,
     "q116_ohlc_bars" -> q116,
     "q118_error_burst_cep" -> q118,
+    "q120_rolling_active_users" -> q120,
+    "q121_frequent_sequences" -> q121,
   )
 }

@@ -1578,6 +1578,51 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q120 rolling active: WAU >= DAU, stickiness in (0,1], exact recompute") {
+    val out = run("q120_rolling_active_users").collect()
+    assert(out.nonEmpty)
+    val grid = graft.sources.Tables.events(spark, sf0001)
+      .select("ts", "user_id").collect()
+      .map { r =>
+        val t = r.getTimestamp(0).toInstant
+        (Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          86400000000L), r.getLong(1))
+      }.toSet
+    val dau = grid.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val wau = grid.flatMap { case (d, u) => (0 to 6).map(o => (d + o, u)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet.size.toLong).toMap
+    out.foreach { r =>
+      val (d, da, wa, st) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(da == dau(d) && wa == wau(d))
+      assert(wa >= da && st > 0 && st <= 1.0)
+      assert(st == da.toDouble / wa.toDouble)
+    }
+    assert(out.map(_.getLong(0)).toSet == dau.keySet)
+  }
+
+  test("q121 frequent sequences: counts == naive trigram scan, top-20 order") {
+    val out = run("q121_frequent_sequences").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val naive = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          r.getLong(2), r.getString(3))
+      }.toSeq.groupBy(_._1).values.flatMap { es =>
+        es.sortBy(e => (e._2, e._3)).sliding(3).filter(_.length == 3)
+          .map(w => ((w(0)._4, w(1)._4, w(2)._4), w(0)._1))
+      }.toSeq
+    val byTri = naive.groupBy(_._1).map { case (k, v) =>
+      k -> (v.size.toLong, v.map(_._2).distinct.size.toLong)
+    }
+    val expectTop = byTri.toSeq
+      .sortBy { case ((a, b, c), (n, _)) => (-n, a, b, c) }.take(out.length)
+    assert(out.map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+      (r.getLong(3), r.getLong(4)))).toSeq == expectTop)
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
