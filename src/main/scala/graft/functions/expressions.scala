@@ -677,6 +677,61 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** (array<long>, array<long>) → long: Dynamic Time Warping distance
+    * with absolute-difference cost (Sakoe & Chiba, IEEE TASSP 1978) —
+    * q122's trajectory-similarity core. Classic two-row DP, all integer
+    * arithmetic: D[0][0] = 0, first row/column INF (= 10^15, far above
+    * any real path cost yet overflow-safe under addition), D[i][j] =
+    * |a_i − b_j| + min(D[i−1][j], D[i][j−1], D[i−1][j−1]). The DuckDB
+    * oracle replays the SAME recurrence (recursive CTE over i,
+    * list_reduce over j, same sentinel), so results hash-match exactly.
+    * O(n·m) per row — callers bound series length (daily curves:
+    * ≤ days per window).
+    */
+  case class DtwDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, ArrayType(LongType), "dtw_dist")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, ArrayType(LongType), "dtw_dist")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val m = b.numElements()
+      val Inf = 1000000000000000L
+      var prev = new Array[Long](m + 1)
+      var cur = new Array[Long](m + 1)
+      var j = 1
+      while (j <= m) { prev(j) = Inf; j += 1 }
+      var i = 1
+      while (i <= n) {
+        cur(0) = Inf
+        val ai = a.getLong(i - 1)
+        j = 1
+        while (j <= m) {
+          val c = math.abs(ai - b.getLong(j - 1))
+          cur(j) = c + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(m)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dtw", this, classOf[DtwDist].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"${ev.value} = ((Long) $ref.nullSafeEval($l, $r)).longValue();")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DtwDist =
+      copy(left = l, right = r)
+  }
+
   /** array<float> embedding → array<int> of `nTables` random-hyperplane
     * LSH signatures (each `nPlanes` sign bits). Signs are the shared
     * splitmix constants sign(t,p,i) = ±1 by bit 0 of
@@ -1975,6 +2030,11 @@ object expressions {
         require(exprs.length == 2, "sorted_intersect requires exactly 2 arguments")
         SortedIntersect(exprs(0), exprs(1))
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("dtw_dist",
+      exprs => {
+        require(exprs.length == 2, "dtw_dist requires exactly 2 arguments")
+        DtwDist(exprs(0), exprs(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_sigs",
       exprs => HyperplaneSigs(one("hyperplane_sigs")(exprs), 8, 6, 64), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
@@ -2069,6 +2129,8 @@ object expressions {
     call_function("sorted_intersect_count", a, b)
   def sorted_intersect(a: Column, b: Column): Column =
     call_function("sorted_intersect", a, b)
+  def dtw_dist(a: Column, b: Column): Column =
+    call_function("dtw_dist", a, b)
   def hyperplane_sigs(embedding: Column): Column =
     call_function("hyperplane_sigs", embedding)
   def shingle_hashes(text: Column): Column =

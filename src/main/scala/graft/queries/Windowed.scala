@@ -835,6 +835,92 @@ object Windowed {
       ORDER BY n_occurrences DESC, t1, t2, t3
       LIMIT 20"""))
 
+  /** Q122 — trajectory outliers by Dynamic Time Warping: each user's
+    * daily-value curve aligned against the fleet-mean curve, top-20 most
+    * distant — the time-series-shape outlier DTW was built for (Sakoe &
+    * Chiba 1978; Berndt & Clifford, KDD'94 for the data-mining use):
+    * a user whose SHAPE deviates (burst early, burst late, inverted
+    * cadence) scores high even when pointwise z-scores stay ordinary,
+    * because DTW allows elastic alignment before summing costs — the
+    * shape complement of q112's pointwise robust scores and q37's
+    * lockstep-Euclidean ts-KNN.
+    *
+    * Everything is integer: daily values quantized to 1e-4 units and
+    * long-summed, the fleet mean is an integer division, and the DP
+    * (native [[graft.functions.expressions.DtwDist]] kernel, two-row
+    * O(n·m)) runs on exact longs — the DuckDB oracle replays the SAME
+    * recurrence (recursive CTE over the series index, a list_reduce DP
+    * row per step, same 10^15 sentinel), so a 62-cell alignment path
+    * hash-matches bit-for-bit. Scale shape: one map-side daily collapse
+    * (the only pass over events), per-user in-row sorts, the ≤|days|
+    * fleet curve broadcast once; each user costs one O(days²) kernel
+    * call inside the scan — no joins after the collapse.
+    */
+  private val q122 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          expr("CAST(round(value * 10000) AS BIGINT)").as("q"))
+        .withColumn("day", expr(
+          s"ts_us div $dayUs - (CASE WHEN ts_us % $dayUs < 0 THEN 1 ELSE 0 END)"))
+        .groupBy($"user_id", $"day").agg(sum($"q").as("vq"))
+        .localCheckpoint()
+      val useries = daily.groupBy($"user_id")
+        .agg(array_sort(collect_list(struct($"day", $"vq"))).as("sv"))
+        .select($"user_id", transform($"sv", x => x("vq")).as("vals"))
+      val gcurve = daily.groupBy($"day")
+        // FLOOR division (q116's sign guard): matches DuckDB's `//` even
+        // if a future corpus carries negative daily sums
+        .agg(expr("sum(vq) div count(1)" +
+          " - (CASE WHEN sum(vq) % count(1) < 0 THEN 1 ELSE 0 END)").as("avg_q"))
+        .agg(array_sort(collect_list(struct($"day", $"avg_q"))).as("sc"))
+        .select(transform($"sc", x => x("avg_q")).as("curve"))
+      useries.crossJoin(broadcast(gcurve))
+        .select($"user_id", size($"vals").cast("long").as("n_days"),
+          graft.functions.expressions.dtw_dist($"vals", $"curve").as("dtw_dist"))
+        .orderBy($"dtw_dist".desc, $"user_id")
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH RECURSIVE daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vq
+        FROM events
+        GROUP BY user_id, epoch_us(ts) // 86400000000
+      ), useries AS (
+        SELECT user_id, list(vq ORDER BY day) AS vals FROM daily GROUP BY user_id
+      ), gcurve AS (
+        SELECT list(avg_q ORDER BY day) AS curve FROM (
+          SELECT day, CAST(SUM(vq) AS BIGINT) // COUNT(*) AS avg_q
+          FROM daily GROUP BY day)
+      ), base AS (
+        SELECT u.user_id, 0 AS i,
+               [CAST(0 AS BIGINT)]
+                 || list_transform(g.curve, x -> CAST(1000000000000000 AS BIGINT))
+                 AS row,
+               u.vals, g.curve
+        FROM useries u, gcurve g
+      ), dp AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT user_id, i + 1,
+          list_reduce(
+            [CAST([1000000000000000] AS BIGINT[])] ||
+              list_transform(generate_series(1, len(curve)), j -> CAST([j] AS BIGINT[])),
+            (acc, x) -> list_append(acc,
+              abs(vals[i + 1] - curve[x[1]])
+                + least(acc[len(acc)], least(row[x[1] + 1], row[x[1]])))),
+          vals, curve
+        FROM dp WHERE i < len(vals)
+      )
+      SELECT user_id, CAST(len(vals) AS BIGINT) AS n_days,
+             CAST(row[len(curve) + 1] AS BIGINT) AS dtw_dist
+      FROM dp WHERE i = len(vals)
+      ORDER BY dtw_dist DESC, user_id
+      LIMIT 20"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -852,5 +938,6 @@ object Windowed {
     "q118_error_burst_cep" -> q118,
     "q120_rolling_active_users" -> q120,
     "q121_frequent_sequences" -> q121,
+    "q122_dtw_trajectory_outliers" -> q122,
   )
 }

@@ -206,6 +206,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(law.filter($"bad").count() == 0)
   }
 
+  test("dtw_dist == naive full-matrix DP; zero on identical, <= lockstep") {
+    import spark.implicits._
+    def naive(a: Seq[Long], b: Seq[Long]): Long = {
+      val Inf = 1000000000000000L
+      val dp = Array.fill(a.length + 1, b.length + 1)(Inf)
+      dp(0)(0) = 0L
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 40L).map { id =>
+      val a = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(2000).toLong - 1000)
+      val b = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(2000).toLong - 1000)
+      (id, a, b)
+    } :+ ((41L, Seq(5L, 6L, 7L), Seq(5L, 6L, 7L)))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id", expressions.dtw_dist($"a", $"b").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) == naive(a, b), s"id=$id")
+      if (a == b) assert(got(id) == 0L)
+      if (a.length == b.length)
+        assert(got(id) <= a.zip(b).map(p => math.abs(p._1 - p._2)).sum)
+    }
+  }
+
   test("simhash_bucket_pairs == declarative pair explosion (incl. cap path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

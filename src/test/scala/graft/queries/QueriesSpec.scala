@@ -1623,6 +1623,39 @@ class QueriesSpec extends SparkSpec {
       (r.getLong(3), r.getLong(4)))).toSeq == expectTop)
   }
 
+  test("q122 DTW outliers == naive recompute over daily curves") {
+    val out = run("q122_dtw_trajectory_outliers").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "value").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0),
+          Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000L,
+            86400000000L),
+          math.round(r.getDouble(2) * 10000))
+      }.toSeq.groupBy(e => (e._1, e._2)).map { case ((u, d), es) =>
+        (u, d, es.map(_._3).sum)
+      }.toSeq
+    val curve = daily.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, es) =>
+      Math.floorDiv(es.map(_._3).sum, es.length.toLong)
+    }
+    def dtw(a: Seq[Long], b: Seq[Long]): Long = {
+      val Inf = 1000000000000000L
+      val dp = Array.fill(a.length + 1, b.length + 1)(Inf)
+      dp(0)(0) = 0L
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+      dp(a.length)(b.length)
+    }
+    val dists = daily.groupBy(_._1).map { case (u, es) =>
+      u -> dtw(es.sortBy(_._2).map(_._3), curve)
+    }
+    val expectTop = dists.toSeq.sortBy { case (u, dd) => (-dd, u) }.take(out.length)
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == expectTop)
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
