@@ -14,9 +14,12 @@ import graft.functions.expressions._
   *
   * so SQL users on a stock cluster get the full kernel surface —
   * `minhash_signature`, `quantized_cosine`, `winnow_fingerprint`,
-  * `word_shingles`, `simhash64`, `hyperplane_sigs`, `shingle_hashes`,
-  * `quantize_vec`, `sorted_intersect_count`, `word_stats`, `sq_dist`,
-  * `ppjoin_pairs`, `pq_adc`, the `freq_sketch` heavy-hitter aggregate,
+  * `word_shingles`, `char_grams`, `simhash64`, `hyperplane_sigs`,
+  * `shingle_hashes`, `quantize_vec`, `sorted_intersect_count`,
+  * `sorted_intersect`, `dtw_dist`, `word_stats`, `sq_dist`,
+  * `bigram_hashes`, `bigram_spans`, `ppjoin_pairs`,
+  * `simhash_bucket_pairs`, `pq_adc`, `bpe_encode`, the `freq_sketch` /
+  * `freq_sketch_long` heavy-hitter aggregates,
   * and the `bloom_agg`/`bloom_might_contain` build/probe pair — without
   * any driver-side registration call. (`Sessions.local` additionally
   * registers them imperatively for programmatic sessions; ExtensionsSpec
@@ -128,6 +131,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           "bpe_encode requires exactly 2 arguments (text, merges)")
         BpeEncode(exprs(0), parseMergesLiteral(exprs(1)))
+      }))
+    e.injectFunction((FunctionIdentifier("char_grams"),
+      info("char_grams", "_FUNC_(text) - occurrence-level character 3-grams"),
+      exprs => CharGrams(one("char_grams")(exprs), 3)))
+    e.injectFunction((FunctionIdentifier("bigram_hashes"),
+      info("bigram_hashes", "_FUNC_(words) - xxhash64 of each adjacent word pair"),
+      exprs => BigramHashes(one("bigram_hashes")(exprs))))
+    e.injectFunction((FunctionIdentifier("bigram_spans"),
+      info("bigram_spans", "_FUNC_(words) - struct(hash, pos) per adjacent word pair"),
+      exprs => BigramSpans(one("bigram_spans")(exprs))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect"),
+      info("sorted_intersect",
+        "_FUNC_(a, b) - distinct common values of two sorted long arrays, ascending"),
+      exprs => {
+        require(exprs.length == 2, "sorted_intersect requires exactly 2 arguments")
+        SortedIntersect(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("dtw_dist"),
+      info("dtw_dist",
+        "_FUNC_(a, b) - integer Dynamic Time Warping distance of two long series"),
+      exprs => {
+        require(exprs.length == 2, "dtw_dist requires exactly 2 arguments")
+        DtwDist(exprs(0), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("freq_sketch_long"),
+      info("freq_sketch_long",
+        "_FUNC_(hash, k) - Misra-Gries top-k sketch over long keys: array<struct(key, est)>"),
+      exprs => {
+        require(exprs.length == 2,
+          "freq_sketch_long requires exactly 2 arguments (hash, k)")
+        require(exprs(1).foldable, "freq_sketch_long k must be a literal")
+        FreqSketchLong(exprs(0), exprs(1).eval().toString.toInt)
+      }))
+    e.injectFunction((FunctionIdentifier("simhash_bucket_pairs"),
+      info("simhash_bucket_pairs",
+        "_FUNC_(bucket, max_ham, max_bucket) - in-bucket SimHash pairs within Hamming bound"),
+      exprs => {
+        require(exprs.length == 3,
+          "simhash_bucket_pairs requires exactly 3 arguments (bucket, maxHam, maxBucket)")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "simhash_bucket_pairs maxHam/maxBucket must be literals")
+        SimHashBucketPairs(exprs(0),
+          exprs(1).eval().toString.toInt,
+          exprs(2).eval().toString.toInt)
       }))
     // NOT injected: bloom_probe_bc and pq_scan_topk carry per-call
     // broadcast state (see BloomProbeBroadcast / PqScanTopK scaladoc) —

@@ -57,7 +57,15 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT ppjoin_pairs(array(named_struct('doc_id', 1L, 'n', 10, 'rk', 1), " +
           "named_struct('doc_id', 2L, 'n', 10, 'rk', 2)), 0.5D, 4096)",
         "SELECT pq_adc(array(0, 1), array(1L, 2L, 3L, 4L), 2)",
-        "SELECT bpe_encode('ab ab', array(struct('a', 'b')))")
+        "SELECT bpe_encode('ab ab', array(struct('a', 'b')))",
+        "SELECT char_grams('abcd')",
+        "SELECT bigram_hashes('a b c')",
+        "SELECT bigram_spans('a b c')",
+        "SELECT sorted_intersect(array(1L, 2L), array(2L, 3L))",
+        "SELECT dtw_dist(array(1L, 2L), array(1L, 3L))",
+        "SELECT freq_sketch_long(h, 16) FROM (SELECT xxhash64('a') AS h)",
+        "SELECT simhash_bucket_pairs(array(named_struct('doc_id', 1L, 'simhash', 1L), " +
+          "named_struct('doc_id', 2L, 'simhash', 3L)), 7, 4096)")
       resolveOnly.foreach(q => assert(s.sql(q).count() == 1, q))
       // aggregates inject too: MG sketch end-to-end, bloom build+probe
       // round-trip (build over xxhash64'd values, probe one present and
