@@ -921,6 +921,85 @@ object Windowed {
       ORDER BY dtw_dist DESC, user_id
       LIMIT 20"""))
 
+  /** Q123 — forecastability by exponential smoothing: per event type,
+    * one-step-ahead simple-exponential-smoothing error (α = 0.2, level
+    * seeded at the first observation) against the random-walk baseline
+    * (yesterday's value), over the daily-total series — Hyndman's
+    * "skill vs naive" diagnostic: skill ≈ 1 means the series is noise
+    * the smoother can't beat, ≪ 1 means structure worth forecasting.
+    * The recursion s_i = (2·x_i + 8·s_{i−1}) div 10 is integer
+    * fixed-point, so the fold is exact in both engines: Spark runs it
+    * as a codegen'd `aggregate` HOF (one in-row fold per series — no
+    * kernel needed, the recursion never crosses rows), the oracle as a
+    * `list_reduce` over the same 4-slot accumulator (q122's DP-oracle
+    * device, one dimension down). Positive-domain contract: `div` vs
+    * `//` agree because daily sums (and hence levels) are non-negative.
+    *
+    * Scale shape: the daily collapse is the only pass over events;
+    * series are |types|-bounded here and day-bounded always — a
+    * per-key variant (forecastability per user) would ride the same
+    * fold under the q122 grid bound.
+    */
+  private val q123 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, d)
+        .select($"event_type", unix_micros($"ts").as("ts_us"),
+          expr("CAST(round(value * 10000) AS BIGINT)").as("q"))
+        .withColumn("day", expr(
+          s"ts_us div $dayUs - (CASE WHEN ts_us % $dayUs < 0 THEN 1 ELSE 0 END)"))
+        .groupBy($"event_type", $"day").agg(sum($"q").as("vq"))
+      daily.groupBy($"event_type")
+        .agg(array_sort(collect_list(struct($"day", $"vq"))).as("sv"))
+        .select($"event_type", transform($"sv", x => x("vq")).as("vals"))
+        .withColumn("n", size($"vals"))
+        .filter($"n" >= 2)
+        .withColumn("f", expr("""
+          aggregate(
+            slice(vals, 2, size(vals) - 1),
+            named_struct('s', vals[0], 'e', CAST(0 AS BIGINT),
+                         'rw', CAST(0 AS BIGINT), 'prev', vals[0]),
+            (acc, x) -> named_struct(
+              's', (2 * x + 8 * acc.s) div 10,
+              'e', acc.e + abs(x - acc.s),
+              'rw', acc.rw + abs(x - acc.prev),
+              'prev', x))"""))
+        .filter($"f.rw" > 0)
+        .select($"event_type", $"n".cast("long").as("n_days"),
+          ($"f.e".cast("double") / ($"n" - 1).cast("double")).as("es_mae"),
+          ($"f.rw".cast("double") / ($"n" - 1).cast("double")).as("rw_mae"),
+          ($"f.e".cast("double") / $"f.rw".cast("double")).as("skill"))
+        .orderBy($"event_type")
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vq
+        FROM events
+        GROUP BY event_type, epoch_us(ts) // 86400000000
+      ), series AS (
+        SELECT event_type, list(vq ORDER BY day) AS vals
+        FROM daily GROUP BY event_type
+      ), folded AS (
+        SELECT event_type, len(vals) AS n,
+          list_reduce(
+            [CAST([vals[1], 0, 0, vals[1]] AS BIGINT[])] ||
+              list_transform(vals[2:], x -> CAST([x, 0, 0, 0] AS BIGINT[])),
+            (acc, x) -> CAST([
+              (2 * x[1] + 8 * acc[1]) // 10,
+              acc[2] + abs(x[1] - acc[1]),
+              acc[3] + abs(x[1] - acc[4]),
+              x[1]] AS BIGINT[])
+          ) AS f
+        FROM series)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             CAST(f[2] AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS es_mae,
+             CAST(f[3] AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS rw_mae,
+             CAST(f[2] AS DOUBLE) / CAST(f[3] AS DOUBLE) AS skill
+      FROM folded WHERE n >= 2 AND f[3] > 0
+      ORDER BY event_type"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -939,5 +1018,6 @@ object Windowed {
     "q120_rolling_active_users" -> q120,
     "q121_frequent_sequences" -> q121,
     "q122_dtw_trajectory_outliers" -> q122,
+    "q123_forecastability" -> q123,
   )
 }

@@ -1656,6 +1656,37 @@ class QueriesSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == expectTop)
   }
 
+  test("q123 forecastability: fold matches a naive sequential recompute") {
+    val out = run("q123_forecastability").collect()
+    assert(out.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .select("event_type", "ts", "value").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getString(0),
+          Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000L,
+            86400000000L),
+          math.round(r.getDouble(2) * 10000))
+      }.toSeq.groupBy(e => (e._1, e._2)).map { case ((tp, d), es) =>
+        (tp, d, es.map(_._3).sum)
+      }.toSeq.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    out.foreach { r =>
+      val vals = daily(r.getString(0))
+      assert(r.getLong(1) == vals.length)
+      var s = vals.head; var prev = vals.head
+      var e = 0L; var rw = 0L
+      vals.tail.foreach { x =>
+        e += math.abs(x - s); rw += math.abs(x - prev)
+        s = Math.floorDiv(2 * x + 8 * s, 10L); prev = x
+      }
+      assert(r.getDouble(2) == e.toDouble / (vals.length - 1).toDouble)
+      assert(r.getDouble(3) == rw.toDouble / (vals.length - 1).toDouble)
+      assert(r.getDouble(4) == e.toDouble / rw.toDouble)
+      assert(r.getDouble(4) > 0)
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
