@@ -14,6 +14,19 @@ import graft.sources.Tables
   */
 object Windowed {
 
+  /** Time-bucket id by integer division TRUNCATING TOWARD ZERO —
+    * empirically identical in Spark (`-7L div 2 = -3`) and DuckDB 1.0
+    * (`-7 // 2 = -3`; its integer `//` truncates, it does NOT floor),
+    * so bucketing hash-matches at any epoch. For pre-1970 timestamps
+    * truncation merges the two half-buckets around zero — unusual as a
+    * calendar but deterministic and engine-consistent; a
+    * calendar-correct floor would need the SAME sign correction added
+    * to BOTH engines' expressions, not one. Shared by q116/q120/q122/
+    * q123 so the contract lives in one place.
+    */
+  private def bucketDiv(col: String, unitUs: Long) =
+    expr(s"$col div ${unitUs}L")
+
   /** Q33 — moving aggregates over a ROWS frame (4-row trailing window).
     * The average routes through an exact decimal sum so the frame
     * aggregation is order-insensitive and bit-identical across engines
@@ -646,11 +659,7 @@ object Windowed {
       val barUs = 6L * 3600 * 1000000
       val b = Tables.events(s, d)
         .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"), $"value")
-        // FLOOR division (Spark `div` truncates toward zero; DuckDB `//`
-        // floors — they disagree on pre-1970 timestamps, so the sign
-        // correction keeps the engines on the same bar everywhere)
-        .withColumn("bar", expr(
-          s"ts_us div $barUs - (CASE WHEN ts_us % $barUs < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("bar", bucketDiv("ts_us", barUs))
       val wA = Window.partitionBy($"event_type", $"bar")
         .orderBy($"ts_us".asc, $"event_id".asc)
       val wD = Window.partitionBy($"event_type", $"bar")
@@ -749,8 +758,8 @@ object Windowed {
     * to the ≤7 trailing cover days it contributes to, and WAU is one
     * distinct-count per cover day — the fan-out multiplies the
     * users×days GRID (bounded by both cardinalities), never the event
-    * stream. Day bucketing uses the sign-corrected floor division
-    * (q116's device), so both engines agree on any epoch.
+    * stream. Day bucketing is the shared [[bucketDiv]] trunc-division
+    * (bit-identical in both engines at any epoch).
     *
     * Days are emitted as epoch-day numbers (TZ-free by construction;
     * the session is UTC but an integer day survives any client TZ).
@@ -763,8 +772,7 @@ object Windowed {
       val dayUs = 86400000000L
       val grid = Tables.events(s, d)
         .select($"user_id", unix_micros($"ts").as("ts_us"))
-        .withColumn("day", expr(
-          s"ts_us div $dayUs - (CASE WHEN ts_us % $dayUs < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("day", bucketDiv("ts_us", dayUs))
         .select($"day", $"user_id").distinct()
         .localCheckpoint()
       val dau = grid.groupBy($"day").agg(count(lit(1)).as("dau"))
@@ -863,18 +871,16 @@ object Windowed {
       val daily = Tables.events(s, d)
         .select($"user_id", unix_micros($"ts").as("ts_us"),
           expr("CAST(round(value * 10000) AS BIGINT)").as("q"))
-        .withColumn("day", expr(
-          s"ts_us div $dayUs - (CASE WHEN ts_us % $dayUs < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("day", bucketDiv("ts_us", dayUs))
         .groupBy($"user_id", $"day").agg(sum($"q").as("vq"))
         .localCheckpoint()
       val useries = daily.groupBy($"user_id")
         .agg(array_sort(collect_list(struct($"day", $"vq"))).as("sv"))
         .select($"user_id", transform($"sv", x => x("vq")).as("vals"))
       val gcurve = daily.groupBy($"day")
-        // FLOOR division (q116's sign guard): matches DuckDB's `//` even
-        // if a future corpus carries negative daily sums
-        .agg(expr("sum(vq) div count(1)" +
-          " - (CASE WHEN sum(vq) % count(1) < 0 THEN 1 ELSE 0 END)").as("avg_q"))
+        // plain `div`: truncation toward zero, same as DuckDB `//`
+        // (see [[bucketDiv]]) — exact parity at any sign
+        .agg(expr("sum(vq) div count(1)").as("avg_q"))
         .agg(array_sort(collect_list(struct($"day", $"avg_q"))).as("sc"))
         .select(transform($"sc", x => x("avg_q")).as("curve"))
       useries.crossJoin(broadcast(gcurve))
@@ -947,8 +953,7 @@ object Windowed {
       val daily = Tables.events(s, d)
         .select($"event_type", unix_micros($"ts").as("ts_us"),
           expr("CAST(round(value * 10000) AS BIGINT)").as("q"))
-        .withColumn("day", expr(
-          s"ts_us div $dayUs - (CASE WHEN ts_us % $dayUs < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("day", bucketDiv("ts_us", dayUs))
         .groupBy($"event_type", $"day").agg(sum($"q").as("vq"))
       daily.groupBy($"event_type")
         .agg(array_sort(collect_list(struct($"day", $"vq"))).as("sv"))

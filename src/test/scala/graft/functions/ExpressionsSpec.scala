@@ -208,15 +208,7 @@ class ExpressionsSpec extends SparkSpec {
 
   test("dtw_dist == naive full-matrix DP; zero on identical, <= lockstep") {
     import spark.implicits._
-    def naive(a: Seq[Long], b: Seq[Long]): Long = {
-      val Inf = 1000000000000000L
-      val dp = Array.fill(a.length + 1, b.length + 1)(Inf)
-      dp(0)(0) = 0L
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
-          math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
-      dp(a.length)(b.length)
-    }
+    def naive(a: Seq[Long], b: Seq[Long]): Long = graft.TestNum.dtwNaive(a, b)
     val rnd = new scala.util.Random(13)
     val rows = (1L to 40L).map { id =>
       val a = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(2000).toLong - 1000)

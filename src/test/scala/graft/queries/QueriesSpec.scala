@@ -1431,7 +1431,7 @@ class QueriesSpec extends SparkSpec {
       .map { r =>
         val t = r.getTimestamp(1).toInstant
         (r.getLong(0), t.getEpochSecond * 1000000L + t.getNano / 1000L,
-          math.round(r.getDouble(2) * 10000))
+          graft.TestNum.sparkRound(r.getDouble(2) * 10000))
       }.toSeq.groupBy(_._1).flatMap { case (u, es) =>
         val t0 = es.map(_._2).min
         val pts = es.map(e => (BigInt((e._2 - t0) / 1000000L), BigInt(e._3)))
@@ -1585,8 +1585,8 @@ class QueriesSpec extends SparkSpec {
       .select("ts", "user_id").collect()
       .map { r =>
         val t = r.getTimestamp(0).toInstant
-        (Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000L,
-          86400000000L), r.getLong(1))
+        ((t.getEpochSecond * 1000000L + t.getNano / 1000L) / 86400000000L,
+          r.getLong(1))
       }.toSet
     val dau = grid.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val wau = grid.flatMap { case (d, u) => (0 to 6).map(o => (d + o, u)) }
@@ -1626,31 +1626,22 @@ class QueriesSpec extends SparkSpec {
   test("q122 DTW outliers == naive recompute over daily curves") {
     val out = run("q122_dtw_trajectory_outliers").collect()
     assert(out.nonEmpty && out.length <= 20)
+    // trunc division + Spark-round semantics, mirroring the engines
     val daily = graft.sources.Tables.events(spark, sf0001)
       .select("user_id", "ts", "value").collect()
       .map { r =>
         val t = r.getTimestamp(1).toInstant
         (r.getLong(0),
-          Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000L,
-            86400000000L),
-          math.round(r.getDouble(2) * 10000))
+          (t.getEpochSecond * 1000000L + t.getNano / 1000L) / 86400000000L,
+          graft.TestNum.sparkRound(r.getDouble(2) * 10000))
       }.toSeq.groupBy(e => (e._1, e._2)).map { case ((u, d), es) =>
         (u, d, es.map(_._3).sum)
       }.toSeq
     val curve = daily.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, es) =>
-      Math.floorDiv(es.map(_._3).sum, es.length.toLong)
-    }
-    def dtw(a: Seq[Long], b: Seq[Long]): Long = {
-      val Inf = 1000000000000000L
-      val dp = Array.fill(a.length + 1, b.length + 1)(Inf)
-      dp(0)(0) = 0L
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
-          math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
-      dp(a.length)(b.length)
+      es.map(_._3).sum / es.length.toLong
     }
     val dists = daily.groupBy(_._1).map { case (u, es) =>
-      u -> dtw(es.sortBy(_._2).map(_._3), curve)
+      u -> graft.TestNum.dtwNaive(es.sortBy(_._2).map(_._3), curve)
     }
     val expectTop = dists.toSeq.sortBy { case (u, dd) => (-dd, u) }.take(out.length)
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == expectTop)
@@ -1664,9 +1655,8 @@ class QueriesSpec extends SparkSpec {
       .map { r =>
         val t = r.getTimestamp(1).toInstant
         (r.getString(0),
-          Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000L,
-            86400000000L),
-          math.round(r.getDouble(2) * 10000))
+          (t.getEpochSecond * 1000000L + t.getNano / 1000L) / 86400000000L,
+          graft.TestNum.sparkRound(r.getDouble(2) * 10000))
       }.toSeq.groupBy(e => (e._1, e._2)).map { case ((tp, d), es) =>
         (tp, d, es.map(_._3).sum)
       }.toSeq.groupBy(_._1).view
@@ -1678,7 +1668,7 @@ class QueriesSpec extends SparkSpec {
       var e = 0L; var rw = 0L
       vals.tail.foreach { x =>
         e += math.abs(x - s); rw += math.abs(x - prev)
-        s = Math.floorDiv(2 * x + 8 * s, 10L); prev = x
+        s = (2 * x + 8 * s) / 10L; prev = x
       }
       assert(r.getDouble(2) == e.toDouble / (vals.length - 1).toDouble)
       assert(r.getDouble(3) == rw.toDouble / (vals.length - 1).toDouble)
