@@ -1313,6 +1313,83 @@ object Relational {
       FROM counts GROUP BY audited_key
       ORDER BY audited_key"""))
 
+  /** Q124 — join-cardinality pre-flight: for each candidate join, the
+    * EXACT output size and the hottest key's contribution, computed from
+    * the two per-key count tables alone — what a cost-based optimizer
+    * estimates from sampled stats, available exactly for the cost of two
+    * count aggregates and a key-bounded join (never the join itself).
+    * q119 profiles one key; this prices the PAIR: `out_rows` says
+    * whether the join is materializable at all, `max_key_out` /
+    * `max_key_share` say whether one key alone produces a straggler
+    * partition (the AQE-skew-split / salting trigger). The events
+    * self-join row prices the q115/q13-style self-pairing pattern.
+    *
+    * Exactness: per-key products and the total are decimal/HUGEINT
+    * (no long wrap at any per-key count); outputs emit as BIGINT —
+    * past 9.2e18 output rows the ANSI cast raises rather than wraps,
+    * and a join that size is the answer "do not run this join" anyway.
+    * max_key_share is the single double division.
+    */
+  private val q124 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      def preflight(name: String, l: DataFrame, lk: Column,
+          r: DataFrame, rk: Column): DataFrame = {
+        val lc = l.groupBy(lk.as("k")).agg(count(lit(1)).as("cl"))
+        val rc = r.groupBy(rk.as("k")).agg(count(lit(1)).as("cr"))
+        lc.join(rc, Seq("k"))
+          .select(($"cl".cast("decimal(19,0)") * $"cr".cast("decimal(19,0)"))
+            .as("prod"))
+          .agg(count(lit(1)).as("n_matched_keys"),
+            sum($"prod").as("out"), max($"prod").as("mx"))
+          .select(lit(name).as("join_name"),
+            $"n_matched_keys",
+            $"out".cast("long").as("out_rows"),
+            $"mx".cast("long").as("max_key_out"),
+            ($"mx".cast("double") / $"out".cast("double")).as("max_key_share"))
+      }
+      val ev = Tables.events(s, d)
+      preflight("lineitem*orders",
+          Tables.lineitem(s, d), $"l_orderkey", Tables.orders(s, d), $"o_orderkey")
+        .unionByName(preflight("orders*customer",
+          Tables.orders(s, d), $"o_custkey", Tables.customer(s, d), $"c_custkey"))
+        .unionByName(preflight("lineitem*part",
+          Tables.lineitem(s, d), $"l_partkey", Tables.part(s, d), $"p_partkey"))
+        .unionByName(preflight("events*events",
+          ev, $"user_id", ev, $"user_id"))
+        .orderBy($"join_name")
+    },
+    oracle = Some("""
+      WITH pairs AS (
+        SELECT 'lineitem*orders' AS join_name,
+               CAST(l.c AS HUGEINT) * o.c AS prod
+        FROM (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1) l
+        JOIN (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1) o
+        USING (k)
+        UNION ALL
+        SELECT 'orders*customer', CAST(o.c AS HUGEINT) * cu.c
+        FROM (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1) o
+        JOIN (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1) cu
+        USING (k)
+        UNION ALL
+        SELECT 'lineitem*part', CAST(l.c AS HUGEINT) * p.c
+        FROM (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1) l
+        JOIN (SELECT p_partkey AS k, COUNT(*) AS c FROM part GROUP BY 1) p
+        USING (k)
+        UNION ALL
+        SELECT 'events*events', CAST(a.c AS HUGEINT) * b.c
+        FROM (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1) a
+        JOIN (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1) b
+        USING (k))
+      SELECT join_name,
+             CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+             CAST(SUM(prod) AS BIGINT) AS out_rows,
+             CAST(MAX(prod) AS BIGINT) AS max_key_out,
+             CAST(MAX(prod) AS DOUBLE) / CAST(SUM(prod) AS DOUBLE)
+               AS max_key_share
+      FROM pairs GROUP BY join_name
+      ORDER BY join_name"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -1327,6 +1404,7 @@ object Relational {
     "q111_conversion_latency" -> q111,
     "q115_event_cooccurrence_lift" -> q115,
     "q119_key_skew_audit" -> q119,
+    "q124_join_preflight" -> q124,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,

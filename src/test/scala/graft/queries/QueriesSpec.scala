@@ -1677,6 +1677,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q124 join pre-flight: out_rows == actually running the join") {
+    val out = run("q124_join_preflight").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == 4)
+    // ground truth: actually run each join and count (sf0.001 is small)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val ord = graft.sources.Tables.orders(spark, sf0001)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val realLo = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+    val realEe = ev.as("a").join(ev.as("b"), "user_id").count()
+    assert(out("lineitem*orders")._2 == realLo)
+    assert(out("events*events")._2 == realEe)
+    out.values.foreach { case (nk, rows, mx, share) =>
+      assert(nk > 0 && rows >= nk && mx <= rows)
+      assert(share > 0 && share <= 1.0)
+      assert(share == mx.toDouble / rows.toDouble)
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
