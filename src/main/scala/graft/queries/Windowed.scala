@@ -1005,6 +1005,79 @@ object Windowed {
       FROM folded WHERE n >= 2 AND f[3] > 0
       ORDER BY event_type"""))
 
+  /** Q125 — maximal error runs (gaps-and-islands): per user, MAXIMAL
+    * stretches of consecutive 'error' events — broken by any other
+    * event type or by a > 24 h gap between consecutive errors — emitted
+    * when the run reaches 3. The variable-length (`error+`) pattern
+    * q118's scaladoc points at: q118 fires per fixed-length anchor,
+    * this returns each maximal island ONCE with its true length — the
+    * classic gaps-and-islands construction (LAG-flag → running-sum run
+    * id → group), which is also how SQL-2016 row-pattern `A+` quantifiers
+    * compile when the pattern is a single predicate. One exchange per
+    * user (both window passes and the aggregation share it); all longs.
+    *
+    * The island family triptych: q35 sessionizes ALL events by time gap,
+    * q118 matches a fixed-length contiguous pattern, q125 islands a
+    * predicate with both a contiguity and a gap break.
+    */
+  private val q125 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val gapUs = 86400000000L
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      val flagged = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .withColumn("brk",
+          when(lag($"event_type", 1).over(w).isNull ||
+            lag($"event_type", 1).over(w) =!= "error" ||
+            $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("run_id", sum($"brk").over(
+          Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.filter($"event_type" === "error")
+        .groupBy($"user_id", $"run_id")
+        .agg(count(lit(1)).as("n_errors"),
+          min(struct($"ts_us", $"event_id")).as("a"),
+          max(struct($"ts_us", $"event_id")).as("b"))
+        .filter($"n_errors" >= 3)
+        .select($"user_id", $"n_errors",
+          $"a.event_id".as("first_id"), $"b.event_id".as("last_id"),
+          $"a.ts_us".as("start_us"), $"b.ts_us".as("end_us"),
+          ($"b.ts_us" - $"a.ts_us").as("span_us"))
+        .orderBy($"user_id", $"first_id")
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(event_type, 1) OVER w IS NULL
+                      OR LAG(event_type, 1) OVER w <> 'error'
+                      OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 86400000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ), runs AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM r
+      ), erows AS (
+        SELECT user_id, run_id, event_id, ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id, run_id
+                                  ORDER BY ts_us, event_id) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY user_id, run_id
+                                  ORDER BY ts_us DESC, event_id DESC) AS rd
+        FROM runs WHERE event_type = 'error')
+      SELECT user_id, COUNT(*) AS n_errors,
+             CAST(MAX(CASE WHEN ra = 1 THEN event_id END) AS BIGINT) AS first_id,
+             CAST(MAX(CASE WHEN rd = 1 THEN event_id END) AS BIGINT) AS last_id,
+             CAST(MIN(ts_us) AS BIGINT) AS start_us,
+             CAST(MAX(ts_us) AS BIGINT) AS end_us,
+             CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us
+      FROM erows
+      GROUP BY user_id, run_id
+      HAVING COUNT(*) >= 3
+      ORDER BY user_id, first_id"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -1024,5 +1097,6 @@ object Windowed {
     "q121_frequent_sequences" -> q121,
     "q122_dtw_trajectory_outliers" -> q122,
     "q123_forecastability" -> q123,
+    "q125_error_runs" -> q125,
   )
 }

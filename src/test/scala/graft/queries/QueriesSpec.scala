@@ -1697,6 +1697,48 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q125 error runs == naive maximal-island scan; q118 law holds") {
+    val out = run("q125_error_runs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val seqs = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          r.getLong(2), r.getString(3))
+      }.toSeq.groupBy(_._1)
+    val naive = seqs.toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      // accumulate maximal error islands with the 24h inter-error gap break
+      val islands = scala.collection.mutable.ArrayBuffer
+        .empty[Vector[(Long, Long, Long, String)]]
+      var cur = Vector.empty[(Long, Long, Long, String)]
+      s.foreach { e =>
+        if (e._4 == "error" &&
+            (cur.isEmpty || e._2 - cur.last._2 <= 86400000000L))
+          cur = cur :+ e
+        else {
+          if (cur.size >= 3) islands += cur
+          cur = if (e._4 == "error") Vector(e) else Vector.empty
+        }
+      }
+      if (cur.size >= 3) islands += cur
+      islands.map(run =>
+        (u, run.size.toLong, run.head._3, run.last._3, run.map(_._3).toSet))
+    }
+    assert(out.toSeq ==
+      naive.map(i => (i._1, i._2, i._3, i._4)).sortBy(x => (x._1, x._3)))
+    // law vs q118: every fixed-length triple's anchor is a MEMBER of some
+    // island (islands are maximal; a triple's 24h total span implies its
+    // steps satisfy q125's per-step gap)
+    val triples = run("q118_error_burst_cep").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    triples.foreach { case (u, firstId) =>
+      assert(naive.exists(i => i._1 == u && i._5.contains(firstId)))
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
