@@ -301,4 +301,43 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: dtw_dist is symmetric, zero iff equal-as-aligned, triangle-ish bounds") {
+    val serGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-500L, 500L)))
+    forAll2(serGen, serGen) { (a, b) =>
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        graft.functions.expressions.dtw_dist(col("a"), col("b")).as("ab"),
+        graft.functions.expressions.dtw_dist(col("b"), col("a")).as("ba"),
+        graft.functions.expressions.dtw_dist(col("a"), col("a")).as("aa")).head()
+      assert(r.getLong(0) == r.getLong(1), "symmetric (cost is symmetric)")
+      assert(r.getLong(2) == 0L, "self-distance 0")
+      assert(r.getLong(0) >= 0L, "non-negative")
+      // an upper bound: align everything to one element
+      val ub = (a.map(x => math.abs(x - b.head)).sum
+        + b.tail.map(y => math.abs(a.last - y)).sum)
+      assert(r.getLong(0) <= ub, "bounded by the corner alignment")
+    }
+  }
+
+  test("property: sorted_intersect is commutative, sorted, and counts agree") {
+    val arrGen = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 30L))).map(_.sorted)
+    forAll2(arrGen, arrGen) { (a, b) =>
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        graft.functions.expressions.sorted_intersect(col("a"), col("b")).as("ab"),
+        graft.functions.expressions.sorted_intersect(col("b"), col("a")).as("ba"),
+        graft.functions.expressions.sorted_intersect_count(col("a"), col("b")).as("c"))
+        .head()
+      val ab = r.getSeq[Long](0)
+      assert(ab == r.getSeq[Long](1), "commutative")
+      assert(ab == ab.sorted && ab.distinct == ab, "sorted distinct")
+      assert(ab.length.toLong == r.getLong(2), "count law")
+      assert(ab.toSet == (a.toSet & b.toSet), "set semantics")
+    }
+  }
 }
