@@ -287,8 +287,81 @@ object GraphOps {
       ORDER BY n_tri DESC, partkey ASC
       LIMIT 50"""))
 
+  /** Q126 — item-to-item co-purchase similarity: for every part, the
+    * top-5 most-similar parts by the Ochiai/cosine coefficient
+    * w / √(n_a·n_b) over order baskets — Amazon's classic item-based
+    * collaborative filter (Linden, Smith & York, IEEE Internet
+    * Computing 2003), computed exactly: w = orders containing both
+    * (q117's pair generation, weights kept), n_x = orders containing x.
+    * A support floor (w ≥ 2) drops one-off co-occurrences, the noise
+    * floor item-item CF always applies.
+    *
+    * Scale shape: single-scan in-row pair explode (≤ C(7,2) per order),
+    * weight count map-side; the similarity join runs on the
+    * |parts|-bounded support table twice; top-5 per item is a
+    * WindowGroupLimit over the symmetrized pair list (never a global
+    * sort). The sqrt and the division are the only double ops — on
+    * identical operands in both engines (exact long product underneath).
+    */
+  private val q126 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+      val pairs = li.groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+          .as("e"))
+        .groupBy($"e.pa".as("pa"), $"e.pb".as("pb"))
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= 2)
+      val support = li.select($"l_partkey", $"l_orderkey").distinct()
+        .groupBy($"l_partkey".as("p")).agg(count(lit(1)).as("n"))
+      val sym = pairs.unionByName(
+        pairs.select($"pb".as("pa"), $"pa".as("pb"), $"w"))
+      val scored = sym
+        .join(support.select($"p".as("pa"), $"n".as("na")), Seq("pa"))
+        .join(support.select($"p".as("pb"), $"n".as("nb")), Seq("pb"))
+        .select($"pa".as("part"), $"pb".as("neighbor"), $"w",
+          ($"w".cast("double") / sqrt(($"na" * $"nb").cast("double"))).as("sim"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy($"part").orderBy($"sim".desc, $"neighbor".asc)
+      scored.withColumn("rank", row_number().over(rk))
+        .filter($"rank" <= 5)
+        .select($"part", $"rank".cast("long").as("rank"), $"neighbor", $"w", $"sim")
+        .orderBy($"part", $"rank")
+    },
+    oracle = Some("""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING COUNT(*) >= 2
+      ), support AS (
+        SELECT l_partkey AS p, COUNT(*) AS n FROM op GROUP BY l_partkey
+      ), sym AS (
+        SELECT pa, pb, w FROM pairs
+        UNION ALL SELECT pb, pa, w FROM pairs
+      ), scored AS (
+        SELECT s.pa AS part, s.pb AS neighbor, s.w,
+               CAST(s.w AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS sim
+        FROM sym s JOIN support na ON na.p = s.pa
+                   JOIN support nb ON nb.p = s.pb
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+                                     ORDER BY sim DESC, neighbor ASC) AS rank
+        FROM scored)
+      SELECT part, CAST(rank AS BIGINT) AS rank, neighbor,
+             CAST(w AS BIGINT) AS w, sim
+      FROM ranked WHERE rank <= 5
+      ORDER BY part, rank"""))
+
   val all: Map[String, Q] = Map(
     "q96_textrank_keywords" -> q96,
     "q117_triangle_count" -> q117,
+    "q126_item_similarity" -> q126,
   )
 }

@@ -1739,6 +1739,38 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q126 item similarity: sim law exact, top-5 per part, symmetric pairs") {
+    val out = run("q126_item_similarity").collect()
+    assert(out.nonEmpty)
+    val op = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val support = op.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val w = op.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).toSeq.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val byPart = out.groupBy(_.getLong(0))
+    byPart.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+      // ranks descend by sim with neighbor tiebreak
+      val sims = rows.sortBy(_.getLong(1)).map(r => (r.getDouble(4), r.getLong(2)))
+      sims.sliding(2).foreach {
+        case Array((s1, n1), (s2, n2)) =>
+          assert(s1 > s2 || (s1 == s2 && n1 < n2))
+        case _ =>
+      }
+    }
+    out.foreach { r =>
+      val (p, n, cw, sim) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val key = (math.min(p, n), math.max(p, n))
+      assert(cw == w(key) && cw >= 2)
+      assert(sim == cw.toDouble / math.sqrt((support(p) * support(n)).toDouble))
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
