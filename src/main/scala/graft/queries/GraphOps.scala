@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -199,22 +200,36 @@ object GraphOps {
     * All counts long; the clustering coefficient is the single double
     * division, on identical operands in both engines.
     */
+  /** (l_orderkey, l_partkey) rows → one order's distinct item set as a
+    * sorted array — single-scan, one exchange on the basket key. Shared
+    * base of q117's edge list and q126's weights + supports. */
+  private def baskets(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    li.groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+  }
+
+  /** In-row basket pair explode over a [[baskets]] frame (pa < pb,
+    * ≤ C(7,2) pairs per TPC-H order) — the self-join form scanned
+    * lineitem twice and paid two join exchanges (measured 1.7 s vs
+    * 1.0 s steady at sf0.1). One occurrence per containing order;
+    * q117 distincts, q126 counts. */
+  private def pairExplode(bk: DataFrame): DataFrame = {
+    import bk.sparkSession.implicits._
+    bk.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+        .as("e"))
+      .select($"e.pa", $"e.pb")
+  }
+
+  private def basketPairs(li: DataFrame): DataFrame =
+    pairExplode(baskets(li))
+
   private val q117 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-      // single-scan pair generation: one exchange on the basket key and
-      // an in-row explode of the sorted item set (<= C(7,2) pairs per
-      // TPC-H order) — the self-join form scanned lineitem twice and
-      // paid two join exchanges (measured 1.7 s vs 1.0 s steady at sf0.1)
-      val pairs = li.groupBy($"l_orderkey")
-        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-          .as("e"))
-        .select($"e.pa", $"e.pb")
-      val edges = pairs.distinct().localCheckpoint()
+      val edges = basketPairs(Tables.lineitem(s, d)).distinct().localCheckpoint()
       val deg = edges.select($"pa".as("u")).unionByName(edges.select($"pb".as("u")))
         .groupBy($"u").agg(count(lit(1)).as("deg"))
       val o = edges
@@ -306,18 +321,16 @@ object GraphOps {
   private val q126 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-      val pairs = li.groupBy($"l_orderkey")
-        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-          .as("e"))
-        .groupBy($"e.pa".as("pa"), $"e.pb".as("pb"))
+      // one lineitem scan: the basket arrays feed BOTH the pair weights
+      // and the per-part supports (exploding the already-deduplicated
+      // arrays replaces a second scan + a (part, order)-distinct shuffle)
+      val bk = baskets(Tables.lineitem(s, d)).localCheckpoint()
+      val pairs = pairExplode(bk)
+        .groupBy($"pa", $"pb")
         .agg(count(lit(1)).as("w"))
         .filter($"w" >= 2)
-      val support = li.select($"l_partkey", $"l_orderkey").distinct()
-        .groupBy($"l_partkey".as("p")).agg(count(lit(1)).as("n"))
+      val support = bk.select(explode($"ps").as("p"))
+        .groupBy($"p").agg(count(lit(1)).as("n"))
       val sym = pairs.unionByName(
         pairs.select($"pb".as("pa"), $"pa".as("pb"), $"w"))
       val scored = sym

@@ -1333,30 +1333,35 @@ object Relational {
   private val q124 = Q(
     fn = (s, d) => {
       import s.implicits._
-      def preflight(name: String, l: DataFrame, lk: Column,
-          r: DataFrame, rk: Column): DataFrame = {
-        val lc = l.groupBy(lk.as("k")).agg(count(lit(1)).as("cl"))
-        val rc = r.groupBy(rk.as("k")).agg(count(lit(1)).as("cr"))
-        lc.join(rc, Seq("k"))
+      def preflightCounts(name: String, lc: DataFrame, rc: DataFrame): DataFrame =
+        lc.select($"k", $"c".as("cl")).join(rc.select($"k", $"c".as("cr")), Seq("k"))
           .select(($"cl".cast("decimal(19,0)") * $"cr".cast("decimal(19,0)"))
             .as("prod"))
           .agg(count(lit(1)).as("n_matched_keys"),
             sum($"prod").as("out"), max($"prod").as("mx"))
+          // no-overlap joins emit NO row (matching the oracle's GROUP BY,
+          // which has nothing to group) — not a null-filled zero row
+          .filter($"n_matched_keys" > 0)
           .select(lit(name).as("join_name"),
             $"n_matched_keys",
             $"out".cast("long").as("out_rows"),
             $"mx".cast("long").as("max_key_out"),
             ($"mx".cast("double") / $"out".cast("double")).as("max_key_share"))
-      }
-      val ev = Tables.events(s, d)
+      def counts(df: DataFrame, k: Column): DataFrame =
+        df.groupBy(k.as("k")).agg(count(lit(1)).as("c"))
+      def preflight(name: String, l: DataFrame, lk: Column,
+          r: DataFrame, rk: Column): DataFrame =
+        preflightCounts(name, counts(l, lk), counts(r, rk))
+      // the self-join side is ONE materialized count table joined to
+      // itself — not two identical aggregates racing for exchange reuse
+      val evCounts = counts(Tables.events(s, d), $"user_id").localCheckpoint()
       preflight("lineitem*orders",
           Tables.lineitem(s, d), $"l_orderkey", Tables.orders(s, d), $"o_orderkey")
         .unionByName(preflight("orders*customer",
           Tables.orders(s, d), $"o_custkey", Tables.customer(s, d), $"c_custkey"))
         .unionByName(preflight("lineitem*part",
           Tables.lineitem(s, d), $"l_partkey", Tables.part(s, d), $"p_partkey"))
-        .unionByName(preflight("events*events",
-          ev, $"user_id", ev, $"user_id"))
+        .unionByName(preflightCounts("events*events", evCounts, evCounts))
         .orderBy($"join_name")
     },
     oracle = Some("""

@@ -1032,8 +1032,7 @@ object Windowed {
             lag($"event_type", 1).over(w) =!= "error" ||
             $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
         .withColumn("run_id", sum($"brk").over(
-          Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       flagged.filter($"event_type" === "error")
         .groupBy($"user_id", $"run_id")
         .agg(count(lit(1)).as("n_errors"),
