@@ -226,27 +226,44 @@ object GraphOps {
   private def basketPairs(li: DataFrame): DataFrame =
     pairExplode(baskets(li))
 
-  private val q117 = Q(
-    fn = (s, d) => {
-      import s.implicits._
+  /** The distinct co-purchase graph, degree-oriented, with its sorted
+    * out-adjacency — built ONCE per dataset and persisted as a 4-table
+    * parquet artifact ([[graft.queries.IndexCache]], the
+    * kmeansAssignCached pattern): q117's per-node ranking and q127's
+    * global summary consume the same edges/deg/o/adj, so the basket
+    * explode, orientation joins and adjacency sort never run twice in a
+    * bench pass or a serving loop. Returned frames: (edges(pa,pb),
+    * deg(u,deg), o(src,dst), adj(src,adj)). */
+  private def orientedGraphCached(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val root = IndexCache.resolve(
+      s"copurchase|${IndexCache.dataKey(d)}", "copurchase") { p =>
       val edges = basketPairs(Tables.lineitem(s, d)).distinct().localCheckpoint()
       val deg = edges.select($"pa".as("u")).unionByName(edges.select($"pb".as("u")))
         .groupBy($"u").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
       val o = edges
         .join(deg.select($"u".as("pa"), $"deg".as("da")), Seq("pa"))
         .join(deg.select($"u".as("pb"), $"deg".as("db")), Seq("pb"))
         .select(
           when(struct($"da", $"pa") < struct($"db", $"pb"), $"pa").otherwise($"pb").as("src"),
           when(struct($"da", $"pa") < struct($"db", $"pb"), $"pb").otherwise($"pa").as("dst"))
-        // materialized once: the oriented list feeds the adjacency build
-        // AND the per-edge scan — lazily each would replay the two
-        // deg-attach joins (measured ~2x at sf0.1)
         .localCheckpoint()
-      val outAdj = o.groupBy($"src")
-        .agg(sort_array(collect_list($"dst")).as("adj"))
-        // materialized once — joined on BOTH sides below; lazily the
-        // groupBy + per-node sort would run once per join subtree
-        .localCheckpoint()
+      edges.write.mode("overwrite").parquet(s"$p/edges")
+      deg.write.mode("overwrite").parquet(s"$p/deg")
+      o.write.mode("overwrite").parquet(s"$p/o")
+      o.groupBy($"src").agg(sort_array(collect_list($"dst")).as("adj"))
+        .write.mode("overwrite").parquet(s"$p/adj")
+    }
+    (s.read.parquet(s"$root/edges"), s.read.parquet(s"$root/deg"),
+      s.read.parquet(s"$root/o"), s.read.parquet(s"$root/adj"))
+  }
+
+  private val q117 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val (_, deg, o, outAdj) = orientedGraphCached(s, d)
       // inner joins: an edge whose endpoint has no out-neighbors can
       // close no triangle at this base (its W would be empty)
       val withW = o
@@ -372,9 +389,84 @@ object GraphOps {
       FROM ranked WHERE rank <= 5
       ORDER BY part, rank"""))
 
+  /** Q127 — global graph-health summary of the co-purchase graph: node/
+    * edge counts, degree statistics, total triangles and the global
+    * transitivity 3·Δ / Σ C(deg, 2) (Newman's clustering coefficient —
+    * the one-number "is this graph clumpy or random?" diagnostic; for an
+    * Erdős–Rényi graph it collapses to edge density, so the gap between
+    * the two columns IS the community signal). q117 ranks nodes; this is
+    * the corpus-level row a monitoring dashboard tracks across snapshots.
+    *
+    * Triangle total comes from the same oriented-intersection device as
+    * q117 but needs only the per-edge COUNT (no corner attribution, no
+    * explode): one sum over the edge scan. Wedges Σ C(deg, 2) and degree
+    * stats are one fold of the node-bounded degree table. All counts
+    * exact (decimal sums past long range); the two ratios are single
+    * double divisions.
+    */
+  private val q127 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val (_, deg, o, outAdj) = orientedGraphCached(s, d)
+      val tri = o
+        .join(outAdj.select($"src", $"adj".as("adj_u")), Seq("src"))
+        .join(outAdj.select($"src".as("dst"), $"adj".as("adj_v")), Seq("dst"))
+        .agg(coalesce(sum(size(graft.functions.expressions
+          .sorted_intersect($"adj_u", $"adj_v")).cast("long")), lit(0L))
+          .as("n_triangles"))
+      val degStats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum($"deg".cast("decimal(19,0)")).as("deg_mass"),
+        max($"deg").as("max_deg"),
+        sum(($"deg".cast("decimal(19,0)") * ($"deg" - 1)).cast("decimal(38,0)"))
+          .as("wedges2"))
+      degStats.crossJoin(broadcast(tri))
+        .select(
+          $"n_nodes",
+          expr("CAST(deg_mass AS BIGINT) div 2").as("n_edges"),
+          ($"deg_mass".cast("double") / $"n_nodes".cast("double")).as("avg_deg"),
+          $"max_deg",
+          $"n_triangles",
+          (($"n_triangles" * 6).cast("double") / $"wedges2".cast("double"))
+            .as("transitivity"))
+    },
+    oracle = Some("""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ), pr AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ), deg AS (
+        SELECT u, COUNT(*) AS deg FROM (
+          SELECT pa AS u FROM pr UNION ALL SELECT pb FROM pr) GROUP BY u
+      ), o AS (
+        SELECT CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pb ELSE e.pa END AS dst
+        FROM pr e JOIN deg da ON da.u = e.pa JOIN deg db ON db.u = e.pb
+      ), wed AS (
+        SELECT e1.src AS apex, e1.dst AS pa, e2.dst AS pb
+        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      ), tri AS (
+        SELECT COUNT(*) AS n_triangles FROM wed JOIN pr USING (pa, pb)
+      ), ds AS (
+        SELECT COUNT(*) AS n_nodes, SUM(deg) AS deg_mass,
+               MAX(deg) AS max_deg,
+               SUM(CAST(deg AS HUGEINT) * (deg - 1)) AS wedges2
+        FROM deg)
+      SELECT CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+             CAST(ds.deg_mass // 2 AS BIGINT) AS n_edges,
+             CAST(ds.deg_mass AS DOUBLE) / CAST(ds.n_nodes AS DOUBLE) AS avg_deg,
+             CAST(ds.max_deg AS BIGINT) AS max_deg,
+             CAST(t.n_triangles AS BIGINT) AS n_triangles,
+             CAST(t.n_triangles * 6 AS DOUBLE) / CAST(ds.wedges2 AS DOUBLE)
+               AS transitivity
+      FROM ds, tri t"""))
+
   val all: Map[String, Q] = Map(
     "q96_textrank_keywords" -> q96,
     "q117_triangle_count" -> q117,
     "q126_item_similarity" -> q126,
+    "q127_graph_summary" -> q127,
   )
 }

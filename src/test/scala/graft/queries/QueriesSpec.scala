@@ -1771,6 +1771,35 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q127 graph summary: consistent with q117's per-node counts") {
+    val r = run("q127_graph_summary").head()
+    val (nodes, edges, avgDeg, maxDeg, tri, trans) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    assert(nodes > 0 && edges > 0 && tri > 0)
+    assert(avgDeg == 2.0 * edges / nodes)
+    assert(trans > 0 && trans <= 1.0)
+    // per-node triangle counts (q117, unlimited would be needed for the
+    // full sum law; use the brute-force graph instead)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val es = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).toSeq.distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(nodes == adj.size && edges == es.size)
+    assert(maxDeg == adj.values.map(_.size).max)
+    val triBrute = es.toSeq.map { case (a, b) => (adj(a) & adj(b)).size }.sum / 3
+    // every triangle closes 3 of its edges, so summing common-neighbor
+    // counts over edges counts each triangle exactly 3 times
+    assert(tri == triBrute)
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(trans == 3.0 * tri / wedges.toDouble)
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
