@@ -1080,7 +1080,15 @@ object VectorOps {
     * cluster a SUBSET (e.g. [[buildVecDedupIndex]]'s stored split) go
     * through here. */
   private[queries] def kmeansAssignVectors(embRaw: DataFrame,
-      k: Int = 8, rounds: Int = 2): org.apache.spark.sql.DataFrame = {
+      k: Int = 8, rounds: Int = 2): org.apache.spark.sql.DataFrame =
+    kmeansFit(embRaw, k, rounds)._1
+
+  /** [[kmeansAssignVectors]] plus the FINAL centroid vectors (the ones
+    * the returned assignment was scored against) — q128's silhouette
+    * needs per-point distances to every centroid, not just the
+    * assigned one. */
+  private[queries] def kmeansFit(embRaw: DataFrame,
+      k: Int = 8, rounds: Int = 2): (DataFrame, Seq[Array[Long]]) = {
     val s = embRaw.sparkSession
     import s.implicits._
     val emb = embRaw
@@ -1119,7 +1127,7 @@ object VectorOps {
           }
         }
       }
-      assigned.select($"vec_id", $"cluster", $"dist").localCheckpoint()
+      (assigned.select($"vec_id", $"cluster", $"dist").localCheckpoint(), cents)
     } finally emb.unpersist()
   }
 
@@ -1721,6 +1729,89 @@ object VectorOps {
       FROM rk WHERE 2 * rank <= n + 1
       ORDER BY vec_id"""))
 
+  /** Q128 — simplified silhouette per cluster (Rousseeuw 1987; the
+    * "simplified" centroid-distance form, Hruschka et al. 2004 —
+    * O(n·k) instead of the O(n²) pairwise original): for each point,
+    * a = distance to its own centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b); per-cluster mean s is the
+    * cluster-quality monitor that answers "is the q74/q75/q87 clustering
+    * still tight?" the way q104's recall audit answers it for the ANN
+    * index. s near 1 = compact and isolated, near 0 = boundary mush,
+    * negative = points closer to a foreign centroid (k too large or
+    * drifted).
+    *
+    * Exactness: squared distances are exact longs (the quantized Lloyd
+    * space), sqrt/division/subtraction run on identical doubles in both
+    * engines, and the per-cluster MEAN goes through the q97 fixed-point
+    * device (round(s·10⁶) per point, exact integer sum, one final
+    * division) so partial aggregation order cannot move a ulp. The
+    * degenerate a = b = 0 point (sits ON two centroids) takes s = 0 by
+    * convention, mirrored in the oracle's CASE. The per-point
+    * (vec_id, cluster, a², b²) table is an IndexCache artifact shared
+    * across reps/consumers; the oracle extends [[kmeansOracleCtes]]'s
+    * d3 (distances to ALL final centroids) with a rank-2 self-join.
+    */
+  private val q128 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val k = resolveKmeansK(s, Tables.embeddings(s, d).count())
+      val sil = s.read.parquet(IndexCache.resolve(
+        s"ksil|${IndexCache.dataKey(d)}|$k", "ksil") { p =>
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val (_, cents) = kmeansFit(emb, k, 2)
+        val scored = cents.zipWithIndex.map { case (c, i) =>
+          struct(
+            graft.functions.expressions.sq_dist($"xq", typedlit(c.toSeq)).as("dist"),
+            lit(i).as("cid"))
+        }
+        emb.select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
+          .withColumn("arr", sort_array(array(scored: _*)))
+          .select($"vec_id",
+            $"arr"(0)("cid").cast("long").as("cluster"),
+            $"arr"(0)("dist").as("a2"),
+            $"arr"(1)("dist").as("b2"))
+          .write.mode("overwrite").parquet(p)
+      })
+      val sa = sqrt($"a2".cast("double"))
+      val sb = sqrt($"b2".cast("double"))
+      sil
+        .withColumn("sv",
+          when(greatest(sa, sb) > 0, (sb - sa) / greatest(sa, sb))
+            .otherwise(lit(0.0)))
+        .select($"cluster",
+          expr("CAST(round(sv * 1000000) AS BIGINT)").as("sq"))
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_points"), sum($"sq").as("ssum"))
+        .select($"cluster", $"n_points",
+          ($"ssum".cast("double") / $"n_points".cast("double") / 1000000.0)
+            .as("mean_silhouette"))
+        .orderBy($"cluster")
+    },
+    oracle = Some(kmeansOracleCtes() + """,
+      rnk AS (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d3),
+      ab AS (
+        SELECT o.vec_id, o.cid AS cluster, o.dist AS a2, b.dist AS b2
+        FROM rnk o JOIN rnk b ON b.vec_id = o.vec_id AND b.rn = 2
+        WHERE o.rn = 1),
+      sil AS (
+        SELECT cluster,
+               CASE WHEN GREATEST(sqrt(CAST(a2 AS DOUBLE)),
+                                  sqrt(CAST(b2 AS DOUBLE))) > 0
+                    THEN (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                         / GREATEST(sqrt(CAST(a2 AS DOUBLE)),
+                                    sqrt(CAST(b2 AS DOUBLE)))
+                    ELSE 0.0 END AS sv
+        FROM ab)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(CAST(round(sv * 1000000) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_silhouette
+      FROM sil
+      GROUP BY cluster
+      ORDER BY cluster"""))
+
   val all: Map[String, Q] = Map(
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
@@ -1730,6 +1821,7 @@ object VectorOps {
     "q104_ann_recall_audit" -> q104,
     "q66_embedding_dim_stats" -> q66,
     "q74_kmeans_lloyd" -> q74,
+    "q128_cluster_silhouette" -> q128,
     "q75_semantic_dedup" -> q75,
     "q78_pq_adc_ann" -> q78,
     "q79_ivfpq_ann" -> q79,

@@ -1800,6 +1800,22 @@ class QueriesSpec extends SparkSpec {
     assert(trans == 3.0 * tri / wedges.toDouble)
   }
 
+  test("q128 silhouette: bounded means, clusters/sizes == q74's assignment") {
+    val out = run("q128_cluster_silhouette").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+    // the silhouette's own k-means fit is deterministic, so its clusters
+    // and sizes must equal q74's cached assignment exactly
+    val assign = run("q74_kmeans_lloyd").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = assign.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toMap == sizes)
+    assert(out.map(_.getLong(1)).sum == assign.length)
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
