@@ -249,25 +249,11 @@ object LangId {
     * shape: q100's — rule labeling and scoring are scan-local, the
     * model is vocabulary-bounded and broadcast.
     */
-  private val q102 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val test = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .filter($"doc_id" % 10 >= 8)
-      val rules = TextOps.gopherStats(test)
-        .select($"doc_id", $"keep".as("rule_keep"))
-      langIdScoresAll(test.select($"doc_id", $"text"), qualityModelCached(s, d))
-        .groupBy($"doc_id")
-        .agg(max(when($"lang" === "keep", $"score_fp")).as("s_keep"),
-          max(when($"lang" === "drop", $"score_fp")).as("s_drop"))
-        .join(rules, Seq("doc_id"))
-        .select($"doc_id", $"rule_keep",
-          ($"s_keep" - $"s_drop" > 0).as("nb_keep"),
-          ($"s_keep" - $"s_drop").as("margin_fp"))
-        .orderBy($"margin_fp".desc, $"doc_id")
-    },
-    oracle = Some("""
+  /** q102's full weak-supervised NB scoring pipeline as a shared oracle
+    * prelude (rule labeling, training, fixed-point scoring, the per-doc
+    * keep/drop margin in `piv`, labels in `lbl`) — q102 ranks it, q129
+    * bins it; one string so both hash checks replay the SAME model. */
+  private val qualityOracleCtes: String = """
       WITH wsp AS (
         SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
       ), feat AS (
@@ -342,15 +328,93 @@ object LangId {
                MAX(CASE WHEN lang = 'keep' THEN score_fp END) AS s_keep,
                MAX(CASE WHEN lang = 'drop' THEN score_fp END) AS s_drop
         FROM scored GROUP BY doc_id
-      )
+      )"""
+
+  /** q102's scored held-out frame (doc_id, rule_keep, nb_keep,
+    * margin_fp), unordered — shared by the ranking (q102) and the
+    * calibration bins (q129). */
+  private def qualityScored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val test = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter($"doc_id" % 10 >= 8)
+    val rules = TextOps.gopherStats(test)
+      .select($"doc_id", $"keep".as("rule_keep"))
+    langIdScoresAll(test.select($"doc_id", $"text"), qualityModelCached(s, d))
+      .groupBy($"doc_id")
+      .agg(max(when($"lang" === "keep", $"score_fp")).as("s_keep"),
+        max(when($"lang" === "drop", $"score_fp")).as("s_drop"))
+      .join(rules, Seq("doc_id"))
+      .select($"doc_id", $"rule_keep",
+        ($"s_keep" - $"s_drop" > 0).as("nb_keep"),
+        ($"s_keep" - $"s_drop").as("margin_fp"))
+  }
+
+  private val q102 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      qualityScored(s, d).orderBy($"margin_fp".desc, $"doc_id")
+    },
+    oracle = Some(qualityOracleCtes + """
       SELECT p.doc_id, l.keep AS rule_keep,
              (s_keep - s_drop) > 0 AS nb_keep,
              CAST(s_keep - s_drop AS BIGINT) AS margin_fp
       FROM piv p JOIN lbl l ON l.doc_id = p.doc_id
       ORDER BY margin_fp DESC, p.doc_id"""))
 
+  /** Q129 — classifier calibration bins: q102's keep-margin bucketed
+    * into whole log-odds units (margin_fp is ln-scale ×10⁶, so
+    * `margin_fp div 10⁶` IS the integer nat), clamped to ±10, with the
+    * observed rule-keep rate per bin — the reliability diagram
+    * (DeGroot & Fienberg 1983; Niculescu-Mizil & Caruana, ICML'05) that
+    * answers "does a higher margin actually mean higher quality?" for
+    * the q102 model the gates threshold on. A calibrated classifier
+    * shows the rate rising with the bin; a flat profile means the
+    * margin is noise and the gate's threshold is arbitrary.
+    *
+    * Deliberately NOT quantile bins: NTILE needs a global sort of the
+    * held-out split; fixed log-odds bins are a map-side projection +
+    * one ≤21-row aggregate at any corpus size. Truncating division
+    * (`div` / `//` — identical toward-zero semantics in both engines)
+    * merges the (−1, 1)-nat sliver into bin 0; same rule both sides of
+    * the oracle.
+    */
+  private val q129 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      qualityScored(s, d)
+        .withColumn("logodds_bin",
+          least(greatest(expr("margin_fp div 1000000"), lit(-10L)), lit(10L)))
+        .groupBy($"logodds_bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"rule_keep", 1L).otherwise(0L)).as("n_rule_keep"),
+          sum(when($"nb_keep", 1L).otherwise(0L)).as("n_nb_keep"))
+        .withColumn("rule_keep_rate",
+          $"n_rule_keep".cast("double") / $"n_docs".cast("double"))
+        .orderBy($"logodds_bin")
+    },
+    oracle = Some(qualityOracleCtes + """,
+      binned AS (
+        SELECT LEAST(GREATEST((s_keep - s_drop) // 1000000, -10), 10)
+                 AS logodds_bin,
+               l.keep AS rule_keep,
+               (s_keep - s_drop) > 0 AS nb_keep
+        FROM piv p JOIN lbl l ON l.doc_id = p.doc_id)
+      SELECT CAST(logodds_bin AS BIGINT) AS logodds_bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rule_keep,
+             CAST(SUM(CASE WHEN nb_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nb_keep,
+             CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS rule_keep_rate
+      FROM binned
+      GROUP BY logodds_bin
+      ORDER BY logodds_bin"""))
+
   val all: Map[String, Q] = Map(
     "q100_langid_trained" -> q100,
     "q102_quality_classifier" -> q102,
+    "q129_quality_calibration" -> q129,
   )
 }

@@ -80,4 +80,28 @@ class LangIdSpec extends SparkSpec {
     assert(kernelPasses == 1,
       s"expected exactly one char_grams pass in the scoring plan, got $kernelPasses")
   }
+
+  test("q129 calibration: mass == q102 rows, bin law exact, rates bounded") {
+    val bins = SparkEntry.queries("q129_quality_calibration")(spark, sf0001)
+      .collect()
+    val scored = SparkEntry.queries("q102_quality_classifier")(spark, sf0001)
+      .collect()
+    assert(bins.nonEmpty)
+    assert(bins.map(_.getLong(1)).sum == scored.length)
+    // recompute each bin from q102's rows (same trunc-div + clamp)
+    val naive = scored.map { r =>
+      val b = math.max(-10L, math.min(10L, r.getLong(3) / 1000000L))
+      (b, r.getBoolean(1), r.getBoolean(2))
+    }.groupBy(_._1)
+    bins.foreach { r =>
+      val (b, n, nk, nn, rate) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))
+      val rows = naive(b)
+      assert(n == rows.length)
+      assert(nk == rows.count(_._2) && nn == rows.count(_._3))
+      assert(rate == nk.toDouble / n.toDouble)
+      assert(rate >= 0 && rate <= 1)
+    }
+    assert(bins.map(_.getLong(0)).toSet == naive.keySet)
+  }
 }
