@@ -1077,6 +1077,59 @@ object Windowed {
       HAVING COUNT(*) >= 3
       ORDER BY user_id, first_id"""))
 
+  /** Q130 — fulfillment-latency SLA by order priority: exact interpolated
+    * p50/p90 of order→ship latency (whole days, exact integer `div`) plus
+    * the ≤30-day attainment share, per `o_orderpriority` — the TPC-H-
+    * flavored service-level report (Q4's "late orders" question turned
+    * into the distribution an SLA dashboard actually shows). One
+    * orderkey-keyed join (co-partitioned at any scale — both sides hash
+    * to the same key; no broadcast hint, AQE broadcasts orders at test
+    * scale), then q36's exact-percentile device per priority (5 bounded
+    * groups; `approx_percentile` is the declared unbounded-cardinality
+    * fallback). Attainment is an exact conditional count over integer
+    * days; the share is one double division.
+    */
+  private val q130 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      // TPC-H date columns load as TIMESTAMP_NTZ; the cast to (UTC)
+      // TIMESTAMP is wall-clock identity under the session contract
+      Tables.lineitem(s, d)
+        .select($"l_orderkey",
+          unix_micros($"l_shipdate".cast("timestamp")).as("ship_us"))
+        .join(Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderpriority",
+            unix_micros($"o_orderdate".cast("timestamp")).as("ord_us")),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority",
+          expr("(ship_us - ord_us) div 86400000000").as("lat_d"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lineitems"),
+          percentile($"lat_d", lit(0.5)).as("p50_days"),
+          percentile($"lat_d", lit(0.9)).as("p90_days"),
+          sum(when($"lat_d" <= 30, 1L).otherwise(0L)).as("n_within_30d"))
+        .withColumn("within_30d_share",
+          $"n_within_30d".cast("double") / $"n_lineitems".cast("double"))
+        .orderBy($"o_orderpriority")
+    },
+    oracle = Some("""
+      WITH lat AS (
+        SELECT o.o_orderpriority,
+               (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+                 AS lat_d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+             quantile_cont(lat_d, 0.5) AS p50_days,
+             quantile_cont(lat_d, 0.9) AS p90_days,
+             CAST(SUM(CASE WHEN lat_d <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_30d,
+             CAST(SUM(CASE WHEN lat_d <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS within_30d_share
+      FROM lat
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Map[String, Q] = Map(
     "q33_moving_aggregates" -> q33,
     "q34_asof_join" -> q34,
@@ -1097,5 +1150,6 @@ object Windowed {
     "q122_dtw_trajectory_outliers" -> q122,
     "q123_forecastability" -> q123,
     "q125_error_runs" -> q125,
+    "q130_ship_latency_sla" -> q130,
   )
 }

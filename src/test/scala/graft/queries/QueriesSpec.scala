@@ -1816,6 +1816,19 @@ class QueriesSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum == assign.length)
   }
 
+  test("q130 ship latency: share law exact, percentiles ordered, mass conserved") {
+    val out = run("q130_ship_latency_sla").collect()
+    assert(out.length == 5)
+    val li = graft.sources.Tables.lineitem(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum == li)
+    out.foreach { r =>
+      val (n, p50, p90, n30, share) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))
+      assert(p90 >= p50 && p50 >= 0)
+      assert(n30 <= n && share == n30.toDouble / n.toDouble)
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
