@@ -1395,6 +1395,70 @@ object Relational {
       FROM pairs GROUP BY join_name
       ORDER BY join_name"""))
 
+  /** Q131 — Benford first-digit audit of order totals: the observed
+    * leading-digit distribution of `o_totalprice` against Benford's law
+    * (Newcomb 1881; Benford 1938; Nigrini's forensic-accounting
+    * standard) — naturally-occurring multi-magnitude amounts follow
+    * P(d) = log10(1 + 1/d), and a synthetic, capped, or fabricated
+    * amount column visibly doesn't. The per-digit deviation is the
+    * data-forensics sibling of q119's distribution audits; TPC-H prices
+    * are uniform-ish by construction, so the emitted deviations are the
+    * honest (large) answer, not a tuned zero.
+    *
+    * Exactness: the leading digit comes from the STRING of the exact
+    * integer cents (`round(x·100)` — the decSumFast money contract;
+    * long→string rendering is exact and identical in both engines, where
+    * any floor(log10(x)) digit extraction would ride libm), shares are
+    * single double divisions, and the Benford reference shares are
+    * 10-decimal literals — identical parsed doubles on both sides, no
+    * log10 call anywhere. One map-side digit count; 9-row output.
+    */
+  private val q131 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val benford = Seq(
+        (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366),
+        (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896),
+        (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906))
+      val bf = s.createDataFrame(benford).toDF("digit", "benford_share")
+      val obs = Tables.orders(s, d)
+        .select(expr(
+          "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+          .as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum($"n_obs").as("n_total"))
+      broadcast(bf).join(obs, Seq("digit"), "left")
+        .na.fill(0L, Seq("n_obs"))
+        .crossJoin(broadcast(tot))
+        .select($"digit", $"n_obs",
+          ($"n_obs".cast("double") / $"n_total".cast("double")).as("obs_share"),
+          $"benford_share",
+          (($"n_obs".cast("double") / $"n_total".cast("double"))
+            - $"benford_share").as("deviation"))
+        .orderBy($"digit")
+    },
+    oracle = Some("""
+      WITH bf(digit, benford_share) AS (VALUES
+        (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366),
+        (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896),
+        (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906)
+      ), obs AS (
+        SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n_obs
+        FROM orders GROUP BY 1
+      ), tot AS (SELECT SUM(n_obs) AS n_total FROM obs)
+      SELECT bf.digit,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+             CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               AS obs_share,
+             CAST(bf.benford_share AS DOUBLE) AS benford_share,
+             CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               - CAST(bf.benford_share AS DOUBLE) AS deviation
+      FROM bf LEFT JOIN obs o ON o.digit = bf.digit
+      CROSS JOIN tot t
+      ORDER BY bf.digit"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -1410,6 +1474,7 @@ object Relational {
     "q115_event_cooccurrence_lift" -> q115,
     "q119_key_skew_audit" -> q119,
     "q124_join_preflight" -> q124,
+    "q131_benford_audit" -> q131,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,

@@ -1829,6 +1829,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q131 benford: 9 digits, shares sum to 1, digits match naive extraction") {
+    val out = run("q131_benford_audit").collect()
+    assert(out.length == 9)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    val naive = graft.sources.Tables.orders(spark, sf0001)
+      .select("o_totalprice").collect()
+      .map(r => graft.TestNum.sparkRound(r.getDouble(0) * 100).toString.head - '0')
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == naive.getOrElse(r.getInt(0), 0L))
+      assert(r.getDouble(4) == r.getDouble(2) - r.getDouble(3))
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
