@@ -1459,6 +1459,98 @@ object Relational {
       CROSS JOIN tot t
       ORDER BY bf.digit"""))
 
+  /** Q132 — RFM customer segmentation (Hughes 1994; the classic
+    * marketing-analytics operator): each customer scored 1–5 on Recency
+    * (last order date), Frequency (order count) and Monetary (lifetime
+    * cents, exact), against the corpus's own exact quintile thresholds;
+    * cells aggregated with an interpretable segment label (champion /
+    * loyal / big_spender / at_risk / hibernating / regular — a
+    * deterministic CASE chain, identical in both engines).
+    *
+    * Scale shape: one orders scan collapses to the customers-bounded RFM
+    * table; the 12 thresholds are ONE single-group exact-percentile row
+    * (q36's device — buffers the customer table's columns; at 10⁹+
+    * customers swap in `approx_percentile`, the declared fallback),
+    * broadcast back; scoring is a map-side projection (score = 1 + Σ
+    * strictly-greater threshold crossings — interpolated thresholds make
+    * ties impossible to land ON except at data points, and the > rule is
+    * mirrored exactly); output ≤ 5³ cells.
+    */
+  private val q132 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+      val cust = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(max(unix_micros($"o_orderdate".cast("timestamp"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon_c"))
+      val th = cust.agg(
+        percentile($"last_us", qs).as("tr"),
+        percentile($"freq", qs).as("tf"),
+        percentile($"mon_c", qs).as("tm"))
+      def score(v: Column, t: Column): Column =
+        (lit(1) + (0 to 3).map(i => when(v > t.getItem(i), 1).otherwise(0))
+          .reduce(_ + _)).cast("long")
+      cust.crossJoin(broadcast(th))
+        .select(score($"last_us".cast("double"), $"tr").as("r_score"),
+          score($"freq".cast("double"), $"tf").as("f_score"),
+          score($"mon_c".cast("double"), $"tm").as("m_score"))
+        .groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("segment",
+          when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4, "champion")
+            .when($"f_score" >= 4, "loyal")
+            .when($"m_score" === 5, "big_spender")
+            .when($"r_score" <= 2 && $"f_score" >= 3, "at_risk")
+            .when($"r_score" <= 2, "hibernating")
+            .otherwise("regular"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    },
+    oracle = Some("""
+      WITH cust AS (
+        SELECT o_custkey,
+               CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS mon_c
+        FROM orders GROUP BY o_custkey
+      ), th AS (
+        SELECT quantile_cont(last_us, [0.2, 0.4, 0.6, 0.8]) AS tr,
+               quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS tf,
+               quantile_cont(mon_c, [0.2, 0.4, 0.6, 0.8]) AS tm
+        FROM cust
+      ), scored AS (
+        SELECT
+          CAST(1 + (CASE WHEN last_us > tr[1] THEN 1 ELSE 0 END)
+                 + (CASE WHEN last_us > tr[2] THEN 1 ELSE 0 END)
+                 + (CASE WHEN last_us > tr[3] THEN 1 ELSE 0 END)
+                 + (CASE WHEN last_us > tr[4] THEN 1 ELSE 0 END) AS BIGINT)
+            AS r_score,
+          CAST(1 + (CASE WHEN freq > tf[1] THEN 1 ELSE 0 END)
+                 + (CASE WHEN freq > tf[2] THEN 1 ELSE 0 END)
+                 + (CASE WHEN freq > tf[3] THEN 1 ELSE 0 END)
+                 + (CASE WHEN freq > tf[4] THEN 1 ELSE 0 END) AS BIGINT)
+            AS f_score,
+          CAST(1 + (CASE WHEN mon_c > tm[1] THEN 1 ELSE 0 END)
+                 + (CASE WHEN mon_c > tm[2] THEN 1 ELSE 0 END)
+                 + (CASE WHEN mon_c > tm[3] THEN 1 ELSE 0 END)
+                 + (CASE WHEN mon_c > tm[4] THEN 1 ELSE 0 END) AS BIGINT)
+            AS m_score
+        FROM cust CROSS JOIN th)
+      SELECT r_score, f_score, m_score,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CASE
+               WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+               WHEN f_score >= 4 THEN 'loyal'
+               WHEN m_score = 5 THEN 'big_spender'
+               WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+               WHEN r_score <= 2 THEN 'hibernating'
+               ELSE 'regular' END AS segment
+      FROM scored
+      GROUP BY r_score, f_score, m_score
+      ORDER BY r_score, f_score, m_score"""))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_threshold_alerts_topn" -> q02,
@@ -1475,6 +1567,7 @@ object Relational {
     "q119_key_skew_audit" -> q119,
     "q124_join_preflight" -> q124,
     "q131_benford_audit" -> q131,
+    "q132_rfm_segments" -> q132,
     "q06_distinct_users" -> q06,
     "q07_engagement_rate" -> q07,
     "q08_value_per_error" -> q08,

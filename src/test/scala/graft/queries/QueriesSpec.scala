@@ -1844,6 +1844,28 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q132 RFM: cell mass == customers, scores in 1..5, quintile balance") {
+    val out = run("q132_rfm_segments").collect()
+    assert(out.nonEmpty)
+    val nCust = graft.sources.Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(3)).sum == nCust)
+    out.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getLong(i) >= 1 && r.getLong(i) <= 5))
+      assert(Set("champion", "loyal", "big_spender", "at_risk",
+        "hibernating", "regular").contains(r.getString(4)))
+    }
+    // quintile balance: each marginal score bucket holds 10-30% of
+    // customers (exact 20% up to ties/interpolation)
+    (0 to 2).foreach { i =>
+      val marg = out.groupBy(_.getLong(i)).view
+        .mapValues(_.map(_.getLong(3)).sum).toMap
+      marg.values.foreach { c =>
+        assert(c >= nCust / 10 && c <= nCust * 3 / 10, s"axis $i: $marg")
+      }
+    }
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
