@@ -3284,6 +3284,91 @@ object TextOps {
     * All arithmetic is long-integer, so the decomposition is
     * bit-identical to the oracle's flat windows.
     */
+  /** Q133 — exact two-sample Kolmogorov–Smirnov test between the stored
+    * and held-out splits over document length: D = sup |F_train(x) −
+    * F_test(x)| — the distribution-level split-hygiene check (q108 asks
+    * "does the vocabulary transfer?", this asks "is the test split even
+    * the same DISTRIBUTION?"; a bad split assigner or a time-skewed
+    * holdout shows up here before any model does). Compared against the
+    * large-sample 5% critical value c(α)·√((n₁+n₂)/(n₁·n₂)),
+    * c(.05) = 1.358 (Smirnov 1948's asymptotic form).
+    *
+    * Exactness: the sup runs entirely in integers — per-length counts
+    * collapse map-side, one cumulative window over the value axis
+    * (range-partitioned sort at scale; the axis is value-DISTINCT, so
+    * rows ≤ distinct lengths, not documents), and the maximized
+    * quantity is |c₁·n₂ − c₂·n₁| (exact decimal — cross-multiplied so
+    * no division happens before the argmax). Only the final D and the
+    * critical value are doubles, from identical operands. Tie on the
+    * sup: smallest length wins (deterministic in both engines).
+    */
+  private val q133 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val counts = Tables.documents(s, d)
+        .select($"n_chars",
+          when($"doc_id" % 10 < 8, 1L).otherwise(0L).as("tr"),
+          when($"doc_id" % 10 >= 8, 1L).otherwise(0L).as("te"))
+        .groupBy($"n_chars")
+        .agg(sum($"tr").as("c_tr"), sum($"te").as("c_te"))
+      val w = Window.orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .select($"n_chars",
+          sum($"c_tr").over(w).as("cum_tr"),
+          sum($"c_te").over(w).as("cum_te"))
+        .crossJoin(broadcast(counts.agg(
+          sum($"c_tr").as("n_tr"), sum($"c_te").as("n_te"))))
+        .select($"n_chars", $"n_tr", $"n_te",
+          abs($"cum_tr".cast("decimal(38,0)") * $"n_te"
+            - $"cum_te".cast("decimal(38,0)") * $"n_tr").as("num"))
+        .orderBy($"num".desc, $"n_chars".asc)
+        .limit(1)
+        .select($"n_tr", $"n_te", $"n_chars".as("ks_at_value"),
+          ($"num".cast("double")
+            / ($"n_tr".cast("decimal(20,0)") * $"n_te").cast("double"))
+            .as("ks_stat"))
+        .withColumn("ks_critical_05",
+          lit(1.358) * sqrt(($"n_tr" + $"n_te").cast("double")
+            / ($"n_tr".cast("decimal(20,0)") * $"n_te").cast("double")))
+        .withColumn("splits_differ", $"ks_stat" > $"ks_critical_05")
+    },
+    oracle = Some("""
+      WITH counts AS (
+        SELECT n_chars,
+               SUM(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END) AS c_tr,
+               SUM(CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END) AS c_te
+        FROM documents GROUP BY n_chars
+      ), tot AS (
+        SELECT CAST(SUM(c_tr) AS BIGINT) AS n_tr,
+               CAST(SUM(c_te) AS BIGINT) AS n_te FROM counts
+      ), cum AS (
+        SELECT n_chars,
+               SUM(c_tr) OVER (ORDER BY n_chars
+                 ROWS UNBOUNDED PRECEDING) AS cum_tr,
+               SUM(c_te) OVER (ORDER BY n_chars
+                 ROWS UNBOUNDED PRECEDING) AS cum_te
+        FROM counts
+      ), scored AS (
+        SELECT c.n_chars, t.n_tr, t.n_te,
+               ABS(CAST(c.cum_tr AS HUGEINT) * t.n_te
+                 - CAST(c.cum_te AS HUGEINT) * t.n_tr) AS num
+        FROM cum c CROSS JOIN tot t
+        ORDER BY num DESC, n_chars ASC
+        LIMIT 1)
+      SELECT n_tr, n_te, n_chars AS ks_at_value,
+             CAST(num AS DOUBLE)
+               / CAST(CAST(n_tr AS HUGEINT) * n_te AS DOUBLE) AS ks_stat,
+             1.358 * sqrt(CAST(n_tr + n_te AS DOUBLE)
+               / CAST(CAST(n_tr AS HUGEINT) * n_te AS DOUBLE))
+               AS ks_critical_05,
+             CAST(num AS DOUBLE)
+               / CAST(CAST(n_tr AS HUGEINT) * n_te AS DOUBLE)
+               > 1.358 * sqrt(CAST(n_tr + n_te AS DOUBLE)
+               / CAST(CAST(n_tr AS HUGEINT) * n_te AS DOUBLE))
+               AS splits_differ
+      FROM scored"""))
+
   private val q98 = Q(
     fn = (s, d) => {
       import s.implicits._
@@ -3767,6 +3852,7 @@ object TextOps {
     "q17_dedup_exact" -> q17,
     "q18_neardup_jaccard" -> q18,
     "q114_containment_dedup" -> q114,
+    "q133_ks_split_test" -> q133,
     "q19_neardup_minhash_lsh" -> q19,
     "q20_simhash_pairs" -> q20,
     "q21_lang_id" -> q21,

@@ -1866,6 +1866,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q133 KS: statistic matches a naive CDF sweep, bounds hold") {
+    val r = run("q133_ks_split_test").head()
+    val (nTr, nTe, atVal, ks, crit) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))
+    assert(ks >= 0 && ks <= 1 && crit > 0)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val tr = docs.filter(_._1 % 10 < 8).map(_._2)
+    val te = docs.filter(_._1 % 10 >= 8).map(_._2)
+    assert(nTr == tr.length && nTe == te.length)
+    val naive = (tr ++ te).distinct.sorted.map { v =>
+      val d = (BigInt(tr.count(_ <= v)) * te.length
+        - BigInt(te.count(_ <= v)) * tr.length).abs
+      (d, v)
+    }.maxBy(x => (x._1, -x._2))
+    assert(atVal == naive._2)
+    assert(ks == naive._1.toDouble / (BigInt(tr.length) * te.length).toDouble)
+  }
+
   test("q115 lift: exact recompute from distinct baskets") {
     val out = run("q115_event_cooccurrence_lift").collect()
     assert(out.nonEmpty)
