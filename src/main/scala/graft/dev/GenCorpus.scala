@@ -69,6 +69,29 @@ object GenCorpus {
     Array.tabulate(len)(p => word(id * 131 + p, 9001L + p))
   }
 
+  /** High-dup-mass variant: with probability `spamPct`/100 a doc is a
+    * word-level mutation of one of 10 fixed templates (ids −1…−10) — the
+    * boilerplate/spam regime where near-dup CANDIDATE pairs grow
+    * quadratically inside template clusters instead of staying ~linear.
+    * Used by [[DupMassProbe]] to show the un-hinted verification join
+    * degrades to a shuffle join instead of OOMing (the default corpus
+    * statistics are untouched: spamPct = 0 is bit-identical to
+    * [[docText]]).
+    */
+  private[dev] def docTextSpam(id: Long, spamPct: Int): String = {
+    if (spamPct > 0 && math.floorMod(splitmix(id * 11 + 5), 100L) < spamPct) {
+      val base = docWords(-1L - (id % 10)) // one of 10 fixed templates
+      val out = base.clone()
+      var p = 0
+      while (p < out.length) {
+        if (math.floorMod(splitmix(id * 77 + p), 6L) == 0L)
+          out(p) = word(id * 131 + p, 4242L + p)
+        p += 1
+      }
+      out.mkString(" ")
+    } else docText(id)
+  }
+
   /** text for doc `id`, including the near/exact-dup structure. */
   private[dev] def docText(id: Long): String = {
     if (id % 625 == 624 && id >= 3) return docText(id - 3) // exact dup
@@ -98,6 +121,9 @@ object GenCorpus {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val mult = args(1).toInt
+    // optional 3rd arg: spam/template percentage (default 0 — unchanged
+    // statistics; > 0 switches docText to the high-dup-mass variant)
+    val spamPct = if (args.length > 2) args(2).toInt else 0
     val nDocs = 5000L * mult
     val nVecs = 2000L * mult
     val s: SparkSession = graft.Sessions.local()
@@ -105,7 +131,7 @@ object GenCorpus {
 
     s.range(nDocs).repartition(s.sparkContext.defaultParallelism)
       .map { id =>
-        val text = docText(id)
+        val text = docTextSpam(id, spamPct)
         (id, text,
           LANGS(math.floorMod(splitmix(id * 3 + 1), LANGS.length.toLong).toInt),
           s"src${math.floorMod(splitmix(id * 5 + 2), 20L)}",

@@ -121,8 +121,11 @@ object Expectations {
       val parts = Seq.newBuilder[DataFrame]
       if (rowLocal.nonEmpty) {
         // one row out of the single-pass aggregate, unpivoted via stack
+        // coalesce: sum() over zero rows is NULL — an empty frame (e.g.
+        // an empty micro-batch) must audit as 0 violations / passed,
+        // matching the unique branch's coalesce
         val aggs = rowLocal.zipWithIndex.map { case (c, i) =>
-          sum(when(violation(c), 1L).otherwise(0L)).as(s"v$i")
+          coalesce(sum(when(violation(c), 1L).otherwise(0L)), lit(0L)).as(s"v$i")
         }
         val one = df.agg(aggs.head, aggs.tail: _*)
         val stackArgs = rowLocal.zipWithIndex.flatMap { case (c, i) =>

@@ -1427,7 +1427,10 @@ object Relational {
           .as("digit"))
         .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
       val tot = obs.agg(sum($"n_obs").as("n_total"))
-      broadcast(bf).join(obs, Seq("digit"), "left")
+      // hint the RIGHT (buildable) side: the preserved side of a left
+      // outer join can never be the hash-join build side, so hinting bf
+      // was dead code that only logged HintErrorLogger warnings
+      bf.join(broadcast(obs), Seq("digit"), "left")
         .na.fill(0L, Seq("n_obs"))
         .crossJoin(broadcast(tot))
         .select($"digit", $"n_obs",

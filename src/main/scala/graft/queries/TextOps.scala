@@ -101,14 +101,21 @@ object TextOps {
     * sf0.1 corpus shows only 1.05×, which is why benchmark-tuning this
     * away would be a trap). The candidate `distinct()` is map-side
     * combined, so its exchange carries ~unique pairs, while skipping it
-    * would multiply the broadcast and every verification merge by the
+    * would multiply the join input and every verification merge by the
     * dup factor.
+    *
+    * No broadcast hint: candidates are usually ≪ corpus (the documented
+    * contract), and at test scale AQE broadcasts them on its own — but a
+    * high-dup-mass corpus makes the candidate set grow with the dup mass,
+    * and a hard hint would force that whole set into executor memory
+    * exactly when it is largest. Leaving the choice to AQE keeps the
+    * map-side join when candidates are small and degrades to a shuffle
+    * join instead of an OOM when they are not (the q95/q103 lesson
+    * applied to the family's own verification leg).
     */
   private[queries] def verifyPairs(cand: DataFrame, docs: DataFrame, minJaccard: Double): DataFrame = {
     import cand.sparkSession.implicits._
-    // candidate pairs are tiny relative to the corpus: broadcast them so
-    // the two shingle-set lookups stay shuffle-free map-side joins
-    broadcast(cand)
+    cand
       .join(docs.select($"doc_id".as("i"), $"hs".as("hs_i"), $"n".as("n_i")), Seq("i"))
       .join(docs.select($"doc_id".as("j"), $"hs".as("hs_j"), $"n".as("n_j")), Seq("j"))
       .withColumn("common",
@@ -309,8 +316,8 @@ object TextOps {
     * doc_id exchange, one equi-join keyed by 8-byte shingle hash whose
     * probe side is rare-first prefixes (hot shingles never probe; df=1
     * postings can match no second doc but survive on the index side for
-    * losslessness), candidates distinct-collapsed before the broadcast
-    * verification join (q18's merge-intersect kernel). At 100 TB the
+    * losslessness), candidates distinct-collapsed before the
+    * verification join (q18's merge-intersect kernel; AQE-chosen side). At 100 TB the
     * in-bucket pair loop moves into a PPJoinPairs-style kernel with the
     * asymmetric alpha — declared lever, not needed at measured scale
     * (ScaleBench row in SCALE.md).
@@ -347,7 +354,10 @@ object TextOps {
           .filter($"n_b" >= alpha)
           .filter(least($"n_a" - $"rk_a", $"n_b" - $"rk_b") + 1 >= alpha)
           .select($"i", $"j").distinct()
-        broadcast(cand)
+        // no broadcast hint — AQE picks broadcast at test scale and
+        // falls back to a shuffle join when containment mass is large
+        // (see verifyPairs)
+        cand
           .join(docs.select($"doc_id".as("i"), $"hs".as("hs_i"), $"n".as("n_i")), Seq("i"))
           .join(docs.select($"doc_id".as("j"), $"hs".as("hs_j"), $"n".as("n_j")), Seq("j"))
           .withColumn("common",

@@ -87,9 +87,10 @@ object ZOrder {
   /** Write `df` as a z-ordered parquet store partitioned by the Morton
     * cell of (`colA`, `colB`). One extra 1-row aggregate for the bounds;
     * `repartition(p_z)` gives one write task per cell so every partition
-    * directory is a contiguous write, and rows inside a cell are sorted
-    * by the full-resolution z-value for row-group locality within the
-    * cell's files. */
+    * directory is a contiguous write; `sortWithinPartitions(p_z)`
+    * clusters rows by cell id within a task so each cell writes as one
+    * file (p_z is constant inside a cell — there is deliberately no
+    * intra-cell ordering; the locality unit is the cell itself). */
   def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
       bits: Int = 6): Unit = {
     require(bits >= 1 && bits <= 12, s"bits=$bits outside [1,12]")

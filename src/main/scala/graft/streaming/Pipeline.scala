@@ -1008,10 +1008,13 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite: replay after a crash between write
+        // and checkpoint commit rewrites the same directory instead of
+        // appending duplicate score rows (the anomaly-gate pattern)
         graft.queries.TextOps.lmScoreDocs(
           batch.select(col("doc_id"), col("text")), lm)
-          .write.mode("append").parquet(s"$outDir/lm_scores")
+          .write.mode("overwrite").parquet(s"$outDir/lm_scores/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -1037,10 +1040,13 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite: idempotent on replay (see the
+        // anomaly gate) — plain append would duplicate verdicts when a
+        // batch re-runs after a crash before the checkpoint commit
         graft.queries.LangId.langIdScoreDocs(
           batch.select(col("doc_id"), col("text")), m)
-          .write.mode("append").parquet(s"$outDir/langid")
+          .write.mode("overwrite").parquet(s"$outDir/langid/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -1066,7 +1072,8 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite below: idempotent on replay
         import org.apache.spark.sql.functions.{max, when}
         graft.queries.LangId.langIdScoresAll(
           batch.select(col("doc_id"), col("text")), m)
@@ -1076,7 +1083,7 @@ object Pipeline {
           .select(col("doc_id"),
             (col("s_keep") - col("s_drop") > 0).as("nb_keep"),
             (col("s_keep") - col("s_drop")).as("margin_fp"))
-          .write.mode("append").parquet(s"$outDir/quality")
+          .write.mode("overwrite").parquet(s"$outDir/quality/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -338,6 +338,7 @@ class StreamingSpec extends SparkSpec {
     Pipeline.runLangIdGateStream(spark, corpus, in, out, ckpt,
       maxFilesPerTrigger = 1).awaitTermination()
     val streamed = spark.read.parquet(s"$out/langid")
+      .drop("batch") // batchId partition column from the idempotent write
       .collect().map(_.toString).sorted.toSeq
 
     // batch: the same shared train + score on the same rows
@@ -407,6 +408,7 @@ class StreamingSpec extends SparkSpec {
     Pipeline.runLmPerplexityStream(spark, corpus, in, out, ckpt,
       maxFilesPerTrigger = 1).awaitTermination()
     val streamed = spark.read.parquet(s"$out/lm_scores")
+      .drop("batch") // batchId partition column from the idempotent write
       .collect().map(_.toString).sorted.toSeq
 
     // batch: the same shared train + score on the same rows
