@@ -64,6 +64,18 @@ class ExpectationsSpec extends SparkSpec {
     assert(auditMap(empty, Expectations.suite.unique("k"))(("unique", "k")) == (0L, true))
   }
 
+  test("row-local checks on an empty frame audit as 0 violations / passed") {
+    import spark.implicits._
+    // regression pin (ADVICE r8): sum() over zero rows is NULL — an empty
+    // micro-batch must report passing zeros, not null-filled audit rows
+    val empty = Seq.empty[(Long, String)].toDF("v", "s")
+    val m = auditMap(empty,
+      Expectations.suite.notNull("v").inRange("v", 0, 10).isIn("s", Seq("a")))
+    assert(m(("not_null", "v")) == (0L, true))
+    assert(m(("in_range", "v")) == (0L, true))
+    assert(m(("is_in", "s")) == (0L, true))
+  }
+
   test("one aggregate pass for all row-local checks (single scan, no shuffle-per-check)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("v", "s")
