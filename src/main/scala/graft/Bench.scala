@@ -66,6 +66,12 @@ object Bench {
         s"(warm dir $warmDir) — first measured timings may include startup cost; " +
         s"first: ${warmFailures.head}")
 
+    // artifact accounting baseline: warmup built the warm-dir artifacts
+    // (different content fingerprints); everything recorded AFTER this
+    // snapshot is a measured-SF artifact build — the one-time train cost
+    // a fresh deployment pays before steady-state serving
+    val artBase = graft.queries.IndexCache.buildSeconds
+
     // best-of-N: single-run timings on this box vary ±50% (JIT, page
     // cache, co-tenant load); the minimum is the stable estimate of plan
     // cost. The three reps run as ROUND-ROBIN SWEEPS of the whole suite —
@@ -115,16 +121,19 @@ object Bench {
       java.math.BigDecimal.valueOf(v)
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
-    // keys abbreviated to the query id (the prefix before the first '_',
-    // unique by construction: q01, q09b, q36c, ...): at 68+ queries the
-    // full names alone are ~1300 chars, overflowing the 2000-char tail
-    // window; full name -> id mapping is SparkEntry.queries/stderr
-    val ids = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    // keys abbreviated to the query id (the prefix before the first '_')
+    // with the uniform leading 'q' dropped ("q114" -> "114", "q09b" ->
+    // "09b") — unique by construction: at 138+ queries the JSON line
+    // competes with the driver's 2000-char stdout tail and the 'q' was
+    // 1 byte x queries of pure redundancy; full name -> id mapping is
+    // SparkEntry.queries/stderr
+    val ids = results.map { case (k, _) => k.takeWhile(_ != '_').stripPrefix("q") }
     require(ids.distinct.size == ids.size,
       s"duplicate query-id prefixes would silently collapse JSON keys: " +
         ids.groupBy(identity).collect { case (id, g) if g.size > 1 => id }.mkString(", "))
-    val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    val qs = results.map { case (k, _) => k }.zip(ids)
+      .zip(results.map(_._2))
+      .map { case ((_, id), v) => "\"" + id + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     raw.foreach { case (name, best, runs) =>
       if (best >= 0 && runs.max / runs.min > 2.0)
@@ -132,6 +141,24 @@ object Bench {
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // measured-SF artifact builds (train cost, paid once per deployment
+    // per dataset — rep 1 of the owning query carries it; min-of-reps is
+    // the serving cost). Full map on stderr; the JSON line carries the
+    // >= 0.5 s entries at 1 decimal to respect the tail budget.
+    val artAll = graft.queries.IndexCache.buildSeconds.map { case (k, v) =>
+      k -> (v - artBase.getOrElse(k, 0.0))
+    }.filter(_._2 > 1e-3)
+    artAll.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      System.err.println(f"[bench] artifact $k%-12s build=$v%7.3f s")
+    }
+    def fmt1(v: Double): String =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(1, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+    val artJson = artAll.filter(_._2 >= 0.5).toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt1(v) }
+      .mkString("{", ",", "}")
 
     // Streaming-ingest throughput leg: wire-format JSONL -> lenient
     // normalize -> three-rule alert derivation -> day-partitioned parquet
@@ -151,7 +178,7 @@ object Bench {
     // with query timings for the driver's 2000-char stdout tail
     val sfName = sfDir.split('/').last
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"ingest":$ingestJson$failedField,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"artifacts":$artJson,"ingest":$ingestJson$failedField,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may be clipped by the driver's 2000-char stdout tail")
     println(line)

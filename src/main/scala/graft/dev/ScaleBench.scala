@@ -75,7 +75,14 @@ object ScaleBench {
     "q108_oov_rate",
     // round-8: asymmetric containment — prefix-probe vs full-posting
     // inverted-index join + merge-intersect verification
-    "q114_containment_dedup")
+    "q114_containment_dedup",
+    // round-9: perceptual frame near-dup — one (band, bv) exchange over
+    // 8 bands x 64-byte frames, capped in-bucket hamming sweep
+    "q134_frame_phash_dedup",
+    // round-9: incremental cluster maintenance — rep 1 pays the stored
+    // clustering + index artifacts, min-of-reps is the snapshot probe +
+    // touched-component CC (the steady-state serving cost)
+    "q135_dedup_cluster_append")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -381,6 +381,52 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+
+  /** binary → long: 64-byte-frame difference hash (dHash, the classic
+    * perceptual-hash family member — Krawetz's "Kind of Like That"
+    * construction re-derived for byte frames): bit j of the result is
+    * set iff unsigned byte j < byte j+1, for j = 0..min(len−2, 62).
+    * Monotone-invariant: any order-preserving brightness/gain shift of
+    * the frame's bytes leaves every comparison — and so the hash —
+    * unchanged, which is exactly why dHash survives re-encodes that
+    * break md5-exact frame dedup (q73 vs q134). Bit 63 is never set, so
+    * the value is non-negative and shift/band arithmetic needs no sign
+    * care. Frames shorter than 2 bytes hash to 0.
+    */
+  case class DHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, BinaryType, "dhash64")
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      var h = 0L
+      var j = 0
+      val n = math.min(b.length - 1, 63)
+      while (j < n) {
+        if ((b(j) & 0xff) < (b(j + 1) & 0xff)) h |= (1L << j)
+        j += 1
+      }
+      h
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, { c =>
+        val h = ctx.freshName("dh")
+        val n = ctx.freshName("dn")
+        val j = ctx.freshName("dj")
+        s"""
+        long $h = 0L;
+        int $n = java.lang.Math.min($c.length - 1, 63);
+        for (int $j = 0; $j < $n; $j++) {
+          if (($c[$j] & 0xff) < ($c[$j + 1] & 0xff)) $h |= (1L << $j);
+        }
+        ${ev.value} = $h;
+        """
+      })
+    override protected def withNewChildInternal(c: Expression): DHash64 = copy(child = c)
+  }
+
   /** string → array<long>: the sorted xxhash64 values of the distinct word
     * k-gram shingles — `array_sort(transform(word_shingles(text),
     * xxhash64))` fused into one native pass (both `transform`'s lambda and
@@ -2050,6 +2096,8 @@ object expressions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("freq_sketch",
       exprs => FreqSketch(one("freq_sketch")(exprs), 256), "scala_udf")
+    reg.createOrReplaceTempFunction("dhash64",
+      exprs => DHash64(one("dhash64")(exprs)), "scala_udf")
     reg.createOrReplaceTempFunction("bigram_hashes",
       exprs => BigramHashes(one("bigram_hashes")(exprs)), "scala_udf")
     reg.createOrReplaceTempFunction("bigram_spans",
@@ -2146,6 +2194,8 @@ object expressions {
   def freq_sketch_long(hash: Column, k: Int): Column =
     call_function("freq_sketch_long", hash,
       org.apache.spark.sql.functions.lit(k))
+  def dhash64(frame: Column): Column =
+    call_function("dhash64", frame)
   def bigram_hashes(text: Column): Column =
     call_function("bigram_hashes", text)
   def bigram_spans(text: Column): Column =

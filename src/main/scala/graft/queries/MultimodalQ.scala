@@ -158,11 +158,127 @@ object MultimodalQ {
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
 
+
+  /** Q134 — PERCEPTUAL frame-level near-dup (q73's md5-exact ladder gets
+    * the near rung the text family has had since q18): every full
+    * 64-byte frame is hashed with the dHash difference hash
+    * ([[graft.functions.expressions.DHash64]] — bit j = byte j < byte
+    * j+1, monotone-invariant, so a re-encode/brightness-shift that
+    * preserves byte ordering cannot escape, unlike md5), banded 8×8-bit
+    * and bucket-joined exactly like q20's SimHash pass, with Hamming ≤ 7
+    * verification inside the same capped in-bucket kernel
+    * ([[graft.functions.expressions.SimHashBucketPairs]] — ids here are
+    * frame ids doc_id·4096+frame_idx; docs are ≤ a few KB so frame_idx
+    * < 4096 by orders of magnitude). 8 bands × 8 bits over a 64-bit
+    * hash make the banding EXACT for Hamming ≤ 7 (pigeonhole: ≤ 7
+    * flipped bits leave ≥ 1 band intact), so unlike an LSH recall
+    * gamble the result is the complete pair set at the threshold.
+    * Output: per document, how many of its full frames have a
+    * perceptual match in at least one OTHER document (q73's
+    * cross-media dup shape, perceptual edition).
+    *
+    * Scale shape: frames never leave their scan task until the single
+    * (band, bv) exchange; the in-bucket m² sweep is the SimHash
+    * construction's inherent Θ(n²/2⁸) with pathological buckets capped
+    * (maxBucket's rule, replayed in the oracle); candidate pairs are
+    * distinct-collapsed; every downstream aggregate is map-side
+    * combined. Decoder-boundary note: the substring cut IS the
+    * [[Multimodal.FixedWidthFakeDecoder]] contract (fixed 64-byte
+    * slabs) expressed declaratively — MultimodalSpec pins the
+    * equivalence, so a real codec swaps in behind the same boundary.
+    *
+    * Oracle parity: ASCII corpus ⇒ character positions == byte
+    * positions (the standing q31/q32/q73 convention); the oracle
+    * replays dHash bit-by-bit, the banding, the 4096 bucket cap and
+    * the Hamming verify in DuckDB integer ops.
+    */
+  private val q134 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val E = graft.functions.expressions
+      val media = Multimodal.asMedia(Tables.documents(s, d))
+      val frames = media
+        .select($"doc_id", $"content",
+          explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
+            .as("start"))
+        .filter(length($"content") - $"start" + 1 >= 64)
+        .select($"doc_id",
+          ($"doc_id" * 4096 + expr("(start - 1) div 64")).as("fid"),
+          E.dhash64(expr("substring(content, start, 64)")).as("h"))
+        .localCheckpoint()
+      val perDoc = frames.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_full_frames"))
+      val banded = frames.select($"fid", $"h",
+          explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+            shiftright($"h", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
+        .select($"fid", $"h", $"bb.band".as("band"), $"bb.bv".as("bv"))
+      val pairs = banded.groupBy($"band", $"bv")
+        .agg(collect_list(struct($"fid".as("doc_id"), $"h".as("simhash"))).as("ds"))
+        .filter(size($"ds") > 1)
+        .select(explode(E.simhash_bucket_pairs($"ds", 7, TextOps.maxBucket(s))).as("p"))
+        .select($"p.i".as("i"), $"p.j".as("j"))
+        .distinct()
+        .filter(expr("(i div 4096) != (j div 4096)"))
+      val matched = pairs
+        .select(explode(array($"i", $"j")).as("fid")).distinct()
+        .select(expr("fid div 4096").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_pdup_frames"))
+      perDoc.join(matched, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_pdup_frames"))
+        .select($"doc_id", $"n_full_frames", $"n_pdup_frames",
+          ($"n_pdup_frames".cast("double") / $"n_full_frames").as("pdup_frac"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH fr AS (
+        SELECT doc_id, doc_id * 4096 + (start - 1) // 64 AS fid,
+               substr(text, start, 64) AS f
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(strlen(text), 1), 64)) AS start
+              FROM documents)
+        WHERE strlen(text) - start + 1 >= 64
+      ), dh AS (
+        SELECT doc_id, fid,
+               CAST(SUM(CASE WHEN ascii(f[j+1:j+1]) < ascii(f[j+2:j+2])
+                        THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS h
+        FROM (SELECT doc_id, fid, f, unnest(generate_series(0, 62)) AS j FROM fr)
+        GROUP BY doc_id, fid
+      ), banded AS (
+        SELECT fid, h, t.band, (h >> (8 * t.band)) & 255 AS bv
+        FROM dh CROSS JOIN generate_series(0, 7) t(band)
+      ), bandedc AS (
+        SELECT fid, h, band, bv FROM (
+          SELECT fid, h, band, bv,
+                 row_number() OVER (PARTITION BY band, bv ORDER BY fid) AS rk
+          FROM banded)
+        WHERE rk <= 4096
+      ), pairs AS (
+        SELECT DISTINCT a.fid AS i, b.fid AS j
+        FROM bandedc a JOIN bandedc b
+          ON a.band = b.band AND a.bv = b.bv AND a.fid < b.fid
+        WHERE bit_count(xor(a.h, b.h)) <= 7
+          AND a.fid // 4096 <> b.fid // 4096
+      ), mf AS (
+        SELECT DISTINCT fid FROM
+          (SELECT i AS fid FROM pairs UNION ALL SELECT j AS fid FROM pairs)
+      ), md AS (
+        SELECT fid // 4096 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_pdup_frames
+        FROM mf GROUP BY 1
+      ), pd AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_full_frames
+        FROM fr GROUP BY doc_id)
+      SELECT pd.doc_id, pd.n_full_frames,
+             COALESCE(md.n_pdup_frames, 0) AS n_pdup_frames,
+             CAST(COALESCE(md.n_pdup_frames, 0) AS DOUBLE) / pd.n_full_frames AS pdup_frac
+      FROM pd LEFT JOIN md USING (doc_id)
+      ORDER BY pd.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q31_media_metadata" -> q31,
     "q32_media_frame_features" -> q32,
     "q43_media_frame_sample" -> q43,
     "q44_media_frame_resize" -> q44,
     "q73_frame_dedup" -> q73,
+    "q134_frame_phash_dedup" -> q134,
   )
 }

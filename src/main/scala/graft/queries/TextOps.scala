@@ -501,6 +501,126 @@ object TextOps {
         .write.mode("overwrite").parquet(p)
     })
 
+  /** Incremental MAINTENANCE of the near-dup cluster labeling — the
+    * clustering counterpart of [[appendToMinHashIndex]]: production
+    * corpora append daily, and rebuilding `dedupClustersCached` from
+    * scratch re-pays the whole corpus's LSH + connected-components for
+    * a snapshot-sized delta.
+    *
+    * `labels` is an existing (doc_id, cluster_rep) star labeling (a
+    * prior [[connectedComponents]] output); `newPairs` the NEW verified
+    * near-dup edges (u, v) — snapshot×stored admissions plus
+    * snapshot-internal pairs. Only components TOUCHED by a new edge are
+    * re-clustered: their star edges (vertex → rep, connectivity-
+    * equivalent to the original component by the star property) union
+    * the new edges re-enter large-star/small-star; untouched labels
+    * pass through verbatim. Result == a from-scratch rebuild over the
+    * union graph (QueriesSpec pins it; q135's oracle hash-checks the
+    * end-to-end composition against DuckDB's independent full-corpus
+    * CC), at cost ∝ touched-component + snapshot size, never corpus
+    * size. Join choices are AQE's: the touched-reps side is bounded by
+    * 2·|newPairs| and broadcasts at any realistic snapshot size, but no
+    * hint forces it (this round's verifyPairs lesson).
+    */
+  private[queries] def appendToClusters(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    // min-first orientation, distinct-collapsed: bounded materialization
+    val np = newPairs
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    val touchedV = np.select($"u".as("doc_id"))
+      .union(np.select($"v".as("doc_id"))).distinct()
+    // current reps of every touched vertex (unlabeled vertices are their
+    // own provisional rep — brand-new docs and never-clustered singletons)
+    val touchedReps = touchedV.join(labels, Seq("doc_id"), "left")
+      .select(coalesce($"cluster_rep", $"doc_id").as("tr")).distinct()
+    val touched = labels
+      .join(touchedReps, labels("cluster_rep") === touchedReps("tr"))
+      .drop("tr")
+    val starEdges = touched.filter($"doc_id" =!= $"cluster_rep")
+      .select(least($"doc_id", $"cluster_rep").as("u"),
+        greatest($"doc_id", $"cluster_rep").as("v"))
+    val merged = connectedComponents(starEdges.unionByName(np).distinct())
+      .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
+    val untouched = labels
+      .join(touchedReps, labels("cluster_rep") === touchedReps("tr"), "left_anti")
+    untouched.unionByName(merged)
+  }
+
+  /** The stored-80% clustering artifact (q135's "yesterday" state),
+    * cached per JVM like [[dedupClustersCached]] but over the
+    * `doc_id % 10 < 8` split — the same deterministic stored/arriving
+    * convention as q82/q95. */
+  private[queries] def storedClustersCached(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(IndexCache.resolve(
+      s"cclusterstored|${IndexCache.dataKey(d)}", "cclusterstored") { p =>
+      import s.implicits._
+      val stored = shingleDocs(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 < 8)).persist()
+      try connectedComponents(
+          nearDupPairsLshFromShingled(stored).select($"i".as("u"), $"j".as("v")))
+        .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
+        .write.mode("overwrite").parquet(p)
+      finally stored.unpersist()
+    })
+
+  /** Q135 — incremental cluster maintenance, end to end: cluster the
+    * stored 80% once ([[storedClustersCached]]), admit the arriving 20%
+    * against the stored MinHash index (q82's [[dedupAgainstIndex]] —
+    * new×old verified pairs), LSH the snapshot against itself for
+    * new×new pairs ([[nearDupPairsLshFromShingled]] on the snapshot
+    * only), then [[appendToClusters]]. Every pair of the union corpus
+    * is stored×stored (inside the prior labeling), new×old, or
+    * new×new, so the appended labeling EQUALS the from-scratch
+    * full-corpus clustering — which is why this query can share q47's
+    * independent DuckDB connected-components oracle verbatim: the
+    * incremental path must land on the exact same (doc_id,
+    * cluster_rep, keep) rows. Steady-state cost (artifacts built) is
+    * the snapshot probe + the touched-component CC — ∝ snapshot, not
+    * corpus (SCALE.md round-9 measurement).
+    */
+  private val q135 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val storedLabels = storedClustersCached(s, d)
+      val arriving = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 >= 8)
+      val newOld = dedupAgainstIndex(arriving, minHashIndexCached(s, d))
+        .select($"new_doc_id".as("u"), $"old_doc_id".as("v"))
+      val fresh = shingleDocs(arriving).persist()
+      val newNew =
+        try nearDupPairsLshFromShingled(fresh).select($"i".as("u"), $"j".as("v"))
+        finally fresh.unpersist()
+      appendToClusters(storedLabels, newOld.unionByName(newNew))
+        .withColumn("keep", $"doc_id" === $"cluster_rep")
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), edges AS (
+        SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs
+      ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u
+      )
+      SELECT u AS doc_id, MIN(r) AS cluster_rep, u = MIN(r) AS keep
+      FROM reach GROUP BY u ORDER BY doc_id"""))
+
   private val q47 = Q(
     fn = (s, d) => {
       import s.implicits._
@@ -851,22 +971,31 @@ object TextOps {
       // persist: reused by signature computation and both verify joins
       // (see q18's note — released after the result is materialized)
       val docs = shingled(s, d).persist()
-      try {
-        val banded = bandsOf(docs)
-        // Bucket-collect pair generation instead of a self-join: signatures
-        // are computed once, and candidate pairs come from exploding each
-        // bucket's id list; pathological buckets are capped (see capBucket).
-        val cand = banded.groupBy($"band", $"bh")
-          .agg(collect_list($"doc_id").as("ids"))
-          .filter(size($"ids") > 1)
-          .withColumn("ids", capBucket($"ids", maxBucket(s)))
-          .select(explode(flatten(transform($"ids", (x, ix) =>
-            transform(slice($"ids", ix + 2, greatest(size($"ids") - ix - 1, lit(0))),
-              y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
-          .select($"p.a".as("i"), $"p.b".as("j"))
-          .distinct()
-        verifyPairs(cand, docs, 0.5).localCheckpoint()
-      } finally docs.unpersist()
+      try nearDupPairsLshFromShingled(docs)
+      finally docs.unpersist()
+  }
+
+  /** [[nearDupPairsLsh]] over an already-shingled (and caller-persisted)
+    * frame — the reusable core, so the incremental path (q135) can run
+    * the same LSH pipeline on an arriving snapshot without touching the
+    * full-corpus table. */
+  private[queries] def nearDupPairsLshFromShingled(docs: DataFrame): DataFrame = {
+      import docs.sparkSession.implicits._
+      val s = docs.sparkSession
+      val banded = bandsOf(docs)
+      // Bucket-collect pair generation instead of a self-join: signatures
+      // are computed once, and candidate pairs come from exploding each
+      // bucket's id list; pathological buckets are capped (see capBucket).
+      val cand = banded.groupBy($"band", $"bh")
+        .agg(collect_list($"doc_id").as("ids"))
+        .filter(size($"ids") > 1)
+        .withColumn("ids", capBucket($"ids", maxBucket(s)))
+        .select(explode(flatten(transform($"ids", (x, ix) =>
+          transform(slice($"ids", ix + 2, greatest(size($"ids") - ix - 1, lit(0))),
+            y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
+        .select($"p.a".as("i"), $"p.b".as("j"))
+        .distinct()
+      verifyPairs(cand, docs, 0.5).localCheckpoint()
   }
 
   private val q19 = Q(
@@ -1429,12 +1558,24 @@ object TextOps {
     *     WinnowFingerprint's shape), the ≤48-entry merges table riding
     *     as a plan literal — fully scan-local, map-side-combined agg.
     *
-    * BPE apply is an iterative greedy loop per word — not expressible as
-    * one SQL pass — so this is a pinned-spec query (no oracle): the
-    * kernel has ScalaCheck bit-parity vs an independent naive reference
-    * (PropertySpec), the distributed trainer equals the independent
-    * driver-local trainer on the same vocabulary, and the full query
-    * equals a naive end-to-end recount at both test SFs (QueriesSpec).
+    * Full hash oracle (round 9): DuckDB replays training as 48 UNROLLED
+    * merge rounds ([[bpeOracleSql]] — the q74-Lloyd/q96-PageRank idiom
+    * for iterative algorithms), each round a pair-count + (cnt desc, l,
+    * r) argmax + a left-to-right non-overlapping merge application
+    * expressed with gaps-and-islands window functions (runs of
+    * consecutive eligible positions merge at odd in-run offsets — the
+    * only overlap case is l=r chains, resolved exactly as the kernel's
+    * left-to-right scan resolves them). The oracle applies merges
+    * SEQUENTIALLY in rank order while the engine's BpeEncode re-encodes
+    * greedily by lowest rank; for merge lists trained on the same
+    * vocabulary the two are equal (the standard BPE replay property —
+    * training itself derives each round's state by rank-replay), and
+    * the apply phase only encodes corpus words, all of which are in the
+    * training vocabulary by construction. Exponential-CTE-inlining trap:
+    * every round references the previous segmentation three times, so
+    * all round CTEs are AS MATERIALIZED. ScalaCheck kernel parity and
+    * the end-to-end naive recount (QueriesSpec) stay as independent
+    * checks.
     */
   private val q23b = Q(
     fn = (s, d) => {
@@ -1455,7 +1596,80 @@ object TextOps {
           $"bpe_tokens".cast("double") / $"ws_tokens")
         .orderBy($"source")
     },
-    oracle = None)
+    oracle = Some(bpeOracleSql(48)))
+
+
+  /** q23b's oracle-SQL generator: `n` unrolled BPE training rounds plus
+    * the apply/aggregate phase, as one DuckDB query (see q23b's scaladoc
+    * for the replay-equivalence argument). Each round:
+    *   p_k  — the argmax pair over adjacent-pair counts of seg_{k-1};
+    *   m_k  — seg_{k-1} exploded to (word, position, token, eligible);
+    *   ma_k — positions that MERGE: within each maximal run of
+    *          consecutive eligible positions, the 1st, 3rd, 5th… (the
+    *          left-to-right non-overlap rule; only l=r chains ever
+    *          produce runs longer than 1);
+    *   seg_k — rebuilt lists (merged token at ma positions, consumed
+    *          position dropped via the ma(i-1) anti-condition), with a
+    *          fallback branch that carries seg_{k-1} forward verbatim
+    *          once training has exhausted every pair (the trainer's
+    *          early-stop).
+    */
+  private def bpeOracleSql(n: Int): String = {
+    def round(k: Int): String = {
+      val p = s"seg${k - 1}"
+      s"""p$k AS MATERIALIZED (
+  SELECT l, r FROM (
+    SELECT seq[i] AS l, seq[i+1] AS r, SUM(c) AS cnt
+    FROM (SELECT c, seq, unnest(generate_series(1, len(seq)-1)) AS i FROM $p)
+    GROUP BY 1, 2)
+  ORDER BY cnt DESC, l, r LIMIT 1),
+m$k AS MATERIALIZED (
+  SELECT s.w, s.c, s.i, s.seq[s.i] AS tok,
+         (s.i < len(s.seq) AND s.seq[s.i] = p.l AND s.seq[s.i+1] = p.r) AS elig
+  FROM (SELECT w, c, seq, unnest(generate_series(1, len(seq))) AS i FROM $p) s
+  CROSS JOIN p$k p),
+ma$k AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) AS pir
+    FROM (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+          FROM m$k WHERE elig))
+  WHERE pir % 2 = 1),
+seg$k AS MATERIALIZED (
+  SELECT m.w, MIN(m.c) AS c,
+         list(CASE WHEN ma.i IS NOT NULL THEN (SELECT l || r FROM p$k)
+                   ELSE m.tok END ORDER BY m.i) AS seq
+  FROM m$k m
+  LEFT JOIN ma$k ma ON ma.w = m.w AND ma.i = m.i
+  LEFT JOIN ma$k mb ON mb.w = m.w AND mb.i = m.i - 1
+  WHERE mb.i IS NULL
+  GROUP BY m.w
+  UNION ALL
+  SELECT s.* FROM $p s WHERE NOT EXISTS (SELECT 1 FROM p$k))"""
+    }
+    val rounds = (1 to n).map(round).mkString(",\n")
+    s"""WITH vocab AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w),
+seg0 AS MATERIALIZED (
+  SELECT w, c, list_transform(generate_series(1, len(w)), i -> w[i:i]) AS seq
+  FROM vocab),
+$rounds,
+wn AS (SELECT w, len(seq) AS n_sub FROM seg$n),
+agg AS (
+  SELECT d.source,
+         CAST(SUM(wn.n_sub) AS BIGINT) AS bpe_tokens,
+         CAST(COUNT(*) AS BIGINT) AS ws_tokens
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) d
+  JOIN wn ON wn.w = d.w
+  WHERE len(d.w) > 0
+  GROUP BY d.source),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT a.source, nd.n_docs, a.bpe_tokens, a.ws_tokens,
+       CAST(a.bpe_tokens AS DOUBLE) / a.ws_tokens AS avg_bpe_per_word
+FROM agg a JOIN nd USING (source)
+ORDER BY a.source"""
+  }
 
   /** Q24 — document fingerprinting by winnowing (brief's "rolling hash"):
     * polynomial rolling hash (base 31 mod 1e9+7) over char-8-grams,
@@ -3869,6 +4083,7 @@ object TextOps {
     "q22_doc_quality" -> q22,
     "q23_token_stats" -> q23,
     "q23b_bpe_token_stats" -> q23b,
+    "q135_dedup_cluster_append" -> q135,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q46_decontamination" -> q46,

@@ -95,6 +95,17 @@ package object queries {
     private val paths = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.CompletableFuture[String]]()
 
+    /** Cumulative build seconds per artifact family (the resolve
+      * `prefix`), summed over every build this JVM ran — the train/serve
+      * split Bench reports so a fresh deployment's one-time artifact
+      * cost is visible separately from steady per-query cost. */
+    private val buildSecs =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    private[graft] def buildSeconds: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      buildSecs.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+    }
+
     /** Dataset-dir cache-key component: canonical path PLUS a content
       * fingerprint (every file's relative path, length and mtime,
       * md5-folded). Callers key artifacts on this instead of the bare
@@ -136,7 +147,10 @@ package object queries {
         if (won == null) {
           try {
             val p = root.resolve(s"${prefix}_${seq.getAndIncrement()}").toString
+            val t0 = System.nanoTime()
             build(p)
+            buildSecs.merge(prefix, (System.nanoTime() - t0) / 1e9,
+              (a, b) => a + b)
             mine.complete(p)
             return p
           } catch {

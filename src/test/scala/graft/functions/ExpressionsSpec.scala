@@ -510,4 +510,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(sq.getLong(0) == 25L)
     assert(sq.isNullAt(1), "dim mismatch must be SQL null")
   }
+
+  test("dhash64: monotone-shift invariance, bit semantics, degenerate frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, encode}
+    def dh(texts: String*): Seq[Long] =
+      texts.toDF("t").select(expressions.dhash64(encode(col("t"), "UTF-8")))
+        .collect().map(_.getLong(0)).toSeq
+    val Seq(base, shifted, noisy) = dh(
+      "abcdefgh" * 8,
+      ("abcdefgh" * 8).map(c => (c + 1).toChar),  // order-preserving shift
+      ("abcdefgh" * 8).updated(10, 'a'))           // one disturbed comparison pair
+    assert(base == shifted, "dHash must be invariant under monotone byte shifts")
+    assert(java.lang.Long.bitCount(base ^ noisy) <= 2 && base != noisy)
+    // bit j set iff byte j < byte j+1; "ab" -> bit 0 only; "ba" -> 0
+    assert(dh("ab") == Seq(1L) && dh("ba") == Seq(0L))
+    // degenerate: empty and 1-byte frames hash to 0; bit 63 never set
+    assert(dh("", "x") == Seq(0L, 0L))
+    val wide = dh("abcdefgh" * 16) // 128 bytes: comparisons beyond j=62 ignored
+    assert(wide.head >= 0L, "bit 63 never set -> non-negative")
+  }
 }

@@ -61,4 +61,49 @@ class MultimodalSpec extends SparkSpec {
     val again = meta.collect()
     assert(rows.map(_.getString(3)).toSeq == again.map(_.getString(3)).toSeq)
   }
+
+  test("q134 perceptual frame dedup: planted near-copies are caught, unrelated frames are not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val f0 = "abcdefgh" * 8                       // 64 chars, rising runs
+    // NOT another rising-run pattern: dHash of periodic ascending text is
+    // degenerate (any same-period rising pattern hashes identically), so
+    // the unique frame alternates instead
+    val f1 = "ab" * 32
+    val shifted = f0.map(c => (c + 1).toChar)     // order-preserving "+brightness"
+    val noisy = f0.updated(10, 'a')               // disturbs <= 2 dHash bits
+    val unrelated = "zyxwvuts" * 8                // descending runs, far hash
+    val rows = Seq(
+      (0L, f0 + " " + f1.drop(1)),               // frames: [f0, ' '+f1.drop(1)]
+      (1L, shifted),
+      (2L, noisy),
+      (3L, unrelated))
+    val dir = tmpDir("q134corpus")
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q134_frame_phash_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recall: both planted near-copies (shifted AND noisy) match doc 0's
+    // first frame; precision: doc 0's second frame and the unrelated doc
+    // stay clean
+    assert(out(0L) == (2L, 1L), s"doc0: ${out(0L)}")
+    assert(out(1L) == (1L, 1L), "brightness shift cannot escape dHash")
+    assert(out(2L) == (1L, 1L), "small noise stays within hamming 7")
+    assert(out(3L) == (1L, 0L), "unrelated frame stays clean")
+  }
+
+  test("q134 frame cut == FixedWidthFakeDecoder boundary on full frames") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(Tables.documents(spark, sf0001)).limit(30)
+    val dec = new Multimodal.FixedWidthFakeDecoder(64)
+    media.select($"doc_id", $"content").collect().foreach { r =>
+      val payload = r.getAs[Array[Byte]]("content")
+      val viaDecoder = dec.decode(payload).filter(_.length == 64).map(_.toSeq)
+      val viaSubstring = payload.grouped(64).filter(_.length == 64).map(_.toSeq).toSeq
+      assert(viaDecoder == viaSubstring,
+        s"doc ${r.getLong(0)}: declarative 64-byte cut must equal the decoder contract")
+    }
+  }
 }

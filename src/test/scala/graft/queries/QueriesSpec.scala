@@ -693,6 +693,38 @@ class QueriesSpec extends SparkSpec {
     } finally full.unpersist()
   }
 
+  test("appendToClusters == from-scratch clustering over the union graph") {
+    import spark.implicits._
+    // q135's composition at sf0.001: stored-80% labeling + (new x old,
+    // new x new) verified pairs, appended — must equal clustering the
+    // whole corpus from scratch, row for row
+    val appended = graft.SparkEntry.queries("q135_dedup_cluster_append")(spark, sf0001)
+      .select($"doc_id", $"cluster_rep")
+      .collect().map(_.toString).sorted.toSeq
+    val scratch = graft.SparkEntry.queries("q47_dedup_clusters")(spark, sf0001)
+      .select($"doc_id", $"cluster_rep")
+      .collect().map(_.toString).sorted.toSeq
+    assert(appended.nonEmpty && appended == scratch)
+  }
+
+  test("appendToClusters leaves untouched components byte-identical and handles empty deltas") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster_rep")
+    // empty delta: labeling passes through verbatim
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(TextOps.appendToClusters(labels, empty)
+      .collect().map(_.toString).sorted.toSeq ==
+      labels.collect().map(_.toString).sorted.toSeq)
+    // a new edge 11-20 merges components 10 and 20 (min rep 10) and
+    // introduces new vertex 30 via 20-30; component 1 is untouched
+    val delta = Seq((11L, 20L), (20L, 30L)).toDF("u", "v")
+    val out = TextOps.appendToClusters(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 10L, 30L -> 10L))
+  }
+
   test("incremental dedup admission loop: snapshot 2 matches docs admitted from snapshot 1") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
