@@ -197,21 +197,10 @@ object MultimodalQ {
       import s.implicits._
       val E = graft.functions.expressions
       val media = Multimodal.asMedia(Tables.documents(s, d))
-      val frames = media
-        .select($"doc_id", $"content",
-          explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
-            .as("start"))
-        .filter(length($"content") - $"start" + 1 >= 64)
-        .select($"doc_id",
-          ($"doc_id" * 4096 + expr("(start - 1) div 64")).as("fid"),
-          E.dhash64(expr("substring(content, start, 64)")).as("h"))
-        .localCheckpoint()
+      val frames = frameHashes(media).localCheckpoint()
       val perDoc = frames.groupBy($"doc_id")
         .agg(count(lit(1)).as("n_full_frames"))
-      val banded = frames.select($"fid", $"h",
-          explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-            shiftright($"h", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
-        .select($"fid", $"h", $"bb.band".as("band"), $"bb.bv".as("bv"))
+      val banded = phashBands(frames)
       val pairs = banded.groupBy($"band", $"bv")
         .agg(collect_list(struct($"fid".as("doc_id"), $"h".as("simhash"))).as("ds"))
         .filter(size($"ds") > 1)
@@ -273,6 +262,158 @@ object MultimodalQ {
       FROM pd LEFT JOIN md USING (doc_id)
       ORDER BY pd.doc_id"""))
 
+
+  /** Every FULL 64-byte frame of `media` (doc_id, content) with its
+    * dHash: (doc_id, fid, h), fid = doc_id·4096 + frame index — the
+    * shared stage under q134's within-corpus pass and q136's
+    * index/probe legs (identical expressions, so an arriving frame
+    * hashes exactly as its stored near-duplicates were indexed —
+    * the bandsOf contract from the MinHash family). */
+  private[graft] def frameHashes(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .select($"doc_id", $"content",
+        explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
+          .as("start"))
+      .filter(length($"content") - $"start" + 1 >= 64)
+      .select($"doc_id",
+        ($"doc_id" * 4096 + expr("(start - 1) div 64")).as("fid"),
+        graft.functions.expressions.dhash64(
+          expr("substring(content, start, 64)")).as("h"))
+  }
+
+  /** 8×8-bit banding of a [[frameHashes]] frame: (fid, h, band, bv). */
+  private[graft] def phashBands(frames: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    frames.select($"fid", $"h",
+        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+          shiftright($"h", b * 8).bitwiseAND(255).as("bv"))): _*)).as("bb"))
+      .select($"fid", $"h", $"bb.band".as("band"), $"bb.bv".as("bv"))
+  }
+
+  /** The persisted perceptual frame index over a stored corpus: one
+    * table (band, bv, fid, h) — 8 rows per stored full frame, carrying
+    * the full hash so Hamming verification never touches stored
+    * content (the [[graft.queries.TextOps.MinHashIndex]] shape with
+    * bands and verification operand fused — h IS 8 bytes, so a
+    * separate shingles-style table would save nothing). Cached per JVM
+    * over the `doc_id % 10 < 8` stored split (q82/q95/q135's split
+    * convention). */
+  private[graft] def framePhashIndexCached(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.parquet(graft.queries.IndexCache.resolve(
+      s"phashidx|${graft.queries.IndexCache.dataKey(d)}", "phashidx") { p =>
+      val stored = Multimodal.asMedia(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 < 8))
+      phashBands(frameHashes(stored))
+        .select($"band", $"bv", $"fid", $"h")
+        .write.mode("overwrite").parquet(p)
+    })
+  }
+
+  /** Screen an ARRIVING media set (doc_id, content) against a persisted
+    * perceptual frame index: per arriving doc, how many of its full
+    * frames have a Hamming ≤ `maxHam` match among STORED frames —
+    * q82's dedupAgainstIndex shape at the frame/perceptual granularity,
+    * completing the incremental-admission matrix (q95 exact text,
+    * q82 MinHash text, q83 embedding, q136 perceptual frame).
+    *
+    * Scale shape: the arriving snapshot is bounded by contract; its
+    * banded frames enter ONE equi-join against the index, which is
+    * only ever scanned in place — AQE broadcasts the snapshot side at
+    * any realistic batch size and degrades to a shuffle join beyond
+    * (no hint, this round's verifyPairs rule). Candidates are
+    * distinct-collapsed before the Hamming filter; 8 bands over ≤ 7
+    * flipped bits make the probe EXACT by pigeonhole (q134's
+    * argument), so the report equals the brute-force new×old
+    * comparison — which is precisely what the DuckDB oracle replays.
+    */
+  private[graft] def frameDupAgainstIndex(newMedia: org.apache.spark.sql.DataFrame,
+      idxBands: org.apache.spark.sql.DataFrame, maxHam: Int = 7)
+      : org.apache.spark.sql.DataFrame = {
+    val s = newMedia.sparkSession
+    import s.implicits._
+    val fresh = frameHashes(newMedia).localCheckpoint()
+    val cand = phashBands(fresh)
+      .select($"band", $"bv", $"fid".as("new_fid"), $"h".as("h_new"))
+      .join(idxBands.select($"band", $"bv", $"fid".as("old_fid"), $"h".as("h_old")),
+        Seq("band", "bv"))
+      .select($"new_fid", $"h_new", $"old_fid", $"h_old")
+      .distinct()
+    val matched = cand
+      .filter(expr(s"bit_count(h_new ^ h_old) <= $maxHam"))
+      .select($"new_fid").distinct()
+      .select(expr("new_fid div 4096").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_matched_frames"))
+    fresh.groupBy($"doc_id").agg(count(lit(1)).as("n_full_frames"))
+      .join(matched, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matched_frames"))
+      .select($"doc_id", $"n_full_frames", $"n_matched_frames",
+        ($"n_matched_frames".cast("double") / $"n_full_frames").as("match_frac"))
+      .orderBy($"doc_id")
+      .localCheckpoint()
+  }
+
+  /** Q136 — perceptual frame ADMISSION: the stored 80% of the corpus
+    * indexed once ([[framePhashIndexCached]]), the arriving 20%
+    * screened against it ([[frameDupAgainstIndex]]). The multimodal
+    * twin of q82's text admission and q83's embedding admission; the
+    * streaming twin ([[graft.streaming.Pipeline.runFramePhashGateStream]])
+    * loads the SAME artifact and filters arriving micro-batches
+    * through the same serving function.
+    */
+  private val q136 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val arriving = Multimodal.asMedia(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 >= 8))
+      frameDupAgainstIndex(arriving, framePhashIndexCached(s, d))
+    },
+    oracle = Some("""
+      WITH fr AS (
+        SELECT doc_id, doc_id * 4096 + (start - 1) // 64 AS fid,
+               substr(text, start, 64) AS f
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(strlen(text), 1), 64)) AS start
+              FROM documents)
+        WHERE strlen(text) - start + 1 >= 64
+      ), dh AS (
+        SELECT doc_id, fid,
+               CAST(SUM(CASE WHEN ascii(f[j+1:j+1]) < ascii(f[j+2:j+2])
+                        THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS h
+        FROM (SELECT doc_id, fid, f, unnest(generate_series(0, 62)) AS j FROM fr)
+        GROUP BY doc_id, fid
+      ), ab AS (
+        SELECT fid, h, t.band, (h >> (8 * t.band)) & 255 AS bv
+        FROM dh CROSS JOIN generate_series(0, 7) t(band)
+        WHERE doc_id % 10 >= 8
+      ), sb AS (
+        SELECT fid, h, t.band, (h >> (8 * t.band)) & 255 AS bv
+        FROM dh CROSS JOIN generate_series(0, 7) t(band)
+        WHERE doc_id % 10 < 8
+      ), cand AS (
+        SELECT DISTINCT ab.fid AS nf, ab.h AS hn, sb.fid AS of, sb.h AS ho
+        FROM ab JOIN sb ON ab.band = sb.band AND ab.bv = sb.bv
+      ), m AS (
+        SELECT nf // 4096 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_frames
+        FROM (SELECT DISTINCT nf FROM cand WHERE bit_count(xor(hn, ho)) <= 7)
+        GROUP BY 1
+      ), pd AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_full_frames
+        FROM fr WHERE doc_id % 10 >= 8 GROUP BY doc_id)
+      SELECT pd.doc_id, pd.n_full_frames,
+             COALESCE(m.n_matched_frames, 0) AS n_matched_frames,
+             CAST(COALESCE(m.n_matched_frames, 0) AS DOUBLE) / pd.n_full_frames AS match_frac
+      FROM pd LEFT JOIN m USING (doc_id)
+      ORDER BY pd.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q31_media_metadata" -> q31,
     "q32_media_frame_features" -> q32,
@@ -280,5 +421,6 @@ object MultimodalQ {
     "q44_media_frame_resize" -> q44,
     "q73_frame_dedup" -> q73,
     "q134_frame_phash_dedup" -> q134,
+    "q136_frame_phash_admit" -> q136,
   )
 }

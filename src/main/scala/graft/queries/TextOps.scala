@@ -492,7 +492,7 @@ object TextOps {
     * q18 path (QueriesSpec asserts equality) without its global
     * document-frequency shuffle — the right edge generator at 100 TB.
     */
-  private[queries] def dedupClustersCached(s: SparkSession, d: String): DataFrame =
+  private[graft] def dedupClustersCached(s: SparkSession, d: String): DataFrame =
     s.read.parquet(IndexCache.resolve(
       s"ccluster|${IndexCache.dataKey(d)}", "ccluster") { p =>
       import s.implicits._
@@ -522,7 +522,7 @@ object TextOps {
     * 2·|newPairs| and broadcasts at any realistic snapshot size, but no
     * hint forces it (this round's verifyPairs lesson).
     */
-  private[queries] def appendToClusters(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+  private[graft] def appendToClusters(labels: DataFrame, newPairs: DataFrame): DataFrame = {
     import labels.sparkSession.implicits._
     // min-first orientation, distinct-collapsed: bounded materialization
     val np = newPairs
@@ -540,11 +540,61 @@ object TextOps {
     val starEdges = touched.filter($"doc_id" =!= $"cluster_rep")
       .select(least($"doc_id", $"cluster_rep").as("u"),
         greatest($"doc_id", $"cluster_rep").as("v"))
-    val merged = connectedComponents(starEdges.unionByName(np).distinct())
-      .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
+    val ccInput = starEdges.unionByName(np).distinct().localCheckpoint()
+    // the merged subgraph is snapshot-bounded by construction (touched
+    // components + new edges). Below the threshold a driver union-find
+    // labels it in microseconds where the distributed alternation loop
+    // pays multiple scheduled jobs per iteration (measured: ~3 s of
+    // pure overhead for an 83-edge graph at sf0.1); a dup storm that
+    // merges corpus-scale mass into the delta exceeds the threshold and
+    // takes the distributed path — a 200k-edge collect is ~3 MB, the
+    // same bounded-artifact budget as the centroid/probe collects.
+    val merged = (
+      if (ccInput.count() <= 200000L) unionFindCC(ccInput)
+      else connectedComponents(ccInput)
+    ).select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
     val untouched = labels
       .join(touchedReps, labels("cluster_rep") === touchedReps("tr"), "left_anti")
     untouched.unionByName(merged)
+  }
+
+  /** Driver-side connected components over a BOUNDED edge list —
+    * bit-identical contract to [[connectedComponents]] (every vertex
+    * appearing in an edge labeled with its component's minimum vertex
+    * id), for the snapshot-bounded subgraphs of [[appendToClusters]]
+    * where the distributed alternation loop is all scheduling overhead.
+    * Classic union-find with path halving; component minima resolved in
+    * a second pass. Callers guard the collect with an explicit count
+    * threshold.
+    */
+  private[queries] def unionFindCC(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val es = edges.select($"u", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { x =>
+      val r = find(x)
+      minOf(r) = math.min(minOf.getOrElse(r, x), x)
+    }
+    parent.keys.toSeq.sorted
+      .map(x => (x, minOf(find(x))))
+      .toDF("vertex", "rep")
   }
 
   /** The stored-80% clustering artifact (q135's "yesterday" state),
@@ -979,7 +1029,7 @@ object TextOps {
     * frame — the reusable core, so the incremental path (q135) can run
     * the same LSH pipeline on an arriving snapshot without touching the
     * full-corpus table. */
-  private[queries] def nearDupPairsLshFromShingled(docs: DataFrame): DataFrame = {
+  private[graft] def nearDupPairsLshFromShingled(docs: DataFrame): DataFrame = {
       import docs.sparkSession.implicits._
       val s = docs.sparkSession
       val banded = bandsOf(docs)

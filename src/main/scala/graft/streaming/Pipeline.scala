@@ -1116,10 +1116,13 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite: a replayed batch rewrites its own
+        // directory instead of appending duplicate admission rows (the
+        // anomaly-gate pattern, applied family-wide this round)
         graft.queries.TextOps.dedupAgainstIndex(
           batch.select(col("doc_id"), col("text")), idx, t)
-          .write.mode("append").parquet(s"$outDir/incremental_dedup")
+          .write.mode("overwrite").parquet(s"$outDir/incremental_dedup/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -1144,10 +1147,44 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite: idempotent on replay (see above)
         graft.queries.VectorOps.dedupVecAgainstIndex(
           batch.select(col("vec_id"), col("embedding")), idx, minCos)
-          .write.mode("append").parquet(s"$outDir/incremental_vec_dedup")
+          .write.mode("overwrite").parquet(s"$outDir/incremental_vec_dedup/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming twin of q136 — the perceptual frame gate on the ingest
+    * path: the stored corpus's frame-dHash band index is built ONCE at
+    * stream start ([[graft.queries.MultimodalQ.framePhashIndexCached]]),
+    * and each arriving micro-batch's payloads are screened by EXACTLY
+    * the batch serving leg
+    * ([[graft.queries.MultimodalQ.frameDupAgainstIndex]], shared
+    * function) — an arriving document gets the same
+    * (n_full_frames, n_matched_frames) in stream and batch by
+    * construction (StreamingSpec pins it). Per-batch cost is one
+    * batch-sized banded probe against the in-place index; writes are
+    * batchId-keyed for replay idempotency.
+    */
+  def runFramePhashGateStream(s: SparkSession, corpusDir: String,
+      inDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val idx = graft.queries.MultimodalQ.framePhashIndexCached(s, corpusDir)
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.MultimodalQ.frameDupAgainstIndex(
+          batch.select(col("doc_id"),
+            org.apache.spark.sql.functions.encode(col("text"), "UTF-8").as("content")),
+          idx)
+          .write.mode("overwrite").parquet(s"$outDir/frame_phash/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

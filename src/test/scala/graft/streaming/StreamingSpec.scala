@@ -360,6 +360,32 @@ class StreamingSpec extends SparkSpec {
     assert(q100rows == confusion)
   }
 
+  test("streaming perceptual frame gate: per-doc frame matches == batch q136 on the same rows") {
+    import org.apache.spark.sql.functions.{lit, struct, to_json}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("fp_in")
+    val out = tmpDir("fp_out")
+    val ckpt = tmpDir("fp_ckpt")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    val lines = docs.filter($"doc_id" % 10 >= 8)
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id", $"text")))
+      .collect().map(_.getString(0))
+    val half = lines.length / 2
+    writeJsonl(in, "b1.jsonl", lines.take(half).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines.drop(half).toIndexedSeq: _*)
+
+    Pipeline.runFramePhashGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/frame_phash")
+      .drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.SparkEntry.queries("q136_frame_phash_admit")(spark, corpus)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming quality gate: per-doc margins == batch q102 on the same rows") {
     import org.apache.spark.sql.functions.{col, lit, struct, to_json}
     import spark.implicits._
@@ -453,6 +479,7 @@ class StreamingSpec extends SparkSpec {
     Pipeline.runIncrementalDedupStream(spark, idxDir, in, out, ckpt,
       maxFilesPerTrigger = 1).awaitTermination()
     val streamed = spark.read.parquet(s"$out/incremental_dedup")
+      .drop("batch") // batchId partition column from the idempotent write
       .collect().map(_.toString).sorted.toSeq
 
     // batch q82 builds the same index over the same stored split and
@@ -486,6 +513,7 @@ class StreamingSpec extends SparkSpec {
     Pipeline.runIncrementalVecDedupStream(spark, idxDir, in, out, ckpt,
       maxFilesPerTrigger = 1).awaitTermination()
     val streamed = spark.read.parquet(s"$out/incremental_vec_dedup")
+      .drop("batch") // batchId partition column from the idempotent write
       .collect().map(_.toString).sorted.toSeq
     val batch = graft.SparkEntry.queries("q83_dedup_incremental_embedding")(spark, corpus)
       .collect().map(_.toString).sorted.toSeq
