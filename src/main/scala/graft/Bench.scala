@@ -117,10 +117,11 @@ object Bench {
     // as the query inventory grows
     // 2-decimal timings with trailing zeros stripped ("0.30" -> "0.3",
     // "1.00" -> "1"): still valid JSON numbers, ~1 char per query back
-    def fmt(v: Double): String =
+    def fmtAt(v: Double, scale: Int): String =
       java.math.BigDecimal.valueOf(v)
-        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
+    def fmt(v: Double): String = fmtAt(v, 2)
     // keys abbreviated to the query id (the prefix before the first '_')
     // with the uniform leading 'q' dropped ("q114" -> "114", "q09b" ->
     // "09b") — unique by construction: at 138+ queries the JSON line
@@ -131,9 +132,8 @@ object Bench {
     require(ids.distinct.size == ids.size,
       s"duplicate query-id prefixes would silently collapse JSON keys: " +
         ids.groupBy(identity).collect { case (id, g) if g.size > 1 => id }.mkString(", "))
-    val qs = results.map { case (k, _) => k }.zip(ids)
-      .zip(results.map(_._2))
-      .map { case ((_, id), v) => "\"" + id + "\":" + fmt(v) }
+    val qs = ids.zip(results.map(_._2))
+      .map { case (id, v) => "\"" + id + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     raw.foreach { case (name, best, runs) =>
       if (best >= 0 && runs.max / runs.min > 2.0)
@@ -152,12 +152,8 @@ object Bench {
     artAll.toSeq.sortBy(-_._2).foreach { case (k, v) =>
       System.err.println(f"[bench] artifact $k%-12s build=$v%7.3f s")
     }
-    def fmt1(v: Double): String =
-      java.math.BigDecimal.valueOf(v)
-        .setScale(1, java.math.RoundingMode.HALF_UP)
-        .stripTrailingZeros.toPlainString
     val artJson = artAll.filter(_._2 >= 0.5).toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + fmt1(v) }
+      .map { case (k, v) => "\"" + k + "\":" + fmtAt(v, 1) }
       .mkString("{", ",", "}")
 
     // Streaming-ingest throughput leg: wire-format JSONL -> lenient

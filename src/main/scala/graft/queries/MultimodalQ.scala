@@ -278,8 +278,15 @@ object MultimodalQ {
         explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
           .as("start"))
       .filter(length($"content") - $"start" + 1 >= 64)
+      // the packing admits < 4096 frames per doc (docs are "a few KB" by
+      // contract); a >= 256 KiB doc would alias its high frames into the
+      // next doc_id's fid range, so the bound FAILS LOUDLY instead
       .select($"doc_id",
-        ($"doc_id" * 4096 + expr("(start - 1) div 64")).as("fid"),
+        expr("CASE WHEN (start - 1) div 64 < 4096" +
+          " THEN doc_id * 4096 + (start - 1) div 64" +
+          " ELSE raise_error(concat('frameHashes: doc ', doc_id," +
+          " ' has >= 4096 full frames; fid packing would alias')) END")
+          .as("fid"),
         graft.functions.expressions.dhash64(
           expr("substring(content, start, 64)")).as("h"))
   }
@@ -339,25 +346,34 @@ object MultimodalQ {
       : org.apache.spark.sql.DataFrame = {
     val s = newMedia.sparkSession
     import s.implicits._
-    val fresh = frameHashes(newMedia).localCheckpoint()
-    val cand = phashBands(fresh)
-      .select($"band", $"bv", $"fid".as("new_fid"), $"h".as("h_new"))
-      .join(idxBands.select($"band", $"bv", $"fid".as("old_fid"), $"h".as("h_old")),
-        Seq("band", "bv"))
-      .select($"new_fid", $"h_new", $"old_fid", $"h_old")
-      .distinct()
-    val matched = cand
-      .filter(expr(s"bit_count(h_new ^ h_old) <= $maxHam"))
-      .select($"new_fid").distinct()
-      .select(expr("new_fid div 4096").as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_matched_frames"))
-    fresh.groupBy($"doc_id").agg(count(lit(1)).as("n_full_frames"))
-      .join(matched, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_matched_frames"))
-      .select($"doc_id", $"n_full_frames", $"n_matched_frames",
-        ($"n_matched_frames".cast("double") / $"n_full_frames").as("match_frac"))
-      .orderBy($"doc_id")
-      .localCheckpoint()
+    // persist (not localCheckpoint): the frame-hash table feeds both the
+    // candidate probe and the per-doc frame count, and is released in the
+    // finally below — a per-micro-batch caller (runFramePhashGateStream)
+    // must not accumulate pinned blocks across the stream's lifetime.
+    // The final localCheckpoint materializes the BOUNDED per-doc report
+    // before the unpersist; its blocks are ContextCleaner-collected when
+    // the returned frame goes out of scope (dedupAgainstIndex's shape).
+    val fresh = frameHashes(newMedia).persist()
+    try {
+      val cand = phashBands(fresh)
+        .select($"band", $"bv", $"fid".as("new_fid"), $"h".as("h_new"))
+        .join(idxBands.select($"band", $"bv", $"fid".as("old_fid"), $"h".as("h_old")),
+          Seq("band", "bv"))
+        .select($"new_fid", $"h_new", $"old_fid", $"h_old")
+        .distinct()
+      val matched = cand
+        .filter(expr(s"bit_count(h_new ^ h_old) <= $maxHam"))
+        .select($"new_fid").distinct()
+        .select(expr("new_fid div 4096").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_matched_frames"))
+      fresh.groupBy($"doc_id").agg(count(lit(1)).as("n_full_frames"))
+        .join(matched, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_matched_frames"))
+        .select($"doc_id", $"n_full_frames", $"n_matched_frames",
+          ($"n_matched_frames".cast("double") / $"n_full_frames").as("match_frac"))
+        .orderBy($"doc_id")
+        .localCheckpoint()
+    } finally fresh.unpersist()
   }
 
   /** Q136 — perceptual frame ADMISSION: the stored 80% of the corpus

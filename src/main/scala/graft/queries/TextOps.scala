@@ -518,7 +518,10 @@ object TextOps {
     * union graph (QueriesSpec pins it; q135's oracle hash-checks the
     * end-to-end composition against DuckDB's independent full-corpus
     * CC), at cost ∝ touched-component + snapshot size, never corpus
-    * size. Join choices are AQE's: the touched-reps side is bounded by
+    * size. The equality is over the EDGES THE CALLER SUPPLIES: when an
+    * upstream pair generator truncates (capBucket under a dup storm —
+    * see q135's contract), append-only edge addition can only ever
+    * over-merge relative to a capped rebuild, never under-merge. Join choices are AQE's: the touched-reps side is bounded by
     * 2·|newPairs| and broadcasts at any realistic snapshot size, but no
     * hint forces it (this round's verifyPairs lesson).
     */
@@ -629,6 +632,21 @@ object TextOps {
     * cluster_rep, keep) rows. Steady-state cost (artifacts built) is
     * the snapshot probe + the touched-component CC — ∝ snapshot, not
     * corpus (SCALE.md round-9 measurement).
+    *
+    * Cap regime (`graft.text.maxBucket`, default 4096): the equality
+    * above holds whenever no (band, bh) bucket of the UNION corpus
+    * exceeds the cap — true at every verify SF and at production dup
+    * fractions. Under a dup storm that overflows a bucket, exact
+    * equality with a capped rebuild is impossible by construction (the
+    * rebuild keeps the cap-smallest ids of the UNION bucket; append-only
+    * edge addition cannot un-merge), but the divergence is one-sided
+    * and safe: each incremental leg caps over a SUBSET of the union
+    * bucket (stored-only, snapshot-only, probe uncapped), so its kept
+    * ids — hence its pair set — are a superset of the rebuild's, and
+    * the incremental labeling only ever merges MORE, never less. A
+    * dedup pipeline that over-merges drops extra near-dups; it never
+    * silently re-admits one. QueriesSpec pins both directions: equality
+    * at the default cap, superset-only under a forced cap overflow.
     */
   private val q135 = Q(
     fn = (s, d) => {

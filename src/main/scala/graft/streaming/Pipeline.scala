@@ -791,7 +791,7 @@ object Pipeline {
       .groupBy($"w", $"token")
       .agg(count(lit(1)).as("c"))
     windowed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tot = batch.groupBy($"w").agg(sum($"c").as("n"))
         batch.join(tot, Seq("w"))
           .join(broadcast(baseline), Seq("token"), "left")
@@ -800,7 +800,9 @@ object Pipeline {
             coalesce($"base_rate", lit(0.0)).as("base_rate"))
           .withColumn("drift", abs($"rate" - $"base_rate"))
           .filter($"drift" >= threshold)
-          .write.mode("append").parquet(s"$outDir/token_drift")
+          // batchId-keyed overwrite: idempotent on crash replay (the
+          // family-wide pattern; see runAnomalyGateStream)
+          .write.mode("overwrite").parquet(s"$outDir/token_drift/batch=$batchId")
       }
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -845,7 +847,7 @@ object Pipeline {
       .groupBy($"w", $"token")
       .agg(count(lit(1)).as("c"))
     windowed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val novel = batch.join(vocab, Seq("token"), "left_anti")
           .groupBy($"w").agg(count(lit(1)).as("n_new"))
         batch.groupBy($"w")
@@ -855,7 +857,8 @@ object Pipeline {
             $"n_distinct", coalesce($"n_new", lit(0L)).as("n_new_terms"))
           .withColumn("new_frac",
             $"n_new_terms".cast("double") / $"n_distinct")
-          .write.mode("append").parquet(s"$outDir/vocab_novelty")
+          // batchId-keyed overwrite: idempotent on crash replay
+          .write.mode("overwrite").parquet(s"$outDir/vocab_novelty/batch=$batchId")
       }
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -888,12 +891,13 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val queries = batch.select(col("query_id").as("vec_id"),
           graft.functions.expressions.quantize_vec(col("embedding"))
             .cast("array<bigint>").as("xq"))
         graft.queries.VectorOps.pqAdcTopK(queries, idx, k)
-          .write.mode("append").parquet(s"$outDir/pq_lookup")
+          // batchId-keyed overwrite: idempotent on crash replay
+          .write.mode("overwrite").parquet(s"$outDir/pq_lookup/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -921,7 +925,7 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qrows = batch.select(col("query_id"),
           array_distinct(transform(split(col("text"), " "),
             t => xxhash64(t))).as("hs"))
@@ -929,7 +933,8 @@ object Pipeline {
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
         if (qrows.nonEmpty)
           graft.queries.TextOps.bm25TopK(store, qrows, k)
-            .write.mode("append").parquet(s"$outDir/bm25_lookup")
+            // batchId-keyed overwrite: idempotent on crash replay
+            .write.mode("overwrite").parquet(s"$outDir/bm25_lookup/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -963,7 +968,7 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qrows = batch.select(col("query_id"),
           array_distinct(transform(split(col("text"), " "),
             t => xxhash64(t))).as("hs"))
@@ -979,7 +984,8 @@ object Pipeline {
           val dense = graft.queries.VectorOps.cosineServe(emb,
             qvecs.toSeq.toDF("query_id", "q_emb"), depth)
           graft.queries.Retrieval.rrfFuse(lex, dense, topN)
-            .write.mode("append").parquet(s"$outDir/hybrid_lookup")
+            // batchId-keyed overwrite: idempotent on crash replay
+            .write.mode("overwrite").parquet(s"$outDir/hybrid_lookup/batch=$batchId")
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -1347,11 +1353,12 @@ object Pipeline {
     * q106) appends to `audit/` — the contract's time series, the input
     * to "wire quality degraded" alerting.
     *
-    * Delivery: the three appends inside foreachBatch are at-least-once
-    * on failure replay; `batch_id` rides quarantine and audit rows so a
-    * replayed batch is reconcilable, and an exactly-once admitted store
-    * swaps the plain append for [[graft.sinks.Sinks.upsertPartitioned]]
-    * keyed on the wire identity ([[runDedupedAlertPipeline]]'s device).
+    * Delivery: all three sinks are batchId-keyed overwrites
+    * (`batch=N/` subdirs), so a crash between write and checkpoint
+    * commit replays the batch into the same directory — exactly-once
+    * output without a transactional store. `batch_id` additionally
+    * rides quarantine and audit ROWS so readers that coalesce the
+    * partition dirs keep the provenance column.
     */
   def runExpectationGateStream(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String,
@@ -1365,16 +1372,16 @@ object Pipeline {
         try {
           FileReplay.normalize(
               ann.filter(size(col("violations")) === 0).drop("violations"))
-            .write.mode("append").parquet(s"$outDir/admitted")
+            .write.mode("overwrite").parquet(s"$outDir/admitted/batch=$batchId")
           ann.filter(size(col("violations")) > 0)
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$outDir/quarantine")
+            .write.mode("overwrite").parquet(s"$outDir/quarantine/batch=$batchId")
           // audit the PERSISTED annotated frame, not the source batch —
           // auditing `batch` would re-list and re-parse the trigger's
           // JSON a third time on every micro-batch
           contract.audit(ann.drop("violations"))
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$outDir/audit")
+            .write.mode("overwrite").parquet(s"$outDir/audit/batch=$batchId")
         } finally ann.unpersist()
       }
       .option("checkpointLocation", checkpointDir)

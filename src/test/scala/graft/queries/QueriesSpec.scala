@@ -707,6 +707,58 @@ class QueriesSpec extends SparkSpec {
     assert(appended.nonEmpty && appended == scratch)
   }
 
+  test("capped-bucket regime: incremental clustering only ever over-merges vs a capped rebuild") {
+    import spark.implicits._
+    // force the pathological-bucket cap to engage: 10 identical docs all
+    // land in ONE (band, bh) bucket per band, far over maxBucket=2, plus
+    // two unrelated singletons. The from-scratch rebuild keeps only the
+    // 2 smallest ids per bucket (pair 0-1); the incremental path's
+    // uncapped new x old probe merges the arriving docs (8, 9) into the
+    // stored component. Contract (q135 scaladoc): equality is impossible
+    // under a cap overflow, but divergence must be ONE-SIDED — every
+    // rebuild merge is also an incremental merge (never under-merges).
+    val dup = (0L to 9L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val docs = (dup ++ Seq((100L, "zebra yak xray words quorum"),
+      (101L, "mango nectar oboe piano quartz"))).toDF("doc_id", "text")
+    spark.conf.set("graft.text.maxBucket", "2")
+    try {
+      def labelsOf(pairs: org.apache.spark.sql.DataFrame) =
+        TextOps.connectedComponents(pairs.select($"i".as("u"), $"j".as("v")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = TextOps.shingleDocs(docs).persist()
+      val scratch = try labelsOf(TextOps.nearDupPairsLshFromShingled(full))
+        finally full.unpersist()
+      // capped rebuild found only the pair among the 2 smallest bucket ids
+      assert(scratch == Map(0L -> 0L, 1L -> 0L))
+
+      val stored = TextOps.shingleDocs(docs.filter($"doc_id" < 8)).persist()
+      val (storedLabels, idx) = try {
+        (labelsOf(TextOps.nearDupPairsLshFromShingled(stored)).toSeq
+           .toDF("doc_id", "cluster_rep"),
+         TextOps.buildMinHashIndex(stored))
+      } finally stored.unpersist()
+      val arriving = docs.filter($"doc_id" >= 8)
+      val newOld = TextOps.dedupAgainstIndex(arriving, idx)
+        .select($"new_doc_id".as("u"), $"old_doc_id".as("v"))
+      val fresh = TextOps.shingleDocs(arriving).persist()
+      val newNew = try TextOps.nearDupPairsLshFromShingled(fresh)
+          .select($"i".as("u"), $"j".as("v"))
+        finally fresh.unpersist()
+      val inc = TextOps.appendToClusters(storedLabels, newOld.unionByName(newNew))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // one-sided: every rebuild same-cluster pair is same-cluster
+      // incrementally...
+      for (Seq((a, ra), (b, rb)) <- scratch.toSeq.combinations(2)
+           if ra == rb)
+        assert(inc(a) == inc(b), s"rebuild merged $a,$b but incremental did not")
+      // ...and here the divergence is strict: the uncapped probe merged
+      // the arriving dups into the stored component
+      assert(inc(8L) == inc(0L) && inc(9L) == inc(0L))
+      assert(!inc.contains(100L) && !inc.contains(101L),
+        "singletons never enter the edge-labeled set")
+    } finally spark.conf.unset("graft.text.maxBucket")
+  }
+
   test("appendToClusters leaves untouched components byte-identical and handles empty deltas") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))

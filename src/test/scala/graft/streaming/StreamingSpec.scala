@@ -238,6 +238,7 @@ class StreamingSpec extends SparkSpec {
     Pipeline.runPqLookupStream(spark, corpus, in, out, ckpt,
       maxFilesPerTrigger = 1).awaitTermination()
     val streamed = spark.read.parquet(s"$out/pq_lookup")
+      .drop("batch") // batchId partition column from the idempotent write
       .collect().map(_.toString).sorted.toSeq
 
     // batch: the same shared scoring on the same parsed rows
@@ -279,6 +280,7 @@ class StreamingSpec extends SparkSpec {
     Pipeline.runBm25LookupStream(spark, corpus, in, out, ckpt,
       maxFilesPerTrigger = 1).awaitTermination()
     val streamed = spark.read.parquet(s"$out/bm25_lookup")
+      .drop("batch") // batchId partition column from the idempotent write
       .collect().map(_.toString).sorted.toSeq
 
     val batch = graft.SparkEntry.queries("q84_bm25_topk")(spark, corpus)
@@ -311,6 +313,7 @@ class StreamingSpec extends SparkSpec {
     Pipeline.runHybridLookupStream(spark, corpus, in, out, ckpt,
       maxFilesPerTrigger = 1).awaitTermination()
     val streamed = spark.read.parquet(s"$out/hybrid_lookup")
+      .drop("batch") // batchId partition column from the idempotent write
       .collect().map(_.toString).sorted.toSeq
 
     val batch = graft.SparkEntry.queries("q88_hybrid_rrf")(spark, corpus)
