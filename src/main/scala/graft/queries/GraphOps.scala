@@ -261,13 +261,14 @@ object GraphOps {
   }
 
   /** The distinct co-purchase graph, degree-oriented, with its sorted
-    * out-adjacency — built ONCE per dataset and persisted as a 4-table
+    * out-adjacency — built ONCE per dataset and persisted as a 3-table
     * parquet artifact ([[graft.queries.IndexCache]], the
     * kmeansAssignCached pattern): q117's per-node ranking and q127's
-    * global summary consume the same edges/deg/o/adj, so the basket
+    * global summary consume the same deg/o/adj, so the basket
     * explode, orientation joins and adjacency sort never run twice in a
-    * bench pass or a serving loop. Returned frames: (edges(pa,pb),
-    * deg(u,deg), o(src,dst), adj(src,adj)). */
+    * bench pass or a serving loop. The raw edge list is build-local
+    * (n_edges derives as deg-mass div 2 — see the inline note).
+    * Returned frames: (deg(u,deg), o(src,dst), adj(src,adj)). */
   private def orientedGraphCached(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._

@@ -241,7 +241,10 @@ object VectorOps {
       Tables.embeddings(s, d)
         .select($"label", posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
         .groupBy($"label", $"pos")
-        .agg(count(lit(1)).as("n_vecs"), sum($"qx").as("qsum"))
+        // sum LONGS, not the kernel's integer-valued doubles: a double sum
+        // loses exactness past 2^53 per (label, pos) — inside the 100 TB
+        // envelope — and becomes partial-agg-order-dependent (q66's hazard)
+        .agg(count(lit(1)).as("n_vecs"), sum($"qx".cast("long")).as("qsum"))
         .select($"label", $"pos",
           $"n_vecs", ($"qsum".cast("double") / ($"n_vecs" * Scale)).as("centroid_c"))
         .orderBy($"label", $"pos")
@@ -265,7 +268,8 @@ object VectorOps {
     import emb.sparkSession.implicits._
     emb.select($"label", posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
       .groupBy($"label", $"pos")
-      .agg((sum($"qx") / count(lit(1))).cast("double").as("c"))
+      // long sum for exactness past 2^53 component mass (q27's note)
+      .agg((sum($"qx".cast("long")) / count(lit(1))).cast("double").as("c"))
       .groupBy($"label")
       .agg(map_from_entries(collect_list(struct($"pos", $"c"))).as("m"))
       .select($"label".as("c_label"),
@@ -496,7 +500,8 @@ object VectorOps {
     assign.join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
       .select($"cluster", posexplode(quantize($"embedding")).as(Seq("pos", "qx")))
       .groupBy($"cluster", $"pos")
-      .agg((sum($"qx") / count(lit(1))).cast("double").as("c"))
+      // long sum for exactness past 2^53 component mass (q27's note)
+      .agg((sum($"qx".cast("long")) / count(lit(1))).cast("double").as("c"))
       .groupBy($"cluster")
       .agg(map_from_entries(collect_list(struct($"pos", $"c"))).as("m"))
       .select($"cluster".cast("int").as("c_label"),
@@ -566,9 +571,14 @@ object VectorOps {
     * gets its own artifact, never a structurally different one. */
   private[graft] def vecDedupIndexCached(s: SparkSession, d: String): VecDedupIndex = {
     import s.implicits._
+    // the FULL quantizer conf keys the artifact: under "auto" the resolved
+    // k also depends on graft.vec.cellTarget, so a run that changes the
+    // target must get its own index, never a structurally stale one
     val cells = s.conf.get("graft.vec.ivfCells", "auto")
+    val cellKey = if (cells == "auto")
+      s"auto@${s.conf.get("graft.vec.cellTarget", "1536")}" else cells
     loadVecDedupIndex(s, IndexCache.resolve(
-      s"vecdedup|$cells|" + IndexCache.dataKey(d), "vecdedup") { p =>
+      s"vecdedup|$cellKey|" + IndexCache.dataKey(d), "vecdedup") { p =>
       val stored = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding")
@@ -681,7 +691,11 @@ object VectorOps {
         .filter($"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
           graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
-        .distinct()
+      // no distinct: probes carries <= 3 DISTINCT labels per query and
+      // each corpus vector has exactly one label, so the equi-join emits
+      // every (query, neighbor) pair at most once — a dedup here would
+      // shuffle the largest intermediate of the query for zero semantic
+      // effect (q26's distinct IS needed: 8 tables x 7 probes repeat pairs)
       topK(scored, 5)
     },
     oracle = Some("""
@@ -1192,16 +1206,23 @@ object VectorOps {
       val kmK = resolveKmeansK(s, Tables.embeddings(s, d).count())
       val assign = kmeansAssignCached(s, d, kmK).select($"vec_id", $"cluster")
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      val v = subSplit(assign.join(emb, "vec_id"), "cluster", maxCell)
-      val a = v.select($"cluster", $"sub", $"vec_id".as("i"), $"embedding".as("ei"))
-      val b = v.select($"cluster", $"sub", $"vec_id".as("j"), $"embedding".as("ej"))
-      val dominated = a.join(b, Seq("cluster", "sub"))
-        .filter($"i" < $"j")
-        .filter(graft.functions.expressions.quantized_cosine($"ei", $"ej") >= 0.4)
-        .select($"j".as("vec_id")).distinct()
-      assign.join(dominated, Seq("vec_id"), "left_anti")
-        .select($"vec_id", $"cluster")
-        .orderBy($"vec_id")
+      // scoped persist (q38's pattern): the assign⋈emb frame feeds the
+      // sub-split size aggregate AND both self-join sides — without it
+      // the artifact read + vec_id join re-run 3x per evaluation
+      val joined = assign.join(emb, "vec_id").persist()
+      try {
+        val v = subSplit(joined, "cluster", maxCell)
+        val a = v.select($"cluster", $"sub", $"vec_id".as("i"), $"embedding".as("ei"))
+        val b = v.select($"cluster", $"sub", $"vec_id".as("j"), $"embedding".as("ej"))
+        val dominated = a.join(b, Seq("cluster", "sub"))
+          .filter($"i" < $"j")
+          .filter(graft.functions.expressions.quantized_cosine($"ei", $"ej") >= 0.4)
+          .select($"j".as("vec_id")).distinct()
+        assign.join(dominated, Seq("vec_id"), "left_anti")
+          .select($"vec_id", $"cluster")
+          .orderBy($"vec_id")
+          .localCheckpoint()
+      } finally joined.unpersist()
     },
     oracle = Some(kmeansOracleCtes() + """,
       a3 AS (

@@ -242,11 +242,16 @@ object Windowed {
       val prof = Tables.events(s, d)
         .groupBy($"user_id", hour($"ts").as("h"))
         .agg((sum($"value".cast("decimal(18,4)")) * 10000).cast("long").as("q"))
+      // materialized once (q120's grid localCheckpoint pattern): the
+      // profile table feeds BOTH the broadcast query side and the corpus
+      // join side — without it the events scan + hourly aggregation run
+      // twice per evaluation. |users| rows of 24 longs — tiny at any SF
       val vecs = prof.groupBy($"user_id")
         .agg(map_from_entries(collect_list(struct($"h", $"q"))).as("m"))
         .select($"user_id",
           transform(sequence(lit(0), lit(23)),
             h => coalesce(element_at($"m", h), lit(0L))).as("vec"))
+        .localCheckpoint()
       val queries = broadcast(vecs.filter($"user_id" % 50 === 0)
         .select($"user_id".as("query_id"), $"vec".as("qv")))
       val w = Window.partitionBy($"query_id").orderBy($"dist2", $"neighbor_id")
