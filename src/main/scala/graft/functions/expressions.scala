@@ -1314,6 +1314,59 @@ object expressions {
         }
       }
     }
+
+    // merge + wire format shared by every TypedImperativeAggregate over
+    // this state (PqScanTopK, Bm25ScanTopK) — one copy to keep in sync
+    def mergeFrom(other: PqTopKState): this.type = {
+      var qi = 0
+      while (qi < nq) {
+        var i = 0
+        while (i < other.size(qi)) {
+          push(qi, other.dist(qi)(i), other.id(qi)(i))
+          i += 1
+        }
+        qi += 1
+      }
+      this
+    }
+
+    def writeTo: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(nq); o.writeInt(k)
+      var qi = 0
+      while (qi < nq) {
+        o.writeInt(size(qi))
+        var i = 0
+        while (i < size(qi)) {
+          o.writeLong(dist(qi)(i)); o.writeLong(id(qi)(i))
+          i += 1
+        }
+        qi += 1
+      }
+      o.flush()
+      bos.toByteArray
+    }
+  }
+
+  private[functions] object PqTopKState {
+    def readFrom(bytes: Array[Byte]): PqTopKState = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val nq = in.readInt(); val kk = in.readInt()
+      val buf = new PqTopKState(nq, kk)
+      var qi = 0
+      while (qi < nq) {
+        val n = in.readInt()
+        buf.size(qi) = n
+        var i = 0
+        while (i < n) {
+          buf.dist(qi)(i) = in.readLong(); buf.id(qi)(i) = in.readLong()
+          i += 1
+        }
+        qi += 1
+      }
+      buf
+    }
   }
 
   /** PQ ADC scoring + top-k as ONE scan-local aggregate — the FAISS-shaped
@@ -1411,18 +1464,8 @@ object expressions {
       buf
     }
 
-    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState = {
-      var qi = 0
-      while (qi < buf.nq) {
-        var i = 0
-        while (i < other.size(qi)) {
-          buf.push(qi, other.dist(qi)(i), other.id(qi)(i))
-          i += 1
-        }
-        qi += 1
-      }
-      buf
-    }
+    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState =
+      buf.mergeFrom(other)
 
     override def eval(buf: PqTopKState): Any = {
       val qs = bc.value
@@ -1443,41 +1486,10 @@ object expressions {
       new GenericArrayData(out.toArray)
     }
 
-    override def serialize(buf: PqTopKState): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val o = new java.io.DataOutputStream(bos)
-      o.writeInt(buf.nq); o.writeInt(buf.k)
-      var qi = 0
-      while (qi < buf.nq) {
-        o.writeInt(buf.size(qi))
-        var i = 0
-        while (i < buf.size(qi)) {
-          o.writeLong(buf.dist(qi)(i)); o.writeLong(buf.id(qi)(i))
-          i += 1
-        }
-        qi += 1
-      }
-      o.flush()
-      bos.toByteArray
-    }
+    override def serialize(buf: PqTopKState): Array[Byte] = buf.writeTo
 
-    override def deserialize(bytes: Array[Byte]): PqTopKState = {
-      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-      val nq = in.readInt(); val kk = in.readInt()
-      val buf = new PqTopKState(nq, kk)
-      var qi = 0
-      while (qi < nq) {
-        val n = in.readInt()
-        buf.size(qi) = n
-        var i = 0
-        while (i < n) {
-          buf.dist(qi)(i) = in.readLong(); buf.id(qi)(i) = in.readLong()
-          i += 1
-        }
-        qi += 1
-      }
-      buf
-    }
+    override def deserialize(bytes: Array[Byte]): PqTopKState =
+      PqTopKState.readFrom(bytes)
 
     override def withNewMutableAggBufferOffset(offset: Int): PqScanTopK =
       copy(mutableAggBufferOffset = offset)
@@ -1528,9 +1540,13 @@ object expressions {
     * but thread-confined state is correct under every reuse policy. */
   private final class Bm25Scratch(nq: Int) {
     val acc = new Array[Long](nq)
-    val stamp = new Array[Int](nq)
+    // LONG generation stamps: the ThreadLocal scratch outlives tasks, and
+    // an Int gen wraps after 2^31 scored documents per executor thread —
+    // a stale stamp collision would then silently skip a query's acc
+    // reset and drop that document from its top-k
+    val stamp = new Array[Long](nq)
     val touched = new Array[Int](nq)
-    var gen = 0
+    var gen = 0L
   }
 
   /** BM25 scoring + top-k as ONE scan-local aggregate — [[PqScanTopK]]'s
@@ -1600,6 +1616,12 @@ object expressions {
       var nTouched = 0
       var ti = 0
       val nTerms = hs.numElements()
+      // fail loudly on a malformed weight store (PqAdcDist's contract for
+      // misaligned operands) instead of reading past the array's end
+      if (ws.numElements() < nTerms)
+        throw new IllegalArgumentException(
+          s"bm25_scan_topk: weights has ${ws.numElements()} entries but " +
+            s"term_hashes has $nTerms — the store's arrays must align")
       while (ti < nTerms) {
         val pos = java.util.Arrays.binarySearch(termHash, hs.getLong(ti))
         if (pos >= 0) {
@@ -1632,18 +1654,8 @@ object expressions {
       buf
     }
 
-    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState = {
-      var qi = 0
-      while (qi < buf.nq) {
-        var i = 0
-        while (i < other.size(qi)) {
-          buf.push(qi, other.dist(qi)(i), other.id(qi)(i))
-          i += 1
-        }
-        qi += 1
-      }
-      buf
-    }
+    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState =
+      buf.mergeFrom(other)
 
     override def eval(buf: PqTopKState): Any = {
       val qids = bc.value._1
@@ -1664,41 +1676,10 @@ object expressions {
       new GenericArrayData(out.toArray)
     }
 
-    override def serialize(buf: PqTopKState): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val o = new java.io.DataOutputStream(bos)
-      o.writeInt(buf.nq); o.writeInt(buf.k)
-      var qi = 0
-      while (qi < buf.nq) {
-        o.writeInt(buf.size(qi))
-        var i = 0
-        while (i < buf.size(qi)) {
-          o.writeLong(buf.dist(qi)(i)); o.writeLong(buf.id(qi)(i))
-          i += 1
-        }
-        qi += 1
-      }
-      o.flush()
-      bos.toByteArray
-    }
+    override def serialize(buf: PqTopKState): Array[Byte] = buf.writeTo
 
-    override def deserialize(bytes: Array[Byte]): PqTopKState = {
-      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-      val nq = in.readInt(); val kk = in.readInt()
-      val buf = new PqTopKState(nq, kk)
-      var qi = 0
-      while (qi < nq) {
-        val n = in.readInt()
-        buf.size(qi) = n
-        var i = 0
-        while (i < n) {
-          buf.dist(qi)(i) = in.readLong(); buf.id(qi)(i) = in.readLong()
-          i += 1
-        }
-        qi += 1
-      }
-      buf
-    }
+    override def deserialize(bytes: Array[Byte]): PqTopKState =
+      PqTopKState.readFrom(bytes)
 
     override def withNewMutableAggBufferOffset(offset: Int): Bm25ScanTopK =
       copy(mutableAggBufferOffset = offset)
@@ -1738,6 +1719,142 @@ object expressions {
   def dropTempFunction(spark: SparkSession, name: String): Unit =
     spark.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+
+  /** Compiled Naive-Bayes trigram model for [[NbScore]] — the
+    * vocabulary-bounded (lang, gram, w_fp) / (lang, prior_fp, unseen_fp)
+    * tables flattened into primitive arrays for a branch-light scoring
+    * loop:
+    *  - a trigram keys by PACKING its three UTF-16 code units into one
+    *    long (48 bits — bijective on 3-char strings, so key equality IS
+    *    string equality, no collisions possible);
+    *  - an open-addressed (linear-probe) key table maps a gram to a slot;
+    *  - `deltas` holds, per slot × lang, w_fp − unseen_fp. The identity
+    *    score(l) = prior(l) + tt·unseen(l) + Σ_occ (w − unseen) over
+    *    occurrences whose (gram, lang) is in the model makes absent pairs
+    *    cost NOTHING in the loop: a missing (gram, lang) entry is delta
+    *    0, a gram absent from the whole table skips the inner loop.
+    */
+  final class NbCompiled(
+      val nLangs: Int,
+      val priors: Array[Long],
+      val unseen: Array[Long],
+      val keys: Array[Long],
+      val deltas: Array[Long]) extends Serializable {
+    val mask: Int = keys.length - 1
+    @inline def slotOf(key: Long): Int = {
+      var h = key * -7046029254386353131L
+      h ^= h >>> 32
+      var i = h.toInt & mask
+      while (true) {
+        val k = keys(i)
+        if (k == key) return i
+        if (k == -1L) return -1
+        i = (i + 1) & mask
+      }
+      -1 // unreachable
+    }
+  }
+
+  object NbCompiled {
+    /** Build from model rows. `grams`: (3-char gram, langIdx, w_fp). */
+    def apply(priors: Array[Long], unseen: Array[Long],
+        grams: Iterable[(String, Int, Long)]): NbCompiled = {
+      val nLangs = priors.length
+      val distinctGrams = grams.map(_._1).toSet.size
+      var cap = 4
+      while (cap < distinctGrams * 2) cap <<= 1
+      val keys = Array.fill(cap)(-1L)
+      val deltas = new Array[Long](cap * nLangs)
+      val mask = cap - 1
+      def insertSlot(key: Long): Int = {
+        var h = key * -7046029254386353131L
+        h ^= h >>> 32
+        var i = h.toInt & mask
+        while (keys(i) != -1L && keys(i) != key) i = (i + 1) & mask
+        keys(i) = key
+        i
+      }
+      grams.foreach { case (g, li, w) =>
+        require(g.length == 3, s"nb_score gram must be 3 chars, got '$g'")
+        val key = (g.charAt(0).toLong << 32) | (g.charAt(1).toLong << 16) |
+          g.charAt(2).toLong
+        deltas(insertSlot(key) * nLangs + li) = w - unseen(li)
+      }
+      new NbCompiled(nLangs, priors, unseen, keys, deltas)
+    }
+  }
+
+  /** Per-document Naive-Bayes posterior surface as ONE scan-local pass —
+    * text → array<long> of fixed-point scores in lang-index order
+    * (score(l) = prior + Σ per-trigram-occurrence log-likelihood, the
+    * exact long arithmetic of the declarative join form this replaces).
+    * The model rides in as a broadcast [[NbCompiled]]; the kernel walks
+    * the document's code units once, probes the gram table per trigram
+    * occurrence and adds the slot's |langs| deltas — so trained-model
+    * scoring at 100 TB is embarrassingly parallel: zero shuffled rows,
+    * zero joins, the only exchange anywhere in a scoring query is its
+    * output aggregation (if any). Replaces a distinct-gram groupBy whose
+    * exchange carried one row per (doc, distinct trigram) — corpus-
+    * proportional — plus a broadcast join and a second corpus-row
+    * aggregation. NULL text scores NULL (callers see the row dropped by
+    * the downstream posexplode).
+    */
+  case class NbScore(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[NbCompiled])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "nb_score")
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.toString
+      val m = bc.value
+      val nL = m.nLangs
+      val tt = math.max(s.length - 2, 0)
+      val scores = new Array[Long](nL)
+      var l = 0
+      while (l < nL) { scores(l) = m.priors(l) + tt * m.unseen(l); l += 1 }
+      var i = 0
+      while (i < tt) {
+        val key = (s.charAt(i).toLong << 32) | (s.charAt(i + 1).toLong << 16) |
+          s.charAt(i + 2).toLong
+        val slot = m.slotOf(key)
+        if (slot >= 0) {
+          val base = slot * nL
+          var j = 0
+          while (j < nL) { scores(j) += m.deltas(base + j); j += 1 }
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(scores)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nbs", this, classOf[NbScore].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): NbScore = copy(child = c)
+    override def toString: String = s"nb_score(broadcast#${bc.id}, $child)"
+  }
+
+  /** [[NbScore]] as a Column — the per-broadcast unique registration
+    * pattern ([[pq_scan_topk]]). The entry is NOT dropped after use:
+    * compiled models are memoized per artifact (LangId.langIdModelCached),
+    * so a JVM holds a bounded handful of registrations whose broadcasts
+    * must stay live for lazily-analyzed consumer plans. */
+  def nb_score(spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[NbCompiled],
+      text: Column): Column = {
+    val name = s"nb_score_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => {
+        require(exprs.length == 1, s"$name requires exactly 1 argument (text)")
+        NbScore(exprs.head, bc)
+      }, "scala_udf")
+    call_function(name, text)
+  }
 
   /** PPJoin in-bucket pair generation: array<struct<doc_id:long, n:int,
     * rk:int>> (one bucket's prefix entries) → array<struct<a:long,

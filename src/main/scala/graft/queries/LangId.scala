@@ -28,10 +28,11 @@ import graft.sources.Tables
   *
   * Scale shape for 100 TB: training is one map-side-combined count per
   * (lang, trigram) — the shuffle carries at most |vocab|×|langs| rows
-  * (charset³-bounded, corpus-size-independent); the fitted model
-  * (weights + per-lang stats) is vocabulary-bounded and broadcast, so
-  * scoring is a scan of the held-out split joined map-side against the
-  * model — zero corpus-sized shuffles. The two driver scalars (vocab
+  * per task (charset³-bounded, corpus-size-independent); the fitted
+  * model compiles once per JVM into primitive arrays and broadcasts
+  * ([[graft.functions.expressions.NbCompiled]]), so scoring is ONE
+  * scan-local kernel pass over the held-out split — zero joins, zero
+  * shuffled corpus rows. The two driver scalars (vocab
   * size, train doc count) are bounded single-row actions (the Lloyd
   * pattern). Accuracy on THIS corpus is capped by its generator — only
   * `en` carries a real signal (elevated the/a rates; the other labels
@@ -43,8 +44,32 @@ object LangId {
   /** The fitted classifier: `weights` (lang, g, w_fp) — add-one smoothed
     * fixed-point trigram log-likelihoods, |vocab|×|langs| rows — and
     * `stats` (lang, prior_fp, unseen_fp) — one row per class. Both
-    * vocabulary-bounded at any corpus size; consumers broadcast them. */
-  private[graft] case class NbModel(weights: DataFrame, stats: DataFrame)
+    * vocabulary-bounded at any corpus size; consumers broadcast them.
+    *
+    * `compiled` collects both tables ONCE per instance (vocabulary-
+    * bounded, the centroid-collect budget) into the [[graft.functions
+    * .expressions.NbCompiled]] primitive form and broadcasts it — the
+    * scoring kernel's operand. Cached-model constructors memoize the
+    * NbModel INSTANCE per artifact path so a JVM compiles each fitted
+    * model exactly once (bench sweeps, streaming micro-batches and the
+    * batch queries all share the same broadcast). */
+  private[graft] case class NbModel(weights: DataFrame, stats: DataFrame) {
+    @transient lazy val compiled: (Array[String],
+        org.apache.spark.broadcast.Broadcast[graft.functions.expressions.NbCompiled]) = {
+      val s = stats.sparkSession
+      import s.implicits._
+      val st = stats.select($"lang", $"prior_fp", $"unseen_fp")
+        .collect().sortBy(_.getString(0))
+      val langs = st.map(_.getString(0))
+      val idx = langs.zipWithIndex.toMap
+      val priors = st.map(_.getLong(1))
+      val unseen = st.map(_.getLong(2))
+      val grams = weights.select($"g", $"lang", $"w_fp").collect()
+        .map(r => (r.getString(0), idx(r.getString(1)), r.getLong(2)))
+      (langs, s.sparkContext.broadcast(
+        graft.functions.expressions.NbCompiled(priors, unseen, grams)))
+    }
+  }
 
   /** Fit the NB model on a labeled (lang, text) frame. The only shuffle
     * is the (lang, trigram) count (map-side combined, ≤ |vocab|×|langs|
@@ -83,6 +108,13 @@ object LangId {
     * trained once per JVM via [[IndexCache]] (bigramLmCached's pattern)
     * — bench sweeps and the streaming gate share one training run and
     * pay only the scoring leg. */
+  /** Memoized NbModel instances per artifact path, so the lazy
+    * [[NbModel.compiled]] broadcast is built once per JVM per artifact
+    * (a fresh instance per call would re-collect + re-broadcast the
+    * model on every query run / micro-batch). */
+  private val modelInstances =
+    new java.util.concurrent.ConcurrentHashMap[String, NbModel]()
+
   private[graft] def langIdModelCached(s: SparkSession, d: String): NbModel = {
     val p = IndexCache.resolve(
       s"langid|${IndexCache.dataKey(d)}", "langid") { path =>
@@ -93,36 +125,34 @@ object LangId {
       m.weights.write.mode("overwrite").parquet(s"$path/weights")
       m.stats.write.mode("overwrite").parquet(s"$path/stats")
     }
-    NbModel(s.read.parquet(s"$p/weights"), s.read.parquet(s"$p/stats"))
+    modelInstances.computeIfAbsent(p, path =>
+      NbModel(s.read.parquet(s"$path/weights"), s.read.parquet(s"$path/stats")))
   }
 
   /** The scoring core: (doc_id, text) → one (doc_id, lang, score_fp)
     * row per document per class — the full posterior surface (fixed
-    * point, exact longs). The model rides as broadcasts; scoring is one
-    * scan of `docs` — zero corpus-sized shuffles, cost ∝ |docs|·|langs|
-    * at any stored-corpus size. [[langIdScoreDocs]] is its argmax view;
-    * q102 pivots it into a binary margin. */
+    * point, exact longs). Scoring is ONE scan-local kernel pass
+    * ([[graft.functions.expressions.NbScore]] — per trigram occurrence,
+    * one gram-table probe + |langs| long adds against the broadcast
+    * compiled model): zero joins, zero shuffled corpus rows, cost ∝
+    * corpus code units × |langs| entirely inside the scan task. The
+    * declarative form this replaced exchanged one row per distinct
+    * (doc, trigram) through a groupBy plus a second (doc, lang)
+    * aggregation; the kernel's identity
+    * score = prior + tt·unseen + Σ_occ (w − unseen) is the same exact
+    * long arithmetic, order-free (LangIdSpec pins kernel == declarative
+    * row-for-row). [[langIdScoreDocs]] is its argmax view; q102 pivots
+    * it into a binary margin. */
   private[graft] def langIdScoresAll(docs: DataFrame, m: NbModel): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val counts = docs.select($"doc_id",
-        explode(graft.functions.expressions.char_grams($"text")).as("g"))
-      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tc"))
-    val seen = counts.join(broadcast(m.weights), Seq("g"))
-      .groupBy($"doc_id", $"lang")
-      .agg(sum($"tc" * $"w_fp").as("seen_fp"), sum($"tc").as("seen_c"))
-    // total trigram occurrences in closed form — len−2 floored at 0 is
-    // exactly size(char_grams(text)) on this ASCII corpus (the kernel's
-    // documented code-unit assumption), so the CharGrams pass runs once,
-    // not twice, per scoring scan
+    val (langs, bc) = m.compiled
     docs.select($"doc_id",
-        greatest(length($"text") - 2, lit(0)).cast("long").as("tt"))
-      .crossJoin(broadcast(m.stats))
-      .join(seen, Seq("doc_id", "lang"), "left")
-      .na.fill(0L, Seq("seen_fp", "seen_c"))
-      .select($"doc_id", $"lang",
-        ($"prior_fp" + $"seen_fp" + ($"tt" - $"seen_c") * $"unseen_fp")
-          .as("score_fp"))
+        graft.functions.expressions.nb_score(s, bc, $"text").as("sc"))
+      .select($"doc_id", posexplode($"sc").as(Seq("li", "score_fp")))
+      .select($"doc_id",
+        element_at(typedlit(langs.toSeq), $"li".cast("int") + 1).as("lang"),
+        $"score_fp")
   }
 
   /** The scoring leg, shared verbatim by batch q100 and the streaming
@@ -234,7 +264,8 @@ object LangId {
       m.weights.write.mode("overwrite").parquet(s"$path/weights")
       m.stats.write.mode("overwrite").parquet(s"$path/stats")
     }
-    NbModel(s.read.parquet(s"$p/weights"), s.read.parquet(s"$p/stats"))
+    modelInstances.computeIfAbsent(p, path =>
+      NbModel(s.read.parquet(s"$path/weights"), s.read.parquet(s"$path/stats")))
   }
 
   /** Q102 — model-based quality scoring (GPT-3 Appendix A / LLaMA's

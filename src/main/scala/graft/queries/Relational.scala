@@ -37,14 +37,19 @@ object Relational {
         .agg(
           decSumFast($"l_quantity").as("sum_qty"),
           decSumFast($"l_extendedprice").as("sum_base_price"),
-          // scaled-long form of dec(18,4)·dec(8,4): k1·10⁻⁴ × m2·10⁻² with
+          // scaled form of dec(18,4)·dec(8,4): k1·10⁻⁴ × m2·10⁻² with
           // both factors exact ≤2-decimal ints — the double product
-          // (≤1.05·10¹¹ < 2⁵³) is exact, the long sum is exact, and the
-          // final ÷10⁶ decimal division + double cast round once, matching
-          // the decimal-product sum bit-for-bit (headroom note: decSumFast)
+          // (≤1.05·10¹¹ < 2⁵³) is exact per row; the SUM runs in
+          // decimal(38,0), not long: the 10⁶-scaled products average
+          // ~3.6·10¹⁰, so a long sum would hit the 9.2·10¹⁸ ceiling at
+          // only ~2.5·10⁸ rows per group (TPC-H SF ≈ 100) — 100× below
+          // decSumFast's plain-column headroom. The final ÷10⁶ decimal
+          // division + double cast round once, matching the
+          // decimal-product sum bit-for-bit
           (sum((round($"l_extendedprice" * 10000) *
-              round((lit(1.0) - $"l_discount") * 100)).cast("long"))
-            .cast("decimal(38,0)") / lit(1000000L))
+              round((lit(1.0) - $"l_discount") * 100)).cast("long")
+              .cast("decimal(38,0)"))
+            / lit(1000000L))
             .cast("double").as("sum_disc_price"),
           decAvgFast($"l_quantity").as("avg_qty"),
           decAvgFast($"l_discount").as("avg_disc"),
@@ -1118,10 +1123,15 @@ object Relational {
       // (unpivoted to long form with stack); only dup_pk (needs a keyed
       // agg) and orphans (needs the anti-join) keep their own legs —
       // 3 lineitem scans instead of 5
+      // coalesce(sum, 0): on an EMPTY (or fully pruned) table sum() is
+      // NULL and the audit would read "unknown" instead of "passing
+      // zero violations" — the oracle COALESCEs the same two sums, and
+      // Expectations.Suite.audit carries the identical guard
       val fused = li.agg(
-          sum(when($"l_orderkey".isNull || $"l_partkey".isNull || $"l_suppkey".isNull, 1L)
-            .otherwise(0L)).as("null_keys"),
-          sum(when($"l_quantity" < 1.0 || $"l_quantity" > 50.0, 1L).otherwise(0L)).as("qty_domain"),
+          coalesce(sum(when($"l_orderkey".isNull || $"l_partkey".isNull || $"l_suppkey".isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("null_keys"),
+          coalesce(sum(when($"l_quantity" < 1.0 || $"l_quantity" > 50.0, 1L).otherwise(0L)),
+            lit(0L)).as("qty_domain"),
           count(lit(1)).as("rowcount"))
         .select(expr(
           "stack(3, 'null_keys', null_keys, 'qty_domain', qty_domain, 'rowcount', rowcount)")

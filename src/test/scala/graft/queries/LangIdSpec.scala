@@ -65,20 +65,50 @@ class LangIdSpec extends SparkSpec {
       "q100 must unpersist its (lang, trigram) counts after materializing")
   }
 
-  test("scoring plan runs the CharGrams kernel exactly once per scan") {
+  test("scoring plan is one scan-local NbScore pass: no joins, no exchanges") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .filter($"doc_id" % 10 >= 8).select($"doc_id", $"text")
     val m = LangId.langIdModelCached(spark, sf0001)
     val plan = LangId.langIdScoresAll(docs, m)
       .queryExecution.executedPlan.toString
-    // the trigram total is the closed form greatest(len-2, 0), NOT a
-    // second kernel pass over the text — a regression here doubles the
-    // feature-extraction cost of every batch score and streaming gate
-    // the kernel renders under its default prettyName, `chargrams(...)`
-    val kernelPasses = "(?i)char_?grams\\(".r.findAllIn(plan).size
-    assert(kernelPasses == 1,
-      s"expected exactly one char_grams pass in the scoring plan, got $kernelPasses")
+    // the whole posterior surface comes from ONE kernel pass over the
+    // text (nb_score against the broadcast compiled model) — a
+    // regression back to the distinct-gram groupBy + broadcast-join
+    // shape re-introduces a corpus-proportional exchange into every
+    // batch score and streaming gate
+    val kernelPasses = "(?i)nb_?score".r.findAllIn(plan).size
+    assert(kernelPasses >= 1, s"expected an nb_score pass in:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"scoring must stay scan-local (no exchange, no join):\n$plan")
+  }
+
+  test("NbScore kernel == declarative join-form scoring, row for row") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 >= 8).select($"doc_id", $"text")
+    val m = LangId.langIdModelCached(spark, sf0001)
+    val kernel = LangId.langIdScoresAll(docs, m)
+      .collect().map(_.toString).sorted.toSeq
+    // the retired declarative form: distinct-gram counts, broadcast
+    // weight join, two-level aggregation, closed-form trigram total —
+    // the gold standard the kernel must reproduce exactly
+    val counts = docs.select($"doc_id",
+        explode(graft.functions.expressions.char_grams($"text")).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tc"))
+    val seen = counts.join(broadcast(m.weights), Seq("g"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"tc" * $"w_fp").as("seen_fp"), sum($"tc").as("seen_c"))
+    val declarative = docs.select($"doc_id",
+        greatest(length($"text") - 2, lit(0)).cast("long").as("tt"))
+      .crossJoin(broadcast(m.stats))
+      .join(seen, Seq("doc_id", "lang"), "left")
+      .na.fill(0L, Seq("seen_fp", "seen_c"))
+      .select($"doc_id", $"lang",
+        ($"prior_fp" + $"seen_fp" + ($"tt" - $"seen_c") * $"unseen_fp")
+          .as("score_fp"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(kernel.nonEmpty && kernel == declarative)
   }
 
   test("q129 calibration: mass == q102 rows, bin law exact, rates bounded") {
