@@ -1867,8 +1867,11 @@ object expressions {
     *  - cap: buckets larger than `maxBucket` are sorted ascending and
     *    truncated (entries are unique by doc_id within a bucket, so
     *    doc_id order == full struct order) — `capBucket`'s rule;
-    *  - length filter: `ny >= nx*t && nx >= ny*t` in the same int×double
-    *    arithmetic as the Column form;
+    *  - length filter: `ny·10⁶ >= nx·p && nx·10⁶ >= ny·p` with
+    *    p = round(t·10⁶) — exact integer arithmetic, so a t whose binary
+    *    double sits a ulp above its decimal value (0.55 →
+    *    0.55000000000000004) can never over-prune a boundary-length
+    *    pair; identical to the int×double form at the t = 0.5 default;
     *  - position filter: `min(nx-rkx, ny-rky) + 1 >= floor((nx+ny+2)/3)`
     *    — the integer alpha for t = 0.5 (callers with t > 0.5 get a
     *    weaker-but-lossless bound; t < 0.5 would over-prune, same
@@ -1877,6 +1880,8 @@ object expressions {
     */
   case class PPJoinPairs(child: Expression, t: Double, maxBucket: Int)
       extends UnaryExpression {
+    // t as exact parts-per-million (≤6-decimal contract; see scaladoc)
+    private val tPpm = math.round(t * 1e6)
     private val entryType = StructType(Seq(
       StructField("doc_id", LongType), StructField("n", IntegerType),
       StructField("rk", IntegerType)))
@@ -1920,7 +1925,8 @@ object expressions {
         var j = i + 1
         while (j < m) {
           val ny = ns(j)
-          if (ny >= nx * t && nx >= ny * t) {
+          if (ny.toLong * 1000000L >= nx.toLong * tPpm &&
+              nx.toLong * 1000000L >= ny.toLong * tPpm) {
             val pos = math.min(nx - rks(i), ny - rks(j)) + 1
             if (pos >= (nx + ny + 2) / 3) {
               val a = math.min(ids(i), ids(j))

@@ -109,9 +109,14 @@ object Expectations {
           x => x.isNotNull))
     }
 
-    /** One (check, column, n_violations, passed) row per expectation, in
-      * declaration order. Row-local checks ride one aggregate pass;
-      * each `unique` adds one key-count aggregate on its column. */
+    /** One (check, column, n_violations, passed) row per expectation,
+      * SORTED by (check, column) — deterministic output order, NOT
+      * declaration order. Two same-type checks on the same column are
+      * therefore indistinguishable in the result; callers that need to
+      * map rows back to individual declarations (e.g. two `inRange`
+      * bounds on one column) should give them distinct columns or audit
+      * them in separate suites. Row-local checks ride one aggregate
+      * pass; each `unique` adds one key-count aggregate on its column. */
     def audit(df: DataFrame): DataFrame = {
       require(checks.nonEmpty, "audit of an empty expectation suite")
       val s = df.sparkSession

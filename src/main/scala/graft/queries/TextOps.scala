@@ -248,13 +248,21 @@ object TextOps {
       import docs.sparkSession.implicits._
       {
         val s = docs.sparkSession
+        // exact integer threshold: t as parts-per-million, so
+        // alpha = ceil(t·n) = (n·p + 999999) div 10⁶ can never over-round
+        // the way float ceil(n*t) does (20·0.55 = 11.000000000000002 in
+        // IEEE → ceil 12 → a one-short prefix silently DROPS true pairs).
+        // Identical to the float form at the t=0.5 default (n/2 is exact
+        // in binary); exact for any t with ≤ 6 decimals — the contract.
+        val p = math.round(t * 1e6)
         // only the prefix survives the explode (q114 explodes the full
         // ranking for its index side — the shared stage is factored as
         // dfRankedShingles)
         val prefix = dfRankedShingles(docs)
           .select($"doc_id", $"n",
             posexplode(slice($"sh", lit(1),
-              ($"n" - ceil($"n" * t) + 1).cast("int"))).as(Seq("p0", "e")))
+              ($"n" - expr(s"(n * ${p}L + 999999L) div 1000000L") + 1)
+                .cast("int"))).as(Seq("p0", "e")))
           // rare-first ranking puts the df=1 shingles at the FRONT of
           // every prefix, and a df=1 shingle's bucket has exactly one
           // entry — it can never produce a pair. Dropping them AFTER the
@@ -472,7 +480,10 @@ object TextOps {
       // convergence, not per iteration — the && short-circuits.
       converged = nfp == fp && next.join(prev, Seq("u", "v"), "left_anti").isEmpty
       edges = next; fp = nfp; iter += 1
-      System.err.println(f"[cc] alternation $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=${nfp._1}")
+      // opt-in diagnostics: a library method must not spam stderr on
+      // every clustering query (benches, specs, embedding applications)
+      if (pairs.sparkSession.conf.get("graft.cc.log", "false").toBoolean)
+        System.err.println(f"[cc] alternation $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=${nfp._1}")
     }
     require(converged, s"connected components did not converge in $iter alternations")
     // converged edges are stars (x → component min); add the roots
@@ -1160,12 +1171,17 @@ object TextOps {
     import newDocs.sparkSession.implicits._
     val fresh = shingleDocs(newDocs).persist()
     try {
-      val cand = broadcast(bandsOf(fresh))
+      // no broadcast hints (the verifyPairs/q95/q103 rule): AQE broadcasts
+      // the snapshot bands and the candidate set at any realistic batch
+      // size, and degrades to a shuffle join when a backfill-sized
+      // snapshot or a dup storm violates "snapshot ≪ corpus" — a hard
+      // hint would OOM exactly there
+      val cand = bandsOf(fresh)
         .join(idx.bands.select($"doc_id".as("old_id"), $"band", $"bh"),
           Seq("band", "bh"))
         .select($"doc_id".as("new_id"), $"old_id")
         .distinct()
-      broadcast(cand)
+      cand
         .join(fresh.select($"doc_id".as("new_id"), $"hs".as("hs_new"),
           $"n".as("n_new")), Seq("new_id"))
         .join(idx.shingles.select($"doc_id".as("old_id"), $"hs".as("hs_old"),
@@ -1828,7 +1844,14 @@ ORDER BY a.source"""
     * measures how much of THIS doc is covered by eval data, which is the
     * scale-stable leakage signal.
     */
-  private[queries] def trainTestOverlap(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, n, n_shared) per train-split document sharing ≥ 1 distinct
+    * shingle with the test split; `keepZeroOverlap = true` additionally
+    * returns every train doc (n > 0) with n_shared = 0 — q46 thresholds
+    * the former, q89 grades the latter, and both ride ONE pipeline so
+    * the decontamination criterion can never silently diverge between
+    * the gate and its audit. */
+  private[queries] def trainTestOverlap(s: SparkSession, d: String,
+      keepZeroOverlap: Boolean = false): DataFrame = {
       import s.implicits._
       // scoped persist (q18's pattern): the train and test subtrees would
       // otherwise each re-run the scan + shingle kernel
@@ -1842,9 +1865,14 @@ ORDER BY a.source"""
           .select(explode($"hs").as("h")).distinct()
         // hs holds string-distinct shingles, so count(*) per doc after the
         // semi-match == distinct shared shingles
-        trainEx.join(testH, Seq("h"))
+        val shared = trainEx.join(testH, Seq("h"))
           .groupBy($"doc_id")
           .agg(first($"n").as("n"), count(lit(1)).as("n_shared"))
+        (if (!keepZeroOverlap) shared
+         else docs.filter($"split" === "train" && $"n" > 0)
+           .select($"doc_id", $"n")
+           .join(shared.select($"doc_id", $"n_shared"), Seq("doc_id"), "left")
+           .na.fill(0L, Seq("n_shared")))
           .localCheckpoint()
       } finally docs.unpersist()
   }
@@ -1899,27 +1927,12 @@ ORDER BY a.source"""
   private val q89 = Q(
     fn = (s, d) => {
       import s.implicits._
-      // scoped persist (q18's pattern): train base, train explode and
-      // test subtree all share the scan + shingle kernel
-      val docs = shingled(s, d)
-        .withColumn("split", splitOf($"doc_id"))
-        .persist()
-      try {
-        val trainEx = docs.filter($"split" === "train")
-          .select($"doc_id", explode($"hs").as("h"))
-        val testH = docs.filter($"split" === "test")
-          .select(explode($"hs").as("h")).distinct()
-        val shared = trainEx.join(testH, Seq("h"))
-          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-        docs.filter($"split" === "train" && $"n" > 0)
-          .select($"doc_id", $"n")
-          .join(shared, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("n_shared"))
-          .select($"doc_id", $"n".cast("long").as("n_shingles"), $"n_shared",
-            ($"n_shared".cast("double") / $"n".cast("double")).as("overlap_frac"))
-          .orderBy($"overlap_frac".desc, $"doc_id")
-          .localCheckpoint()
-      } finally docs.unpersist()
+      // the SAME pipeline as q46's gate ([[trainTestOverlap]], zero-
+      // overlap docs kept) — graded here instead of thresholded
+      trainTestOverlap(s, d, keepZeroOverlap = true)
+        .select($"doc_id", $"n".cast("long").as("n_shingles"), $"n_shared",
+          ($"n_shared".cast("double") / $"n".cast("double")).as("overlap_frac"))
+        .orderBy($"overlap_frac".desc, $"doc_id")
     },
     oracle = Some("""
       WITH w AS (
