@@ -47,12 +47,16 @@ object FleetMetrics {
       .agg(count(lit(1)).as("event_count"))
       .orderBy(col("vehicle_id"), col("event_type"))
 
-  /** queries.py:45–58 — latest alerts, top-N by time. */
+  /** queries.py:45–58 — latest alerts, top-N by time. Tie-break beyond
+    * `time DESC`: (vehicle_id, alert_type) — per-poll alert batches all
+    * share one timestamp, and an un-tiebroken limit would serve a
+    * shuffle-dependent subset that changes between refresh ticks over
+    * unchanged data (latestTelemetry's determinism rule). */
   def alertsSummary(alerts: DataFrame, limit: Int = 100,
       vehicleId: Option[Int] = None): DataFrame =
     forVehicle(alerts, vehicleId)
       .select(col("time"), col("vehicle_id"), col("alert_type"), col("alert_message"))
-      .orderBy(col("time").desc)
+      .orderBy(col("time").desc, col("vehicle_id"), col("alert_type"))
       .limit(limit)
 
   /** queries.py:61–68 — distinct vehicle ids (UI picker). */

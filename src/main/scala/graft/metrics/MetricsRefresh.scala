@@ -27,27 +27,54 @@ object MetricsRefresh {
   /** Melt one metric frame into the reference's long metrics schema
     * (time_bucket, vehicle_id, metric_name, metric_value, metadata): one
     * row per (vehicle, numeric column). Frames without a vehicle_id (the
-    * fleet summary) emit a null vehicle_id = fleet-wide.
+    * fleet summary) emit a null vehicle_id = fleet-wide. Non-numeric
+    * dimension columns (interventions_per_vehicle's event_type,
+    * perception_summary's object_class) ride in `metadata` — that is the
+    * column's whole purpose: without them, a vehicle with four event
+    * types would melt into four indistinguishable rows sharing one
+    * (time_bucket, vehicle_id, metric_name) key.
     */
   def toMetricRows(name: String, df: DataFrame, tickTime: Column): DataFrame = {
     val numeric = df.schema.fields
       .filter(f => f.dataType.isInstanceOf[NumericType] && f.name != "vehicle_id")
     require(numeric.nonEmpty, s"metric frame '$name' has no numeric columns to melt")
+    val dims = df.schema.fields
+      .filter(f => !f.dataType.isInstanceOf[NumericType] && f.name != "vehicle_id")
     val vid =
       if (df.columns.contains("vehicle_id")) col("vehicle_id").cast("int")
       else lit(null).cast("int")
+    val metadata =
+      if (dims.isEmpty) typedLit(Map.empty[String, String])
+      else map(dims.toSeq.flatMap(f =>
+        Seq(lit(f.name), col(f.name).cast("string"))): _*)
     df.select(tickTime.as("time_bucket"), vid.as("vehicle_id"),
+        metadata.as("metadata"),
         explode(array(numeric.map(f => struct(
           lit(s"$name.${f.name}").as("metric_name"),
           col(f.name).cast("double").as("metric_value"))): _*)).as("m"))
       .select(col("time_bucket"), col("vehicle_id"),
         col("m.metric_name").as("metric_name"),
         col("m.metric_value").as("metric_value"),
-        typedLit(Map.empty[String, String]).as("metadata"))
+        col("metadata"))
   }
 
-  private def tableIfExists(s: SparkSession, dir: String): Option[DataFrame] =
-    Try(s.read.parquet(dir)).toOption
+  /** None for an ABSENT table (missing dir, or a dir with nothing to
+    * infer a schema from — a sink that created its directory before its
+    * first commit); any other read failure (permissions, corrupt
+    * footers) PROPAGATES — a monitoring surface must not go quietly
+    * blind on exactly the failures it exists to surface. */
+  private def tableIfExists(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Try(s.read.parquet(dir)) match {
+      case scala.util.Success(df) => Some(df)
+      case scala.util.Failure(e: org.apache.spark.sql.AnalysisException)
+          if e.getCondition != null &&
+            e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") => None
+      case scala.util.Failure(e) => throw e
+    }
+  }
 
   /** The nine metric frames computable from whatever tables the store has
     * (driving/perception leg optional — a telemetry-only store still
@@ -87,15 +114,21 @@ object MetricsRefresh {
     */
   def refreshOnce(s: SparkSession, storeDir: String, resultsDir: String,
       tickTime: Column = current_timestamp()): Seq[String] = {
+    // scoped persist: every non-snapshot frame is consumed TWICE per tick
+    // (CSV export + melted append) — uncached, each metric query would
+    // run as two full jobs on the serving loop's hot path
     val frames = metricFrames(s, storeDir, asOf = tickTime)
-    frames.foreach { case (name, df) => Sinks.exportCsv(df, s"$resultsDir/$name") }
-    val melted = frames.collect {
-      case (name, df) if !snapshotOnly(name) => toMetricRows(name, df, tickTime)
-    }
-    if (melted.nonEmpty)
-      Sinks.writePartitioned(melted.reduce(_ unionByName _),
-        s"$storeDir/self_driving_metrics", timeCol = "time_bucket")
-    frames.keys.toSeq.sorted
+      .map { case (name, df) => name -> df.persist() }
+    try {
+      frames.foreach { case (name, df) => Sinks.exportCsv(df, s"$resultsDir/$name") }
+      val melted = frames.collect {
+        case (name, df) if !snapshotOnly(name) => toMetricRows(name, df, tickTime)
+      }
+      if (melted.nonEmpty)
+        Sinks.writePartitioned(melted.reduce(_ unionByName _),
+          s"$storeDir/self_driving_metrics", timeCol = "time_bucket")
+      frames.keys.toSeq.sorted
+    } finally frames.values.foreach(_.unpersist())
   }
 
   /** Bounded serving loop: `ticks` refreshes, `intervalMs` apart — the

@@ -72,9 +72,14 @@ object Sinks {
       bits: Int = 8, nFiles: Int = 0, mode: String = "overwrite"): Unit = {
     require(zCols.nonEmpty && zCols.size <= 4, "z-order over 1..4 columns")
     // Java shifts are mod 64: bits*nCols > 63 would silently wrap the
-    // interleave into a garbled curve rather than fail
-    require(bits >= 1 && bits * zCols.size <= 63,
-      s"bits * zCols.size must be in [1, 63], got $bits * ${zCols.size}")
+    // interleave into a garbled curve rather than fail. bits itself is
+    // additionally capped at 12: the quantile-boundary array is a
+    // 2^bits−1-element LITERAL column, so bits=20 would build a ~1M-entry
+    // plan node (and an Int `1 << 32` wraps to 1, handing
+    // approx_percentile an empty percentage array)
+    require(bits >= 1 && bits <= 12 && bits * zCols.size <= 63,
+      s"bits must be in [1, 12] with bits * zCols.size <= 63, " +
+        s"got $bits * ${zCols.size}")
     val nb = 1 << bits
     val fracs = array((1 until nb).map(i => lit(i.toDouble / nb)): _*)
     val bounds = df.select(zCols.map(c =>
@@ -179,10 +184,18 @@ object Sinks {
     // final content-hash tiebreak: two DISTINCT update rows sharing the
     // same key and timeCol would otherwise tie completely and row_number
     // would pick a shuffle-order-dependent winner (identical rows still
-    // tie, but then every winner is identical too)
+    // tie, but then every winner is identical too). Map-typed columns are
+    // excluded — Spark rejects hash functions over MapType
+    // (DATATYPE_MISMATCH.HASH_MAP_TYPE), which would fail the whole
+    // upsert on tables like self_driving_metrics (metadata map column);
+    // the residual caveat (two rows differing ONLY in a map column still
+    // tie) is the pre-existing identical-rows caveat, one type wider
+    val hashable = merged.schema.fields
+      .filter(!_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name).sorted
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).desc, col("__is_update").desc,
-        xxhash64(merged.columns.sorted.map(col): _*).desc)
+        xxhash64(hashable.map(col).toSeq: _*).desc)
     val winner = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -233,13 +246,42 @@ object Sinks {
     val rootStr = fs.makeQualified(root).toString.stripSuffix("/")
     val raw = spark.read.option("basePath", path)
       .parquet(pinned.map(rootStr + "/" + _._1): _*)
-    // hash-repartition ON the partition columns, or a bare round-robin
-    // spreads every table partition's rows over all tasks and partitionBy
-    // then writes up to nFiles files per directory — the opposite of
-    // compaction
+    // hash-repartition ON the partition columns PLUS a per-directory salt:
+    // a bare round-robin spreads every table partition's rows over all
+    // tasks (partitionBy then writes up to nFiles files per directory —
+    // the opposite of compaction), while partition columns ALONE collapse
+    // each directory to a single task and file, ignoring targetFileBytes
+    // for a directory larger than the target (a 50 GB day would become
+    // one 50 GB file through one task). The salt ranges over that
+    // directory's own ceil(bytes/target) file count, computed from the
+    // pinned sizes, so each directory lands ~k_dir tasks/files. Hash
+    // collisions between (dir, salt) groups can merge two salt groups of
+    // one directory into one task (fewer, larger files) — bounded by 2×
+    // target in practice, never the one-file collapse.
     val df =
-      if (partitionCols.nonEmpty) raw.repartition(nFiles, partitionCols.map(col): _*)
-      else raw.repartition(nFiles)
+      if (partitionCols.nonEmpty) {
+        import spark.implicits._
+        val dirK = pinned
+          .groupBy(f => f._1.lastIndexOf('/') match {
+            case -1 => ""
+            case i => f._1.substring(0, i)
+          })
+          .map { case (dir, fs) => (dir,
+            math.max(1L, math.ceil(fs.map(_._2).sum.toDouble / targetFileBytes).toLong)) }
+          .toSeq.toDF("__dir", "__k")
+        // reconstruct each row's dir-relative path from its partition
+        // VALUES (the write-side `k=v/...` layout; values here are dates /
+        // simple scalars, so the string cast matches the dir name)
+        val dirExpr = concat_ws("/", partitionCols.map(c =>
+          concat_ws("=", lit(c), col(c).cast("string"))): _*)
+        raw.withColumn("__dir", dirExpr)
+          .join(broadcast(dirK), Seq("__dir"), "left")
+          .na.fill(1L, Seq("__k"))
+          .withColumn("__salt",
+            pmod(xxhash64(monotonically_increasing_id()), col("__k")))
+          .repartition(nFiles, (partitionCols :+ "__salt").map(col): _*)
+          .drop("__dir", "__k", "__salt")
+      } else raw.repartition(nFiles)
     val tmp = rootStr + "__compacting"
     val old = rootStr + "__precompact"
     val writer = df.write.mode("overwrite")

@@ -96,9 +96,18 @@ object ZOrder {
     require(bits >= 1 && bits <= 12, s"bits=$bits outside [1,12]")
     val s = df.sparkSession
     import s.implicits._
+    // NaN-safe bounds: Spark's max() treats NaN as the largest double, so
+    // one NaN row would poison aHi/span and silently re-map every cell
+    // (boxQuery would then prune to the wrong cells and return empty).
+    // NaN rows themselves are harmless — they land deterministically in
+    // the top cell and can never satisfy a finite box's residual filter.
+    def nanSafe(c: Column): Column = {
+      val d = c.cast("double")
+      when(isnan(d), lit(null)).otherwise(d)
+    }
     val r = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      min(nanSafe(col(colA))), max(nanSafe(col(colA))),
+      min(nanSafe(col(colB))), max(nanSafe(col(colB)))).head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
       s"writeZOrdered: empty input or all-null layout column ($colA/$colB) " +
         "— no quantization bounds exist")
@@ -152,8 +161,17 @@ object ZOrder {
       bLo: Double, bHi: Double): DataFrame = {
     val m = readMeta(s, path)
     val cells = coveringCells(m, aLo, aHi, bLo, bHi)
-    s.read.parquet(path)
-      .filter(col("p_z").isInCollection(cells))
+    val base = s.read.parquet(path)
+    // a broad box at high `bits` can cover millions of cells — a
+    // driver-side Seq + InSet that costs more than the pruning saves
+    // (and a box covering most cells prunes almost nothing anyway).
+    // Past the cap, skip the partition filter: the residual predicate
+    // alone is exact, so the result is unchanged — only the I/O saving
+    // degrades to a full scan, which is what such a box reads regardless
+    val pruned =
+      if (cells.size <= 65536) base.filter(col("p_z").isInCollection(cells))
+      else base
+    pruned
       .filter(col(m.colA).cast("double").between(aLo, aHi) &&
         col(m.colB).cast("double").between(bLo, bHi))
       .drop("p_z")

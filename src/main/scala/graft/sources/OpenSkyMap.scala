@@ -66,7 +66,8 @@ object OpenSkyMap {
     * `poll_time` key when a replay micro-batch carries several polls —
     * the reference pairs strictly within one poll's states).
     */
-  def proximityPerception(states: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+  def proximityPerception(states: DataFrame, groupCols: Seq[String] = Nil,
+      asOf: Column = current_timestamp()): DataFrame = {
     // Cell widths must cover the maximum coordinate delta a 50 km pair can
     // have under the distance formula below: |Δlat| <= 50/111 ≈ 0.4505°,
     // and |Δlon| <= 50/(111*0.7) ≈ 0.6435° (the 0.7 floor of the
@@ -102,7 +103,10 @@ object OpenSkyMap {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(
-        coalesce(timestamp_seconds(col("time_position")), current_timestamp()).as("time"),
+        // null time_position falls back to `asOf` (toTelemetry's
+        // convention) so a captured poll replays deterministically when
+        // the caller pins it — not to wall-clock unconditionally
+        coalesce(timestamp_seconds(col("time_position")), asOf).as("time"),
         vehicleIdFromIcao24(col("icao24")).as("vehicle_id"),
         lit("aircraft").as("object_class"),
         round(col("dist_m"), 2).as("object_distance_m"),

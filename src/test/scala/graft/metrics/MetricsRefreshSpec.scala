@@ -53,6 +53,37 @@ class MetricsRefreshSpec extends SparkSpec {
       "distinct_vehicles").subsetOf(served))
   }
 
+  test("melted rows carry their dimension columns in metadata") {
+    import spark.implicits._
+    val frame = Seq((1, "manual_override", 3L), (1, "emergency_brake", 2L))
+      .toDF("vehicle_id", "event_type", "event_count")
+    val rows = MetricsRefresh.toMetricRows("interventions_per_vehicle",
+        frame, lit(new Timestamp(0)))
+      .collect()
+    assert(rows.length == 2)
+    // without the dimension, both rows would share one (time_bucket,
+    // vehicle_id, metric_name) key and be indistinguishable
+    val metas = rows.map(_.getMap[String, String](4).get("event_type").get).toSet
+    assert(metas == Set("manual_override", "emergency_brake"))
+    val byType = rows.map(r =>
+      r.getMap[String, String](4)("event_type") -> r.getDouble(3)).toMap
+    assert(byType == Map("manual_override" -> 3.0, "emergency_brake" -> 2.0))
+  }
+
+  test("tableIfExists: absent and empty dirs serve None, corrupt stores throw") {
+    val store = tmpDir("mr_bad_store")
+    val results = tmpDir("mr_bad_results")
+    // empty dir (a sink that created its directory before first commit)
+    new java.io.File(s"$store/vehicle_telemetry").mkdirs()
+    assert(MetricsRefresh.metricFrames(spark, store, lit(new Timestamp(0))).isEmpty)
+    // corrupt parquet must PROPAGATE, not silently blind the dashboard
+    val f = new java.io.FileWriter(s"$store/vehicle_telemetry/part-0000.parquet")
+    f.write("this is not parquet"); f.close()
+    intercept[Exception] {
+      MetricsRefresh.refreshOnce(spark, store, results, lit(new Timestamp(0)))
+    }
+  }
+
   test("telemetry-only store still serves the telemetry frames") {
     val store = tmpDir("mr_tel_store")
     val results = tmpDir("mr_tel_results")

@@ -109,6 +109,27 @@ class SinksSpec extends SparkSpec {
     assert(after.columns.contains("p_date"), "partition column survives")
   }
 
+  test("compaction splits an over-target partition directory into multiple files") {
+    val dir = tmpDir("compact_split") + "/t"
+    val tel = graft.sources.Simulation.telemetry(spark, 4, 400, seed = 9).toDF()
+    (1 to 3).foreach(_ => Sinks.writePartitioned(tel, dir))
+    def filesPerDir = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getName).view.mapValues(_.size).toMap
+    }
+    val rows = spark.read.parquet(dir).count()
+    // a target far below one day's bytes: partition-column-only
+    // repartitioning would collapse each day to ONE file regardless
+    Sinks.compact(spark, dir, targetFileBytes = 20L * 1024,
+      partitionCols = Seq("p_date"))
+    val after = filesPerDir
+    assert(after.values.max > 1,
+      s"an over-target directory must split into multiple files, got $after")
+    assert(spark.read.parquet(dir).count() == rows)
+  }
+
   test("compaction rescues files appended by a concurrent writer") {
     val dir = tmpDir("compact_race") + "/t"
     val tel = graft.sources.Simulation.telemetry(spark, 4, 50, seed = 7).toDF()

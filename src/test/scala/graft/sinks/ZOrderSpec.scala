@@ -22,6 +22,22 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("a NaN row cannot poison the layout bounds or box results") {
+    import spark.implicits._
+    val dir = tmpDir("z_nan")
+    val rows = (1 to 200).map(i => (i.toLong, i.toDouble % 50, (i % 40).toDouble)) :+
+      (999L, Double.NaN, 3.0)
+    val df = rows.toDF("id", "x", "y")
+    ZOrder.writeZOrdered(df, "x", "y", dir, bits = 4)
+    // with NaN-poisoned bounds the span is NaN, every row lands in one
+    // cell, and this box would silently return empty
+    val got = ZOrder.boxQuery(spark, dir, 10.0, 20.0, 5.0, 15.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = df.filter($"x".between(10.0, 20.0) && $"y".between(5.0, 15.0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("box queries == direct filters for random boxes; corners included") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf0001)
