@@ -28,7 +28,13 @@ object Multimodal {
     * Deterministic by construction (pure function of the payload), so
     * tests and verify runs are stable.
     */
-  final class FixedWidthFakeDecoder(frameBytes: Int = 64) extends FrameDecoder {
+  /** The default frame width, shared by [[FixedWidthFakeDecoder]] and
+    * [[mediaMetadata]] so the catalog scan's n_frames and the decode
+    * path can never silently disagree. */
+  val DefaultFrameBytes = 64
+
+  final class FixedWidthFakeDecoder(frameBytes: Int = DefaultFrameBytes)
+      extends FrameDecoder {
     def decode(payload: Array[Byte]): Seq[Array[Byte]] =
       payload.grouped(frameBytes).toSeq
   }
@@ -47,7 +53,9 @@ object Multimodal {
         when(col("n_chars") < 150, "image")
           .when(col("n_chars") < 350, "audio")
           .otherwise("video").as("kind"),
-        col("n_chars").cast("long").as("byte_len"),
+        // the PAYLOAD's byte length, not the character count — the two
+        // differ on any non-ASCII text (multi-byte UTF-8)
+        length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
         col("source").as("origin")).as("meta"))
 
   /** Declarative metadata/fingerprint projection over binary content —
@@ -55,14 +63,15 @@ object Multimodal {
     * (codegen'd), no decoder needed: this is the path a catalog scan or
     * dedup-by-checksum takes, and it never materializes frames.
     */
-  def mediaMetadata(media: DataFrame): DataFrame =
+  def mediaMetadata(media: DataFrame,
+      frameBytes: Int = DefaultFrameBytes): DataFrame =
     media.select(
       col("doc_id"),
       col("meta.kind").as("kind"),
       length(col("content")).cast("long").as("byte_len"),
       md5(col("content")).as("content_md5"),
       lower(hex(substring(col("content"), 1, 8))).as("header_hex"),
-      ceil(length(col("content")) / 64.0).cast("long").as("n_frames"))
+      ceil(length(col("content")) / frameBytes.toDouble).cast("long").as("n_frames"))
 
   /** Frame resizer boundary — the per-frame transform a real pipeline
     * implements with an image library. One instance per partition, pure

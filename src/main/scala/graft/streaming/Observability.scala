@@ -16,23 +16,35 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * Listener callbacks run on the driver's listener bus — at any cluster
   * size this records O(1) per micro-batch (batch metadata, never rows).
   */
-final class ProgressRecorder extends StreamingQueryListener {
+final class ProgressRecorder(maxRetained: Int = 10000)
+    extends StreamingQueryListener {
 
   /** (queryId, batchId, numInputRows, batchDurationMs) per completed batch. */
   final case class BatchProgress(queryId: String, batchId: Long,
       numInputRows: Long, durationMs: Long)
 
+  // bounded ring: a live ProcessingTime deployment emits one entry per
+  // trigger forever — unbounded retention is a slow driver leak; rows
+  // fall off the OLD end, totalInputRows stays exact via a counter
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchProgress]()
+  private val totalRows = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def batches: Seq[BatchProgress] = buf.iterator().asScala.toSeq
-  def totalInputRows: Long = batches.map(_.numInputRows).sum
+  def totalInputRows: Long = totalRows.get()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
-    buf.add(BatchProgress(p.id.toString, p.batchId, p.numInputRows,
-      p.durationMs.asScala.values.map(_.longValue).sum))
+    // triggerExecution CONTAINS the other phases (addBatch, getBatch,
+    // queryPlanning, walCommit) — summing all of durationMs would
+    // roughly double the real batch latency
+    val dur = Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue)
+      .getOrElse(p.durationMs.asScala.values.map(_.longValue).sum)
+    buf.add(BatchProgress(p.id.toString, p.batchId, p.numInputRows, dur))
+    totalRows.addAndGet(p.numInputRows)
+    while (buf.size > maxRetained) buf.poll()
     ()
   }
 }

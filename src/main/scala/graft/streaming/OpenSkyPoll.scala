@@ -155,11 +155,14 @@ private class OpenSkyPollStream(mode: String, location: String,
   private def spoolPath(n: Long, srcName: String) =
     new Path(spoolDir, f"$n%020d__$srcName")
 
-  // recovery: the spool listing is the source of truth — both for how
-  // many polls this query ever captured and for the dir-mode watermark
+  // recovery: the spool listing is the source of truth — both for the
+  // next poll index and for the dir-mode watermark. nextN derives from
+  // the LAST entry's index prefix (not the listing length), so a spool
+  // pruned below the committed offset recovers identically
   private def spooledFiles(): Array[String] =
     fs.listStatus(spoolDir).map(_.getPath.getName).filter(!_.startsWith(".")).sorted
-  private var nextN: Long = spooledFiles().length
+  private var nextN: Long = spooledFiles().lastOption
+    .map(_.substring(0, 20).toLong + 1).getOrElse(0L)
   private var watermark: String = spooledFiles().lastOption
     .map(n => n.substring(n.indexOf("__") + 2)).getOrElse("")
 
@@ -261,6 +264,15 @@ private class OpenSkyPollStream(mode: String, location: String,
     }
   }
 
-  override def commit(end: Offset): Unit = ()
+  // prune the spool below the committed offset — a live ProcessingTime
+  // poller spools one payload per trigger forever, and replay never
+  // needs a committed file again. The NEWEST entry always survives:
+  // recovery derives nextN and the dir-mode watermark from it.
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[PollOffset].n
+    spooledFiles().dropRight(1)
+      .filter(_.substring(0, 20).toLong < e)
+      .foreach(f => fs.delete(new Path(spoolDir, f), false))
+  }
   override def stop(): Unit = ()
 }

@@ -94,16 +94,24 @@ object Pipeline {
     * alerts as day-partitioned parquet, stop at the end of available data.
     * Checkpointing makes re-runs incremental (only new files process).
     */
+  /** The telemetry+alerts sink body shared by [[runAlertPipeline]] and
+    * [[runDedupedAlertPipeline]] — one copy, so persist handling, sink
+    * layout and alert derivation cannot drift between the two. */
+  private def writeTelemetryAndAlerts(batch: DataFrame, outDir: String,
+      t: Thresholds): Unit = {
+    val b = batch.persist()
+    try {
+      Sinks.writePartitioned(b, s"$outDir/vehicle_telemetry")
+      Sinks.writePartitioned(FleetRules.telemetryAlerts(b, t), s"$outDir/alerts")
+    } finally { b.unpersist(); () }
+  }
+
   def runAlertPipeline(s: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, t: Thresholds = Thresholds()): StreamingQuery = {
     val stream = telemetryFileStream(s, inDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try {
-          Sinks.writePartitioned(b, s"$outDir/vehicle_telemetry")
-          Sinks.writePartitioned(FleetRules.telemetryAlerts(b, t), s"$outDir/alerts")
-        } finally { b.unpersist(); () }
+        writeTelemetryAndAlerts(batch, outDir, t)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -169,11 +177,7 @@ object Pipeline {
       checkpointDir: String, t: Thresholds = Thresholds()): StreamingQuery =
     dedupedTelemetryStream(s, inDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try {
-          Sinks.writePartitioned(b, s"$outDir/vehicle_telemetry")
-          Sinks.writePartitioned(FleetRules.telemetryAlerts(b, t), s"$outDir/alerts")
-        } finally { b.unpersist(); () }
+        writeTelemetryAndAlerts(batch, outDir, t)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -206,7 +210,12 @@ object Pipeline {
         Encoders.product[VehicleProgress], TTLConfig.NONE)
     override def handleInputRows(vid: Int, rows: Iterator[Telemetry],
         timers: TimerValues): Iterator[OdometerUpdate] = {
-      val batch = rows.toSeq.sortBy(_.time.getTime)
+      // full-resolution micros + odometer tiebreak: getTime alone is
+      // ms-truncated and tie-breaks by shuffle order, so two same-stamp
+      // readings would make batch.last (hence the checkpointed state and
+      // a crash-replay's totals) nondeterministic; odometer is monotone
+      // per vehicle, so (time, odometer) orders replays identically
+      val batch = rows.toSeq.sortBy(r => (eventMicros(r.time), r.odometer_km))
       if (batch.isEmpty) Iterator.empty
       else {
         val prev =
@@ -926,9 +935,14 @@ object Pipeline {
       .json(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val qrows = batch.select(col("query_id"),
-          array_distinct(transform(split(col("text"), " "),
-            t => xxhash64(t))).as("hs"))
+        // null guard (runFunnelStream's rule): permissive JSON nulls the
+        // fields of a corrupt line — an unguarded getLong/getSeq would
+        // NPE, and the checkpoint would replay the same batch forever
+        val qrows = batch
+          .filter(col("query_id").isNotNull && col("text").isNotNull)
+          .select(col("query_id"),
+            array_distinct(transform(split(col("text"), " "),
+              t => xxhash64(t))).as("hs"))
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
         if (qrows.nonEmpty)
@@ -969,14 +983,19 @@ object Pipeline {
       .json(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val qrows = batch.select(col("query_id"),
-          array_distinct(transform(split(col("text"), " "),
-            t => xxhash64(t))).as("hs"))
+        // null guard (see runBm25LookupStream) + ONE collect for both
+        // modalities — two separate collects re-listed and re-parsed the
+        // trigger's JSON twice per micro-batch
+        val rows = batch
+          .filter(col("query_id").isNotNull && col("text").isNotNull &&
+            col("embedding").isNotNull)
+          .select(col("query_id"),
+            array_distinct(transform(split(col("text"), " "),
+              t => xxhash64(t))).as("hs"),
+            col("embedding"))
           .collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-        val qvecs = batch.select(col("query_id"), col("embedding"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+        val qrows = rows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+        val qvecs = rows.map(r => (r.getLong(0), r.getSeq[Float](2))).sortBy(_._1)
         if (qrows.nonEmpty) {
           val session = store.sparkSession
           import session.implicits._

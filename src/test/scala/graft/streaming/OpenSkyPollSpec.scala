@@ -57,6 +57,29 @@ class OpenSkyPollSpec extends SparkSpec {
     assert(second.filter(col("icao24") === "c3").count() == 1)
   }
 
+  test("restart recovers from a pruned spool (nextN from the last index, not the listing length)") {
+    val capture = tmpDir("poll_prune_capture")
+    val out = tmpDir("poll_prune_out")
+    val ckpt = tmpDir("poll_prune_ckpt")
+    Files.writeString(Paths.get(capture, "poll_a.json"),
+      payload(1700000000L, st("a1", 10.0, 10.0, 50.0)))
+    Files.writeString(Paths.get(capture, "poll_b.json"),
+      payload(1700000010L, st("b2", 10.3, 10.3, 10.0)))
+    runToDrain(capture, out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+    // simulate commit-time pruning: drop the OLDEST spool entry (the
+    // committed prefix); the newest must carry recovery
+    val spool = Paths.get(ckpt, "sources", "0", "spool")
+    val oldest = Files.list(spool).sorted().findFirst().get()
+    Files.delete(oldest)
+    Files.writeString(Paths.get(capture, "poll_c.json"),
+      payload(1700000020L, st("c3", 20.0, 20.0, 30.0)))
+    runToDrain(capture, out, ckpt)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, "2 prior + 1 new, nothing duplicated or re-read")
+    assert(rows.filter(col("icao24") === "c3").count() == 1)
+  }
+
   test("dir-mode watermark: a late file sorting below consumed names is skipped, never double-read") {
     val capture = tmpDir("poll_wm_in")
     val out = tmpDir("poll_wm_out")
