@@ -108,12 +108,16 @@ object LangId {
     * trained once per JVM via [[IndexCache]] (bigramLmCached's pattern)
     * — bench sweeps and the streaming gate share one training run and
     * pay only the scoring leg. */
-  /** Memoized NbModel instances per artifact path, so the lazy
-    * [[NbModel.compiled]] broadcast is built once per JVM per artifact
-    * (a fresh instance per call would re-collect + re-broadcast the
-    * model on every query run / micro-batch). */
+  /** Memoized NbModel instances per (Spark application, artifact path),
+    * so the lazy [[NbModel.compiled]] broadcast is built once per JVM per
+    * artifact (a fresh instance per call would re-collect + re-broadcast
+    * the model on every query run / micro-batch). The application id in
+    * the key matters: a restarted SparkSession in the same JVM must not
+    * be served DataFrames/broadcasts bound to the STOPPED context. */
   private val modelInstances =
     new java.util.concurrent.ConcurrentHashMap[String, NbModel]()
+  private def modelKey(s: SparkSession, path: String): String =
+    s"${s.sparkContext.applicationId}|$path"
 
   private[graft] def langIdModelCached(s: SparkSession, d: String): NbModel = {
     val p = IndexCache.resolve(
@@ -125,8 +129,8 @@ object LangId {
       m.weights.write.mode("overwrite").parquet(s"$path/weights")
       m.stats.write.mode("overwrite").parquet(s"$path/stats")
     }
-    modelInstances.computeIfAbsent(p, path =>
-      NbModel(s.read.parquet(s"$path/weights"), s.read.parquet(s"$path/stats")))
+    modelInstances.computeIfAbsent(modelKey(s, p), _ =>
+      NbModel(s.read.parquet(s"$p/weights"), s.read.parquet(s"$p/stats")))
   }
 
   /** The scoring core: (doc_id, text) → one (doc_id, lang, score_fp)
@@ -147,8 +151,14 @@ object LangId {
     val s = docs.sparkSession
     import s.implicits._
     val (langs, bc) = m.compiled
+    // coalesce(text, ""): a null text (corrupt wire record through the
+    // permissive JSON gates) must score prior-only like the declarative
+    // form did (its greatest(length(null)-2, 0) skipped the null to 0) —
+    // the kernel's null-in/null-out would posexplode to ZERO rows and the
+    // doc would silently vanish from every gate verdict
     docs.select($"doc_id",
-        graft.functions.expressions.nb_score(s, bc, $"text").as("sc"))
+        graft.functions.expressions.nb_score(s, bc,
+          coalesce($"text", lit(""))).as("sc"))
       .select($"doc_id", posexplode($"sc").as(Seq("li", "score_fp")))
       .select($"doc_id",
         element_at(typedlit(langs.toSeq), $"li".cast("int") + 1).as("lang"),
@@ -264,8 +274,8 @@ object LangId {
       m.weights.write.mode("overwrite").parquet(s"$path/weights")
       m.stats.write.mode("overwrite").parquet(s"$path/stats")
     }
-    modelInstances.computeIfAbsent(p, path =>
-      NbModel(s.read.parquet(s"$path/weights"), s.read.parquet(s"$path/stats")))
+    modelInstances.computeIfAbsent(modelKey(s, p), _ =>
+      NbModel(s.read.parquet(s"$p/weights"), s.read.parquet(s"$p/stats")))
   }
 
   /** Q102 — model-based quality scoring (GPT-3 Appendix A / LLaMA's

@@ -190,8 +190,14 @@ object Sinks {
     // upsert on tables like self_driving_metrics (metadata map column);
     // the residual caveat (two rows differing ONLY in a map column still
     // tie) is the pre-existing identical-rows caveat, one type wider
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
     val hashable = merged.schema.fields
-      .filter(!_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filter(f => !hasMap(f.dataType))
       .map(_.name).sorted
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).desc, col("__is_update").desc,
@@ -261,26 +267,32 @@ object Sinks {
     val df =
       if (partitionCols.nonEmpty) {
         import spark.implicits._
-        val dirK = pinned
-          .groupBy(f => f._1.lastIndexOf('/') match {
-            case -1 => ""
-            case i => f._1.substring(0, i)
-          })
-          .map { case (dir, fs) => (dir,
-            math.max(1L, math.ceil(fs.map(_._2).sum.toDouble / targetFileBytes).toLong)) }
-          .toSeq.toDF("__dir", "__k")
-        // reconstruct each row's dir-relative path from its partition
-        // VALUES (the write-side `k=v/...` layout; values here are dates /
-        // simple scalars, so the string cast matches the dir name)
-        val dirExpr = concat_ws("/", partitionCols.map(c =>
-          concat_ws("=", lit(c), col(c).cast("string"))): _*)
-        raw.withColumn("__dir", dirExpr)
-          .join(broadcast(dirK), Seq("__dir"), "left")
+        def dirOf(rel: String): String = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i => rel.substring(0, i)
+        }
+        val dirK: Map[String, Long] = pinned.groupBy(f => dirOf(f._1))
+          .map { case (dir, fs) => dir ->
+            math.max(1L, math.ceil(fs.map(_._2).sum.toDouble / targetFileBytes).toLong) }
+        // key each row by its source FILE NAME (input_file_name's last
+        // segment), mapped to its directory's file target through the
+        // pinned list itself. Reconstructing the dir from partition
+        // VALUES would silently miss on hive-escaped values, null
+        // partitions (__HIVE_DEFAULT_PARTITION__) or type-normalized
+        // names ('p=01' read back as 1) and fall back to the one-file
+        // collapse; part-file names are UUID-unique, so the name alone
+        // identifies the directory
+        val fileK = pinned.map { f =>
+          (f._1.substring(f._1.lastIndexOf('/') + 1), dirK(dirOf(f._1)))
+        }.toSeq.toDF("__file", "__k")
+        raw.withColumn("__file",
+            substring_index(input_file_name(), "/", -1))
+          .join(broadcast(fileK), Seq("__file"), "left")
           .na.fill(1L, Seq("__k"))
           .withColumn("__salt",
             pmod(xxhash64(monotonically_increasing_id()), col("__k")))
           .repartition(nFiles, (partitionCols :+ "__salt").map(col): _*)
-          .drop("__dir", "__k", "__salt")
+          .drop("__file", "__k", "__salt")
       } else raw.repartition(nFiles)
     val tmp = rootStr + "__compacting"
     val old = rootStr + "__precompact"

@@ -160,16 +160,20 @@ object ZOrder {
   def boxQuery(s: SparkSession, path: String, aLo: Double, aHi: Double,
       bLo: Double, bHi: Double): DataFrame = {
     val m = readMeta(s, path)
-    val cells = coveringCells(m, aLo, aHi, bLo, bHi)
     val base = s.read.parquet(path)
     // a broad box at high `bits` can cover millions of cells — a
     // driver-side Seq + InSet that costs more than the pruning saves
     // (and a box covering most cells prunes almost nothing anyway).
-    // Past the cap, skip the partition filter: the residual predicate
-    // alone is exact, so the result is unchanged — only the I/O saving
-    // degrades to a full scan, which is what such a box reads regardless
+    // The cell COUNT is checked from the four corner quantizations
+    // BEFORE materializing anything; past the cap, skip the partition
+    // filter: the residual predicate alone is exact, so the result is
+    // unchanged — only the I/O saving degrades to the full scan such a
+    // box reads regardless
+    val nA = cellVal(aHi, m.aLo, m.aHi, m.bits) - cellVal(aLo, m.aLo, m.aHi, m.bits) + 1
+    val nB = cellVal(bHi, m.bLo, m.bHi, m.bits) - cellVal(bLo, m.bLo, m.bHi, m.bits) + 1
     val pruned =
-      if (cells.size <= 65536) base.filter(col("p_z").isInCollection(cells))
+      if (nA * nB <= 65536)
+        base.filter(col("p_z").isInCollection(coveringCells(m, aLo, aHi, bLo, bHi)))
       else base
     pruned
       .filter(col(m.colA).cast("double").between(aLo, aHi) &&

@@ -83,8 +83,17 @@ object OpenSkyReplay {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          Sinks.writePartitioned(OpenSkyMap.toTelemetry(b), s"$outDir/vehicle_telemetry")
-          val perception = OpenSkyMap.proximityPerception(b, groupCols = Seq("poll_time"))
+          // asOf pinned to the row's own poll_time (not wall clock): a
+          // state with null time_position then stamps the SAME value on
+          // the original attempt and on a crash replay of this
+          // at-least-once foreachBatch — deterministic replay, the
+          // capture's own clock
+          val asOf = org.apache.spark.sql.functions
+            .timestamp_seconds(org.apache.spark.sql.functions.col("poll_time"))
+          Sinks.writePartitioned(OpenSkyMap.toTelemetry(b, asOf = asOf),
+            s"$outDir/vehicle_telemetry")
+          val perception = OpenSkyMap.proximityPerception(b,
+            groupCols = Seq("poll_time"), asOf = asOf)
           Sinks.writePartitioned(perception, s"$outDir/perception_events")
           Sinks.writePartitioned(FleetRules.perceptionAlerts(perception, t),
             s"$outDir/alerts")

@@ -28,6 +28,8 @@ final class ProgressRecorder(maxRetained: Int = 10000)
   // fall off the OLD end, totalInputRows stays exact via a counter
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchProgress]()
   private val totalRows = new java.util.concurrent.atomic.AtomicLong(0L)
+  // own size counter: ConcurrentLinkedQueue.size is an O(n) traversal
+  private val retained = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def batches: Seq[BatchProgress] = buf.iterator().asScala.toSeq
   def totalInputRows: Long = totalRows.get()
@@ -44,7 +46,9 @@ final class ProgressRecorder(maxRetained: Int = 10000)
       .getOrElse(p.durationMs.asScala.values.map(_.longValue).sum)
     buf.add(BatchProgress(p.id.toString, p.batchId, p.numInputRows, dur))
     totalRows.addAndGet(p.numInputRows)
-    while (buf.size > maxRetained) buf.poll()
+    if (retained.incrementAndGet() > maxRetained) {
+      buf.poll(); retained.decrementAndGet()
+    }
     ()
   }
 }
