@@ -1711,6 +1711,183 @@ object expressions {
       bc: org.apache.spark.broadcast.Broadcast[_]): String =
     s"bm25_scan_topk_b${bc.id}"
 
+  /** The broadcast operand of [[Bm25RawScanTopK]]: [[Bm25QueryIndex]]
+    * plus the QUERY-TIME scoring model — `idfFp(i)` is the fixed-point
+    * idf of `termHash(i)` under the CURRENT merged corpus stats, and
+    * `avgdl` the current mean document length. Carrying idf on the
+    * query side (Lucene's query-time-weights contract) is what makes
+    * the raw postings store append-only: corpus growth changes idf and
+    * avgdl for EVERY stored document, but those live here — sized by
+    * the request set, refreshed per serving batch from the vocabulary-
+    * bounded df table — while the per-doc (tf, len) postings never
+    * need rewriting. */
+  type Bm25RawQueryIndex =
+    (Array[Long], Array[Long], Array[Int], Array[Int], Array[Long], Double)
+
+  /** [[Bm25ScanTopK]] over the RAW postings store (doc_id, term hashes,
+    * term frequencies, doc length) instead of the precomputed weight
+    * store: the per-(doc, term) BM25 weight
+    * idf_fp · floor(tf·2.2 / (tf + 1.2·(0.25 + 0.75·len/avgdl)) · 10⁶)
+    * is computed INSIDE the scan loop for matched terms only, with idf
+    * and avgdl from the broadcast (query-time stats). Bit-identical to
+    * deriving the full weight store first and scanning it with
+    * [[Bm25ScanTopK]]: same IEEE operation order as the store builder
+    * (tf·2.2 numerator; 0.75·len first, then ÷avgdl — the column
+    * expression's left-associative order), same floor quantization,
+    * same exact long sums, same (score desc, doc_id) selection. The
+    * point is the maintenance story, not the scan: stored docs' weights
+    * are never materialized, so an append refreshes nothing
+    * corpus-sized. */
+  case class Bm25RawScanTopK(
+      children: Seq[Expression],
+      bc: org.apache.spark.broadcast.Broadcast[Bm25RawQueryIndex],
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[PqTopKState] {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("score_fp", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (children.length != 4)
+        return TypeCheckResult.TypeCheckFailure(
+          "bm25_raw_scan_topk takes (doc_id, term_hashes, tfs, len)")
+      val a = requireType(children(0), LongType, "bm25_raw_scan_topk doc_id")
+      if (a != TypeCheckResult.TypeCheckSuccess) return a
+      val b = requireType(children(1), ArrayType(LongType),
+        "bm25_raw_scan_topk term_hashes")
+      if (b != TypeCheckResult.TypeCheckSuccess) return b
+      val c = requireType(children(2), ArrayType(LongType),
+        "bm25_raw_scan_topk tfs")
+      if (c != TypeCheckResult.TypeCheckSuccess) return c
+      requireType(children(3), LongType, "bm25_raw_scan_topk len")
+    }
+
+    @transient private lazy val scratch =
+      ThreadLocal.withInitial[Bm25Scratch](() => new Bm25Scratch(bc.value._1.length))
+
+    override def createAggregationBuffer(): PqTopKState =
+      new PqTopKState(bc.value._1.length, k)
+
+    override def update(buf: PqTopKState, row: org.apache.spark.sql.catalyst.InternalRow): PqTopKState = {
+      val did = children(0).eval(row)
+      val hsAny = children(1).eval(row)
+      val tfAny = children(2).eval(row)
+      val lenAny = children(3).eval(row)
+      if (did == null || hsAny == null || tfAny == null || lenAny == null)
+        return buf
+      val docId = did.asInstanceOf[Long]
+      val hs = hsAny.asInstanceOf[ArrayData]
+      val tfs = tfAny.asInstanceOf[ArrayData]
+      val len = lenAny.asInstanceOf[Long]
+      val (qids, termHash, offsets, qrefs, idfFp, avgdl) = bc.value
+      // per-doc length factor of the weight denominator — one compute
+      // per document, not per matched term (the builder's column form
+      // evaluates it per (doc, term) row to the same double)
+      val lenTerm = 1.2 * (0.25 + (0.75 * len) / avgdl)
+      val st = scratch.get()
+      st.gen += 1
+      var nTouched = 0
+      var ti = 0
+      val nTerms = hs.numElements()
+      if (tfs.numElements() < nTerms)
+        throw new IllegalArgumentException(
+          s"bm25_raw_scan_topk: tfs has ${tfs.numElements()} entries but " +
+            s"term_hashes has $nTerms — the store's arrays must align")
+      while (ti < nTerms) {
+        val pos = java.util.Arrays.binarySearch(termHash, hs.getLong(ti))
+        if (pos >= 0) {
+          val tf = tfs.getLong(ti)
+          val w = idfFp(pos) *
+            math.floor((tf * 2.2) / (tf + lenTerm) * 1e6).toLong
+          var r = offsets(pos)
+          val end = offsets(pos + 1)
+          while (r < end) {
+            val q = qrefs(r)
+            if (st.stamp(q) != st.gen) {
+              st.stamp(q) = st.gen
+              st.acc(q) = 0L
+              st.touched(nTouched) = q
+              nTouched += 1
+            }
+            st.acc(q) += w
+            r += 1
+          }
+        }
+        ti += 1
+      }
+      var t = 0
+      while (t < nTouched) {
+        val q = st.touched(t)
+        if (qids(q) != docId) buf.push(q, -st.acc(q), docId)
+        t += 1
+      }
+      buf
+    }
+
+    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState =
+      buf.mergeFrom(other)
+
+    override def eval(buf: PqTopKState): Any = {
+      val qids = bc.value._1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var qi = 0
+      while (qi < buf.nq) {
+        val n = buf.size(qi)
+        val pairs = Array.tabulate(n)(i => (buf.dist(qi)(i), buf.id(qi)(i)))
+          .sortBy { case (d, v) => (d, v) }
+        var i = 0
+        while (i < n) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            qids(qi), pairs(i)._2, i + 1, -pairs(i)._1)
+          i += 1
+        }
+        qi += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: PqTopKState): Array[Byte] = buf.writeTo
+
+    override def deserialize(bytes: Array[Byte]): PqTopKState =
+      PqTopKState.readFrom(bytes)
+
+    override def withNewMutableAggBufferOffset(offset: Int): Bm25RawScanTopK =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): Bm25RawScanTopK =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Bm25RawScanTopK =
+      copy(children = newChildren)
+    override def toString: String =
+      s"bm25_raw_scan_topk(broadcast#${bc.id}, k=$k, ${children.mkString(", ")})"
+  }
+
+  /** [[Bm25RawScanTopK]] as a Column — per-call unique registration
+    * (name `bm25_raw_scan_topk_b<id>`; drop with [[dropTempFunction]]
+    * ([[bm25RawScanTopKName]]) after analysis). */
+  def bm25_raw_scan_topk(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[Bm25RawQueryIndex],
+      k: Int, cols: Column*): Column = {
+    val name = s"bm25_raw_scan_topk_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => Bm25RawScanTopK(exprs, bc, k), "scala_udf")
+    call_function(name, cols: _*)
+  }
+
+  /** Name of the temp function [[bm25_raw_scan_topk]] registers. */
+  def bm25RawScanTopKName(
+      bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"bm25_raw_scan_topk_b${bc.id}"
+
   /** Drop a per-call temp function (see [[pq_scan_topk]] /
     * [[bloom_probe_broadcast]]): after the caller forces analysis the
     * registry entry's only effect is pinning the captured broadcast —

@@ -3369,16 +3369,51 @@ ORDER BY a.source"""
     * training run over the stored split; every later consumer pays one
     * artifact read of the vocabulary²-bounded tables. */
   private[graft] def bigramLmCached(s: SparkSession, d: String): BigramLm = {
-    val p = IndexCache.resolve(
+    val p = bigramLmArtifact(s, d)
+    BigramLm(s.read.parquet(s"$p/c12"), s.read.parquet(s"$p/c1"),
+      s.read.parquet(s"$p/v").head().getLong(0))
+  }
+
+  /** The persisted LM artifact directory for `d` — c12/c1/v plus the
+    * training VOCABULARY table (the word set, not just its count): v is
+    * not additive across overlapping snapshots, the set is, so the
+    * append path ([[appendToBigramLm]]) needs it persisted. */
+  private def bigramLmArtifact(s: SparkSession, d: String): String =
+    IndexCache.resolve(
       s"bigramlm|${IndexCache.dataKey(d)}", "bigramlm") { path =>
       import s.implicits._
-      val lm = trainBigramLm(Tables.documents(s, d).filter($"doc_id" % 10 < 8))
+      val training = Tables.documents(s, d).filter($"doc_id" % 10 < 8)
+      val lm = trainBigramLm(training)
       lm.c12.write.mode("overwrite").parquet(s"$path/c12")
       lm.c1.write.mode("overwrite").parquet(s"$path/c1")
       Seq(lm.v).toDF("v").write.mode("overwrite").parquet(s"$path/v")
+      training.select(explode(words($"text")).as("word")).distinct()
+        .write.mode("overwrite").parquet(s"$path/vocab")
     }
-    BigramLm(s.read.parquet(s"$p/c12"), s.read.parquet(s"$p/c1"),
-      s.read.parquet(s"$p/v").head().getLong(0))
+
+  /** The persisted training-vocabulary table of q85's LM artifact. */
+  private[graft] def bigramLmVocab(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${bigramLmArtifact(s, d)}/vocab")
+
+  /** Append an admitted snapshot to a trained bigram LM: snapshot
+    * bigram counts merged into c12, c1 re-derived (it is a projection
+    * of c12 — [[trainBigramLm]]), vocabulary union-distinct'd for the
+    * exact smoothing denominator. Equal to retraining on the union
+    * (QueriesSpec) because counts are additive over disjoint doc sets.
+    * Returns the updated LM and vocabulary table (for the next
+    * append). */
+  private[graft] def appendToBigramLm(lm: BigramLm, vocab: DataFrame,
+      snap: DataFrame): (BigramLm, DataFrame) = {
+    import snap.sparkSession.implicits._
+    val snapBg = bigramsOf(snap).groupBy($"bg").agg(count(lit(1)).as("c12"))
+    val c12m = lm.c12.unionByName(snapBg).groupBy($"bg")
+      .agg(sum($"c12").as("c12")).localCheckpoint()
+    val c1m = c12m.groupBy(split($"bg", " ").getItem(0).as("w1"))
+      .agg(sum($"c12").as("c1")).localCheckpoint()
+    val vocabM = vocab
+      .unionByName(snap.select(explode(words($"text")).as("word")))
+      .distinct().localCheckpoint()
+    (BigramLm(c12m, c1m, vocabM.count()), vocabM)
   }
 
   private val q85 = Q(
@@ -3415,6 +3450,271 @@ ORDER BY a.source"""
                  (COALESCE(c1, 0) + v)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_fp
         FROM (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
               FROM bg WHERE doc_id % 10 >= 8) p
+        LEFT JOIN c12 USING (bg)
+        LEFT JOIN c1 USING (w1)
+        CROSS JOIN v
+        GROUP BY p.doc_id
+      )
+      SELECT doc_id, n_bigrams, sum_fp,
+             CAST(sum_fp AS DOUBLE) / n_bigrams AS avg_logprob
+      FROM scored
+      ORDER BY avg_logprob ASC, doc_id
+      LIMIT 100"""))
+
+  /** Q137 — BM25 index APPEND + serve (Lucene's segment contract,
+    * completing the incremental-maintenance family: q82 MinHash, q83
+    * IVF, q95 exact-hash, q135 clusters — retrieval was the one serving
+    * artifact still rebuilt from scratch per snapshot). q84's
+    * precomputed weight store CANNOT be appended to: every stored w_fp
+    * bakes in idf(df, N) and avgdl, and one admitted snapshot changes
+    * those for EVERY stored document. The fix is the one search engines
+    * shipped decades ago — store RAW postings (per-doc term hashes +
+    * tfs + length), whose rows never depend on corpus-global stats, and
+    * move idf/avgdl to QUERY TIME:
+    *
+    *  - artifact = postings (doc_id, hs, tfs, len) + df table (h, df) +
+    *    totals (n, Σlen). All three are ADDITIVE: append tokenizes ONLY
+    *    the arriving snapshot, unions its postings (stored rows
+    *    untouched — disjoint doc_ids by the admission contract), merges
+    *    the vocabulary-bounded df table and adds two longs. Cost ∝
+    *    snapshot + vocabulary, never corpus.
+    *  - serving resolves the request set's term idfs from the MERGED df
+    *    table (one vocabulary-table semi-join, ≤ |query terms| rows
+    *    collected) and ships them INSIDE the query broadcast;
+    *    [[graft.functions.expressions.Bm25RawScanTopK]] computes each
+    *    matched term's weight in the scan loop. Stored documents'
+    *    weights are never materialized, so there is nothing
+    *    corpus-sized to refresh — the exact reason Lucene scores with
+    *    query-time weights.
+    *
+    * The query: build the artifact on the stored split (doc_id % 10 <
+    * 8), append the arriving snapshot (% 10 >= 8), serve the % 41
+    * request set against the merged index. The merged stats equal
+    * full-corpus stats by construction (disjoint doc sets: df adds, N
+    * and Σlen add), so the DuckDB oracle is simply full-corpus BM25 —
+    * a hash match proves the composed append+query-time-idf path
+    * bit-equal to a from-scratch rebuild. Arithmetic is q84's exactly:
+    * same IEEE operation order in idf and the length factor, same
+    * floor·10⁶ quantization, exact long score sums.
+    */
+  /** The raw BM25 postings artifact: per-doc postings + df + totals.
+    * `df`/`n`/`sumLen` are the ONLY corpus-global state, all additive. */
+  private[graft] case class Bm25Raw(
+      postings: DataFrame, df: DataFrame, n: Long, sumLen: Long)
+
+  /** Raw additive BM25 statistics of `docs`: postings (doc_id, hs, tfs,
+    * len — aligned arrays, len = Σtf), hash-keyed df, and a 1-row
+    * totals frame. NOTHING here reads corpus-global state — the
+    * property that makes the artifact append-only. */
+  private[graft] def bm25RawStats(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    val tf = docs.select($"doc_id", explode(words($"text")).as("term"))
+      .groupBy($"doc_id", xxhash64($"term").as("h"))
+      .agg(count(lit(1)).as("tf"))
+    val postings = tf.groupBy($"doc_id")
+      .agg(collect_list(struct($"h", $"tf")).as("tw"), sum($"tf").as("len"))
+      .select($"doc_id", transform($"tw", x => x("h")).as("hs"),
+        transform($"tw", x => x("tf")).as("tfs"), $"len")
+    val dfT = tf.groupBy($"h").agg(count(lit(1)).as("df"))
+    val totals = postings.agg(count(lit(1)).as("n"), sum($"len").as("sum_len"))
+    (postings, dfT, totals)
+  }
+
+  /** [[bm25RawStats]] over the STORED split (doc_id % 10 < 8) of `d`,
+    * persisted once per JVM via [[IndexCache]]. */
+  private[graft] def bm25RawCached(s: SparkSession, d: String): Bm25Raw = {
+    import s.implicits._
+    val p = IndexCache.resolve(
+      "bm25raw|" + IndexCache.dataKey(d), "bm25raw") { path =>
+      val (post, dfT, totals) =
+        bm25RawStats(Tables.documents(s, d).filter($"doc_id" % 10 < 8))
+      post.write.mode("overwrite").parquet(s"$path/postings")
+      dfT.write.mode("overwrite").parquet(s"$path/df")
+      totals.write.mode("overwrite").parquet(s"$path/totals")
+    }
+    val t = s.read.parquet(s"$p/totals").head()
+    Bm25Raw(s.read.parquet(s"$p/postings"), s.read.parquet(s"$p/df"),
+      t.getLong(0), t.getLong(1))
+  }
+
+  /** Append an admitted snapshot to the raw BM25 artifact: tokenize the
+    * SNAPSHOT ONLY, union its postings (stored rows untouched), merge
+    * the vocabulary-bounded df table, add the totals. Exactly equal to
+    * rebuilding over the union (QueriesSpec) because every stat is
+    * additive over disjoint doc sets. */
+  private[graft] def appendToBm25Raw(raw: Bm25Raw, snap: DataFrame): Bm25Raw = {
+    import snap.sparkSession.implicits._
+    val (post, dfT, totals) = bm25RawStats(snap)
+    val postM = post.localCheckpoint()
+    val dfM = raw.df.unionByName(dfT).groupBy($"h")
+      .agg(sum($"df").as("df")).localCheckpoint()
+    val t = totals.head()
+    Bm25Raw(raw.postings.unionByName(postM), dfM,
+      raw.n + t.getLong(0), raw.sumLen + t.getLong(1))
+  }
+
+  /** Serving leg over the raw artifact: resolve query-term idfs from
+    * the CURRENT df table + totals, broadcast them with the inverted
+    * query index, run ONE [[graft.functions.expressions
+    * .Bm25RawScanTopK]] scan over the postings. [[bm25TopK]]'s serving
+    * hygiene (unique registration, materialize nq·k rows, destroy the
+    * broadcast). */
+  private[graft] def bm25RawTopK(raw: Bm25Raw,
+      qrows: Array[(Long, Array[Long])], k: Int): DataFrame = {
+    val s = raw.postings.sparkSession
+    import s.implicits._
+    val byTerm = qrows.zipWithIndex
+      .flatMap { case ((_, hs), qi) => hs.map(_ -> qi) }
+      .groupBy(_._1).toArray.sortBy(_._1)
+    val offsets = byTerm.scanLeft(0)(_ + _._2.length)
+    val dfMap = raw.df
+      .join(broadcast(byTerm.map(_._1).toSeq.toDF("h")), Seq("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val avgdl = raw.sumLen.toDouble / raw.n
+    val idfFp = byTerm.map { case (h, _) =>
+      dfMap.get(h) match {
+        // q84's idf expression verbatim (same IEEE operation order)
+        case Some(df) => math.floor(math.log(
+          (raw.n - df + 0.5) / (df + 0.5) + 1.0) * 1e6).toLong
+        case None => 0L // in no stored doc — unreachable in the scan
+      }
+    }
+    val bc = s.sparkContext.broadcast((qrows.map(_._1), byTerm.map(_._1),
+      offsets, byTerm.flatMap(_._2.map(_._2)), idfFp, avgdl))
+    try {
+      raw.postings.agg(graft.functions.expressions
+          .bm25_raw_scan_topk(s, bc, k, $"doc_id", $"hs", $"tfs", $"len")
+          .as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.query_id", $"e.doc_id", $"e.score_fp",
+          $"e.rank".cast("long").as("rank"))
+        .orderBy($"query_id", $"rank")
+        .localCheckpoint()
+    } finally {
+      graft.functions.expressions.dropTempFunction(
+        s, graft.functions.expressions.bm25RawScanTopKName(bc))
+      bc.destroy()
+    }
+  }
+
+  /** q137's request set: every 41st document, absolutely bounded (≤ 100
+    * queries at any SF — [[QuerySetCap]]'s argument), DISJOINT fixture
+    * from q84's % 37 so the two retrieval paths serve different
+    * requests. */
+  private[graft] def bm25RawQueryRows(s: SparkSession,
+      d: String): Array[(Long, Array[Long])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"doc_id" % 41 === 0 && $"doc_id" < 4100L)
+      .select($"doc_id",
+        array_distinct(transform(words($"text"), t => xxhash64(t))).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+  }
+
+  private val q137 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val merged = appendToBm25Raw(bm25RawCached(s, d),
+        Tables.documents(s, d).filter($"doc_id" % 10 >= 8))
+      bm25RawTopK(merged, bm25RawQueryRows(s, d), 5)
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+      ), dlen AS (
+        SELECT doc_id, COUNT(*) AS len FROM t GROUP BY doc_id
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), w AS (
+        SELECT tf.doc_id, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (doc_id) JOIN idf USING (term)
+      ), q AS (
+        SELECT doc_id AS query_id, term FROM tf
+        WHERE doc_id % 41 = 0 AND doc_id < 4100
+      ), scored AS (
+        SELECT q.query_id, w.doc_id, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN w USING (term)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY q.query_id, w.doc_id
+      ), ranked AS (
+        SELECT query_id, doc_id, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, doc_id, score_fp, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Q138 — bigram-LM APPEND + re-score: the language-model artifact's
+    * incremental-maintenance step (q137's argument applied to q85's
+    * LM). An add-one-smoothed bigram LM is nothing but count tables,
+    * and counts are ADDITIVE over disjoint doc sets — so admitting a
+    * snapshot into the training corpus needs: snapshot bigram counts
+    * merged into c12 (vocabulary²-bounded shuffle), c1 RE-DERIVED from
+    * the merged c12 (it is a projection of c12 by construction —
+    * [[trainBigramLm]]), and the vocabulary table union-distinct'd for
+    * the exact smoothing denominator v (the scalar v alone is NOT
+    * additive — overlapping vocabularies — which is why the artifact
+    * persists the word set, not just its count). Append cost ∝ snapshot
+    * tokens + vocabulary; the stored training corpus is never re-read.
+    *
+    * The query: q85's LM (trained on % 10 < 8) absorbs the % 10 = 8
+    * snapshot, then the % 10 = 9 held-out split is scored under the
+    * UPDATED model, worst 100 by avg log-prob. The oracle trains on
+    * % 10 < 9 from scratch — a hash match proves append == retrain on
+    * the union, exactly (fixed-point per-bigram log-probs, one final
+    * long/long→double division).
+    */
+  private val q138 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val (lm, _) = appendToBigramLm(bigramLmCached(s, d),
+        bigramLmVocab(s, d), docs.filter($"doc_id" % 10 === 8))
+      lmScoreDocs(docs.filter($"doc_id" % 10 === 9), lm)
+        .orderBy($"avg_logprob".asc, $"doc_id")
+        .limit(100)
+        .select($"doc_id", $"n_bigrams", $"sum_fp", $"avg_logprob")
+    },
+    oracle = Some("""
+      WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM dw WHERE len(w) >= 2
+      ), c12 AS (
+        SELECT bg, COUNT(*) AS c12 FROM bg WHERE doc_id % 10 < 9 GROUP BY bg
+      ), c1 AS (
+        SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c12 GROUP BY 1
+      ), v AS (
+        SELECT COUNT(DISTINCT word) AS v FROM (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id % 10 < 9)
+      ), scored AS (
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(LN((COALESCE(c12, 0) + 1.0) /
+                 (COALESCE(c1, 0) + v)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_fp
+        FROM (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+              FROM bg WHERE doc_id % 10 = 9) p
         LEFT JOIN c12 USING (bg)
         LEFT JOIN c1 USING (w1)
         CROSS JOIN v
@@ -4165,6 +4465,8 @@ ORDER BY a.source"""
     "q23_token_stats" -> q23,
     "q23b_bpe_token_stats" -> q23b,
     "q135_dedup_cluster_append" -> q135,
+    "q137_bm25_index_append" -> q137,
+    "q138_lm_append_rescore" -> q138,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q46_decontamination" -> q46,

@@ -496,6 +496,53 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("bm25_raw_scan_topk: in-scan weights match the builder formula; alignment guard") {
+    import spark.implicits._
+    // all docs at len == avgdl → length factor 1.2·(0.25+0.75) = 1.2,
+    // so the tf saturation is floor(tf·2.2/(tf+1.2)·1e6):
+    // tf=1 → 1000000, tf=2 → 1375000, tf=3 → 1571428
+    val docs = Seq(
+      (1L, Seq(10L, 20L), Seq(1L, 2L), 4L),
+      (2L, Seq(10L), Seq(3L), 4L),
+      (3L, Seq(20L), Seq(1L), 4L)).toDF("doc_id", "hs", "tfs", "len")
+    // q7 ~ {10} idf 2, q8 ~ {20} idf 3 (query ids outside the doc ids —
+    // self-exclusion is bm25_scan_topk's covered branch)
+    val bc = spark.sparkContext.broadcast(
+      (Array(7L, 8L), Array(10L, 20L), Array(0, 1, 2), Array(0, 1),
+        Array(2L, 3L), 4.0))
+    try {
+      val got = docs
+        .agg(expressions.bm25_raw_scan_topk(spark, bc, 5,
+          $"doc_id", $"hs", $"tfs", $"len").as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.query_id", $"e.doc_id", $"e.rank", $"e.score_fp")
+        .orderBy($"query_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      assert(got.toSeq == Seq(
+        (7L, 2L, 1, 2L * 1571428L), (7L, 1L, 2, 2L * 1000000L),
+        (8L, 1L, 1, 3L * 1375000L), (8L, 3L, 2, 3L * 1000000L)))
+    } finally {
+      expressions.dropTempFunction(spark, expressions.bm25RawScanTopKName(bc))
+      bc.destroy()
+    }
+    // misaligned store: tfs shorter than hs must fail loudly
+    val bad = Seq((1L, Seq(10L, 20L), Seq(1L), 4L)).toDF("doc_id", "hs", "tfs", "len")
+    val bc2 = spark.sparkContext.broadcast(
+      (Array(7L), Array(10L), Array(0, 1), Array(0), Array(2L), 4.0))
+    try {
+      val e = intercept[Exception] {
+        bad.agg(expressions.bm25_raw_scan_topk(spark, bc2, 5,
+          $"doc_id", $"hs", $"tfs", $"len").as("t")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("must align")))
+    } finally {
+      expressions.dropTempFunction(spark, expressions.bm25RawScanTopKName(bc2))
+      bc2.destroy()
+    }
+  }
+
   test("kernels are callable from SQL") {
     import spark.implicits._
     Seq((Seq("a b c"), "hello world of sparks")).toDF("sh", "t")

@@ -1988,4 +1988,68 @@ class QueriesSpec extends SparkSpec {
         (nab.toLong * nUsers).toDouble / (nT(typeA).toLong * nT(typeB)).toDouble)
     }
   }
+
+  test("BM25 raw artifact: append == from-scratch raw stats over the union") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    // postings rows carry collect_list arrays whose in-row order is
+    // nondeterministic — normalize to per-doc sorted (h, tf) pairs
+    def norm(p: org.apache.spark.sql.DataFrame) = p.collect().map { r =>
+      (r.getLong(0),
+        r.getSeq[Long](1).zip(r.getSeq[Long](2)).sortBy(_._1).toSeq,
+        r.getLong(3))
+    }.sortBy(_._1).toSeq
+    val (p0, df0, t0) = TextOps.bm25RawStats(docs.filter($"doc_id" % 10 < 8))
+    val t0r = t0.head()
+    val raw = TextOps.Bm25Raw(p0, df0, t0r.getLong(0), t0r.getLong(1))
+    val merged = TextOps.appendToBm25Raw(raw, docs.filter($"doc_id" % 10 >= 8))
+    val (pf, dff, tff) = TextOps.bm25RawStats(docs)
+    val tfr = tff.head()
+    assert(merged.n == tfr.getLong(0) && merged.sumLen == tfr.getLong(1))
+    assert(merged.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq ==
+      dff.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    assert(norm(merged.postings) == norm(pf))
+  }
+
+  test("BM25 raw-postings serving == precomputed-weight-store serving") {
+    import spark.implicits._
+    // the query-time-idf scan kernel against the established build-time-
+    // weight path, same corpus, same request set — bit-identical output
+    // is the Bm25RawScanTopK arithmetic contract
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val (p, dfT, t) = TextOps.bm25RawStats(docs)
+    val tr = t.head()
+    val raw = TextOps.Bm25Raw(p, dfT, tr.getLong(0), tr.getLong(1))
+    val qrows = TextOps.bm25RawQueryRows(spark, sf0001)
+    val a = TextOps.bm25RawTopK(raw, qrows, 5)
+      .collect().map(_.toString).toSeq
+    val b = TextOps.bm25TopK(TextOps.bm25WeightStore(docs), qrows, 5)
+      .collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("bigram LM append == retrain on the union; chained appends compose") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def vocabOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split($"text", " ")).as("word")).distinct()
+    val lm0 = TextOps.trainBigramLm(docs.filter($"doc_id" % 10 < 8))
+    val (lm1, vocab1) = TextOps.appendToBigramLm(lm0,
+      vocabOf(docs.filter($"doc_id" % 10 < 8)), docs.filter($"doc_id" % 10 === 8))
+    val lmU = TextOps.trainBigramLm(docs.filter($"doc_id" % 10 < 9))
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(lm1.v == lmU.v)
+    assert(tab(lm1.c12) == tab(lmU.c12))
+    assert(tab(lm1.c1) == tab(lmU.c1))
+    val held = docs.filter($"doc_id" % 10 === 9)
+    val a = tab(TextOps.lmScoreDocs(held, lm1))
+    val b = tab(TextOps.lmScoreDocs(held, lmU))
+    assert(a.nonEmpty && a == b)
+    // second append (the returned vocabulary feeds the next snapshot):
+    // v must equal the full-corpus distinct word count
+    val (lm2, _) = TextOps.appendToBigramLm(lm1, vocab1, held)
+    assert(lm2.v == vocabOf(docs).count())
+  }
 }
