@@ -82,7 +82,14 @@ object ScaleBench {
     // round-9: incremental cluster maintenance — rep 1 pays the stored
     // clustering + index artifacts, min-of-reps is the snapshot probe +
     // touched-component CC (the steady-state serving cost)
-    "q135_dedup_cluster_append")
+    "q135_dedup_cluster_append",
+    // round-9: retrieval-artifact maintenance — rep 1 pays the stored-
+    // split raw-postings artifact (q137) / LM artifact (q138); min-of-
+    // reps is snapshot tokenize + vocab-bounded merge + one serve scan.
+    // NOTE the %10 split convention again grows the "snapshot" with the
+    // corpus; Bm25AppendProbe holds it fixed for the cost-∝-snapshot
+    // claim
+    "q137_bm25_index_append", "q138_lm_append_rescore")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -3502,36 +3502,54 @@ ORDER BY a.source"""
   private[graft] case class Bm25Raw(
       postings: DataFrame, df: DataFrame, n: Long, sumLen: Long)
 
-  /** Raw additive BM25 statistics of `docs`: postings (doc_id, hs, tfs,
-    * len — aligned arrays, len = Σtf), hash-keyed df, and a 1-row
-    * totals frame. NOTHING here reads corpus-global state — the
-    * property that makes the artifact append-only. */
-  private[graft] def bm25RawStats(docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** Raw postings of `docs`: (doc_id, hs, tfs, len) — aligned arrays,
+    * len = Σtf. NOTHING here reads corpus-global state — the property
+    * that makes the artifact append-only. The df table and totals are
+    * PROJECTIONS of the postings ([[bm25DfOf]]/[[bm25TotalsOf]]), so
+    * one tokenize pass feeds all three artifact tables — materialize
+    * the postings first and derive the other two from them. */
+  private[graft] def bm25RawPostings(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val tf = docs.select($"doc_id", explode(words($"text")).as("term"))
+    docs.select($"doc_id", explode(words($"text")).as("term"))
       .groupBy($"doc_id", xxhash64($"term").as("h"))
       .agg(count(lit(1)).as("tf"))
-    val postings = tf.groupBy($"doc_id")
+      .groupBy($"doc_id")
       .agg(collect_list(struct($"h", $"tf")).as("tw"), sum($"tf").as("len"))
       .select($"doc_id", transform($"tw", x => x("h")).as("hs"),
         transform($"tw", x => x("tf")).as("tfs"), $"len")
-    val dfT = tf.groupBy($"h").agg(count(lit(1)).as("df"))
-    val totals = postings.agg(count(lit(1)).as("n"), sum($"len").as("sum_len"))
-    (postings, dfT, totals)
   }
 
-  /** [[bm25RawStats]] over the STORED split (doc_id % 10 < 8) of `d`,
-    * persisted once per JVM via [[IndexCache]]. */
+  /** Hash-keyed document frequency, derived from postings (each doc's
+    * hs entries are distinct by the tf grouping, so one explode+count
+    * is exactly df). */
+  private[graft] def bm25DfOf(postings: DataFrame): DataFrame = {
+    import postings.sparkSession.implicits._
+    postings.select(explode($"hs").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+  }
+
+  /** (n docs, Σlen) from postings. */
+  private[graft] def bm25TotalsOf(postings: DataFrame): (Long, Long) = {
+    import postings.sparkSession.implicits._
+    val r = postings.agg(count(lit(1)).as("n"), sum($"len").as("sum_len")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The raw artifact over the STORED split (doc_id % 10 < 8) of `d`,
+    * persisted once per JVM via [[IndexCache]]. ONE tokenize pass: the
+    * postings parquet is written first, then df/totals derive from the
+    * written postings, never re-reading the text. */
   private[graft] def bm25RawCached(s: SparkSession, d: String): Bm25Raw = {
     import s.implicits._
     val p = IndexCache.resolve(
       "bm25raw|" + IndexCache.dataKey(d), "bm25raw") { path =>
-      val (post, dfT, totals) =
-        bm25RawStats(Tables.documents(s, d).filter($"doc_id" % 10 < 8))
-      post.write.mode("overwrite").parquet(s"$path/postings")
-      dfT.write.mode("overwrite").parquet(s"$path/df")
-      totals.write.mode("overwrite").parquet(s"$path/totals")
+      bm25RawPostings(Tables.documents(s, d).filter($"doc_id" % 10 < 8))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      val post = s.read.parquet(s"$path/postings")
+      bm25DfOf(post).write.mode("overwrite").parquet(s"$path/df")
+      val (n, sumLen) = bm25TotalsOf(post)
+      Seq((n, sumLen)).toDF("n", "sum_len")
+        .write.mode("overwrite").parquet(s"$path/totals")
     }
     val t = s.read.parquet(s"$p/totals").head()
     Bm25Raw(s.read.parquet(s"$p/postings"), s.read.parquet(s"$p/df"),
@@ -3539,19 +3557,19 @@ ORDER BY a.source"""
   }
 
   /** Append an admitted snapshot to the raw BM25 artifact: tokenize the
-    * SNAPSHOT ONLY, union its postings (stored rows untouched), merge
-    * the vocabulary-bounded df table, add the totals. Exactly equal to
-    * rebuilding over the union (QueriesSpec) because every stat is
-    * additive over disjoint doc sets. */
+    * SNAPSHOT ONLY (one pass — df/totals derive from the materialized
+    * snapshot postings), union its postings (stored rows untouched),
+    * merge the vocabulary-bounded df table, add the totals. Exactly
+    * equal to rebuilding over the union (QueriesSpec) because every
+    * stat is additive over disjoint doc sets. */
   private[graft] def appendToBm25Raw(raw: Bm25Raw, snap: DataFrame): Bm25Raw = {
     import snap.sparkSession.implicits._
-    val (post, dfT, totals) = bm25RawStats(snap)
-    val postM = post.localCheckpoint()
-    val dfM = raw.df.unionByName(dfT).groupBy($"h")
+    val postM = bm25RawPostings(snap).localCheckpoint()
+    val dfM = raw.df.unionByName(bm25DfOf(postM)).groupBy($"h")
       .agg(sum($"df").as("df")).localCheckpoint()
-    val t = totals.head()
+    val (n, sumLen) = bm25TotalsOf(postM)
     Bm25Raw(raw.postings.unionByName(postM), dfM,
-      raw.n + t.getLong(0), raw.sumLen + t.getLong(1))
+      raw.n + n, raw.sumLen + sumLen)
   }
 
   /** Serving leg over the raw artifact: resolve query-term idfs from

@@ -1999,13 +1999,14 @@ class QueriesSpec extends SparkSpec {
         r.getSeq[Long](1).zip(r.getSeq[Long](2)).sortBy(_._1).toSeq,
         r.getLong(3))
     }.sortBy(_._1).toSeq
-    val (p0, df0, t0) = TextOps.bm25RawStats(docs.filter($"doc_id" % 10 < 8))
-    val t0r = t0.head()
-    val raw = TextOps.Bm25Raw(p0, df0, t0r.getLong(0), t0r.getLong(1))
+    val p0 = TextOps.bm25RawPostings(docs.filter($"doc_id" % 10 < 8))
+    val (n0, l0) = TextOps.bm25TotalsOf(p0)
+    val raw = TextOps.Bm25Raw(p0, TextOps.bm25DfOf(p0), n0, l0)
     val merged = TextOps.appendToBm25Raw(raw, docs.filter($"doc_id" % 10 >= 8))
-    val (pf, dff, tff) = TextOps.bm25RawStats(docs)
-    val tfr = tff.head()
-    assert(merged.n == tfr.getLong(0) && merged.sumLen == tfr.getLong(1))
+    val pf = TextOps.bm25RawPostings(docs)
+    val dff = TextOps.bm25DfOf(pf)
+    val (nf, lf) = TextOps.bm25TotalsOf(pf)
+    assert(merged.n == nf && merged.sumLen == lf)
     assert(merged.df.collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1).toSeq ==
       dff.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
@@ -2018,9 +2019,9 @@ class QueriesSpec extends SparkSpec {
     // weight path, same corpus, same request set — bit-identical output
     // is the Bm25RawScanTopK arithmetic contract
     val docs = graft.sources.Tables.documents(spark, sf0001)
-    val (p, dfT, t) = TextOps.bm25RawStats(docs)
-    val tr = t.head()
-    val raw = TextOps.Bm25Raw(p, dfT, tr.getLong(0), tr.getLong(1))
+    val p = TextOps.bm25RawPostings(docs)
+    val (n, l) = TextOps.bm25TotalsOf(p)
+    val raw = TextOps.Bm25Raw(p, TextOps.bm25DfOf(p), n, l)
     val qrows = TextOps.bm25RawQueryRows(spark, sf0001)
     val a = TextOps.bm25RawTopK(raw, qrows, 5)
       .collect().map(_.toString).toSeq
