@@ -179,19 +179,11 @@ object LangId {
       .select($"doc_id", $"lang".as("lang_pred"), $"score_fp")
   }
 
-  private val q100 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val test = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .filter($"doc_id" % 10 >= 8)
-      langIdScoreDocs(test.select($"doc_id", $"text"), langIdModelCached(s, d))
-        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
-        .select($"lang", $"lang_pred")
-        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
-        .orderBy($"lang", $"lang_pred")
-    },
-    oracle = Some("""
+  /** The fitted-model CTEs shared by q100's and q139's oracles (the
+    * qualityOracleCtes pattern): train split, trigram counts, priors,
+    * smoothed weights — [[trainLangIdNb]] replayed in SQL. Ends with
+    * `w` (lang, g, w_fp) and `stats` (lang, prior_fp, unseen_fp). */
+  private val langidModelCtes: String = """
       WITH train AS (
         SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 < 8
       ), test AS (
@@ -219,7 +211,22 @@ object LangId {
         SELECT lg.lang, lg.g,
                CAST(FLOOR(LN(CAST(c + 1 AS DOUBLE) / CAST(nl + v AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
         FROM lg JOIN lt ON lt.lang = lg.lang CROSS JOIN voc
-      ), testg AS (
+      )"""
+
+  private val q100 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val test = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 >= 8)
+      langIdScoreDocs(test.select($"doc_id", $"text"), langIdModelCached(s, d))
+        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+        .select($"lang", $"lang_pred")
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"lang_pred")
+    },
+    oracle = Some(langidModelCtes + """
+      , testg AS (
         SELECT doc_id, unnest(list_transform(generate_series(1, len(text) - 2),
                i -> substr(text, i, 3))) AS g
         FROM test
@@ -453,9 +460,133 @@ object LangId {
       GROUP BY logodds_bin
       ORDER BY logodds_bin"""))
 
+  /** Q139 — windowed code-switch detection: document-level language ID
+    * (q100) misses MIXED-language documents — boilerplate in one
+    * language wrapping content in another, quoted passages, machine-
+    * concatenated crawls — which pollute monolingual training splits
+    * with a label that is only majority-true. The standard cheap
+    * detector re-runs the trained classifier per WINDOW: each held-out
+    * document is chunked into fixed 16-word windows (non-overlapping;
+    * word-split then space-rejoin reproduces exact substrings), every
+    * chunk is scored under q100's SHARED NbScore model artifact, and
+    * the per-document summary (chunk count, distinct predicted
+    * languages, dominant language by chunk votes with a deterministic
+    * (votes desc, lang asc) tie-break, adjacent-chunk switch count) is
+    * emitted per doc. n_langs ≥ 2 / n_switches > 0 are the downstream
+    * filter's levers; the full summary ships so the query is a
+    * deterministic, hash-checkable corpus report rather than a
+    * threshold choice.
+    *
+    * Scale shape: chunk scoring is the SAME scan-local kernel pass as
+    * q100 (chunks ride as posexploded pseudo-docs keyed doc_id·2²⁰+ci —
+    * zero joins, zero model shuffles, cost ∝ corpus code units ×
+    * |langs|); the two per-doc aggregations (lag-window switch count,
+    * vote argmax) shuffle one row per CHUNK, map-side combined — no
+    * corpus text moves. Exactness: chunk scores are q100's exact
+    * fixed-point longs; every output column is an integer or a label.
+    */
+  private val q139 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val m = langIdModelCached(s, d)
+      val test = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 >= 8)
+      val chunks = test
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), ceil(size($"ws") / lit(16.0)).cast("int") - 1),
+          i => array_join(slice($"ws", i * 16 + 1, lit(16)), " ")))
+          .as(Seq("ci0", "ctext")))
+      // chunk key = doc_id·2²⁰ + (ci0+1): bijective for ≤ 2²⁰−1 chunks
+      // per doc (docs are ≤ a few hundred words) at any corpus size
+      val preds = langIdScoreDocs(
+        chunks.select(($"doc_id" * 1048576 + $"ci0" + 1).as("doc_id"),
+          $"ctext".as("text")), m)
+        .select(expr("doc_id div 1048576").as("doc_id"),
+          pmod($"doc_id", lit(1048576L)).as("ci"), $"lang_pred")
+      val stats = preds
+        .withColumn("prev", lag($"lang_pred", 1).over(
+          Window.partitionBy($"doc_id").orderBy($"ci")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct($"lang_pred").as("n_langs"),
+          sum(when($"prev".isNotNull && $"prev" =!= $"lang_pred", 1L)
+            .otherwise(0L)).as("n_switches"))
+      val dominant = preds.groupBy($"doc_id", $"lang_pred")
+        .agg(count(lit(1)).as("nc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"nc".desc, $"lang_pred")))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang_pred".as("dominant_lang"))
+      stats.join(dominant, Seq("doc_id"))
+        .select($"doc_id", $"n_chunks", $"n_langs", $"dominant_lang",
+          $"n_switches")
+        .orderBy($"doc_id")
+    },
+    oracle = Some(langidModelCtes + """
+      , dw AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(CEIL(len(string_split(text, ' ')) / 16.0) AS BIGINT) AS nc
+        FROM test
+      ), chunks AS (
+        SELECT doc_id, ci,
+               array_to_string(list_slice(ws, (ci - 1) * 16 + 1, ci * 16), ' ') AS ctext
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, nc)) AS ci FROM dw)
+      ), cg AS (
+        SELECT doc_id, ci, unnest(list_transform(generate_series(1, len(ctext) - 2),
+               i -> substr(ctext, i, 3))) AS g
+        FROM chunks
+      ), tc AS (
+        SELECT doc_id, ci, g, COUNT(*) AS tc FROM cg GROUP BY doc_id, ci, g
+      ), seen AS (
+        SELECT tc.doc_id, tc.ci, w.lang,
+               CAST(SUM(tc * w_fp) AS BIGINT) AS seen_fp,
+               CAST(SUM(tc) AS BIGINT) AS seen_c
+        FROM tc JOIN w USING (g)
+        GROUP BY tc.doc_id, tc.ci, w.lang
+      ), grid AS (
+        SELECT c.doc_id, c.ci, s.lang, s.prior_fp, s.unseen_fp,
+               CAST(GREATEST(len(c.ctext) - 2, 0) AS BIGINT) AS tt
+        FROM chunks c CROSS JOIN stats s
+      ), scoredc AS (
+        SELECT g.doc_id, g.ci, g.lang,
+               g.prior_fp + COALESCE(se.seen_fp, 0) +
+                 (g.tt - COALESCE(se.seen_c, 0)) * g.unseen_fp AS score_fp
+        FROM grid g LEFT JOIN seen se
+          ON se.doc_id = g.doc_id AND se.ci = g.ci AND se.lang = g.lang
+      ), predc AS (
+        SELECT doc_id, ci, lang AS lang_pred,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, ci
+                                  ORDER BY score_fp DESC, lang) AS rn
+        FROM scoredc
+      ), p AS (
+        SELECT doc_id, ci, lang_pred FROM predc WHERE rn = 1
+      ), agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> lang_pred
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+        FROM (SELECT doc_id, ci, lang_pred,
+                     LAG(lang_pred) OVER (PARTITION BY doc_id ORDER BY ci) AS prev
+              FROM p)
+        GROUP BY doc_id
+      ), dom AS (
+        SELECT doc_id, lang_pred AS dominant_lang FROM (
+          SELECT doc_id, lang_pred,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY COUNT(*) DESC, lang_pred) AS rn
+          FROM p GROUP BY doc_id, lang_pred) WHERE rn = 1
+      )
+      SELECT agg.doc_id, n_chunks, n_langs, dominant_lang, n_switches
+      FROM agg JOIN dom USING (doc_id)
+      ORDER BY agg.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q100_langid_trained" -> q100,
     "q102_quality_classifier" -> q102,
     "q129_quality_calibration" -> q129,
+    "q139_codeswitch_windows" -> q139,
   )
 }

@@ -134,4 +134,35 @@ class LangIdSpec extends SparkSpec {
     }
     assert(bins.map(_.getLong(0)).toSet == naive.keySet)
   }
+
+  test("q139: held-out coverage, chunk law, switch bounds, dominant membership") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q139_codeswitch_windows")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 >= 8)
+      .select($"doc_id", size(split($"text", " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // one summary row per held-out doc
+    assert(out.map(_._1).toSet == docs.keySet)
+    val trainLangs = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 < 8).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    out.foreach { case (id, nChunks, nLangs, dom, nSwitches) =>
+      // chunk count law: ceil(words / 16)
+      assert(nChunks == (docs(id) + 15) / 16, s"doc $id chunk count")
+      assert(nLangs >= 1 && nLangs <= nChunks)
+      assert(nSwitches >= 0 && nSwitches <= nChunks - 1)
+      // a doc predicted monolingual cannot have switches; switches imply langs
+      if (nLangs == 1) assert(nSwitches == 0)
+      if (nSwitches == 0 && nChunks > 1)
+        assert(nLangs == 1, s"doc $id: zero switches but $nLangs langs")
+      assert(trainLangs.contains(dom))
+    }
+    // the corpus's weak per-chunk signal must actually produce BOTH
+    // monolingual and mixed verdicts — otherwise the query discriminates
+    // nothing and the invariants above are vacuous
+    assert(out.exists(_._3 >= 2) && out.exists(_._3 == 1))
+  }
 }
