@@ -89,7 +89,10 @@ object ScaleBench {
     // NOTE the %10 split convention again grows the "snapshot" with the
     // corpus; Bm25AppendProbe holds it fixed for the cost-∝-snapshot
     // claim
-    "q137_bm25_index_append", "q138_lm_append_rescore")
+    "q137_bm25_index_append", "q138_lm_append_rescore",
+    // round-9: per-window langid — q100's scan-local kernel pass over
+    // posexploded chunks + two chunk-row aggregations
+    "q139_codeswitch_windows")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

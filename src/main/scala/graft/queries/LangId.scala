@@ -485,43 +485,54 @@ object LangId {
     * corpus text moves. Exactness: chunk scores are q100's exact
     * fixed-point longs; every output column is an integer or a label.
     */
+  /** q139's core, shared verbatim with the streaming ingest gate
+    * ([[graft.streaming.Pipeline.runCodeSwitchGateStream]]) so a
+    * document summarizes identically in stream and batch: (doc_id,
+    * text) → (doc_id, n_chunks, n_langs, dominant_lang, n_switches)
+    * under 16-word windows and model `m`. */
+  private[graft] def codeSwitchSummary(docs: DataFrame, m: NbModel): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chunks = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), ceil(size($"ws") / lit(16.0)).cast("int") - 1),
+        i => array_join(slice($"ws", i * 16 + 1, lit(16)), " ")))
+        .as(Seq("ci0", "ctext")))
+    // chunk key = doc_id·2²⁰ + (ci0+1): bijective for ≤ 2²⁰−1 chunks
+    // per doc (docs are ≤ a few hundred words) at any corpus size
+    val preds = langIdScoreDocs(
+      chunks.select(($"doc_id" * 1048576 + $"ci0" + 1).as("doc_id"),
+        $"ctext".as("text")), m)
+      .select(expr("doc_id div 1048576").as("doc_id"),
+        pmod($"doc_id", lit(1048576L)).as("ci"), $"lang_pred")
+    val stats = preds
+      .withColumn("prev", lag($"lang_pred", 1).over(
+        Window.partitionBy($"doc_id").orderBy($"ci")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct($"lang_pred").as("n_langs"),
+        sum(when($"prev".isNotNull && $"prev" =!= $"lang_pred", 1L)
+          .otherwise(0L)).as("n_switches"))
+    val dominant = preds.groupBy($"doc_id", $"lang_pred")
+      .agg(count(lit(1)).as("nc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"nc".desc, $"lang_pred")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang_pred".as("dominant_lang"))
+    stats.join(dominant, Seq("doc_id"))
+      .select($"doc_id", $"n_chunks", $"n_langs", $"dominant_lang",
+        $"n_switches")
+  }
+
   private val q139 = Q(
     fn = (s, d) => {
       import s.implicits._
-      val m = langIdModelCached(s, d)
       val test = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .filter($"doc_id" % 10 >= 8)
-      val chunks = test
-        .select($"doc_id", split($"text", " ").as("ws"))
-        .select($"doc_id", posexplode(transform(
-          sequence(lit(0), ceil(size($"ws") / lit(16.0)).cast("int") - 1),
-          i => array_join(slice($"ws", i * 16 + 1, lit(16)), " ")))
-          .as(Seq("ci0", "ctext")))
-      // chunk key = doc_id·2²⁰ + (ci0+1): bijective for ≤ 2²⁰−1 chunks
-      // per doc (docs are ≤ a few hundred words) at any corpus size
-      val preds = langIdScoreDocs(
-        chunks.select(($"doc_id" * 1048576 + $"ci0" + 1).as("doc_id"),
-          $"ctext".as("text")), m)
-        .select(expr("doc_id div 1048576").as("doc_id"),
-          pmod($"doc_id", lit(1048576L)).as("ci"), $"lang_pred")
-      val stats = preds
-        .withColumn("prev", lag($"lang_pred", 1).over(
-          Window.partitionBy($"doc_id").orderBy($"ci")))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          count_distinct($"lang_pred").as("n_langs"),
-          sum(when($"prev".isNotNull && $"prev" =!= $"lang_pred", 1L)
-            .otherwise(0L)).as("n_switches"))
-      val dominant = preds.groupBy($"doc_id", $"lang_pred")
-        .agg(count(lit(1)).as("nc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"nc".desc, $"lang_pred")))
-        .filter($"rn" === 1)
-        .select($"doc_id", $"lang_pred".as("dominant_lang"))
-      stats.join(dominant, Seq("doc_id"))
-        .select($"doc_id", $"n_chunks", $"n_langs", $"dominant_lang",
-          $"n_switches")
+      codeSwitchSummary(test.select($"doc_id", $"text"),
+        langIdModelCached(s, d))
         .orderBy($"doc_id")
     },
     oracle = Some(langidModelCtes + """

@@ -1078,6 +1078,34 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q139 — per-window code-switch detection on the
+    * ingest path: q100's model is loaded once at stream start, and each
+    * arriving micro-batch runs the SHARED
+    * [[graft.queries.LangId.codeSwitchSummary]] core (16-word windows,
+    * per-chunk NbScore kernel pass, vote argmax) — a document gets the
+    * same (n_chunks, n_langs, dominant_lang, n_switches) verdict in
+    * stream and batch by construction. The langid gate labels the doc;
+    * this gate flags when the label is only majority-true. */
+  def runCodeSwitchGateStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val m = graft.queries.LangId.langIdModelCached(s, corpusDir)
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite: idempotent on replay
+        graft.queries.LangId.codeSwitchSummary(
+          batch.select(col("doc_id"), col("text")), m)
+          .write.mode("overwrite").parquet(s"$outDir/codeswitch/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q102 — the model-based quality gate on the ingest
     * path: the weak-supervised binary NB
     * ([[graft.queries.LangId.qualityModelCached]]) is fitted once at

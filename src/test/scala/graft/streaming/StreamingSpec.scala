@@ -363,6 +363,32 @@ class StreamingSpec extends SparkSpec {
     assert(q100rows == confusion)
   }
 
+  test("streaming code-switch gate: per-doc window summaries == batch q139 on the same rows") {
+    import org.apache.spark.sql.functions.{lit, struct, to_json}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("cs_in")
+    val out = tmpDir("cs_out")
+    val ckpt = tmpDir("cs_ckpt")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    val lines = docs.filter($"doc_id" % 10 >= 8)
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id", $"text")))
+      .collect().map(_.getString(0))
+    val half = lines.length / 2
+    writeJsonl(in, "b1.jsonl", lines.take(half).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines.drop(half).toIndexedSeq: _*)
+
+    Pipeline.runCodeSwitchGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val streamed = spark.read.parquet(s"$out/codeswitch")
+      .drop("batch") // batchId partition column from the idempotent write
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.SparkEntry.queries("q139_codeswitch_windows")(spark, corpus)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming perceptual frame gate: per-doc frame matches == batch q136 on the same rows") {
     import org.apache.spark.sql.functions.{lit, struct, to_json}
     import spark.implicits._
