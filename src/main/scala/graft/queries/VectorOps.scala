@@ -1300,15 +1300,40 @@ object VectorOps {
         slice($"xq", m * pqDsub + 1, pqDsub)): _*)).as(Seq("m", "v")))
   }
 
-  /** q78's training leg — see q78's Scaladoc for the recipe and the
-    * integer-exactness contract. Shared with the streaming lookup twin
-    * ([[graft.streaming.Pipeline.runPqLookupStream]]). */
-  private[graft] def pqTrain(s: SparkSession, d: String): PqIndex = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
-      .persist()
+  /** Nearest-codebook assignment of (vec_id, m, v) subvectors against
+    * FROZEN centroid arrays — the exact expressions (sq_dist, (dist,
+    * cid)-ascending tie-break) used at every training round, at
+    * build-time encoding AND at append-time encoding ([[encodePq]]),
+    * one implementation so the three can never drift. */
+  private def pqAssign(subs: DataFrame,
+      cents: Array[Array[Array[Long]]]): DataFrame = {
+    import subs.sparkSession.implicits._
+    val c = typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+    val scored = (0 until pqK).map { k =>
+      struct(
+        graft.functions.expressions.sq_dist($"v",
+          element_at(element_at(c, $"m" + 1), k + 1)).as("dist"),
+        lit(k).as("cid"))
+    }
+    subs.withColumn("a", least(scored: _*))
+      .select($"vec_id", $"m", $"v", $"a.cid".as("cid"))
+  }
+
+  /** Long-format assignments → the wide per-vector code store the ADC
+    * kernel consumes (struct sort orders by m; cid unique per (vec, m)
+    * so the sort is total). */
+  private def pqWideCodes(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned.groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"m", $"cid"))).as("mc"))
+      .select($"vec_id", transform($"mc", e => e("cid")).as("codes"))
+  }
+
+  /** q78's training leg over a prepared (vec_id, xq) frame — see q78's
+    * Scaladoc for the recipe and the integer-exactness contract. */
+  private[graft] def pqTrainOn(emb0: DataFrame): PqIndex = {
+    import emb0.sparkSession.implicits._
+    val emb = emb0.persist()
     try {
       val subs = pqSubs(emb)
       // per-subspace seeds: the K lowest-vec_id vectors, sliced
@@ -1317,17 +1342,7 @@ object VectorOps {
           .map(_.getSeq[Long](0).toArray)
         Array.tabulate(pqM)(m => seed.map(_.slice(m * pqDsub, m * pqDsub + pqDsub)))
       }
-      def assigned: DataFrame = {
-        val c = typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq)
-        val scored = (0 until pqK).map { k =>
-          struct(
-            graft.functions.expressions.sq_dist($"v",
-              element_at(element_at(c, $"m" + 1), k + 1)).as("dist"),
-            lit(k).as("cid"))
-        }
-        subs.withColumn("a", least(scored: _*))
-          .select($"vec_id", $"m", $"v", $"a.cid".as("cid"))
-      }
+      def assigned: DataFrame = pqAssign(subs, cents)
       for (_ <- 1 to 2) {
         val sums = assigned
           .select($"m", $"cid", posexplode($"v").as(Seq("pos", "qx")))
@@ -1341,18 +1356,21 @@ object VectorOps {
         }
         cents = next
       }
-      // wide codes: one row per vector, m-ordered id array — the store
-      // the ADC kernel consumes (struct sort orders by m; cid is unique
-      // per (vec, m) so the sort is total)
-      val codes = assigned
-        .groupBy($"vec_id")
-        .agg(array_sort(collect_list(struct($"m", $"cid"))).as("mc"))
-        .select($"vec_id", transform($"mc", e => e("cid")).as("codes"))
-        .localCheckpoint()
+      val codes = pqWideCodes(assigned).localCheckpoint()
       val centDf = (for (m <- 0 until pqM; k <- 0 until pqK)
         yield (m, k, cents(m)(k).toSeq)).toDF("m", "cid", "c")
       PqIndex(codes, centDf)
     } finally emb.unpersist()
+  }
+
+  /** [[pqTrainOn]] over dataset `d`'s full embeddings table — shared
+    * with the streaming lookup twin
+    * ([[graft.streaming.Pipeline.runPqLookupStream]]). */
+  private[graft] def pqTrain(s: SparkSession, d: String): PqIndex = {
+    import s.implicits._
+    pqTrainOn(Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq")))
   }
 
   /** Persist a trained [[PqIndex]] (codes + codebook as two parquet
@@ -1385,6 +1403,49 @@ object VectorOps {
     loadPqIndex(s, IndexCache.resolve(
       "pq|" + IndexCache.dataKey(d), "pq") { p =>
       savePqIndex(pqTrain(s, d), p)
+    })
+
+  /** The M·K codebook of `idx` collected back to the primitive array
+    * form [[pqAssign]] consumes — 128 rows, the bounded-collect
+    * budget. */
+  private def centsArray(idx: PqIndex): Array[Array[Array[Long]]] = {
+    val arr: Array[Array[Array[Long]]] =
+      Array.fill(pqM, pqK)(Array.empty[Long])
+    idx.cents.collect().foreach { r =>
+      arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
+    }
+    arr
+  }
+
+  /** Encode (vec_id, xq) vectors against `idx`'s FROZEN codebook —
+    * training's exact assignment expressions via [[pqAssign]], so
+    * append-time codes are bit-equal to what build-time encoding of the
+    * same vectors would have produced. */
+  private[graft] def encodePq(vecs: DataFrame, idx: PqIndex): DataFrame =
+    pqWideCodes(pqAssign(pqSubs(vecs), centsArray(idx)))
+
+  /** Append an admitted vector snapshot to the PQ serving index:
+    * arriving vectors encode against the FROZEN codebook (the standard
+    * PQ/IVF serving contract — [[appendToVecDedupIndex]]'s rule on the
+    * ANN artifact) and their 8-id codes union into the store; the
+    * stored codes and the codebook are untouched, so the append costs
+    * ∝ snapshot only. */
+  private[graft] def appendToPqIndex(newVecs: DataFrame, idx: PqIndex): PqIndex =
+    PqIndex(
+      idx.codes.unionByName(encodePq(newVecs, idx).localCheckpoint()),
+      idx.cents)
+
+  /** The PQ index trained on the STORED split (vec_id % 10 < 8) only —
+    * q140's "yesterday's index" artifact, persisted once per JVM. */
+  private[graft] def pqStoredCached(s: SparkSession, d: String): PqIndex =
+    loadPqIndex(s, IndexCache.resolve(
+      "pqstored|" + IndexCache.dataKey(d), "pqstored") { p =>
+      import s.implicits._
+      savePqIndex(pqTrainOn(Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"vec_id" % 10 < 8)
+        .select($"vec_id",
+          quantize($"embedding").cast("array<bigint>").as("xq"))), p)
     })
 
   /** Per-query flattened ADC distance tables: (query_id, dtable
@@ -1506,6 +1567,118 @@ object VectorOps {
                CAST(list_sum(list_transform(generate_series(1, 8),
                  t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS dist
         FROM sub s JOIN c1 c ON s.m = c.m),
+      a2 AS (
+        SELECT vec_id, m, v, cid FROM d2
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      m2 AS (
+        SELECT a.m, a.cid, t.d, SUM(v[t.d]) // COUNT(*) AS cm
+        FROM a2 a CROSS JOIN generate_series(1, 8) t(d)
+        GROUP BY a.m, a.cid, t.d),
+      c2 AS (
+        SELECT c1.m, c1.cid, COALESCE(mm.c, c1.c) AS c
+        FROM c1 LEFT JOIN (
+          SELECT m, cid, list(CAST(cm AS BIGINT) ORDER BY d) AS c
+          FROM m2 GROUP BY m, cid) mm
+          ON c1.m = mm.m AND c1.cid = mm.cid),
+      enc AS (
+        SELECT vec_id, m, cid FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 CAST(list_sum(list_transform(generate_series(1, 8),
+                   t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS dist
+          FROM sub s JOIN c2 c ON s.m = c.m)
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      dt AS (
+        SELECT s.vec_id AS query_id, c.m, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS pdist
+        FROM sub s JOIN c2 c ON s.m = c.m
+        WHERE s.vec_id % 50 = 0),
+      adc AS (
+        SELECT d.query_id, a.vec_id, CAST(SUM(d.pdist) AS BIGINT) AS adc_dist
+        FROM enc a JOIN dt d ON a.m = d.m AND a.cid = d.cid
+        WHERE a.vec_id <> d.query_id
+        GROUP BY d.query_id, a.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+      FROM (
+        SELECT query_id, vec_id AS neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rank
+        FROM adc)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Q140 — ANN index APPEND + serve: the admission step for the PQ
+    * serving artifact, completing the incremental-maintenance matrix on
+    * its last member (exact q95, MinHash q82, embedding-dedup q83,
+    * clusters q135, frames q136, BM25 q137, LM q138 — the ANN index was
+    * the one production artifact still without an append path). The
+    * contract is FAISS's: codebooks train once on the stored corpus and
+    * FREEZE; arriving vectors encode against the frozen codebook (8
+    * code ids each — [[encodePq]], training's exact assignment
+    * expressions) and union into the codes store. Stored codes never
+    * re-encode, the codebook never retrains, so admission costs ∝
+    * snapshot and the serving scan ([[pqAdcTopK]]) sees one homogeneous
+    * codes table.
+    *
+    * The query: index trained on vec_id % 10 < 8, the % 10 >= 8
+    * snapshot appended, the % 50 request set served ADC top-5 over the
+    * merged store. The DuckDB oracle trains the codebook on the stored
+    * split and encodes ALL vectors against it — a hash match proves
+    * append-time encoding ≡ build-time encoding of the union under the
+    * frozen codebook, exactly (integer-quantized vectors, exact long
+    * distances, deterministic (dist, cid) and (adc, vec_id)
+    * tie-breaks). Distances differ from q78's (its codebook saw the
+    * full corpus), so the two declared outputs are distinct fixtures of
+    * the same serving kernel.
+    */
+  private val q140 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
+      val appended = appendToPqIndex(
+        emb.filter($"vec_id" % 10 >= 8), pqStoredCached(s, d))
+      pqAdcTopK(emb.filter(isQuery($"vec_id")), appended, 5)
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, t.m, xq[t.m*8+1 : t.m*8+8] AS v
+        FROM q CROSS JOIN generate_series(0, 7) t(m)),
+      tsub AS (
+        SELECT * FROM sub WHERE vec_id % 10 < 8),
+      init AS (
+        SELECT m, cid, v AS c FROM (
+          SELECT m, vec_id, v,
+                 row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cid
+          FROM tsub) WHERE cid < 16),
+      d1 AS (
+        SELECT s.vec_id, s.m, s.v, i.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - i.c[t]) * (s.v[t] - i.c[t]))) AS BIGINT) AS dist
+        FROM tsub s JOIN init i ON s.m = i.m),
+      a1 AS (
+        SELECT vec_id, m, v, cid FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      m1 AS (
+        SELECT a.m, a.cid, t.d, SUM(v[t.d]) // COUNT(*) AS cm
+        FROM a1 a CROSS JOIN generate_series(1, 8) t(d)
+        GROUP BY a.m, a.cid, t.d),
+      c1 AS (
+        SELECT i.m, i.cid, COALESCE(mm.c, i.c) AS c
+        FROM init i LEFT JOIN (
+          SELECT m, cid, list(CAST(cm AS BIGINT) ORDER BY d) AS c
+          FROM m1 GROUP BY m, cid) mm
+          ON i.m = mm.m AND i.cid = mm.cid),
+      d2 AS (
+        SELECT s.vec_id, s.m, s.v, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 t -> (s.v[t] - c.c[t]) * (s.v[t] - c.c[t]))) AS BIGINT) AS dist
+        FROM tsub s JOIN c1 c ON s.m = c.m),
       a2 AS (
         SELECT vec_id, m, v, cid FROM d2
         QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
@@ -1867,6 +2040,7 @@ object VectorOps {
     "q75_semantic_dedup" -> q75,
     "q78_pq_adc_ann" -> q78,
     "q79_ivfpq_ann" -> q79,
+    "q140_ann_index_append" -> q140,
     "q81_embedding_drift" -> q81,
     "q83_dedup_incremental_embedding" -> q83,
     "q87_prototypicality_prune" -> q87,

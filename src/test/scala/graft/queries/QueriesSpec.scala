@@ -407,6 +407,33 @@ class QueriesSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("PQ index append == build-time encoding of the union under the frozen codebook") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id",
+        graft.functions.expressions.quantize_vec($"embedding")
+          .cast("array<bigint>").as("xq"))
+    val storedIdx = VectorOps.pqTrainOn(emb.filter($"vec_id" % 10 < 8))
+    val appended = VectorOps.appendToPqIndex(
+      emb.filter($"vec_id" % 10 >= 8), storedIdx)
+    // codebook untouched by the append
+    assert(appended.cents.collect().map(_.toString).sorted.toSeq ==
+      storedIdx.cents.collect().map(_.toString).sorted.toSeq)
+    // codes == encoding ALL vectors against the stored codebook at once
+    def codes(i: VectorOps.PqIndex) = i.codes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq
+    val atOnce = VectorOps.PqIndex(
+      VectorOps.encodePq(emb, storedIdx), storedIdx.cents)
+    assert(codes(appended) == codes(atOnce))
+    // and serving over the appended index == serving over the rebuilt one
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val a = VectorOps.pqAdcTopK(queries, appended, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = VectorOps.pqAdcTopK(queries, atOnce, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("q23b BPE token stats == naive end-to-end recount (both SFs)") {
     for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
       val docs = graft.sources.Tables.documents(spark, d)
