@@ -92,7 +92,10 @@ object ScaleBench {
     "q137_bm25_index_append", "q138_lm_append_rescore",
     // round-9: per-window langid — q100's scan-local kernel pass over
     // posexploded chunks + two chunk-row aggregations
-    "q139_codeswitch_windows")
+    "q139_codeswitch_windows",
+    // round-9: ANN admission — rep 1 trains the stored-split codebook
+    // artifact; min-of-reps is snapshot encode + one ADC serve scan
+    "q140_ann_index_append")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
