@@ -3528,10 +3528,14 @@ ORDER BY a.source"""
       .groupBy($"h").agg(count(lit(1)).as("df"))
   }
 
-  /** (n docs, Σlen) from postings. */
+  /** (n docs, Σlen) from postings. coalesce: an EMPTY frame (a quiet
+    * admission day's snapshot) sums to NULL, and the append must report
+    * (0, 0) rather than NPE. */
   private[graft] def bm25TotalsOf(postings: DataFrame): (Long, Long) = {
     import postings.sparkSession.implicits._
-    val r = postings.agg(count(lit(1)).as("n"), sum($"len").as("sum_len")).head()
+    val r = postings
+      .agg(count(lit(1)).as("n"), coalesce(sum($"len"), lit(0L)).as("sum_len"))
+      .head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -3582,6 +3586,9 @@ ORDER BY a.source"""
       qrows: Array[(Long, Array[Long])], k: Int): DataFrame = {
     val s = raw.postings.sparkSession
     import s.implicits._
+    require(raw.n > 0,
+      "bm25RawTopK: empty postings store — no corpus stats exist " +
+        "(avgdl/idf are undefined over zero documents)")
     val byTerm = qrows.zipWithIndex
       .flatMap { case ((_, hs), qi) => hs.map(_ -> qi) }
       .groupBy(_._1).toArray.sortBy(_._1)

@@ -2040,6 +2040,21 @@ class QueriesSpec extends SparkSpec {
     assert(norm(merged.postings) == norm(pf))
   }
 
+  test("BM25 raw append of an empty snapshot is the identity") {
+    import spark.implicits._
+    // a quiet admission day: zero arriving docs must leave every
+    // artifact table untouched (the empty sum used to NPE in totals)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val p0 = TextOps.bm25RawPostings(docs)
+    val (n0, l0) = TextOps.bm25TotalsOf(p0)
+    val raw = TextOps.Bm25Raw(p0, TextOps.bm25DfOf(p0), n0, l0)
+    val merged = TextOps.appendToBm25Raw(raw, docs.filter($"doc_id" < 0))
+    assert(merged.n == n0 && merged.sumLen == l0)
+    assert(merged.postings.count() == p0.count())
+    assert(merged.df.collect().map(_.toString).sorted.toSeq ==
+      raw.df.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("BM25 raw-postings serving == precomputed-weight-store serving") {
     import spark.implicits._
     // the query-time-idf scan kernel against the established build-time-
