@@ -1821,6 +1821,82 @@ ORDER BY a.source"""
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Q141 — EXACT-QUOTA stratified split (largest-remainder / Hare
+    * allocation): q45's hash split hits 80% only in expectation —
+    * per-stratum realized fractions wobble, and a small stratum can
+    * land badly off (a 60-doc language at sf0.001 can swing ±6%), which
+    * is exactly what a stratified EVAL set cannot tolerate. This
+    * operator allocates the global train budget T = (4N) div 5 across
+    * (lang, source) strata exactly: base_h = (4·n_h) div 5 per stratum,
+    * the E = T − Σ base_h leftover seats go to the strata with the
+    * largest scaled remainders (4·n_h) mod 5, tie-broken (lang, source)
+    * ascending — every quantity an integer, so the allocation is
+    * bit-identical on any engine and Σ quotas == T by construction.
+    * Within a stratum, membership is decided by the md5(doc_id) rank
+    * (q45's content-independent shuffle, made rank-based): the first
+    * quota_h docs in hash order train, the rest eval.
+    *
+    * Shape at scale: one map-side-combined stratum count (|langs| ×
+    * |sources| rows — the allocation itself is driver arithmetic on a
+    * bounded table, the Lloyd/centroid collect budget), one per-stratum
+    * rank window (partitioned by stratum — no global sort), one
+    * broadcast quota join. Nothing corpus-sized moves except the rank
+    * window's own stratum-hash exchange.
+    */
+  private val q141 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"source")
+      val strata = docs.groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val total = strata.map(_._3).sum
+      val t = (4L * total) / 5L
+      val base = strata.map { case (l, src, n) => (l, src, (4L * n) / 5L, (4L * n) % 5L) }
+      val extra = (t - base.map(_._3).sum).toInt
+      val quotas = base
+        .sortBy { case (l, src, _, r) => (-r, l, src) }
+        .zipWithIndex
+        .map { case ((l, src, b, _), i) => (l, src, if (i < extra) b + 1 else b) }
+      val quotaDf = quotas.toSeq.toDF("lang", "source", "quota")
+      val ranked = docs.withColumn("rk", row_number().over(
+        Window.partitionBy($"lang", $"source")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")))
+      ranked.join(broadcast(quotaDf), Seq("lang", "source"))
+        .select($"doc_id", $"lang", $"source",
+          when($"rk" <= $"quota", "train").otherwise("eval").as("split"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+      ), tot AS (
+        SELECT (4 * CAST(SUM(n) AS BIGINT)) // 5 AS t FROM c
+      ), b AS (
+        SELECT lang, source, n, (4 * n) // 5 AS base, (4 * n) % 5 AS r FROM c
+      ), e AS (
+        SELECT t - (SELECT CAST(SUM(base) AS BIGINT) FROM b) AS extra FROM tot
+      ), pri AS (
+        SELECT lang, source, base,
+               row_number() OVER (ORDER BY r DESC, lang, source) AS pri
+        FROM b
+      ), q AS (
+        SELECT lang, source,
+               base + CASE WHEN pri <= (SELECT extra FROM e)
+                           THEN 1 ELSE 0 END AS quota
+        FROM pri
+      ), ranked AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+      )
+      SELECT doc_id, lang, source,
+             CASE WHEN rk <= quota THEN 'train' ELSE 'eval' END AS split
+      FROM ranked JOIN q USING (lang, source)
+      ORDER BY doc_id"""))
+
   /** Q46 — benchmark decontamination: training documents that share ≥ 8
     * word-3-gram shingles with ANY held-out (test-split) document, with
     * the shared-shingle count. The standard pre-training hygiene pass:
@@ -4494,6 +4570,7 @@ ORDER BY a.source"""
     "q138_lm_append_rescore" -> q138,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
+    "q141_stratified_split" -> q141,
     "q46_decontamination" -> q46,
     "q47_dedup_clusters" -> q47,
     "q48_repetition_filter" -> q48,

@@ -2072,6 +2072,33 @@ class QueriesSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("q141 stratified split: exact global quota, per-stratum seat law, coverage") {
+    import spark.implicits._
+    val out = run("q141_stratified_split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // full coverage, one verdict per doc
+    assert(out.map(_._1).sorted.toSeq == docs.map(_._1).sorted.toSeq)
+    val n = docs.length.toLong
+    // the global train budget is hit EXACTLY — the allocation's whole point
+    assert(out.count(_._4 == "train").toLong == (4L * n) / 5L)
+    // per-stratum: train count is floor(0.8 n_h) or floor + 1 seat
+    val byStratum = docs.groupBy(d => (d._2, d._3)).view.mapValues(_.length.toLong)
+    val trainBy = out.filter(_._4 == "train")
+      .groupBy(o => (o._2, o._3)).view.mapValues(_.length.toLong).toMap
+    byStratum.foreach { case (h, nh) =>
+      val base = (4L * nh) / 5L
+      val got = trainBy.getOrElse(h, 0L)
+      assert(got == base || got == base + 1L, s"stratum $h: $got vs base $base")
+    }
+    // deterministic: a second evaluation produces the identical assignment
+    val again = run("q141_stratified_split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("bigram LM append == retrain on the union; chained appends compose") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
