@@ -95,7 +95,10 @@ object ScaleBench {
     "q139_codeswitch_windows",
     // round-9: ANN admission — rep 1 trains the stored-split codebook
     // artifact; min-of-reps is snapshot encode + one ADC serve scan
-    "q140_ann_index_append")
+    "q140_ann_index_append",
+    // round-9: exact-quota stratified split — one bounded stratum count
+    // + per-stratum rank window + broadcast quota join
+    "q141_stratified_split")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
