@@ -493,16 +493,28 @@ object LangId {
   private[graft] def codeSwitchSummary(docs: DataFrame, m: NbModel): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // coalesce(text, ""): a null text (corrupt wire record through the
+    // permissive JSON gate) must yield one prior-only chunk, not
+    // posexplode to ZERO rows and vanish from the gate verdict — the
+    // langIdScoresAll null rule applied BEFORE the chunker, which would
+    // otherwise drop the doc first
     val chunks = docs
-      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", split(coalesce($"text", lit("")), " ").as("ws"))
       .select($"doc_id", posexplode(transform(
         sequence(lit(0), ceil(size($"ws") / lit(16.0)).cast("int") - 1),
         i => array_join(slice($"ws", i * 16 + 1, lit(16)), " ")))
         .as(Seq("ci0", "ctext")))
-    // chunk key = doc_id·2²⁰ + (ci0+1): bijective for ≤ 2²⁰−1 chunks
-    // per doc (docs are ≤ a few hundred words) at any corpus size
+    // chunk key = doc_id·2²⁰ + (ci0+1): bijective for < 2²⁰ chunks per
+    // doc (~16.8M words). The streaming gate ingests arbitrary wire
+    // documents, so the bound FAILS LOUDLY instead of aliasing high
+    // chunks into the next doc_id's key space (frameHashes' fid rule)
     val preds = langIdScoreDocs(
-      chunks.select(($"doc_id" * 1048576 + $"ci0" + 1).as("doc_id"),
+      chunks.select(
+        expr("CASE WHEN ci0 + 1 < 1048576" +
+          " THEN doc_id * 1048576 + ci0 + 1" +
+          " ELSE raise_error(concat('codeSwitchSummary: doc ', doc_id," +
+          " ' has >= 1048575 chunks; key packing would alias')) END")
+          .as("doc_id"),
         $"ctext".as("text")), m)
       .select(expr("doc_id div 1048576").as("doc_id"),
         pmod($"doc_id", lit(1048576L)).as("ci"), $"lang_pred")

@@ -274,19 +274,26 @@ object Sinks {
         val dirK: Map[String, Long] = pinned.groupBy(f => dirOf(f._1))
           .map { case (dir, fs) => dir ->
             math.max(1L, math.ceil(fs.map(_._2).sum.toDouble / targetFileBytes).toLong) }
-        // key each row by its source FILE NAME (input_file_name's last
-        // segment), mapped to its directory's file target through the
-        // pinned list itself. Reconstructing the dir from partition
-        // VALUES would silently miss on hive-escaped values, null
-        // partitions (__HIVE_DEFAULT_PARTITION__) or type-normalized
-        // names ('p=01' read back as 1) and fall back to the one-file
-        // collapse; part-file names are UUID-unique, so the name alone
-        // identifies the directory
-        val fileK = pinned.map { f =>
-          (f._1.substring(f._1.lastIndexOf('/') + 1), dirK(dirOf(f._1)))
-        }.toSeq.toDF("__file", "__k")
+        // key each row by its source file's DIR-RELATIVE PATH (the last
+        // partitionCols.length + 1 segments of input_file_name), mapped
+        // to its directory's file target through the pinned list itself.
+        // The path, not the bare file name: ONE dynamic-partition write
+        // job emits the SAME part-file basename into EVERY partition
+        // directory it touches (task 0 → part-00000-<uuid> under each
+        // p=...), so a basename key is non-unique across dirs and the
+        // join would multiply those rows — silent duplication on any
+        // append spanning ≥ 2 partition values. Rel paths are unique by
+        // construction. Reconstructing the dir from partition VALUES
+        // instead would silently miss on hive-escaped values, null
+        // partitions or type-normalized names; if URI-encoding ever
+        // makes the segment forms disagree, the left-join MISSES and
+        // na.fill degrades that directory to the one-file collapse —
+        // never to duplication
+        val segs = partitionCols.length + 1
+        val fileK = pinned.map { f => (f._1, dirK(dirOf(f._1))) }
+          .toSeq.toDF("__file", "__k")
         raw.withColumn("__file",
-            substring_index(input_file_name(), "/", -1))
+            substring_index(input_file_name(), "/", -segs))
           .join(broadcast(fileK), Seq("__file"), "left")
           .na.fill(1L, Seq("__k"))
           .withColumn("__salt",

@@ -165,4 +165,19 @@ class LangIdSpec extends SparkSpec {
     // nothing and the invariants above are vacuous
     assert(out.exists(_._3 >= 2) && out.exists(_._3 == 1))
   }
+
+  test("q139 core: a null-text doc gets a prior-only verdict, never vanishes") {
+    import spark.implicits._
+    // permissive-JSON corruption on the streaming gate path: split(null)
+    // used to posexplode to zero chunk rows and the doc disappeared from
+    // the gate verdict entirely
+    val m = LangId.trainLangIdNb(graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 < 8).select($"lang", $"text"))
+    val docs = Seq((1L, "hello world"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = LangId.codeSwitchSummary(docs, m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L) == ((1L, 1L, 0L)), "one prior-only chunk, no switches")
+  }
 }

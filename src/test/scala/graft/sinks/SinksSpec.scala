@@ -109,6 +109,24 @@ class SinksSpec extends SparkSpec {
     assert(after.columns.contains("p_date"), "partition column survives")
   }
 
+  test("compaction does not duplicate rows when one write spans several partition values") {
+    import spark.implicits._
+    val dir = tmpDir("compact_multi") + "/t"
+    // ONE dynamic-partition write emits the SAME part-file basename
+    // under every p=... directory it touches, so a basename-keyed
+    // file→salt join multiplies those rows (the silent-duplication
+    // regression); two appends deepen the collision
+    val df = (0 until 900).map(i => (i.toLong, i % 3)).toDF("id", "p")
+    (1 to 2).foreach(_ => df.write.mode("append").partitionBy("p").parquet(dir))
+    val before = spark.read.parquet(dir).select("id", "p").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    Sinks.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024,
+      partitionCols = Seq("p"))
+    val after = spark.read.parquet(dir).select("id", "p").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(after == before)
+  }
+
   test("compaction splits an over-target partition directory into multiple files") {
     val dir = tmpDir("compact_split") + "/t"
     val tel = graft.sources.Simulation.telemetry(spark, 4, 400, seed = 9).toDF()
