@@ -3699,6 +3699,34 @@ ORDER BY a.source"""
     }
   }
 
+  /** Remove documents from the raw BM25 artifact — the deletion half of
+    * index maintenance (takedown requests, dedup-survivor pruning,
+    * right-to-be-forgotten): the victims' postings rows are looked up
+    * IN THE STORE (one postings scan, the corpus text is never
+    * re-tokenized), their df contributions subtracted from the
+    * vocabulary-bounded table (zero-count terms dropped), totals
+    * decremented, and the postings anti-joined. Exactly equal to
+    * rebuilding over the remaining corpus (q142's oracle) because every
+    * stat is additive — subtraction is just the inverse append. No
+    * broadcast hint on the victim joins: a takedown batch is usually
+    * tiny, but a dedup-driven purge is not (the q95/q103 AQE rule). */
+  private[graft] def removeFromBm25Raw(raw: Bm25Raw,
+      removeIds: DataFrame): Bm25Raw = {
+    import removeIds.sparkSession.implicits._
+    val victims = raw.postings
+      .join(removeIds.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val dfM = raw.df
+      .join(bm25DfOf(victims).withColumnRenamed("df", "dec"), Seq("h"), "left")
+      .select($"h", ($"df" - coalesce($"dec", lit(0L))).as("df"))
+      .filter($"df" > 0)
+      .localCheckpoint()
+    val (nV, lenV) = bm25TotalsOf(victims)
+    Bm25Raw(
+      raw.postings.join(removeIds.select($"doc_id"), Seq("doc_id"), "left_anti"),
+      dfM, raw.n - nV, raw.sumLen - lenV)
+  }
+
   /** q137's request set: every 41st document, absolutely bounded (≤ 100
     * queries at any SF — [[QuerySetCap]]'s argument), DISJOINT fixture
     * from q84's % 37 so the two retrieval paths serve different
@@ -3746,6 +3774,71 @@ ORDER BY a.source"""
       ), q AS (
         SELECT doc_id AS query_id, term FROM tf
         WHERE doc_id % 41 = 0 AND doc_id < 4100
+      ), scored AS (
+        SELECT q.query_id, w.doc_id, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN w USING (term)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY q.query_id, w.doc_id
+      ), ranked AS (
+        SELECT query_id, doc_id, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, doc_id, score_fp, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Q142 — the full index-maintenance LIFECYCLE on the BM25 store:
+    * yesterday's stored-split artifact absorbs today's snapshot
+    * ([[appendToBm25Raw]]), processes a takedown batch (doc_id % 7 = 0
+    * — [[removeFromBm25Raw]]), and serves the % 41 request set over
+    * what remains. The DuckDB oracle computes full-corpus-minus-removed
+    * BM25 from scratch (request terms drawn from the FULL corpus — a
+    * removed document may still arrive as a query); a hash match proves
+    * append ∘ remove ≡ rebuild-on-survivors exactly, including the
+    * query-time idf/avgdl refresh after both mutations. Neither
+    * mutation re-tokenizes stored text: append tokenizes the snapshot,
+    * removal subtracts the victims' own stored postings.
+    */
+  private val q142 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merged = appendToBm25Raw(bm25RawCached(s, d),
+        docs.filter($"doc_id" % 10 >= 8))
+      val pruned = removeFromBm25Raw(merged,
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      bm25RawTopK(pruned, bm25RawQueryRows(s, d), 5)
+    },
+    oracle = Some("""
+      WITH rem AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+      ), t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM rem
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+      ), dlen AS (
+        SELECT doc_id, COUNT(*) AS len FROM t GROUP BY doc_id
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), w AS (
+        SELECT tf.doc_id, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (doc_id) JOIN idf USING (term)
+      ), q AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id % 41 = 0 AND doc_id < 4100)
       ), scored AS (
         SELECT q.query_id, w.doc_id, CAST(SUM(w_fp) AS BIGINT) AS score_fp
         FROM q JOIN w USING (term)
@@ -4568,6 +4661,7 @@ ORDER BY a.source"""
     "q135_dedup_cluster_append" -> q135,
     "q137_bm25_index_append" -> q137,
     "q138_lm_append_rescore" -> q138,
+    "q142_bm25_index_remove" -> q142,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2055,6 +2055,31 @@ class QueriesSpec extends SparkSpec {
       raw.df.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("BM25 raw removal == from-scratch raw stats over the survivors") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val p0 = TextOps.bm25RawPostings(docs)
+    val (n0, l0) = TextOps.bm25TotalsOf(p0)
+    val raw = TextOps.Bm25Raw(p0, TextOps.bm25DfOf(p0), n0, l0)
+    val pruned = TextOps.removeFromBm25Raw(raw,
+      docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+    val survivors = docs.filter($"doc_id" % 7 =!= 0)
+    val ps = TextOps.bm25RawPostings(survivors)
+    val (ns, ls) = TextOps.bm25TotalsOf(ps)
+    assert(pruned.n == ns && pruned.sumLen == ls)
+    assert(pruned.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq ==
+      TextOps.bm25DfOf(ps).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq)
+    def ids(p: org.apache.spark.sql.DataFrame) =
+      p.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(pruned.postings) == ids(ps))
+    // removing nothing is the identity
+    val same = TextOps.removeFromBm25Raw(raw, docs.filter($"doc_id" < 0).select($"doc_id"))
+    assert(same.n == n0 && same.sumLen == l0 &&
+      same.df.count() == raw.df.count())
+  }
+
   test("BM25 raw-postings serving == precomputed-weight-store serving") {
     import spark.implicits._
     // the query-time-idf scan kernel against the established build-time-
