@@ -1145,6 +1145,24 @@ object TextOps {
     } finally fresh.unpersist()
   }
 
+  /** Remove documents from a [[MinHashIndex]] — the takedown half of
+    * index maintenance ([[removeFromBm25Raw]]'s rule on the dedup
+    * artifact): banding and shingling are pure per-document functions,
+    * so removal is two anti-joins on doc_id — no neighbor's rows change,
+    * and the pruned index is row-identical to rebuilding over the
+    * survivors (QueriesSpec). A removed document stops matching future
+    * arrivals IMMEDIATELY, which is the operational point: a document
+    * deleted for cause must not keep vetoing near-duplicate admissions.
+    */
+  private[graft] def removeFromMinHashIndex(idx: MinHashIndex,
+      removeIds: DataFrame): MinHashIndex = {
+    import removeIds.sparkSession.implicits._
+    val ids = removeIds.select($"doc_id")
+    MinHashIndex(
+      bands = idx.bands.join(ids, Seq("doc_id"), "left_anti"),
+      shingles = idx.shingles.join(ids, Seq("doc_id"), "left_anti"))
+  }
+
   /** Dedup an ARRIVING document set (doc_id, text) against a
     * [[MinHashIndex]]: emit every (new_doc_id, old_doc_id) pair with
     * exact word-3-gram Jaccard ≥ t, verified — without re-shingling the
@@ -3854,6 +3872,47 @@ ORDER BY a.source"""
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q143 — dedup-index removal + probe: q142's takedown contract on
+    * the MinHash artifact. The stored-split index drops its doc_id % 7
+    * takedowns ([[removeFromMinHashIndex]] — two doc_id anti-joins;
+    * banding is per-document, so no surviving row changes), then the
+    * arriving % 10 >= 8 snapshot probes the pruned index exactly as in
+    * q82. The oracle brute-forces new × (stored minus removed) pairs at
+    * jaccard ≥ 0.5 — a hash match proves a removed document stops
+    * matching arrivals immediately and no survivor's candidacy or
+    * verification changed (q82's banding-recall and exact-verify
+    * arguments carry over unchanged).
+    */
+  private val q143 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pruned = removeFromMinHashIndex(minHashIndexCached(s, d),
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      dedupAgainstIndex(
+        docs.repartition(s.sparkContext.defaultParallelism)
+          .filter($"doc_id" % 10 >= 8), pruned)
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      )
+      SELECT a.doc_id AS new_doc_id, b.doc_id AS old_doc_id,
+             any_value(a.n) AS n_new, any_value(b.n) AS n_old,
+             COUNT(*) AS common,
+             CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jaccard
+      FROM ex a JOIN ex b ON a.s = b.s
+        AND a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8 AND b.doc_id % 7 <> 0
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ORDER BY new_doc_id, old_doc_id"""))
+
   /** Q138 — bigram-LM APPEND + re-score: the language-model artifact's
     * incremental-maintenance step (q137's argument applied to q85's
     * LM). An add-one-smoothed bigram LM is nothing but count tables,
@@ -4662,6 +4721,7 @@ ORDER BY a.source"""
     "q137_bm25_index_append" -> q137,
     "q138_lm_append_rescore" -> q138,
     "q142_bm25_index_remove" -> q142,
+    "q143_dedup_index_remove" -> q143,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -720,6 +720,31 @@ class QueriesSpec extends SparkSpec {
     } finally full.unpersist()
   }
 
+  test("MinHash index removal == rebuild over the survivors; removed docs stop matching") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val stored = TextOps.shingleDocs(docs.filter($"doc_id" % 10 < 8)).persist()
+    try {
+      val idx = TextOps.buildMinHashIndex(stored)
+      val ids = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+      val pruned = TextOps.removeFromMinHashIndex(idx, ids)
+      val surv = TextOps.shingleDocs(
+        docs.filter($"doc_id" % 10 < 8 && $"doc_id" % 7 =!= 0)).persist()
+      try {
+        val scratch = TextOps.buildMinHashIndex(surv)
+        def tab(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).sorted.toSeq
+        assert(tab(pruned.bands) == tab(scratch.bands))
+        assert(tab(pruned.shingles) == tab(scratch.shingles))
+        // a probe against the pruned index never returns a removed doc
+        val probe = docs.filter($"doc_id" % 10 >= 8).select($"doc_id", $"text")
+        val hits = TextOps.dedupAgainstIndex(probe, pruned)
+          .select("old_doc_id").collect().map(_.getLong(0))
+        assert(hits.forall(_ % 7 != 0))
+      } finally surv.unpersist()
+    } finally stored.unpersist()
+  }
+
   test("appendToClusters == from-scratch clustering over the union graph") {
     import spark.implicits._
     // q135's composition at sf0.001: stored-80% labeling + (new x old,
