@@ -98,7 +98,10 @@ object ScaleBench {
     "q140_ann_index_append",
     // round-9: exact-quota stratified split — one bounded stratum count
     // + per-stratum rank window + broadcast quota join
-    "q141_stratified_split")
+    "q141_stratified_split",
+    // round-9: index takedowns — postings/bands anti-joins + vocab-
+    // bounded df subtraction; no stored text re-tokenized
+    "q142_bm25_index_remove", "q143_dedup_index_remove")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
