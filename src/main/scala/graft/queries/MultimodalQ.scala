@@ -324,6 +324,22 @@ object MultimodalQ {
     })
   }
 
+  /** Takedown half of the frame-index maintenance: fids pack
+    * doc_id·4096 + frame, so removing documents is one anti-join on the
+    * decoded doc id — per-frame rows are independent and no survivor
+    * changes ([[graft.queries.TextOps.removeFromMinHashIndex]]'s
+    * rule at frame granularity). */
+  private[graft] def removeFromFramePhashIndex(
+      idxBands: org.apache.spark.sql.DataFrame,
+      removeDocIds: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import removeDocIds.sparkSession.implicits._
+    idxBands
+      .withColumn("__doc", expr("fid div 4096"))
+      .join(removeDocIds.select($"doc_id".as("__doc")), Seq("__doc"), "left_anti")
+      .drop("__doc")
+  }
+
   /** Screen an ARRIVING media set (doc_id, content) against a persisted
     * perceptual frame index: per arriving doc, how many of its full
     * frames have a Hamming ≤ `maxHam` match among STORED frames —

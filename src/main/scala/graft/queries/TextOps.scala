@@ -3495,7 +3495,16 @@ ORDER BY a.source"""
     * exact smoothing denominator. Equal to retraining on the union
     * (QueriesSpec) because counts are additive over disjoint doc sets.
     * Returns the updated LM and vocabulary table (for the next
-    * append). */
+    * append).
+    *
+    * Deliberately the ONE artifact without a removal path
+    * (q142/q143/removeFromPqIndex/... give every index one): exact
+    * LM removal needs per-WORD counts to know when a word leaves the
+    * vocabulary, and the artifact stores the word SET (all the
+    * denominator needs). A deployment requiring LM takedowns should
+    * persist (word, count) instead and subtract — until then, removal
+    * is a retrain on survivors, which trainBigramLm prices at one
+    * corpus scan. */
   private[graft] def appendToBigramLm(lm: BigramLm, vocab: DataFrame,
       snap: DataFrame): (BigramLm, DataFrame) = {
     import snap.sparkSession.implicits._

@@ -536,6 +536,20 @@ object VectorOps {
       .write.mode("append").parquet(s"$path/vectors")
   }
 
+  /** Takedown half of the vector-index maintenance
+    * ([[graft.queries.TextOps.removeFromMinHashIndex]]'s rule): cell
+    * assignment is per-vector under the FROZEN quantizer, so removal is
+    * one vec_id anti-join on the vectors table; the centroids — trained
+    * state, not membership — are untouched, exactly as appends leave
+    * them. Pruned index == rebuild-assignment over the survivors
+    * against the same frozen centroids (QueriesSpec). */
+  private[graft] def removeFromVecDedupIndex(idx: VecDedupIndex,
+      removeIds: DataFrame): VecDedupIndex = {
+    import removeIds.sparkSession.implicits._
+    VecDedupIndex(idx.centroids,
+      idx.vectors.join(removeIds.select($"vec_id"), Seq("vec_id"), "left_anti"))
+  }
+
   /** Screen ARRIVING vectors (vec_id, embedding) against a
     * [[VecDedupIndex]]: emit (new_vec_id, old_vec_id, cos) for every
     * stored vector in the arriving vector's cell with exact quantized
@@ -1434,6 +1448,17 @@ object VectorOps {
     PqIndex(
       idx.codes.unionByName(encodePq(newVecs, idx).localCheckpoint()),
       idx.cents)
+
+  /** Takedown half of ANN-index maintenance: codes are per-vector under
+    * the frozen codebook, so removal is one vec_id anti-join; the
+    * codebook — trained state — stays, as appends leave it. */
+  private[graft] def removeFromPqIndex(idx: PqIndex,
+      removeIds: DataFrame): PqIndex = {
+    import removeIds.sparkSession.implicits._
+    PqIndex(
+      idx.codes.join(removeIds.select($"vec_id"), Seq("vec_id"), "left_anti"),
+      idx.cents)
+  }
 
   /** The PQ index trained on the STORED split (vec_id % 10 < 8) only —
     * q140's "yesterday's index" artifact, persisted once per JVM. */

@@ -434,6 +434,49 @@ class QueriesSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("index-family removal: vec-dedup, PQ and frame indexes prune to survivor rows exactly") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label", $"embedding")
+    val stored = emb.filter($"vec_id" % 10 < 8)
+    val rm = emb.filter($"vec_id" % 7 === 0).select($"vec_id")
+    // vec-dedup: centroids (trained state) untouched, vectors = the
+    // built index's own surviving rows bit-for-bit
+    val vIdx = VectorOps.buildVecDedupIndex(stored)
+    val vPruned = VectorOps.removeFromVecDedupIndex(vIdx, rm)
+    assert(vPruned.centroids.collect().map(_.toString).sorted.toSeq ==
+      vIdx.centroids.collect().map(_.toString).sorted.toSeq)
+    assert(vPruned.vectors.collect().map(_.toString).sorted.toSeq ==
+      vIdx.vectors.filter($"vec_id" % 7 =!= 0)
+        .collect().map(_.toString).sorted.toSeq)
+    // PQ: codes = surviving code rows, codebook untouched, and a serve
+    // over the pruned index never returns a removed neighbor
+    val xq = emb.select($"vec_id",
+      graft.functions.expressions.quantize_vec($"embedding")
+        .cast("array<bigint>").as("xq"))
+    val pIdx = VectorOps.pqTrainOn(xq.filter($"vec_id" % 10 < 8))
+    val pPruned = VectorOps.removeFromPqIndex(pIdx, rm)
+    assert(pPruned.codes.collect().map(_.toString).sorted.toSeq ==
+      pIdx.codes.filter($"vec_id" % 7 =!= 0)
+        .collect().map(_.toString).sorted.toSeq)
+    val served = VectorOps.pqAdcTopK(xq.filter($"vec_id" % 50 === 0), pPruned, 5)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(served.nonEmpty && served.forall(_ % 7 != 0))
+    // frame index: one anti-join on the decoded doc id; rows ==
+    // rebuilding the bands over the survivor split
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      MultimodalQ.phashBands(MultimodalQ.frameHashes(
+        graft.multimodal.Multimodal.asMedia(df)))
+        .select("band", "bv", "fid", "h")
+    val fIdx = bandsOf(docs.filter($"doc_id" % 10 < 8))
+    val fPruned = MultimodalQ.removeFromFramePhashIndex(fIdx,
+      docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+    assert(fPruned.collect().map(_.toString).sorted.toSeq ==
+      bandsOf(docs.filter($"doc_id" % 10 < 8 && $"doc_id" % 7 =!= 0))
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("q23b BPE token stats == naive end-to-end recount (both SFs)") {
     for (d <- Seq(sf0001, "/root/testdata/sf0.01")) {
       val docs = graft.sources.Tables.documents(spark, d)
