@@ -101,7 +101,11 @@ object ScaleBench {
     "q141_stratified_split",
     // round-9: index takedowns — postings/bands anti-joins + vocab-
     // bounded df subtraction; no stored text re-tokenized
-    "q142_bm25_index_remove", "q143_dedup_index_remove")
+    "q142_bm25_index_remove", "q143_dedup_index_remove",
+    // round-9: LM takedown — victims' stored postings subtract into
+    // vocab-bounded tables; cluster takedown — victim anti-joins +
+    // touched-component-only re-clustering
+    "q144_lm_remove_rescore", "q145_cluster_remove")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -503,14 +503,77 @@ object TextOps {
     * q18 path (QueriesSpec asserts equality) without its global
     * document-frequency shuffle — the right edge generator at 100 TB.
     */
-  private[graft] def dedupClustersCached(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(IndexCache.resolve(
+  private def dedupClusterArtifact(s: SparkSession, d: String): String =
+    IndexCache.resolve(
       s"ccluster|${IndexCache.dataKey(d)}", "ccluster") { p =>
       import s.implicits._
-      connectedComponents(nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v")))
+      // the verified pair set persists ALONGSIDE the labeling: star
+      // edges are connectivity-equivalent for APPENDS (adding edges
+      // can only merge), but removal needs the true pairs — a victim
+      // can be the bridge between two sub-clusters, and only the
+      // original edges know whether the component splits
+      // ([[removeFromClusters]]).
+      val pairs = nearDupPairsLsh(s, d)
+        .select($"i".as("u"), $"j".as("v")).localCheckpoint()
+      pairs.write.mode("overwrite").parquet(s"$p/edges")
+      connectedComponents(pairs)
         .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
-        .write.mode("overwrite").parquet(p)
-    })
+        .write.mode("overwrite").parquet(s"$p/labels")
+    }
+
+  private[graft] def dedupClustersCached(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${dedupClusterArtifact(s, d)}/labels")
+
+  /** The verified near-dup pair set underlying [[dedupClustersCached]]
+    * — the removal path's source of truth. */
+  private[graft] def dedupEdgesCached(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${dedupClusterArtifact(s, d)}/edges")
+
+  /** Exact takedown on the near-dup cluster labeling — the removal
+    * counterpart of [[appendToClusters]]. Appends only ever MERGE, so
+    * star edges suffice there; removal can SPLIT a component (the
+    * victim may be the only bridge between two groups of near-dups),
+    * which no function of the labeling alone can decide — hence the
+    * artifact persists the verified pair set and removal re-clusters
+    * from it. Victim-incident edges drop (two anti-joins, unhinted —
+    * the q95/q103 AQE rule), components untouched by any victim pass
+    * through verbatim, and only the touched components re-enter
+    * connected components over their SURVIVING edges (both endpoints
+    * of an edge share a component, so restricting on `u` is
+    * complete). A touched doc whose every partner was removed leaves
+    * the labeling — exactly as a rebuild over the survivors would
+    * drop it (the labeling contains only docs in ≥ 1 verified pair).
+    * Result == from-scratch rebuild on the survivor corpus
+    * unconditionally (the exact-Jaccard pair property is pair-local:
+    * removing docs never changes whether two SURVIVORS are near-dups)
+    * — q145's oracle hash-checks it, QueriesSpec pins the bridge-split
+    * case the star-edge shortcut would get wrong. The touched
+    * subgraph is victim-bounded: below the 200k-edge threshold the
+    * driver union-find labels it ([[unionFindCC]], the
+    * appendToClusters chooser), above it the distributed alternation
+    * runs. */
+  private[graft] def removeFromClusters(labels: DataFrame, edges: DataFrame,
+      victims: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    val vic = victims.select($"doc_id").distinct().localCheckpoint()
+    val survEdges = edges
+      .join(vic.select($"doc_id".as("u")), Seq("u"), "left_anti")
+      .join(vic.select($"doc_id".as("v")), Seq("v"), "left_anti")
+    val touchedReps = labels.join(vic, Seq("doc_id"), "left_semi")
+      .select($"cluster_rep".as("tr")).distinct()
+    val untouched = labels
+      .join(touchedReps, labels("cluster_rep") === touchedReps("tr"), "left_anti")
+    val touchedDocs = labels
+      .join(touchedReps, labels("cluster_rep") === touchedReps("tr"), "left_semi")
+      .select($"doc_id".as("u"))
+    val ccInput = survEdges.join(touchedDocs, Seq("u"), "left_semi")
+      .localCheckpoint()
+    val relabeled = (
+      if (ccInput.count() <= 200000L) unionFindCC(ccInput)
+      else connectedComponents(ccInput)
+    ).select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
+    untouched.unionByName(relabeled)
+  }
 
   /** Incremental MAINTENANCE of the near-dup cluster labeling — the
     * clustering counterpart of [[appendToMinHashIndex]]: production
@@ -710,6 +773,52 @@ object TextOps {
     oracle = Some("""
       WITH RECURSIVE docs AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), edges AS (
+        SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs
+      ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u
+      )
+      SELECT u AS doc_id, MIN(r) AS cluster_rep, u = MIN(r) AS keep
+      FROM reach GROUP BY u ORDER BY doc_id"""))
+
+  /** Q145 — cluster takedown: q142/q143's removal contract on the
+    * near-dup cluster artifact itself. The persisted labeling + edge
+    * set ([[dedupClustersCached]] / [[dedupEdgesCached]]) process the
+    * doc_id % 7 = 0 takedown batch through [[removeFromClusters]]:
+    * victim-incident edges drop, only victim-touched components
+    * re-cluster from their surviving edges (a victim bridging two
+    * sub-clusters SPLITS them — the case star edges cannot express),
+    * untouched labels pass verbatim. The oracle re-derives the full
+    * exact-Jaccard clustering over the survivor corpus from scratch —
+    * a hash match proves remove ≡ rebuild-on-survivors, which holds
+    * unconditionally because near-dup pairhood is pair-local (no
+    * survivor pair appears or disappears when other docs leave). */
+  private val q145 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      removeFromClusters(
+        dedupClustersCached(s, d), dedupEdgesCached(s, d),
+        Tables.documents(s, d).filter($"doc_id" % 7 === 0).select($"doc_id"))
+        .withColumn("keep", $"doc_id" === $"cluster_rep")
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 7 <> 0
       ), shingled AS (
         SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
                i -> array_to_string(w[i:i+2], ' '))) AS sh
@@ -3468,22 +3577,124 @@ ORDER BY a.source"""
       s.read.parquet(s"$p/v").head().getLong(0))
   }
 
-  /** The persisted LM artifact directory for `d` — c12/c1/v plus the
-    * training VOCABULARY table (the word set, not just its count): v is
-    * not additive across overlapping snapshots, the set is, so the
-    * append path ([[appendToBigramLm]]) needs it persisted. */
+  /** The persisted LM artifact directory for `d` — the serving tables
+    * (c12/c1/v) plus the training VOCABULARY table (the word set, not
+    * just its count: v is not additive across overlapping snapshots,
+    * the set is — [[appendToBigramLm]] needs it) plus the RAW per-doc
+    * store q137's takedown argument demands (bgpost/wpost/wc —
+    * [[LmRaw]]): every serving table is a PROJECTION of the raw store
+    * (c12 = Σ_doc bgpost, c1 = Σ_w2 c12, vocab = wc's key set,
+    * v = |wc|), built that way here so the projection law holds by
+    * construction and a removal that subtracts victims' stored
+    * postings lands on exactly the tables a retrain on survivors
+    * would ([[removeFromLmRaw]]). */
   private def bigramLmArtifact(s: SparkSession, d: String): String =
     IndexCache.resolve(
       s"bigramlm|${IndexCache.dataKey(d)}", "bigramlm") { path =>
       import s.implicits._
       val training = Tables.documents(s, d).filter($"doc_id" % 10 < 8)
-      val lm = trainBigramLm(training)
-      lm.c12.write.mode("overwrite").parquet(s"$path/c12")
-      lm.c1.write.mode("overwrite").parquet(s"$path/c1")
-      Seq(lm.v).toDF("v").write.mode("overwrite").parquet(s"$path/v")
-      training.select(explode(words($"text")).as("word")).distinct()
-        .write.mode("overwrite").parquet(s"$path/vocab")
+      val bgp = bigramsOf(training).groupBy($"doc_id", $"bg")
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      bgp.write.mode("overwrite").parquet(s"$path/bgpost")
+      // groupBy(bg).count over occurrences == Σ_doc of per-doc counts:
+      // trainBigramLm's c12 values, derived through the raw store
+      val c12 = bgp.groupBy($"bg").agg(sum($"c").as("c12")).localCheckpoint()
+      c12.write.mode("overwrite").parquet(s"$path/c12")
+      c12.groupBy(split($"bg", " ").getItem(0).as("w1"))
+        .agg(sum($"c12").as("c1"))
+        .write.mode("overwrite").parquet(s"$path/c1")
+      val wp = training.select($"doc_id", explode(words($"text")).as("word"))
+        .distinct().localCheckpoint()
+      wp.write.mode("overwrite").parquet(s"$path/wpost")
+      val wc = wp.groupBy($"word").agg(count(lit(1)).as("ndocs"))
+        .localCheckpoint()
+      wc.write.mode("overwrite").parquet(s"$path/wc")
+      wc.select($"word").write.mode("overwrite").parquet(s"$path/vocab")
+      Seq(wc.count()).toDF("v").write.mode("overwrite").parquet(s"$path/v")
     }
+
+  /** q85's LM as a RAW, REMOVABLE store (q137's Bm25Raw contract
+    * applied to the language model): per-doc bigram counts (`bgpost`:
+    * doc_id, bg, c), per-doc word incidence (`wpost`: doc_id, word —
+    * distinct per doc), vocabulary doc-frequencies (`wc`: word, ndocs)
+    * and the maintained projections `c12` / `v` the scorer serves
+    * from. Counts are additive over disjoint doc sets, so append
+    * unions and re-aggregates ([[appendToLmRaw]]); removal subtracts a
+    * victim's OWN stored postings — never re-tokenizing text that may
+    * already be gone, the right-to-be-forgotten constraint q142
+    * established for BM25 ([[removeFromLmRaw]]). A word leaves the
+    * vocabulary exactly when its ndocs hits zero, which is the one
+    * quantity the old word-SET artifact could not answer — this store
+    * closes the maintenance matrix's last documented asymmetry. */
+  private[graft] case class LmRaw(bgpost: DataFrame, wpost: DataFrame,
+      wc: DataFrame, c12: DataFrame, v: Long)
+
+  private[graft] def lmRawCached(s: SparkSession, d: String): LmRaw = {
+    val p = bigramLmArtifact(s, d)
+    LmRaw(s.read.parquet(s"$p/bgpost"), s.read.parquet(s"$p/wpost"),
+      s.read.parquet(s"$p/wc"), s.read.parquet(s"$p/c12"),
+      s.read.parquet(s"$p/v").head().getLong(0))
+  }
+
+  /** The smoothed-LM view of a raw store: c12 is maintained in the
+    * store, c1 is its vocabulary-bounded projection, v its wc count. */
+  private[graft] def lmOf(raw: LmRaw): BigramLm = {
+    import raw.c12.sparkSession.implicits._
+    BigramLm(raw.c12,
+      raw.c12.groupBy(split($"bg", " ").getItem(0).as("w1"))
+        .agg(sum($"c12").as("c1")).localCheckpoint(),
+      raw.v)
+  }
+
+  /** Admit a snapshot into the raw LM store. Contract: `snap`'s doc
+    * ids are DISJOINT from the stored ids (the q82/q95/q137 admission
+    * convention) — wc/c12 merge by addition, which is exact only over
+    * disjoint doc sets. Cost ∝ snapshot tokens + vocabulary-bounded
+    * merges; the stored postings union lazily (no corpus re-read). */
+  private[graft] def appendToLmRaw(raw: LmRaw, snap: DataFrame): LmRaw = {
+    import snap.sparkSession.implicits._
+    val sb = bigramsOf(snap).groupBy($"doc_id", $"bg")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val sw = snap.select($"doc_id", explode(words($"text")).as("word"))
+      .distinct().localCheckpoint()
+    val c12m = raw.c12
+      .unionByName(sb.groupBy($"bg").agg(sum($"c").as("c12")))
+      .groupBy($"bg").agg(sum($"c12").as("c12")).localCheckpoint()
+    val wcM = raw.wc
+      .unionByName(sw.groupBy($"word").agg(count(lit(1)).as("ndocs")))
+      .groupBy($"word").agg(sum($"ndocs").as("ndocs")).localCheckpoint()
+    LmRaw(raw.bgpost.unionByName(sb), raw.wpost.unionByName(sw),
+      wcM, c12m, wcM.count())
+  }
+
+  /** Exact LM takedown: subtract each victim's stored per-doc counts.
+    * Bigram decrements come from `bgpost` (semi-join on the victim
+    * ids), vocabulary decrements from `wpost` → `wc`; rows that reach
+    * zero drop, so the result equals a retrain on the survivors
+    * EXACTLY (QueriesSpec pins table equality; q144's oracle hash-
+    * checks the full append∘remove∘score lifecycle against a DuckDB
+    * from-scratch retrain). Nothing re-tokenizes: mutation cost is the
+    * victims' own postings plus vocabulary-bounded merges; the
+    * postings anti-joins are lazy (q142's shape). No broadcast hint on
+    * the victim joins — a dedup-driven purge is not small (the
+    * q95/q103 AQE rule). */
+  private[graft] def removeFromLmRaw(raw: LmRaw, removeIds: DataFrame): LmRaw = {
+    import removeIds.sparkSession.implicits._
+    val vic = removeIds.select($"doc_id").distinct().localCheckpoint()
+    val decBg = raw.bgpost.join(vic, Seq("doc_id"), "left_semi")
+      .groupBy($"bg").agg(sum($"c").as("dec"))
+    val c12m = raw.c12.join(decBg, Seq("bg"), "left")
+      .select($"bg", ($"c12" - coalesce($"dec", lit(0L))).as("c12"))
+      .filter($"c12" > 0).localCheckpoint()
+    val decW = raw.wpost.join(vic, Seq("doc_id"), "left_semi")
+      .groupBy($"word").agg(count(lit(1)).as("dec"))
+    val wcM = raw.wc.join(decW, Seq("word"), "left")
+      .select($"word", ($"ndocs" - coalesce($"dec", lit(0L))).as("ndocs"))
+      .filter($"ndocs" > 0).localCheckpoint()
+    LmRaw(raw.bgpost.join(vic, Seq("doc_id"), "left_anti"),
+      raw.wpost.join(vic, Seq("doc_id"), "left_anti"),
+      wcM, c12m, wcM.count())
+  }
 
   /** The persisted training-vocabulary table of q85's LM artifact. */
   private[graft] def bigramLmVocab(s: SparkSession, d: String): DataFrame =
@@ -3497,14 +3708,11 @@ ORDER BY a.source"""
     * Returns the updated LM and vocabulary table (for the next
     * append).
     *
-    * Deliberately the ONE artifact without a removal path
-    * (q142/q143/removeFromPqIndex/... give every index one): exact
-    * LM removal needs per-WORD counts to know when a word leaves the
-    * vocabulary, and the artifact stores the word SET (all the
-    * denominator needs). A deployment requiring LM takedowns should
-    * persist (word, count) instead and subtract — until then, removal
-    * is a retrain on survivors, which trainBigramLm prices at one
-    * corpus scan. */
+    * Removal lives on the RAW store instead ([[removeFromLmRaw]] —
+    * q144): exact LM takedown needs each victim's own per-doc counts
+    * and per-word doc-frequencies, which the raw artifact persists
+    * (bgpost/wpost/wc) and this aggregated view deliberately does
+    * not. */
   private[graft] def appendToBigramLm(lm: BigramLm, vocab: DataFrame,
       snap: DataFrame): (BigramLm, DataFrame) = {
     import snap.sparkSession.implicits._
@@ -3970,6 +4178,71 @@ ORDER BY a.source"""
         SELECT COUNT(DISTINCT word) AS v FROM (
           SELECT unnest(string_split(text, ' ')) AS word
           FROM documents WHERE doc_id % 10 < 9)
+      ), scored AS (
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(LN((COALESCE(c12, 0) + 1.0) /
+                 (COALESCE(c1, 0) + v)) * 1e6) AS BIGINT)) AS BIGINT) AS sum_fp
+        FROM (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+              FROM bg WHERE doc_id % 10 = 9) p
+        LEFT JOIN c12 USING (bg)
+        LEFT JOIN c1 USING (w1)
+        CROSS JOIN v
+        GROUP BY p.doc_id
+      )
+      SELECT doc_id, n_bigrams, sum_fp,
+             CAST(sum_fp AS DOUBLE) / n_bigrams AS avg_logprob
+      FROM scored
+      ORDER BY avg_logprob ASC, doc_id
+      LIMIT 100"""))
+
+  /** Q144 — bigram-LM takedown, full lifecycle (q142's shape on the
+    * language model): the stored-split raw LM store ([[lmRawCached]],
+    * trained on doc_id % 10 < 8) absorbs the % 10 = 8 snapshot
+    * ([[appendToLmRaw]]), processes the % 7 = 0 takedown batch
+    * ([[removeFromLmRaw]] — victims' counts subtracted from their OWN
+    * stored postings, never re-tokenized), and the % 10 = 9 held-out
+    * split is scored under the pruned model, worst 100 by avg
+    * log-prob. The oracle retrains from scratch on
+    * (% 10 < 9 AND % 7 ≠ 0) — a hash match proves
+    * append ∘ remove ≡ retrain-on-survivors exactly, including the
+    * smoothing denominator (a word unique to victims leaves the
+    * vocabulary, shifting v for EVERY scored bigram). Removed docs may
+    * still arrive to be scored — takedown prunes the model, not the
+    * caller's input. This closes the maintenance matrix's last
+    * asymmetry: every serving artifact now has an exact append AND an
+    * exact removal path. */
+  private val q144 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val appended = appendToLmRaw(lmRawCached(s, d),
+        docs.filter($"doc_id" % 10 === 8))
+      val pruned = removeFromLmRaw(appended,
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      lmScoreDocs(docs.filter($"doc_id" % 10 === 9), lmOf(pruned))
+        .orderBy($"avg_logprob".asc, $"doc_id")
+        .limit(100)
+        .select($"doc_id", $"n_bigrams", $"sum_fp", $"avg_logprob")
+    },
+    oracle = Some("""
+      WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM dw WHERE len(w) >= 2
+      ), c12 AS (
+        SELECT bg, COUNT(*) AS c12 FROM bg
+        WHERE doc_id % 10 < 9 AND doc_id % 7 <> 0 GROUP BY bg
+      ), c1 AS (
+        SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c12 GROUP BY 1
+      ), v AS (
+        SELECT COUNT(DISTINCT word) AS v FROM (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id % 10 < 9 AND doc_id % 7 <> 0)
       ), scored AS (
         SELECT p.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -4731,6 +5004,8 @@ ORDER BY a.source"""
     "q138_lm_append_rescore" -> q138,
     "q142_bm25_index_remove" -> q142,
     "q143_dedup_index_remove" -> q143,
+    "q144_lm_remove_rescore" -> q144,
+    "q145_cluster_remove" -> q145,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2215,4 +2215,130 @@ class QueriesSpec extends SparkSpec {
     val (lm2, _) = TextOps.appendToBigramLm(lm1, vocab1, held)
     assert(lm2.v == vocabOf(docs).count())
   }
+
+  test("LM raw store: projection law, removal == retrain on survivors") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val raw = TextOps.lmRawCached(spark, sf0001)
+    // serving tables are projections of the raw store
+    val trained = TextOps.trainBigramLm(docs.filter($"doc_id" % 10 < 8))
+    val viewed = TextOps.lmOf(raw)
+    assert(viewed.v == trained.v)
+    assert(tab(viewed.c12) == tab(trained.c12))
+    assert(tab(viewed.c1) == tab(trained.c1))
+    // exact takedown: subtracting victims' stored postings lands on the
+    // retrain-on-survivors tables (incl. the vocabulary shrinking when a
+    // word's last surviving doc goes)
+    val vics = docs.filter($"doc_id" % 10 < 8 && $"doc_id" % 7 === 0)
+      .select($"doc_id")
+    val pruned = TextOps.removeFromLmRaw(raw, vics)
+    val retrained = TextOps.trainBigramLm(
+      docs.filter($"doc_id" % 10 < 8 && $"doc_id" % 7 =!= 0))
+    val prunedLm = TextOps.lmOf(pruned)
+    // (v may or may not shrink — it shrinks iff some word was unique to
+    // the victims, which sf0.001's 31-word vocabulary happens not to
+    // have; the roundtrip test below covers the shrink path, where
+    // snapshot-unique words must leave wc on removal)
+    assert(prunedLm.v == retrained.v)
+    assert(tab(prunedLm.c12) == tab(retrained.c12))
+    assert(tab(prunedLm.c1) == tab(retrained.c1))
+    // removing nothing is the identity
+    val same = TextOps.removeFromLmRaw(raw, docs.filter($"doc_id" < 0).select($"doc_id"))
+    assert(same.v == raw.v && tab(same.c12) == tab(raw.c12) &&
+      tab(same.wc) == tab(raw.wc))
+  }
+
+  test("LM raw store: append then remove the same snapshot is the identity") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val raw = TextOps.lmRawCached(spark, sf0001)
+    val snap = docs.filter($"doc_id" % 10 === 8)
+    val appended = TextOps.appendToLmRaw(raw, snap)
+    // the append alone must equal a retrain on the union (raw-store leg
+    // of the appendToBigramLm law)
+    val lmU = TextOps.trainBigramLm(docs.filter($"doc_id" % 10 < 9))
+    assert(appended.v == lmU.v)
+    assert(tab(appended.c12) == tab(lmU.c12))
+    // roundtrip: removing exactly the appended ids restores every table
+    val back = TextOps.removeFromLmRaw(appended, snap.select($"doc_id"))
+    assert(back.v == raw.v)
+    assert(tab(back.c12) == tab(raw.c12))
+    assert(tab(back.wc) == tab(raw.wc))
+    assert(tab(back.bgpost) == tab(raw.bgpost))
+    assert(tab(back.wpost) == tab(raw.wpost))
+  }
+
+  test("LM raw store: a word unique to the victim leaves the vocabulary") {
+    import spark.implicits._
+    // two docs; "zebra" occurs only in doc 2 — its takedown must drop
+    // the word from wc (v: 4 → 3) and its bigrams from c12, while the
+    // shared words' counts only decrement (ndocs 2 → 1)
+    val docs = Seq((1L, "a b a"), (2L, "a zebra b")).toDF("doc_id", "text")
+    val raw = TextOps.appendToLmRaw(
+      TextOps.LmRaw(
+        Seq.empty[(Long, String, Long)].toDF("doc_id", "bg", "c"),
+        Seq.empty[(Long, String)].toDF("doc_id", "word"),
+        Seq.empty[(String, Long)].toDF("word", "ndocs"),
+        Seq.empty[(String, Long)].toDF("bg", "c12"), 0L),
+      docs)
+    assert(raw.v == 3L) // a, b, zebra
+    val pruned = TextOps.removeFromLmRaw(raw, Seq(2L).toDF("doc_id"))
+    assert(pruned.v == 2L)
+    val words = pruned.wc.collect().map(_.getString(0)).sorted.toSeq
+    assert(words == Seq("a", "b"))
+    val bgs = pruned.c12.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(bgs == Seq(("a b", 1L), ("b a", 1L)))
+  }
+
+  test("cluster removal == rebuild on survivors; victims absent") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val labels = TextOps.dedupClustersCached(spark, sf0001)
+    val edges = TextOps.dedupEdgesCached(spark, sf0001)
+    val vic = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+    val removed = TextOps.removeFromClusters(labels, edges, vic)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // global rebuild over the survivor edge set — no touched-component
+    // shortcut — must agree exactly
+    val survEdges = edges
+      .join(vic.select($"doc_id".as("u")), Seq("u"), "left_anti")
+      .join(vic.select($"doc_id".as("v")), Seq("v"), "left_anti")
+    val rebuilt = TextOps.unionFindCC(survEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(removed.nonEmpty && removed == rebuilt)
+    val vicIds = vic.collect().map(_.getLong(0)).toSet
+    assert(removed.forall { case (d, r) => !vicIds(d) && !vicIds(r) })
+    // removing nothing is the identity
+    val same = TextOps.removeFromClusters(labels, edges,
+      docs.filter($"doc_id" < 0).select($"doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val orig = labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(same == orig)
+  }
+
+  test("cluster removal splits a component bridged by the victim") {
+    import spark.implicits._
+    // 1—2—5—9—10 is one component (rep 1) built from the true pair set;
+    // removing bridge doc 5 must SPLIT it into {1,2} and {9,10} — the
+    // case a star-edge (label-only) shortcut cannot express, because
+    // 1—2 and 9—10 connectivity survives only in the original edges
+    val edges = Seq((1L, 2L), (2L, 5L), (5L, 9L), (9L, 10L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 1L), (9L, 1L), (10L, 1L))
+      .toDF("doc_id", "cluster_rep")
+    val out = TextOps.removeFromClusters(labels, edges,
+        Seq(5L).toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (9L, 9L), (10L, 9L)))
+    // and a victim whose every partner is removed leaves the labeling:
+    // removing 9 and 10 from the split result drops them entirely
+    val out2 = TextOps.removeFromClusters(labels, edges,
+        Seq(5L, 9L, 10L).toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out2 == Seq((1L, 1L), (2L, 1L)))
+  }
 }
