@@ -512,9 +512,9 @@ object TextOps {
       // can only merge), but removal needs the true pairs — a victim
       // can be the bridge between two sub-clusters, and only the
       // original edges know whether the component splits
-      // ([[removeFromClusters]]).
-      val pairs = nearDupPairsLsh(s, d)
-        .select($"i".as("u"), $"j".as("v")).localCheckpoint()
+      // ([[removeFromClusters]]). nearDupPairsLsh already returns a
+      // localCheckpointed frame; the rename is lineage-only.
+      val pairs = nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v"))
       pairs.write.mode("overwrite").parquet(s"$p/edges")
       connectedComponents(pairs)
         .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
@@ -543,15 +543,22 @@ object TextOps {
     * complete). A touched doc whose every partner was removed leaves
     * the labeling — exactly as a rebuild over the survivors would
     * drop it (the labeling contains only docs in ≥ 1 verified pair).
-    * Result == from-scratch rebuild on the survivor corpus
-    * unconditionally (the exact-Jaccard pair property is pair-local:
-    * removing docs never changes whether two SURVIVORS are near-dups)
-    * — q145's oracle hash-checks it, QueriesSpec pins the bridge-split
-    * case the star-edge shortcut would get wrong. The touched
-    * subgraph is victim-bounded: below the 200k-edge threshold the
-    * driver union-find labels it ([[unionFindCC]], the
-    * appendToClusters chooser), above it the distributed alternation
-    * runs. */
+    * Result == from-scratch rebuild on the survivor corpus whenever
+    * the persisted pair set is the true pair set (every verify SF and
+    * production dup fractions — the exact-Jaccard pair property is
+    * pair-local: removing docs never changes whether two SURVIVORS
+    * are near-dups) — q145's oracle hash-checks it, QueriesSpec pins
+    * the bridge-split case the star-edge shortcut would get wrong.
+    * Cap regime (the q135 caveat's mirror image): if the artifact was
+    * built under a capBucket overflow, pairs the capped build DROPPED
+    * are not in the store, so a from-scratch rebuild on survivors
+    * (whose shrunken buckets may no longer overflow) can discover
+    * merges this removal cannot — divergence one-sided in the
+    * opposite direction from append's (removal never invents a pair;
+    * it can only miss merges the capped build never knew). The
+    * touched subgraph is victim-bounded: [[boundedCC]] picks the
+    * driver union-find below the 200k-edge threshold, the distributed
+    * alternation above it. */
   private[graft] def removeFromClusters(labels: DataFrame, edges: DataFrame,
       victims: DataFrame): DataFrame = {
     import labels.sparkSession.implicits._
@@ -566,13 +573,26 @@ object TextOps {
     val touchedDocs = labels
       .join(touchedReps, labels("cluster_rep") === touchedReps("tr"), "left_semi")
       .select($"doc_id".as("u"))
-    val ccInput = survEdges.join(touchedDocs, Seq("u"), "left_semi")
-      .localCheckpoint()
-    val relabeled = (
-      if (ccInput.count() <= 200000L) unionFindCC(ccInput)
-      else connectedComponents(ccInput)
-    ).select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
+    val relabeled = boundedCC(
+      survEdges.join(touchedDocs, Seq("u"), "left_semi").localCheckpoint())
     untouched.unionByName(relabeled)
+  }
+
+  /** CC-algorithm chooser shared by the two cluster-maintenance legs
+    * ([[appendToClusters]], [[removeFromClusters]]): their delta
+    * subgraphs are snapshot-/victim-bounded by construction, and below
+    * the threshold a driver union-find labels them in microseconds
+    * where the distributed alternation loop pays multiple scheduled
+    * jobs per iteration (measured: ~3 s of pure overhead for an
+    * 83-edge graph at sf0.1); a dup storm that merges corpus-scale
+    * mass into the delta exceeds the threshold and takes the
+    * distributed path — a 200k-edge collect is ~3 MB, the same
+    * bounded-artifact budget as the centroid/probe collects. */
+  private def boundedCC(ccInput: DataFrame): DataFrame = {
+    import ccInput.sparkSession.implicits._
+    (if (ccInput.count() <= 200000L) unionFindCC(ccInput)
+     else connectedComponents(ccInput))
+      .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
   }
 
   /** Incremental MAINTENANCE of the near-dup cluster labeling — the
@@ -617,19 +637,11 @@ object TextOps {
     val starEdges = touched.filter($"doc_id" =!= $"cluster_rep")
       .select(least($"doc_id", $"cluster_rep").as("u"),
         greatest($"doc_id", $"cluster_rep").as("v"))
-    val ccInput = starEdges.unionByName(np).distinct().localCheckpoint()
     // the merged subgraph is snapshot-bounded by construction (touched
-    // components + new edges). Below the threshold a driver union-find
-    // labels it in microseconds where the distributed alternation loop
-    // pays multiple scheduled jobs per iteration (measured: ~3 s of
-    // pure overhead for an 83-edge graph at sf0.1); a dup storm that
-    // merges corpus-scale mass into the delta exceeds the threshold and
-    // takes the distributed path — a 200k-edge collect is ~3 MB, the
-    // same bounded-artifact budget as the centroid/probe collects.
-    val merged = (
-      if (ccInput.count() <= 200000L) unionFindCC(ccInput)
-      else connectedComponents(ccInput)
-    ).select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
+    // components + new edges) — [[boundedCC]] carries the measured
+    // chooser rationale
+    val merged = boundedCC(
+      starEdges.unionByName(np).distinct().localCheckpoint())
     val untouched = labels
       .join(touchedReps, labels("cluster_rep") === touchedReps("tr"), "left_anti")
     untouched.unionByName(merged)

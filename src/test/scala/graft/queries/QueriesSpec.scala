@@ -2275,7 +2275,7 @@ class QueriesSpec extends SparkSpec {
   test("LM raw store: a word unique to the victim leaves the vocabulary") {
     import spark.implicits._
     // two docs; "zebra" occurs only in doc 2 — its takedown must drop
-    // the word from wc (v: 4 → 3) and its bigrams from c12, while the
+    // the word from wc (v: 3 → 2) and its bigrams from c12, while the
     // shared words' counts only decrement (ndocs 2 → 1)
     val docs = Seq((1L, "a b a"), (2L, "a zebra b")).toDF("doc_id", "text")
     val raw = TextOps.appendToLmRaw(
