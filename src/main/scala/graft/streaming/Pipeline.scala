@@ -1211,6 +1211,68 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming TAKEDOWN ingestion — the deferred-deletion half of index
+    * maintenance. The eager removal functions (removeFromBm25Raw /
+    * removeFromMinHashIndex / removeFromLmRaw / removeFromClusters,
+    * q142–q145) subtract victims per call; at 100 TB, materializing a
+    * pruned postings store per takedown batch is the wrong cost model.
+    * Production engines defer instead (Lucene's deleted-docs bitmap,
+    * Delta Lake's deletion vectors): arriving requests append to a
+    * TOMBSTONE LEDGER, serving masks against it (victim-bounded work
+    * at query time — [[readTombstoneLedger]] feeds the exact eager
+    * functions lazily, so no artifact row is rewritten), and an
+    * operator-scheduled compaction folds the ledger into the store
+    * once, amortized over many batches (the fold IS the eager removal,
+    * materialized — spec-pinned to serve identically before and
+    * after).
+    *
+    * Each micro-batch lands as its own `batch=<id>` ledger partition
+    * (overwrite — a crash replay rewrites its own directory, the
+    * family-wide idempotence rule) holding the batch's distinct
+    * non-null victim ids; the ledger's union-distinct is the takedown
+    * set regardless of duplicate requests across batches. */
+  def runTakedownLedgerStream(s: SparkSession, inDir: String,
+      ledgerDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // null guard (runFunnelStream's rule): a corrupt JSONL line
+        // nulls doc_id; it must not become a null tombstone row
+        batch.filter(col("doc_id").isNotNull).select(col("doc_id"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The accumulated tombstone set of a [[runTakedownLedgerStream]]
+    * ledger directory: union of every batch partition, distinct (a
+    * victim requested twice across batches is one tombstone). Pass it
+    * to any removeFrom* function for a lazy serve-time mask, or
+    * materialize that result as the compaction fold. Returns an empty
+    * (doc_id LONG) frame for a ledger with no batches yet — serving
+    * under an empty ledger is the unmasked store. */
+  def readTombstoneLedger(s: SparkSession, ledgerDir: String): DataFrame = {
+    val hasBatches = {
+      val d = new java.io.File(ledgerDir)
+      d.isDirectory && Option(d.listFiles())
+        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+    }
+    if (hasBatches)
+      s.read.option("basePath", ledgerDir).parquet(s"$ledgerDir/batch=*")
+        .select(col("doc_id")).distinct()
+    else {
+      import s.implicits._
+      Seq.empty[Long].toDF("doc_id")
+    }
+  }
+
   /** Streaming twin of q136 — the perceptual frame gate on the ingest
     * path: the stored corpus's frame-dHash band index is built ONCE at
     * stream start ([[graft.queries.MultimodalQ.framePhashIndexCached]]),

@@ -1137,4 +1137,53 @@ class StreamingSpec extends SparkSpec {
     Pipeline.runTokenHeavyHitters(spark, in, out, ckpt).awaitTermination()
     checkBounds()
   }
+
+  test("tombstone ledger: streamed takedowns accumulate, mask serving == eager removal") {
+    import graft.queries.TextOps
+    val in = tmpDir("tb_in")
+    val ledger = tmpDir("tb_ledger")
+    val ckpt = tmpDir("tb_ckpt")
+    def req(id: Long) = s"""{"ts":"2026-03-01 08:00:00","doc_id":$id}"""
+    // duplicate request across batches (7 twice) + a corrupt line: the
+    // ledger must be the distinct non-null victim set
+    writeJsonl(in, "a.jsonl", req(0), req(7), """{"ts":null,"doc_id":null}""")
+    writeJsonl(in, "b.jsonl", req(7), req(14))
+    Pipeline.runTakedownLedgerStream(spark, in, ledger, ckpt).awaitTermination()
+    val t1 = Pipeline.readTombstoneLedger(spark, ledger)
+    assert(t1.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 7L, 14L))
+
+    // masked serving (store rows untouched) == eager removal: the mask
+    // IS the eager function applied lazily to the ledger frame
+    val raw = TextOps.bm25RawCached(spark, sf0001)
+    val masked = TextOps.removeFromBm25Raw(raw, t1)
+    import spark.implicits._
+    val eager = TextOps.removeFromBm25Raw(raw,
+      Seq(0L, 7L, 14L).toDF("doc_id"))
+    assert(masked.n == eager.n && masked.sumLen == eager.sumLen)
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(tab(masked.df) == tab(eager.df))
+    val qrows = TextOps.bm25RawQueryRows(spark, sf0001)
+    assert(tab(TextOps.bm25RawTopK(masked, qrows, 5)) ==
+      tab(TextOps.bm25RawTopK(eager, qrows, 5)))
+
+    // a later stream run accumulates (restart from the same checkpoint)
+    writeJsonl(in, "c.jsonl", req(21))
+    Pipeline.runTakedownLedgerStream(spark, in, ledger, ckpt).awaitTermination()
+    val t2 = Pipeline.readTombstoneLedger(spark, ledger)
+    assert(t2.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 7L, 14L, 21L))
+    // and an idle re-run (no new files) changes nothing
+    Pipeline.runTakedownLedgerStream(spark, in, ledger, ckpt).awaitTermination()
+    assert(Pipeline.readTombstoneLedger(spark, ledger)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 7L, 14L, 21L))
+
+    // empty-ledger serve == unmasked serve (fresh deployment, no
+    // takedowns yet); compaction's contract follows: folding the ledger
+    // (materializing `masked`) then serving under an empty ledger is
+    // the already-asserted masked serve
+    val none = Pipeline.readTombstoneLedger(spark, tmpDir("tb_empty"))
+    assert(none.isEmpty)
+    val unmasked = TextOps.removeFromBm25Raw(raw, none)
+    assert(unmasked.n == raw.n && tab(unmasked.df) == tab(raw.df))
+  }
 }
