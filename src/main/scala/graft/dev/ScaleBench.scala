@@ -105,7 +105,10 @@ object ScaleBench {
     // round-9: LM takedown — victims' stored postings subtract into
     // vocab-bounded tables; cluster takedown — victim anti-joins +
     // touched-component-only re-clustering
-    "q144_lm_remove_rescore", "q145_cluster_remove")
+    "q144_lm_remove_rescore", "q145_cluster_remove",
+    // round-9: JL projection (scan-local per-row pass) and its sampled
+    // adjacent-pair distance audit
+    "q146_jl_projection", "q147_jl_distance_audit")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -2052,7 +2052,152 @@ object VectorOps {
       GROUP BY cluster
       ORDER BY cluster"""))
 
+  // ────────────────────────────────────────────────────────────────────
+  // Johnson–Lindenstrauss random projection — dimensionality reduction
+  // for the embedding pipeline (Achlioptas 2003's database-friendly ±1
+  // projections): 64-dim vectors compress to 16 dims with pairwise
+  // distances preserved in expectation, shrinking every downstream
+  // ANN/clustering shuffle and index 4× at 100 TB. Deterministic sign
+  // constants + fixed-point arithmetic make the whole family exact.
+
+  /** ±1 sign matrix for the JL projection: sign(i, j) for input dim i,
+    * output dim j is the splitmix parity of (jlSeed + i·16 + j) — q26's
+    * hyperplane-constant device in a DISJOINT seed domain (q26 consumes
+    * splitmix([0, 3072)); the offset keeps the two sign families
+    * independent). Pure index constants, no data dependence — so the
+    * oracle replays them from a 1024-char literal. */
+  private val jlK = 16
+  private val jlSeed = 1L << 20
+  private val jlSigns: Array[Long] =
+    Array.tabulate(64 * jlK)(k =>
+      if ((graft.functions.expressions.splitmix(jlSeed + k) & 1L) == 1L) 1L
+      else -1L)
+  private val jlSignBits: String =
+    jlSigns.map(s => if (s == 1L) '1' else '0').mkString
+
+  /** The projection itself: (vec_id, xfp, y) where xfp is q25's
+    * quantizer (floor(x·2²⁰) as long) and y_j = Σ_i sign(i,j)·xfp_i —
+    * exact long arithmetic, order-free sums, so both engines land on
+    * identical values. Scale shape: ONE per-row expression pass (the
+    * 64×16 sign matrix rides inside the plan as an array literal) —
+    * zero joins, zero shuffled rows; the projection composes with the
+    * IVF/PQ family downstream of one scan. */
+  private[graft] def jlProject(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val sgn = lit(jlSigns)
+    emb.select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1048576.0).cast("long")).as("xfp"))
+      .select($"vec_id", $"xfp",
+        transform(sequence(lit(0), lit(jlK - 1)), j =>
+          aggregate(sequence(lit(0), lit(63)), lit(0L),
+            (acc, i) =>
+              acc + element_at(sgn, i * jlK + j + 1) *
+                element_at($"xfp", i + 1))).as("y"))
+  }
+
+  /** Q146 — the projected coordinates of a deterministic vector sample
+    * (vec_id % 43), posexploded to scalar rows for the gate. Pins the
+    * sign convention itself (a distance audit alone is invariant under
+    * per-dimension global sign flips — this query is not). */
+  private val q146 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      jlProject(Tables.embeddings(s, d)
+          .filter($"vec_id" % 43 === 0).select($"vec_id", $"embedding"))
+        .select($"vec_id", posexplode($"y").as(Seq("j", "y_fp")))
+        .select($"vec_id", $"j".cast("long").as("j"), $"y_fp")
+        .orderBy($"vec_id", $"j")
+    },
+    oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xfp
+        FROM embeddings WHERE vec_id % 43 = 0
+      ), dims AS (
+        SELECT vec_id, unnest(xfp) AS qx, generate_subscripts(xfp, 1) AS pos
+        FROM q
+      ), proj AS (
+        SELECT vec_id, t.j,
+               SUM(CASE WHEN substr('$jlSignBits',
+                                    (pos - 1) * $jlK + t.j + 1, 1) = '1'
+                        THEN qx ELSE -qx END) AS y
+        FROM dims CROSS JOIN generate_series(0, ${jlK - 1}) t(j)
+        GROUP BY vec_id, t.j
+      )
+      SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(y AS BIGINT) AS y_fp
+      FROM proj ORDER BY vec_id, j"""))
+
+  /** Q147 — JL distance-preservation audit: for a deterministic sample
+    * of adjacent-id pairs (a % 31 = 0, b = a + 1), exact squared L2 in
+    * the original quantized space vs the projected space, plus their
+    * ratio (expectation k = 16 with ±1 signs — no 1/√k normalization,
+    * so the ratio is the JL concentration measurement a production
+    * pipeline monitors before trusting the compressed index). All-long
+    * arithmetic until the single final division. Scale shape: the
+    * projection is scan-local; the audit joins two 1/31 samples on an
+    * arithmetic key — sampled, never all-pairs. */
+  private val q147 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val pr = jlProject(Tables.embeddings(s, d)
+        .filter($"vec_id" % 31 <= 1).select($"vec_id", $"embedding"))
+      val a = pr.filter($"vec_id" % 31 === 0)
+        .select($"vec_id".as("a"), $"xfp".as("xa"), $"y".as("ya"))
+      val b = pr.filter($"vec_id" % 31 === 1)
+        .select($"vec_id".as("b"), $"xfp".as("xb"), $"y".as("yb"))
+      a.join(b, b("b") === a("a") + 1)
+        .select($"a", $"b",
+          aggregate(zip_with($"xa", $"xb", (p, q0) => (p - q0) * (p - q0)),
+            lit(0L), _ + _).as("d2_orig_fp"),
+          aggregate(zip_with($"ya", $"yb", (p, q0) => (p - q0) * (p - q0)),
+            lit(0L), _ + _).as("d2_proj_fp"))
+        .withColumn("ratio",
+          when($"d2_orig_fp" === 0L, lit(null).cast("double"))
+            .otherwise($"d2_proj_fp".cast("double") / $"d2_orig_fp".cast("double")))
+        .orderBy($"a")
+    },
+    oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xfp
+        FROM embeddings WHERE vec_id % 31 <= 1
+      ), dims AS (
+        SELECT vec_id, unnest(xfp) AS qx, generate_subscripts(xfp, 1) AS pos
+        FROM q
+      ), proj AS (
+        SELECT vec_id, t.j,
+               SUM(CASE WHEN substr('$jlSignBits',
+                                    (pos - 1) * $jlK + t.j + 1, 1) = '1'
+                        THEN qx ELSE -qx END) AS y
+        FROM dims CROSS JOIN generate_series(0, ${jlK - 1}) t(j)
+        GROUP BY vec_id, t.j
+      ), projl AS (
+        SELECT vec_id, list(y ORDER BY j) AS ys FROM proj GROUP BY vec_id
+      ), fv AS (
+        SELECT q.vec_id, q.xfp, projl.ys FROM q JOIN projl USING (vec_id)
+      )
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> (a.xfp[i] - b.xfp[i]) * (a.xfp[i] - b.xfp[i]))) AS BIGINT)
+               AS d2_orig_fp,
+             CAST(list_sum(list_transform(generate_series(1, $jlK),
+               i -> (a.ys[i] - b.ys[i]) * (a.ys[i] - b.ys[i]))) AS BIGINT)
+               AS d2_proj_fp,
+             CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    i -> (a.xfp[i] - b.xfp[i]) * (a.xfp[i] - b.xfp[i]))) = 0
+                  THEN NULL
+                  ELSE CAST(CAST(list_sum(list_transform(generate_series(1, $jlK),
+                         i -> (a.ys[i] - b.ys[i]) * (a.ys[i] - b.ys[i]))) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(list_sum(list_transform(generate_series(1, 64),
+                           i -> (a.xfp[i] - b.xfp[i]) * (a.xfp[i] - b.xfp[i]))) AS BIGINT) AS DOUBLE)
+             END AS ratio
+      FROM fv a JOIN fv b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 31 = 0
+      ORDER BY a"""))
+
   val all: Map[String, Q] = Map(
+    "q146_jl_projection" -> q146,
+    "q147_jl_distance_audit" -> q147,
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
     "q27_label_centroids" -> q27,

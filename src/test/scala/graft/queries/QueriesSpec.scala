@@ -2295,6 +2295,38 @@ class QueriesSpec extends SparkSpec {
     assert(bgs == Seq(("a b", 1L), ("b a", 1L)))
   }
 
+  test("q146 JL projection matches a driver-side reference; q147 ratios concentrate near k") {
+    import spark.implicits._
+    // independent reference: quantize + project a few sampled vectors in
+    // plain Scala from the same splitmix sign constants
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" % 43 === 0)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val signs = Array.tabulate(64 * 16)(k =>
+      if ((graft.functions.expressions.splitmix((1L << 20) + k) & 1L) == 1L) 1L
+      else -1L)
+    val expect = emb.flatMap { case (vid, xs) =>
+      val xfp = xs.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      (0 until 16).map(j =>
+        (vid, j.toLong, (0 until 64).map(i => signs(i * 16 + j) * xfp(i)).sum))
+    }.sorted.toSeq
+    val got = run("q146_jl_projection").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got.nonEmpty && got == expect)
+
+    // JL concentration: with ±1 signs E[d2_proj] = k·d2_orig; the mean
+    // sampled ratio must sit near k = 16 (loose band — 17 pairs at this
+    // SF) and every pair must have positive distances
+    val audit = run("q147_jl_distance_audit").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(audit.nonEmpty)
+    audit.foreach { case (d2o, d2p, _) => assert(d2o > 0L && d2p >= 0L) }
+    val meanRatio = audit.map(_._3).sum / audit.length
+    assert(meanRatio > 8.0 && meanRatio < 24.0,
+      s"mean JL ratio $meanRatio far from k=16")
+  }
+
   test("cluster removal == rebuild on survivors; victims absent") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
