@@ -108,7 +108,11 @@ object ScaleBench {
     "q144_lm_remove_rescore", "q145_cluster_remove",
     // round-9: JL projection (scan-local per-row pass) and its sampled
     // adjacent-pair distance audit
-    "q146_jl_projection", "q147_jl_distance_audit")
+    "q146_jl_projection", "q147_jl_distance_audit",
+    // round-9: two-stage compressed retrieval — stage 1 is q25's
+    // broadcast scan over 4x-smaller vectors (%50 request convention:
+    // nq grows with the corpus), stage 2 reranks nq*100 candidates
+    "q148_jl_prefilter_knn")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

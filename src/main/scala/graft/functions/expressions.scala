@@ -277,6 +277,53 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** (array<long>, array<long>) → double: cosine over ALREADY-quantized
+    * int64 vectors — [[QuantizedCosine]]'s arithmetic with the
+    * quantization step removed, for vectors that live in fixed-point
+    * form (the JL projections of VectorOps.jlProject). One fused pass
+    * replaces three interpreted aggregate/zip_with lambdas per pair —
+    * the measured stage-1 ceiling of q148 at x100 (250 s → the pair
+    * loop is 16 multiply-adds per candidate). Bit-compatible with
+    * `CAST(list_sum(a*b) AS DOUBLE) / (SQRT(CAST(Σa² AS DOUBLE)) *
+    * SQRT(CAST(Σb² AS DOUBLE)))` — the oracle form. */
+  case class LongCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, ArrayType(LongType), "long_cosine")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, ArrayType(LongType), "long_cosine")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
+      var dab = 0L; var daa = 0L; var dbb = 0L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val qa = a.getLong(i)
+        val qb = b.getLong(i)
+        dab += qa * qb; daa += qa * qa; dbb += qb * qb
+        i += 1
+      }
+      dab.toDouble / (math.sqrt(daa.toDouble) * math.sqrt(dbb.toDouble))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lc", this, classOf[LongCosine].getName)
+      nullSafeCodeGen(ctx, ev, (l, r) =>
+        s"""Object lcRes = $ref.nullSafeEval($l, $r);
+           |if (lcRes == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) lcRes).doubleValue(); }""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): LongCosine =
+      copy(left = l, right = r)
+  }
+
   /** string → array<long> winnowing fingerprint: rolling polynomial hash
     * (base 31 mod 1e9+7) over char k-grams, distinct minima of sliding
     * windows of `win` (first-occurrence order, matching `array_distinct`).
@@ -836,6 +883,59 @@ object expressions {
         s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
     }
     override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
+  }
+
+  /** array<float>(dims) → array<long>(k): the Johnson–Lindenstrauss ±1
+    * projection of VectorOps.jlProject as ONE fused quantize +
+    * multiply-add pass per row — [[HyperplaneSigs]]'s shape with long
+    * accumulators emitted instead of sign bits. Signs are the splitmix
+    * parities of (seed + i·k + j), identical to the 1024-long array
+    * literal of the declarative aggregate form it replaces (which paid
+    * k·dims interpreted lambda steps per corpus row — the measured
+    * projection ceiling of q148's stage 1 at x100). A null component
+    * yields SQL null (QuantizedCosine's rule); extra input components
+    * beyond `dims` are ignored, shorter inputs project the available
+    * prefix — matching element_at semantics only on well-formed rows,
+    * which the null/length guards of the consumers establish. */
+  case class JlProjectExpr(child: Expression, k: Int, dims: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(FloatType), "jl_project")
+    // sign table laid out [i][j] — the jlSigns literal's i*k + j order
+    @transient private lazy val signs: Array[Array[Long]] =
+      Array.tabulate(dims, k)((i, j) =>
+        if ((splitmix(seed + i * k + j) & 1L) == 1L) 1L else -1L)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dims)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        i += 1
+      }
+      val acc = new Array[Long](k)
+      i = 0
+      while (i < n) {
+        val x = math.floor(arr.getFloat(i).toDouble * 1048576.0).toLong
+        val s = signs(i)
+        var j = 0
+        while (j < k) { acc(j) += x * s(j); j += 1 }
+        i += 1
+      }
+      new GenericArrayData(acc)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jlp", this, classOf[JlProjectExpr].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""Object jlRes = $ref.nullSafeEval($c);
+           |if (jlRes == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) jlRes; }""".stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): JlProjectExpr = copy(child = c)
   }
 
   /** Two array<long> vectors → Σ(a−b)², one tight primitive loop (the
@@ -2358,6 +2458,13 @@ object expressions {
         require(exprs.length == 2, "quantized_cosine requires exactly 2 arguments")
         QuantizedCosine(exprs(0), exprs(1))
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("jl_project",
+      exprs => JlProjectExpr(one("jl_project")(exprs), 16, 64, 1L << 20), "scala_udf")
+    reg.createOrReplaceTempFunction("long_cosine",
+      exprs => {
+        require(exprs.length == 2, "long_cosine requires exactly 2 arguments")
+        LongCosine(exprs(0), exprs(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       exprs => WinnowFingerprint(one("winnow_fingerprint")(exprs), 8, 4), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
@@ -2473,6 +2580,10 @@ object expressions {
     call_function("char_grams", text)
   def simhash64(shingles: Column): Column =
     call_function("simhash64", shingles)
+  def jl_project(embedding: Column): Column =
+    call_function("jl_project", embedding)
+  def long_cosine(a: Column, b: Column): Column =
+    call_function("long_cosine", a, b)
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
   def sorted_intersect(a: Column, b: Column): Column =

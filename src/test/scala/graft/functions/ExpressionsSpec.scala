@@ -46,6 +46,50 @@ class ExpressionsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(declarative))
   }
 
+  test("jl_project == declarative sign-literal aggregate form") {
+    import spark.implicits._
+    val signs = Array.tabulate(64 * 16)(k =>
+      if ((expressions.splitmix((1L << 20) + k) & 1L) == 1L) 1L else -1L)
+    val df = Seq((1L, Array.tabulate(64)(i => (math.sin(i + 1) * 0.3).toFloat)),
+        (2L, Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 0.2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val declarative = df.select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1048576.0).cast("long")).as("xfp"))
+      .select($"vec_id",
+        transform(sequence(lit(0), lit(15)), j =>
+          aggregate(sequence(lit(0), lit(63)), lit(0L),
+            (acc, i) => acc + element_at(lit(signs), i * 16 + j + 1) *
+              element_at($"xfp", i + 1))).as("y"))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val native = df.select($"vec_id", expressions.jl_project($"embedding").as("y"))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(native == declarative)
+  }
+
+  test("long_cosine == declarative int cosine; mismatch and null components surface null") {
+    import spark.implicits._
+    val df = Seq((Seq(524288L, -1310720L, 2097152L), Seq(1048576L, 786432L, -524288L)))
+      .toDF("a", "b")
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+    val declarative = df.select(
+      (dot($"a", $"b").cast("double") /
+        (sqrt(dot($"a", $"a").cast("double")) *
+          sqrt(dot($"b", $"b").cast("double")))).as("c"))
+      .head().getDouble(0)
+    val native = df.select(expressions.long_cosine($"a", $"b")).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(native) ==
+      java.lang.Double.doubleToLongBits(declarative))
+    val bad = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(1L, 2L)),
+      (2L, Seq(1L, 2L), Seq(1L, 2L))).toDF("id", "a", "b")
+    val rows = bad.select($"id", expressions.long_cosine($"a", $"b").as("c"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1), "length mismatch must be null")
+    assert(!rows(1).isNullAt(1) && math.abs(rows(1).getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("quantized_cosine: mismatched dimensionality surfaces null, not a truncated score") {
     import spark.implicits._
     val df = Seq(

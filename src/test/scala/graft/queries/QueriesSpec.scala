@@ -2327,6 +2327,27 @@ class QueriesSpec extends SparkSpec {
       s"mean JL ratio $meanRatio far from k=16")
   }
 
+  test("q148 two-stage JL retrieval: recall@5 vs exact q25 on the same requests") {
+    // measured composition trade at the 100-of-500 candidate depth on
+    // this NEAR-RANDOM corpus (the projection's worst case — q26's
+    // note): mean recall ≈ 0.74. The pin is a floor well above the
+    // 100/499 ≈ 1.0-of-5 random-candidate baseline, not the measured
+    // point (rank margins this thin wobble with any quantizer change).
+    val exact = run("q25_knn_cosine_exact")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sel = run("q148_jl_prefilter_knn")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byQ = exact.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    val recall = byQ.map { case (_, rows) =>
+      rows.count(sel.contains).toDouble / rows.length
+    }
+    assert(recall.sum / recall.size >= 0.5,
+      s"mean recall@5 ${recall.sum / recall.size} below the two-stage floor")
+  }
+
   test("cluster removal == rebuild on survivors; victims absent") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
