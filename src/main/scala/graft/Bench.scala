@@ -152,8 +152,15 @@ object Bench {
     artAll.toSeq.sortBy(-_._2).foreach { case (k, v) =>
       System.err.println(f"[bench] artifact $k%-12s build=$v%7.3f s")
     }
-    val artJson = artAll.filter(_._2 >= 0.5).toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + fmtAt(v, 1) }
+    // JSON carries the TOTAL plus the top-5 builds only: at 153 queries
+    // the line already brushes the 2000-char tail (r9 measured 1928
+    // chars with the full >= 0.5 s map, and sbt's trailing "[success]"
+    // line eats ~75 more — the r08 tail shows exactly that suffix), and
+    // a clipped head loses the whole round's timings. Full per-family
+    // map stays on stderr above.
+    val artJson = (
+      Seq("total" -> artAll.values.sum) ++ artAll.toSeq.sortBy(-_._2).take(5)
+    ).map { case (k, v) => "\"" + k + "\":" + fmtAt(v, 1) }
       .mkString("{", ",", "}")
 
     // Streaming-ingest throughput leg: wire-format JSONL -> lenient

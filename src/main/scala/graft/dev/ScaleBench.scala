@@ -109,9 +109,10 @@ object ScaleBench {
     // round-9: JL projection (scan-local per-row pass) and its sampled
     // adjacent-pair distance audit
     "q146_jl_projection", "q147_jl_distance_audit",
-    // round-9: two-stage compressed retrieval — stage 1 is q25's
-    // broadcast scan over 4x-smaller vectors (%50 request convention:
-    // nq grows with the corpus), stage 2 reranks nq*100 candidates
+    // round-9: two-stage compressed retrieval — stage 1 is a broadcast
+    // scan over 4x-smaller vectors for an ABSOLUTELY BOUNDED request
+    // set (<= 100 at any corpus size, the QuerySetCap device), stage 2
+    // reranks the nq*100-bounded candidates in full dimension
     "q148_jl_prefilter_knn")
 
   def main(args: Array[String]): Unit = {

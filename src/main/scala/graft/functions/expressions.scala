@@ -893,10 +893,9 @@ object expressions {
     * literal of the declarative aggregate form it replaces (which paid
     * k·dims interpreted lambda steps per corpus row — the measured
     * projection ceiling of q148's stage 1 at x100). A null component
-    * yields SQL null (QuantizedCosine's rule); extra input components
-    * beyond `dims` are ignored, shorter inputs project the available
-    * prefix — matching element_at semantics only on well-formed rows,
-    * which the null/length guards of the consumers establish. */
+    * OR a dimensionality mismatch yields SQL null (QuantizedCosine's
+    * rule): a truncated/corrupt embedding must surface, not compete in
+    * downstream ranking with a plausible prefix projection. */
   case class JlProjectExpr(child: Expression, k: Int, dims: Int, seed: Long)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -910,15 +909,15 @@ object expressions {
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val n = math.min(arr.numElements(), dims)
+      if (arr.numElements() != dims) return null
       var i = 0
-      while (i < n) {
+      while (i < dims) {
         if (arr.isNullAt(i)) return null
         i += 1
       }
       val acc = new Array[Long](k)
       i = 0
-      while (i < n) {
+      while (i < dims) {
         val x = math.floor(arr.getFloat(i).toDouble * 1048576.0).toLong
         val s = signs(i)
         var j = 0

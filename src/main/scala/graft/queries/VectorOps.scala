@@ -2227,7 +2227,12 @@ object VectorOps {
       // absolutely bounded request set (q84/q137's QuerySetCap device:
       // <= 100 queries at ANY corpus size — a serving batch does not
       // grow with the stored corpus; q25 keeps the unbounded %50
-      // convention as the declared brute-force-complete baseline)
+      // convention as the declared brute-force-complete baseline).
+      // The full-dim request embeddings ride the SAME bounded frame so
+      // stage 2 never re-scans the corpus for <= 100 q_emb rows (the
+      // vec_id predicate prunes the request scan's row groups).
+      val reqs = emb.filter(isQuery($"vec_id") && $"vec_id" < 5000L)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
       val queries = broadcast(pr
         .filter(isQuery($"vec_id") && $"vec_id" < 5000L)
         .select($"vec_id".as("query_id"), $"y".as("qy")))
@@ -2241,8 +2246,7 @@ object VectorOps {
       val reranked = cand
         .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"),
           Seq("neighbor_id"))
-        .join(emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
-          Seq("query_id"))
+        .join(broadcast(reqs), Seq("query_id"))
         .select($"query_id", $"neighbor_id",
           graft.functions.expressions.quantized_cosine($"q_emb", $"embedding")
             .as("score"))

@@ -1259,10 +1259,14 @@ object Pipeline {
     * (doc_id LONG) frame for a ledger with no batches yet — serving
     * under an empty ledger is the unmasked store. */
   def readTombstoneLedger(s: SparkSession, ledgerDir: String): DataFrame = {
+    // FS-agnostic probe (Hadoop FileSystem, not java.io.File): on
+    // hdfs://-s3a:// deployments a local-only probe would silently
+    // report "no batches" and serving would ignore every takedown
     val hasBatches = {
-      val d = new java.io.File(ledgerDir)
-      d.isDirectory && Option(d.listFiles())
-        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+      val p = new org.apache.hadoop.fs.Path(ledgerDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
     }
     if (hasBatches)
       s.read.option("basePath", ledgerDir).parquet(s"$ledgerDir/batch=*")

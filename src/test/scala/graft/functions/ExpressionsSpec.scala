@@ -65,6 +65,11 @@ class ExpressionsSpec extends SparkSpec {
     val native = df.select($"vec_id", expressions.jl_project($"embedding").as("y"))
       .orderBy("vec_id").collect().map(_.toString).toSeq
     assert(native == declarative)
+    // a truncated/corrupt embedding surfaces as SQL null (QuantizedCosine's
+    // dimensionality rule), never as a plausible prefix projection
+    val short = Seq((1L, Array.tabulate(32)(i => i.toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    assert(short.select(expressions.jl_project($"embedding")).head().isNullAt(0))
   }
 
   test("long_cosine == declarative int cosine; mismatch and null components surface null") {
