@@ -1772,14 +1772,17 @@ object VectorOps {
       // probe cells: q39's selection, verbatim expressions
       val centroids = broadcast(ivfCentroids(emb))
       val probeW = Window.partitionBy($"query_id").orderBy($"csim".desc, $"c_label")
-      val probes = broadcast(
+      // no broadcast hint: this frame terminates in the probeSets
+      // collect below, not a join — a hint here is dead (HintErrorLogger
+      // noise at every bench sweep)
+      val probes =
         emb.filter(isQuery($"vec_id"))
           .crossJoin(centroids)
           .select($"vec_id".as("query_id"), $"c_label",
             graft.functions.expressions.quantized_cosine($"embedding", toF($"cvec")).as("csim"))
           .withColumn("pr", row_number().over(probeW))
           .filter($"pr" <= 3)
-          .select($"query_id", $"c_label".as("label")))
+          .select($"query_id", $"c_label".as("label"))
       // PQ index over the full corpus (q78's shared training — one JVM
       // trains it once; see pqTrainCached)
       val idx = pqTrainCached(s, d)
