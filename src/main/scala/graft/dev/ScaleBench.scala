@@ -113,7 +113,10 @@ object ScaleBench {
     // scan over 4x-smaller vectors for an ABSOLUTELY BOUNDED request
     // set (<= 100 at any corpus size, the QuerySetCap device), stage 2
     // reranks the nq*100-bounded candidates in full dimension
-    "q148_jl_prefilter_knn")
+    "q148_jl_prefilter_knn",
+    // round-9: NB machine unlearning — victim postings + vocab×langs
+    // merges + closed-form refit; scoring is the NbScore scan
+    "q149_nb_unlearn")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -83,25 +83,35 @@ object LangId {
         explode(graft.functions.expressions.char_grams($"text")).as("g"))
       .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
       .persist()
-    try {
-      val v = langGram.select($"g").distinct().count()
-      val nTrain = train.count()
-      val langTot = langGram.groupBy($"lang").agg(sum($"c").as("nl"))
-      val priors = train.groupBy($"lang").agg(count(lit(1)).as("nd"))
-      val stats = langTot.join(priors, Seq("lang"))
-        .select($"lang",
-          floor(log($"nd".cast("double") / nTrain) * 1e6)
-            .cast("long").as("prior_fp"),
-          floor(log(lit(1.0) / ($"nl" + v).cast("double")) * 1e6)
-            .cast("long").as("unseen_fp"))
-        .localCheckpoint()
-      val weights = langGram.join(langTot, Seq("lang"))
-        .select($"lang", $"g",
-          floor(log(($"c" + 1).cast("double") / ($"nl" + v).cast("double")) * 1e6)
-            .cast("long").as("w_fp"))
-        .localCheckpoint()
-      NbModel(weights, stats)
-    } finally langGram.unpersist()
+    try nbFit(langGram,
+      train.groupBy($"lang").agg(count(lit(1)).as("nd")), train.count())
+    finally langGram.unpersist()
+  }
+
+  /** The closed-form fit from the COUNT tables — `lg` (lang, g, c),
+    * `priors` (lang, nd), `nTrain` — shared by [[trainLangIdNb]]
+    * (counts aggregated from a labeled frame) and [[nbModelOf]]
+    * (counts read from a mutated raw store), so exact unlearning
+    * (q149) can never drift from training: identical count inputs
+    * produce bit-identical weights/stats (IEEE log over the same exact
+    * integers). */
+  private def nbFit(lg: DataFrame, priors: DataFrame, nTrain: Long): NbModel = {
+    import lg.sparkSession.implicits._
+    val v = lg.select($"g").distinct().count()
+    val langTot = lg.groupBy($"lang").agg(sum($"c").as("nl"))
+    val stats = langTot.join(priors, Seq("lang"))
+      .select($"lang",
+        floor(log($"nd".cast("double") / nTrain) * 1e6)
+          .cast("long").as("prior_fp"),
+        floor(log(lit(1.0) / ($"nl" + v).cast("double")) * 1e6)
+          .cast("long").as("unseen_fp"))
+      .localCheckpoint()
+    val weights = lg.join(langTot, Seq("lang"))
+      .select($"lang", $"g",
+        floor(log(($"c" + 1).cast("double") / ($"nl" + v).cast("double")) * 1e6)
+          .cast("long").as("w_fp"))
+      .localCheckpoint()
+    NbModel(weights, stats)
   }
 
   /** The model over dataset `d`'s stored split (doc_id % 10 < 8),
@@ -119,18 +129,109 @@ object LangId {
   private def modelKey(s: SparkSession, path: String): String =
     s"${s.sparkContext.applicationId}|$path"
 
-  private[graft] def langIdModelCached(s: SparkSession, d: String): NbModel = {
-    val p = IndexCache.resolve(
+  private def langIdArtifact(s: SparkSession, d: String): String =
+    IndexCache.resolve(
       s"langid|${IndexCache.dataKey(d)}", "langid") { path =>
       import s.implicits._
-      val m = trainLangIdNb(Tables.documents(s, d)
+      val training = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .filter($"doc_id" % 10 < 8))
+        .filter($"doc_id" % 10 < 8)
+      // RAW store first (q137/q144's device applied to a trained
+      // classifier): per-doc labeled trigram counts + doc labels; the
+      // model's count table is a PROJECTION of the per-doc postings,
+      // built that way so exact unlearning (subtract a victim's own
+      // stored counts — [[removeFromNbRaw]]) lands on precisely the
+      // counts a retrain on survivors would see. Docs too short for a
+      // trigram have no postings but still count in dlab (priors and
+      // the prior denominator include them, exactly as trainLangIdNb's
+      // direct frame counts do).
+      val tgp = training
+        .select($"doc_id", $"lang",
+          explode(graft.functions.expressions.char_grams($"text")).as("g"))
+        .groupBy($"doc_id", $"lang", $"g").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      tgp.write.mode("overwrite").parquet(s"$path/tgpost")
+      training.select($"doc_id", $"lang")
+        .write.mode("overwrite").parquet(s"$path/dlab")
+      val lg = tgp.groupBy($"lang", $"g").agg(sum($"c").as("c"))
+        .localCheckpoint()
+      lg.write.mode("overwrite").parquet(s"$path/lg")
+      val m = nbFit(lg,
+        training.groupBy($"lang").agg(count(lit(1)).as("nd")),
+        training.count())
       m.weights.write.mode("overwrite").parquet(s"$path/weights")
       m.stats.write.mode("overwrite").parquet(s"$path/stats")
     }
+
+  private[graft] def langIdModelCached(s: SparkSession, d: String): NbModel = {
+    val p = langIdArtifact(s, d)
     modelInstances.computeIfAbsent(modelKey(s, p), _ =>
       NbModel(s.read.parquet(s"$p/weights"), s.read.parquet(s"$p/stats")))
+  }
+
+  /** The langid model's raw, mutable store: per-doc labeled trigram
+    * counts (`tgpost`: doc_id, lang, g, c), doc labels (`dlab`: doc_id,
+    * lang — includes trigram-less short docs), and the maintained
+    * count-table projection (`lg`: lang, g, c). Every fitted quantity
+    * is a closed form of these ([[nbFit]]), so append and removal are
+    * count arithmetic and the refit is vocabulary-bounded. */
+  private[graft] case class NbRaw(tgpost: DataFrame, dlab: DataFrame,
+      lg: DataFrame)
+
+  private[graft] def nbRawCached(s: SparkSession, d: String): NbRaw = {
+    val p = langIdArtifact(s, d)
+    NbRaw(s.read.parquet(s"$p/tgpost"), s.read.parquet(s"$p/dlab"),
+      s.read.parquet(s"$p/lg"))
+  }
+
+  /** Refit from the (possibly mutated) raw store — [[nbFit]] on the
+    * maintained projections, so identical counts give bit-identical
+    * weights/stats to a from-scratch [[trainLangIdNb]]. */
+  private[graft] def nbModelOf(raw: NbRaw): NbModel = {
+    import raw.dlab.sparkSession.implicits._
+    nbFit(raw.lg,
+      raw.dlab.groupBy($"lang").agg(count(lit(1)).as("nd")),
+      raw.dlab.count())
+  }
+
+  /** Admit a labeled snapshot (doc_id, lang, text; ids DISJOINT from
+    * the stored ids — the family's admission contract) into the raw
+    * store: snapshot postings union in, the count table merges by
+    * addition (vocab×langs-bounded). */
+  private[graft] def appendToNbRaw(raw: NbRaw, snap: DataFrame): NbRaw = {
+    import snap.sparkSession.implicits._
+    val sg = snap
+      .select($"doc_id", $"lang",
+        explode(graft.functions.expressions.char_grams($"text")).as("g"))
+      .groupBy($"doc_id", $"lang", $"g").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val lgM = raw.lg
+      .unionByName(sg.groupBy($"lang", $"g").agg(sum($"c").as("c")))
+      .groupBy($"lang", $"g").agg(sum($"c").as("c")).localCheckpoint()
+    NbRaw(raw.tgpost.unionByName(sg),
+      raw.dlab.unionByName(snap.select($"doc_id", $"lang")), lgM)
+  }
+
+  /** Exact machine UNLEARNING for the NB classifier (right-to-be-
+    * forgotten applied to a trained model, not just an index): each
+    * victim's OWN stored per-doc counts subtract from the count table
+    * (zero rows drop — a trigram unique to victims leaves the
+    * vocabulary, shifting v in every smoothed weight), labels
+    * anti-join, and the refit ([[nbModelOf]]) is a closed form of the
+    * updated counts — equal to retraining on the survivors EXACTLY,
+    * with no victim text ever re-read. Mutation cost: victim postings
+    * + vocab×langs-bounded merges; no broadcast hints on the victim
+    * joins (the q95/q103 AQE rule). */
+  private[graft] def removeFromNbRaw(raw: NbRaw, removeIds: DataFrame): NbRaw = {
+    import removeIds.sparkSession.implicits._
+    val vic = removeIds.select($"doc_id").distinct().localCheckpoint()
+    val dec = raw.tgpost.join(vic, Seq("doc_id"), "left_semi")
+      .groupBy($"lang", $"g").agg(sum($"c").as("dec"))
+    val lgM = raw.lg.join(dec, Seq("lang", "g"), "left")
+      .select($"lang", $"g", ($"c" - coalesce($"dec", lit(0L))).as("c"))
+      .filter($"c" > 0).localCheckpoint()
+    NbRaw(raw.tgpost.join(vic, Seq("doc_id"), "left_anti"),
+      raw.dlab.join(vic, Seq("doc_id"), "left_anti"), lgM)
   }
 
   /** The scoring core: (doc_id, text) → one (doc_id, lang, score_fp)
@@ -179,15 +280,17 @@ object LangId {
       .select($"doc_id", $"lang".as("lang_pred"), $"score_fp")
   }
 
-  /** The fitted-model CTEs shared by q100's and q139's oracles (the
-    * qualityOracleCtes pattern): train split, trigram counts, priors,
-    * smoothed weights — [[trainLangIdNb]] replayed in SQL. Ends with
-    * `w` (lang, g, w_fp) and `stats` (lang, prior_fp, unseen_fp). */
-  private val langidModelCtes: String = """
+  /** The fitted-model CTEs shared by the q100/q139/q149 oracles (the
+    * qualityOracleCtes pattern), parameterized by the train/test split
+    * predicates so the unlearning oracle (q149 — survivors-only
+    * retrain) reuses the ONE replay of [[trainLangIdNb]] instead of a
+    * divergent copy. Ends with `w` (lang, g, w_fp) and `stats`
+    * (lang, prior_fp, unseen_fp). */
+  private def langidCtes(trainWhere: String, testWhere: String): String = s"""
       WITH train AS (
-        SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 < 8
+        SELECT doc_id, lang, text FROM documents WHERE $trainWhere
       ), test AS (
-        SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 >= 8
+        SELECT doc_id, lang, text FROM documents WHERE $testWhere
       ), traing AS (
         SELECT lang, unnest(list_transform(generate_series(1, len(text) - 2),
                i -> substr(text, i, 3))) AS g
@@ -213,19 +316,14 @@ object LangId {
         FROM lg JOIN lt ON lt.lang = lg.lang CROSS JOIN voc
       )"""
 
-  private val q100 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val test = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .filter($"doc_id" % 10 >= 8)
-      langIdScoreDocs(test.select($"doc_id", $"text"), langIdModelCached(s, d))
-        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
-        .select($"lang", $"lang_pred")
-        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
-        .orderBy($"lang", $"lang_pred")
-    },
-    oracle = Some(langidModelCtes + """
+  /** The default stored-split instantiation (q100/q139). */
+  private val langidModelCtes: String =
+    langidCtes("doc_id % 10 < 8", "doc_id % 10 >= 8")
+
+  /** The scoring/argmax/confusion tail shared by q100 and q149 (both
+    * score the `test` CTE under the `w`/`stats` model tables their
+    * prefix defines). */
+  private val langidScoreTail: String = """
       , testg AS (
         SELECT doc_id, unnest(list_transform(generate_series(1, len(text) - 2),
                i -> substr(text, i, 3))) AS g
@@ -257,7 +355,54 @@ object LangId {
       SELECT lang_true AS lang, lang_pred, COUNT(*) AS n_docs
       FROM pred WHERE rn = 1
       GROUP BY lang_true, lang_pred
-      ORDER BY lang, lang_pred"""))
+      ORDER BY lang, lang_pred"""
+
+  private val q100 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val test = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter($"doc_id" % 10 >= 8)
+      langIdScoreDocs(test.select($"doc_id", $"text"), langIdModelCached(s, d))
+        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+        .select($"lang", $"lang_pred")
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"lang_pred")
+    },
+    oracle = Some(langidModelCtes + langidScoreTail))
+
+  /** Q149 — exact NB machine unlearning, full lifecycle (q144's shape
+    * on a TRAINED CLASSIFIER rather than an index or LM): the stored
+    * raw model store ([[nbRawCached]], %10<8) admits the labeled
+    * %10=8 snapshot ([[appendToNbRaw]]), processes the %7=0 takedown
+    * batch ([[removeFromNbRaw]] — victims' counts subtracted from
+    * their own stored postings, a victim-only trigram leaves the
+    * vocabulary and shifts the smoothing denominator in EVERY weight),
+    * refits the closed form ([[nbModelOf]]) and classifies the %10=9
+    * held-out split (q100's confusion-matrix shape). The oracle
+    * retrains from scratch on (%10<9 AND %7≠0) — a hash match proves
+    * append ∘ unlearn ≡ retrain-on-survivors exactly, through the
+    * refit's logs and the argmax. */
+  private val q149 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val appended = appendToNbRaw(nbRawCached(s, d),
+        docs.filter($"doc_id" % 10 === 8).select($"doc_id", $"lang", $"text"))
+      val pruned = removeFromNbRaw(appended,
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      val m = nbModelOf(pruned)
+      val test = docs.filter($"doc_id" % 10 === 9)
+      langIdScoreDocs(test.select($"doc_id", $"text"), m)
+        .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+        .select($"lang", $"lang_pred")
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"lang_pred")
+    },
+    oracle = Some(
+      langidCtes("doc_id % 10 < 9 AND doc_id % 7 <> 0", "doc_id % 10 = 9")
+        + langidScoreTail))
 
   /** The quality model: NB over character trigrams with BINARY classes
     * ('keep'/'drop'), weak-supervised by the Gopher rule battery
@@ -611,5 +756,6 @@ object LangId {
     "q102_quality_classifier" -> q102,
     "q129_quality_calibration" -> q129,
     "q139_codeswitch_windows" -> q139,
+    "q149_nb_unlearn" -> q149,
   )
 }
