@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * math as one tight primitive loop per row and stay inside whole-stage
   * codegen (the generated code calls straight into the typed kernel; no
   * Row boxing, no UDF serialization) — preference tier (b) of the
-  * build-vs-custom ladder (spark_guide.md): compose built-ins first, drop
+  * build-vs-custom ladder: compose built-ins first, drop
   * to a custom Expression only where built-ins can't express it
   * efficiently.
   *
@@ -263,6 +263,10 @@ object expressions {
         dab += qa * qb; daa += qa * qa; dbb += qb * qb
         i += 1
       }
+      // zero-norm vector → SQL null (mirroring the mismatch rule) rather
+      // than NaN, which sorts FIRST under `desc` and would let one
+      // degenerate embedding pollute every top-k candidate list
+      if (daa == 0L || dbb == 0L) return null
       dab.toDouble / (math.sqrt(daa.toDouble) * math.sqrt(dbb.toDouble))
     }
 
@@ -310,6 +314,9 @@ object expressions {
         dab += qa * qb; daa += qa * qa; dbb += qb * qb
         i += 1
       }
+      // zero-norm projection → SQL null, not NaN (NaN sorts first under
+      // `desc`, polluting stage-1 candidate lists; see QuantizedCosine above)
+      if (daa == 0L || dbb == 0L) return null
       dab.toDouble / (math.sqrt(daa.toDouble) * math.sqrt(dbb.toDouble))
     }
 
@@ -1895,7 +1902,7 @@ object expressions {
       var nTouched = 0
       var ti = 0
       val nTerms = hs.numElements()
-      if (tfs.numElements() < nTerms)
+      if (tfs.numElements() != nTerms)
         throw new IllegalArgumentException(
           s"bm25_raw_scan_topk: tfs has ${tfs.numElements()} entries but " +
             s"term_hashes has $nTerms — the store's arrays must align")
@@ -2442,7 +2449,7 @@ object expressions {
   /** Register the kernels in the session's function registry (idempotent;
     * also makes them usable from SQL as e.g. `minhash_signature(sh)`).
     * Expression→Column constructors are sql-private in Spark 4, so the
-    * registry + `call_function` is the supported wiring (spark_guide.md).
+    * registry + `call_function` is the supported wiring.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -655,10 +655,12 @@ object LangId {
     // chunks into the next doc_id's key space (frameHashes' fid rule)
     val preds = langIdScoreDocs(
       chunks.select(
-        expr("CASE WHEN ci0 + 1 < 1048576" +
+        expr("CASE WHEN doc_id >= 0 AND ci0 + 1 < 1048576" +
           " THEN doc_id * 1048576 + ci0 + 1" +
           " ELSE raise_error(concat('codeSwitchSummary: doc ', doc_id," +
-          " ' has >= 1048575 chunks; key packing would alias')) END")
+          " ' needs doc_id >= 0 and < 1048575 chunks; the packed key'," +
+          " ' decode uses truncating div, which would alias a negative'," +
+          " ' doc_id into the neighboring key space')) END")
           .as("doc_id"),
         $"ctext".as("text")), m)
       .select(expr("doc_id div 1048576").as("doc_id"),

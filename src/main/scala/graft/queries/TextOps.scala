@@ -1993,8 +1993,15 @@ ORDER BY a.source"""
       val t = (4L * total) / 5L
       val base = strata.map { case (l, src, n) => (l, src, (4L * n) / 5L, (4L * n) % 5L) }
       val extra = (t - base.map(_._3).sum).toInt
+      // NULLS LAST on the tie-break, mirroring the oracle's default
+      // ORDER BY collation; null-stratum docs are then excluded from the
+      // output by the inner quota join on BOTH engines (null keys never
+      // equi-match), but such strata still occupy priority slots and can
+      // consume `extra`, so they must stay in the sort
       val quotas = base
-        .sortBy { case (l, src, _, r) => (-r, l, src) }
+        .sortBy { case (l, src, _, r) =>
+          (-r, l == null, if (l == null) "" else l,
+            src == null, if (src == null) "" else src) }
         .zipWithIndex
         .map { case ((l, src, b, _), i) => (l, src, if (i < extra) b + 1 else b) }
       val quotaDf = quotas.toSeq.toDF("lang", "source", "quota")
