@@ -177,6 +177,58 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): CharGrams = copy(child = c)
   }
 
+  /** string → array<struct<g,c>> of DISTINCT character `n`-grams with
+    * their occurrence counts (first-occurrence order) — [[CharGrams]]
+    * followed by the per-document count fold, in ONE scan-local pass
+    * (the [[WordStats]] recipe). This is the langid raw-store feature
+    * pass (LangId.langIdArtifact): emitting per-doc (g, c) pairs
+    * directly makes the tgpost store map-side — the old
+    * explode(char_grams) → groupBy(doc, lang, g) shuffled one row per
+    * TRIGRAM OCCURRENCE (corpus×chars rows) where this shuffles
+    * nothing, and the downstream (lang, g) projection now combines
+    * per-doc DISTINCT grams (≤ min(|doc|, |vocab|) per doc) instead of
+    * occurrences. Counts are exact longs, bit-identical to the
+    * groupBy/count form at every site (order-free integer addition).
+    */
+  case class CharGramCounts(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "char_gram_counts")
+
+    override def nullSafeEval(input: Any): Any = {
+      val str = input.toString
+      val len = str.length
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val counts = new java.util.LinkedHashMap[String, Long]()
+      var i = 0
+      while (i <= len - n) {
+        val g = str.substring(i, i + n)
+        counts.put(g, counts.getOrDefault(g, 0L) + 1L)
+        i += 1
+      }
+      val out = new Array[AnyRef](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey),
+            e.getValue.longValue()))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cgc", this, classOf[CharGramCounts].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): CharGramCounts = copy(child = c)
+  }
+
   /** string → struct<n_words, n_distinct, top_c, total2, d2> (all long):
     * the per-document repetition statistics of q48/q56 in ONE native
     * pass — total word tokens, distinct tokens, the most frequent token's
@@ -2477,6 +2529,8 @@ object expressions {
       exprs => WordShingles(one("word_shingles")(exprs), 3), "scala_udf")
     reg.createOrReplaceTempFunction("char_grams",
       exprs => CharGrams(one("char_grams")(exprs), 3), "scala_udf")
+    reg.createOrReplaceTempFunction("char_gram_counts",
+      exprs => CharGramCounts(one("char_gram_counts")(exprs), 3), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(one("simhash64")(exprs)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
@@ -2584,6 +2638,8 @@ object expressions {
     call_function("word_shingles", text)
   def char_grams(text: Column): Column =
     call_function("char_grams", text)
+  def char_gram_counts(text: Column): Column =
+    call_function("char_gram_counts", text)
   def simhash64(shingles: Column): Column =
     call_function("simhash64", shingles)
   def jl_project(embedding: Column): Column =

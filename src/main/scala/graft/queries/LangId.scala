@@ -78,10 +78,12 @@ object LangId {
     * count is released. */
   private[graft] def trainLangIdNb(train: DataFrame): NbModel = {
     import train.sparkSession.implicits._
+    // per-doc counts fold scan-locally (char_gram_counts kernel), so the
+    // (lang, g) shuffle carries per-doc DISTINCT grams, not occurrences
     val langGram = train
       .select($"lang",
-        explode(graft.functions.expressions.char_grams($"text")).as("g"))
-      .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
+        explode(graft.functions.expressions.char_gram_counts($"text")).as("gc"))
+      .groupBy($"lang", $"gc.g".as("g")).agg(sum($"gc.c").as("c"))
       .persist()
     try nbFit(langGram,
       train.groupBy($"lang").agg(count(lit(1)).as("nd")), train.count())
@@ -145,15 +147,25 @@ object LangId {
       // trigram have no postings but still count in dlab (priors and
       // the prior denominator include them, exactly as trainLangIdNb's
       // direct frame counts do).
-      val tgp = training
+      // the per-doc count fold happens INSIDE the scan (char_gram_counts
+      // kernel): (doc_id, lang, g) is unique by construction per row, so
+      // the postings store needs NO groupBy — the old explode →
+      // groupBy(doc, lang, g) shuffled one row per trigram OCCURRENCE
+      // (the corpus×chars shuffle that dominated the artifact build);
+      // this writes tgpost entirely map-side. The exploded frame is NOT
+      // cached (a localCheckpoint of corpus×distinct-grams rows as
+      // deserialized blocks starved execution memory at x100 — flaky
+      // AGGREGATE_OUT_OF_MEMORY); the lg projection re-reads the compact
+      // columnar store it just wrote instead.
+      training
         .select($"doc_id", $"lang",
-          explode(graft.functions.expressions.char_grams($"text")).as("g"))
-        .groupBy($"doc_id", $"lang", $"g").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      tgp.write.mode("overwrite").parquet(s"$path/tgpost")
+          explode(graft.functions.expressions.char_gram_counts($"text")).as("gc"))
+        .select($"doc_id", $"lang", $"gc.g".as("g"), $"gc.c".as("c"))
+        .write.mode("overwrite").parquet(s"$path/tgpost")
       training.select($"doc_id", $"lang")
         .write.mode("overwrite").parquet(s"$path/dlab")
-      val lg = tgp.groupBy($"lang", $"g").agg(sum($"c").as("c"))
+      val lg = s.read.parquet(s"$path/tgpost")
+        .groupBy($"lang", $"g").agg(sum($"c").as("c"))
         .localCheckpoint()
       lg.write.mode("overwrite").parquet(s"$path/lg")
       val m = nbFit(lg,
@@ -200,10 +212,12 @@ object LangId {
     * addition (vocab×langs-bounded). */
   private[graft] def appendToNbRaw(raw: NbRaw, snap: DataFrame): NbRaw = {
     import snap.sparkSession.implicits._
+    // scan-local per-doc count fold — (doc_id, lang, g) unique per row,
+    // no groupBy (the langIdArtifact tgpost rule)
     val sg = snap
       .select($"doc_id", $"lang",
-        explode(graft.functions.expressions.char_grams($"text")).as("g"))
-      .groupBy($"doc_id", $"lang", $"g").agg(count(lit(1)).as("c"))
+        explode(graft.functions.expressions.char_gram_counts($"text")).as("gc"))
+      .select($"doc_id", $"lang", $"gc.g".as("g"), $"gc.c".as("c"))
       .localCheckpoint()
     val lgM = raw.lg
       .unionByName(sg.groupBy($"lang", $"g").agg(sum($"c").as("c")))

@@ -1277,6 +1277,39 @@ object Pipeline {
     }
   }
 
+  /** COMPACTION — fold the accumulated tombstones into the store and
+    * clear the ledger, amortized over many takedown batches (Lucene's
+    * segment-merge applying its deleted-docs bitmaps; Delta's OPTIMIZE
+    * applying deletion vectors). `fold` is the artifact-specific leg:
+    * it receives the distinct victim set ([[readTombstoneLedger]]) and
+    * must MATERIALIZE the pruned store (write the removeFrom* result
+    * back to persistent storage) before returning — only then are the
+    * applied batch partitions deleted.
+    *
+    * Crash-safety is by idempotence, not atomicity: every removeFrom*
+    * is a no-op on already-removed ids (anti-joins match nothing;
+    * count subtraction finds no victim postings), so a crash AFTER the
+    * fold but BEFORE the ledger clear leaves stale tombstones whose
+    * re-application — lazily at serve time or by the next compaction —
+    * changes nothing. Serve identity before/after the round-trip
+    * (masked serve over the full ledger == compacted store under the
+    * emptied ledger) is spec-pinned in StreamingSpec for the whole
+    * artifact family. The victim set is localCheckpointed first: the
+    * fold's store rewrite must not race the ledger scan it is derived
+    * from. */
+  def compactTombstones[A](s: SparkSession, ledgerDir: String)
+      (fold: DataFrame => A): A = {
+    val victims = readTombstoneLedger(s, ledgerDir).localCheckpoint()
+    val result = fold(victims)
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .foreach(st => fs.delete(st.getPath, true))
+    result
+  }
+
   /** Streaming twin of q136 — the perceptual frame gate on the ingest
     * path: the stored corpus's frame-dHash band index is built ONCE at
     * stream start ([[graft.queries.MultimodalQ.framePhashIndexCached]]),

@@ -1186,4 +1186,86 @@ class StreamingSpec extends SparkSpec {
     val unmasked = TextOps.removeFromBm25Raw(raw, none)
     assert(unmasked.n == raw.n && tab(unmasked.df) == tab(raw.df))
   }
+
+  test("tombstone ledger generalizes: mask == eager for MinHash, cluster, PQ, NB; compactTombstones round-trip") {
+    import graft.queries.{LangId, TextOps, VectorOps}
+    import graft.sources.Tables
+    import spark.implicits._
+    val in = tmpDir("tbg_in")
+    val ledger = tmpDir("tbg_ledger")
+    val ckpt = tmpDir("tbg_ckpt")
+    def req(id: Long) = s"""{"ts":"2026-03-01 08:00:00","doc_id":$id}"""
+    writeJsonl(in, "a.jsonl", req(0), req(7))
+    writeJsonl(in, "b.jsonl", req(14), req(7))
+    Pipeline.runTakedownLedgerStream(spark, in, ledger, ckpt).awaitTermination()
+    val t = Pipeline.readTombstoneLedger(spark, ledger)
+    val eager = Seq(0L, 7L, 14L).toDF("doc_id")
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // ONE ledger feeds every removeFrom* lazily — readTombstoneLedger's
+    // claim. For each artifact class, serving under the ledger mask must
+    // equal serving under the eagerly-applied literal victim set.
+
+    // MinHash dedup index: arriving-snapshot screening after removal
+    val mh = TextOps.minHashIndexCached(spark, sf0001)
+    val arriving = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 5 === 1).select($"doc_id", $"text")
+    val mhMasked = tab(TextOps.dedupAgainstIndex(
+      arriving, TextOps.removeFromMinHashIndex(mh, t)))
+    assert(mhMasked == tab(TextOps.dedupAgainstIndex(
+      arriving, TextOps.removeFromMinHashIndex(mh, eager))))
+
+    // near-dup cluster labeling: victim-touched components re-cluster
+    val labels = TextOps.dedupClustersCached(spark, sf0001)
+    val edges = TextOps.dedupEdgesCached(spark, sf0001)
+    assert(tab(TextOps.removeFromClusters(labels, edges, t)) ==
+      tab(TextOps.removeFromClusters(labels, edges, eager)))
+
+    // PQ ANN index (vec_id-keyed): ADC top-k after code removal
+    val pq = VectorOps.pqTrainCached(spark, sf0001)
+    val tVec = t.select($"doc_id".as("vec_id"))
+    val eagerVec = eager.select($"doc_id".as("vec_id"))
+    val pqQueries = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id", expr("transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))").as("xq"))
+    assert(tab(VectorOps.pqAdcTopK(pqQueries,
+        VectorOps.removeFromPqIndex(pq, tVec), 5)) ==
+      tab(VectorOps.pqAdcTopK(pqQueries,
+        VectorOps.removeFromPqIndex(pq, eagerVec), 5)))
+
+    // NB langid raw store: held-out classification after exact unlearning
+    val nbRaw = LangId.nbRawCached(spark, sf0001)
+    val held = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 >= 8).select($"doc_id", $"text")
+    assert(tab(LangId.langIdScoreDocs(held,
+        LangId.nbModelOf(LangId.removeFromNbRaw(nbRaw, t)))) ==
+      tab(LangId.langIdScoreDocs(held,
+        LangId.nbModelOf(LangId.removeFromNbRaw(nbRaw, eager)))))
+
+    // compactTombstones round-trip: fold the ledger into a materialized
+    // pruned store (MinHash — it has a persist/load pair), ledger
+    // empties, and serving the compacted store under the now-empty
+    // ledger equals the pre-compaction masked serve
+    val compDir = tmpDir("tbg_compacted")
+    Pipeline.compactTombstones(spark, ledger) { vic =>
+      TextOps.saveMinHashIndex(TextOps.removeFromMinHashIndex(mh, vic), compDir)
+    }
+    val afterLedger = Pipeline.readTombstoneLedger(spark, ledger)
+    assert(afterLedger.isEmpty)
+    val compacted = TextOps.loadMinHashIndex(spark, compDir)
+    assert(tab(TextOps.dedupAgainstIndex(arriving,
+      TextOps.removeFromMinHashIndex(compacted, afterLedger))) == mhMasked)
+
+    // idempotent re-compaction (the crash-after-fold contract): folding
+    // an already-applied (now empty) ledger changes nothing
+    val compDir2 = tmpDir("tbg_compacted2")
+    Pipeline.compactTombstones(spark, ledger) { vic =>
+      TextOps.saveMinHashIndex(
+        TextOps.removeFromMinHashIndex(compacted, vic), compDir2)
+    }
+    assert(tab(TextOps.dedupAgainstIndex(arriving,
+      TextOps.loadMinHashIndex(spark, compDir2))) == mhMasked)
+  }
 }
