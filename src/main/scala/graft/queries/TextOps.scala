@@ -3513,6 +3513,124 @@ ORDER BY a.source"""
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q150 — hard-negative mining for retrieval-model training (the DPR/
+    * sentence-transformers data-prep step): for each query in q84's
+    * bounded request set, the top BM25 candidates make the best training
+    * negatives — EXCEPT near-duplicates of the query document, which are
+    * de-facto positives and poison the contrastive loss as false
+    * negatives. Mine from the top-20 candidate pool (the truncation is
+    * part of the declared semantics, q148's candidate-pool contract),
+    * drop candidates at exact word-3-gram Jaccard ≥ 0.5 against the
+    * query doc (q18's near-dup criterion, verified per candidate pair —
+    * never against the corpus), and re-rank the survivors to top-5.
+    *
+    * Shape at 100 TB: candidates come from the ONE Bm25ScanTopK serving
+    * scan (nq·20 rows, bounded by the request-set cap); the union of
+    * query + candidate ids (≤ 2,100) semi-joins the corpus scan so only
+    * those documents shingle; the per-pair exact Jaccard is the
+    * merge-intersect kernel over sorted hash arrays on a ≤ 2,000-row
+    * frame. No corpus shuffle, no pairwise leg — verification cost is
+    * candidate-bounded at any corpus size. A doc too short to shingle
+    * (< 3 words) cannot be verified near-dup and is kept (LEFT joins on
+    * both engines).
+    */
+  private val q150 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val E = graft.functions.expressions
+      val cands = bm25TopK(bm25StoreCached(s, d), bm25QueryRows(s, d), 20)
+      val ids = cands.select($"query_id".as("doc_id"))
+        .union(cands.select($"doc_id")).distinct()
+      val sh = shingleDocs(Tables.documents(s, d)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"text")).localCheckpoint()
+      val keep = cands
+        .join(sh.select($"doc_id".as("query_id"), $"n".as("n_q"),
+          $"hs".as("hs_q")), Seq("query_id"), "left")
+        .join(sh.select($"doc_id", $"n".as("n_c"), $"hs".as("hs_c")),
+          Seq("doc_id"), "left")
+        .withColumn("common",
+          when($"hs_q".isNull || $"hs_c".isNull, lit(0L))
+            .otherwise(E.sorted_intersect_count($"hs_q", $"hs_c")))
+        .filter($"hs_q".isNull || $"hs_c".isNull ||
+          $"common".cast("double") /
+            ($"n_q" + $"n_c" - $"common").cast("double") < 0.5)
+      keep
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id")
+            .orderBy($"score_fp".desc, $"doc_id")).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"doc_id", $"score_fp", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+      ), dlen AS (
+        SELECT doc_id, COUNT(*) AS len FROM t GROUP BY doc_id
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), w AS (
+        SELECT tf.doc_id, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (doc_id) JOIN idf USING (term)
+      ), q AS (
+        SELECT doc_id AS query_id, term FROM tf
+        WHERE doc_id % 37 = 0 AND doc_id < 3700
+      ), scored AS (
+        SELECT q.query_id, w.doc_id, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN w USING (term)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY q.query_id, w.doc_id
+      ), ranked AS (
+        SELECT query_id, doc_id, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM scored
+      ), cand AS (
+        SELECT query_id, doc_id, score_fp FROM ranked WHERE rank <= 20
+      ), docs2 AS (
+        SELECT doc_id, string_split(text, ' ') AS w2 FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w2)-2),
+               i -> array_to_string(w2[i:i+2], ' '))) AS sh
+        FROM docs2 WHERE len(w2) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh
+      ), ov AS (
+        SELECT c.query_id, c.doc_id, COUNT(*) AS common,
+               any_value(a.n) AS n_q, any_value(b.n) AS n_c
+        FROM cand c
+        JOIN ex a ON a.doc_id = c.query_id
+        JOIN ex b ON b.doc_id = c.doc_id AND b.s = a.s
+        GROUP BY c.query_id, c.doc_id
+      ), keep AS (
+        SELECT c.query_id, c.doc_id, c.score_fp
+        FROM cand c
+        LEFT JOIN ov ON ov.query_id = c.query_id AND ov.doc_id = c.doc_id
+        WHERE ov.common IS NULL
+           OR CAST(ov.common AS DOUBLE) / (ov.n_q + ov.n_c - ov.common) < 0.5
+      ), rr AS (
+        SELECT query_id, doc_id, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM keep
+      )
+      SELECT query_id, doc_id, score_fp, rank
+      FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** Q85 — language-model perplexity filter (the CCNet recipe shape:
     * score documents under an LM trained on trusted/held data; drop the
     * worst). Trains an add-one-smoothed bigram LM on the stored split
@@ -5025,6 +5143,7 @@ ORDER BY a.source"""
     "q143_dedup_index_remove" -> q143,
     "q144_lm_remove_rescore" -> q144,
     "q145_cluster_remove" -> q145,
+    "q150_hard_negatives" -> q150,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2348,6 +2348,45 @@ class QueriesSpec extends SparkSpec {
       s"mean recall@5 ${recall.sum / recall.size} below the two-stage floor")
   }
 
+  test("q150 hard negatives: near-dup candidates excluded, invariants hold") {
+    import spark.implicits._
+    val E = graft.functions.expressions
+    val out = run("q150_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.length <= 5, s"query $q returned ${sorted.length} > 5")
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not contiguous from 1")
+      assert(sorted.map(_._3).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }, s"query $q scores not non-increasing in rank")
+      assert(rows.forall(_._2 != q), s"query $q returned itself")
+    }
+    // the exclusion leg must be EXERCISED at this SF (≥ 1 near-dup pair
+    // in the top-20 pool — checked independently against the oracle's
+    // criterion), and no returned negative may be one
+    val cands = TextOps.bm25TopK(
+      TextOps.bm25StoreCached(spark, sf0001),
+      TextOps.bm25QueryRows(spark, sf0001), 20)
+    val sh = TextOps.shingleDocs(
+      graft.sources.Tables.documents(spark, sf0001).select($"doc_id", $"text"))
+    val nd = cands
+      .join(sh.select($"doc_id".as("query_id"), $"n".as("n_q"),
+        $"hs".as("hs_q")), Seq("query_id"))
+      .join(sh.select($"doc_id", $"n".as("n_c"), $"hs".as("hs_c")),
+        Seq("doc_id"))
+      .withColumn("common", E.sorted_intersect_count($"hs_q", $"hs_c"))
+      .filter($"common".cast("double") /
+        ($"n_q" + $"n_c" - $"common").cast("double") >= 0.5)
+      .select($"query_id", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.nonEmpty, "near-dup exclusion vacuous in the top-20 pool")
+    assert(out.forall { case (q, d, _, _) => !nd((q, d)) },
+      "a near-dup candidate survived into the hard-negative set")
+  }
+
   test("cluster removal == rebuild on survivors; victims absent") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
