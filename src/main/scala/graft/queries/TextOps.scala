@@ -3631,6 +3631,94 @@ ORDER BY a.source"""
       FROM rr WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q151 — per-source data cards (the "datasheets for datasets"
+    * materialization a pipeline publishes with every corpus release):
+    * one row per source with the statistics a consumer checks before
+    * training on it — volume (docs, whitespace tokens, mean length),
+    * quality red flags (short-doc and exact-duplicate counts), and
+    * language composition (distinct langs, dominant lang, Shannon
+    * entropy of the lang distribution).
+    *
+    * Exactness: every statistic is exact integer arithmetic except two
+    * final divisions. The entropy uses the q85 fixed-point device
+    * applied per LANG SHARE (langs × sources rows, bounded): each share
+    * contributes c·floor(−ln(c/N)·10⁶) in exact longs — the ln is one
+    * IEEE op over the same exact integer operands on both engines — and
+    * the single double division by N·10⁶ happens once per source row.
+    *
+    * Shape at 100 TB: one narrow projection of the corpus scan (source,
+    * lang, md5, token count — text never leaves the scan), two
+    * map-side-combined aggregations over it (per-source; per source ×
+    * lang), and source-bounded joins. The count-distinct(md5) expands
+    * inside the per-source agg — the q17 exact-dedup shuffle key, 16
+    * bytes per doc.
+    */
+  private val q151 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"source", coalesce($"lang", lit("")).as("lang"),
+          md5(coalesce($"text", lit(""))).as("h"),
+          size(filter(words(coalesce($"text", lit(""))),
+            w => length(w) > 0)).cast("long").as("nw"))
+      val s1 = base.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nw").as("ws_tokens"),
+        sum(when($"nw" < 50, 1L).otherwise(0L)).as("n_short_docs"),
+        (count(lit(1)) - count_distinct($"h")).as("n_dup_docs"))
+      val l = base.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      val ent = l.join(s1.select($"source", $"n_docs"), Seq("source"))
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_langs"),
+          sum($"c" * floor(-log($"c".cast("double") / $"n_docs") * 1e6)
+            .cast("long")).as("ent_fp"))
+      val dom = l.withColumn("rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"c".desc, $"lang")))
+        .filter($"rn" === 1).select($"source", $"lang".as("dominant_lang"))
+      s1.join(ent, Seq("source")).join(dom, Seq("source"))
+        .select($"source", $"n_docs", $"ws_tokens",
+          ($"ws_tokens".cast("double") / $"n_docs").as("mean_doc_len"),
+          $"n_short_docs", $"n_dup_docs", $"n_langs", $"dominant_lang",
+          ($"ent_fp".cast("double") / ($"n_docs" * lit(1e6)))
+            .as("lang_entropy"))
+        .orderBy($"source")
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT COALESCE(lang, '') AS lang, source,
+               md5(COALESCE(text, '')) AS h,
+               CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                 w -> len(w) > 0)) AS BIGINT) AS nw
+        FROM documents
+      ), s1 AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+               CAST(SUM(CASE WHEN nw < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs
+        FROM d GROUP BY source
+      ), l AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY source, lang
+      ), ent AS (
+        SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+               CAST(SUM(c * CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n_docs) * 1e6)
+                 AS BIGINT)) AS BIGINT) AS ent_fp
+        FROM l JOIN s1 ON s1.source = l.source GROUP BY l.source
+      ), dom AS (
+        SELECT source, lang AS dominant_lang FROM (
+          SELECT source, lang,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY c DESC, lang) AS rn
+          FROM l)
+        WHERE rn = 1
+      )
+      SELECT s1.source, n_docs, ws_tokens,
+             CAST(ws_tokens AS DOUBLE) / n_docs AS mean_doc_len,
+             n_short_docs, n_dup_docs, n_langs, dominant_lang,
+             CAST(ent_fp AS DOUBLE) / (n_docs * 1e6) AS lang_entropy
+      FROM s1 JOIN ent USING (source) JOIN dom USING (source)
+      ORDER BY source"""))
+
   /** Q85 — language-model perplexity filter (the CCNet recipe shape:
     * score documents under an LM trained on trusted/held data; drop the
     * worst). Trains an add-one-smoothed bigram LM on the stored split
@@ -5144,6 +5232,7 @@ ORDER BY a.source"""
     "q144_lm_remove_rescore" -> q144,
     "q145_cluster_remove" -> q145,
     "q150_hard_negatives" -> q150,
+    "q151_source_data_cards" -> q151,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2387,6 +2387,27 @@ class QueriesSpec extends SparkSpec {
       "a near-dup candidate survived into the hard-negative set")
   }
 
+  test("q151 data cards: entropy bounded by ln(n_langs), consistency laws") {
+    import spark.implicits._
+    val rows = run("q151_source_data_cards").collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "cards must partition the corpus")
+    rows.foreach { r =>
+      val (nDocs, ws, meanLen) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (nShort, nDup, nLangs) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      val ent = r.getDouble(8)
+      assert(nDocs > 0 && ws >= 0 && nShort >= 0 && nShort <= nDocs)
+      assert(nDup >= 0 && nDup < nDocs)
+      assert(math.abs(meanLen - ws.toDouble / nDocs) == 0.0)
+      // Shannon bounds (fixed-point floor can only round DOWN, so the
+      // upper bound ln(n_langs) holds exactly; >= -1e-6 absorbs -0.0)
+      assert(ent >= -1e-6 && ent <= math.log(nLangs.toDouble) + 1e-9,
+        s"entropy $ent outside [0, ln($nLangs)]")
+      if (nLangs == 1) assert(ent == 0.0)
+    }
+  }
+
   test("cluster removal == rebuild on survivors; victims absent") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
