@@ -2220,6 +2220,99 @@ object VectorOps {
     * the nq·100-bounded candidate set back to the corpus — AQE
     * broadcasts the candidate side; nothing all-pairs in full
     * dimension. */
+  /** Q152 — matryoshka (prefix-truncation) fidelity audit: how much
+    * cosine similarity degrades when embeddings are served at prefix
+    * dimension budgets 8/16/32 of the stored 64 — the measurement a
+    * pipeline runs before adopting MRL-style truncated serving (Kusupati
+    * et al. 2022), and the prefix-slicing counterpart of q147's random-
+    * projection audit (JL compresses by mixing ALL dims; matryoshka by
+    * dropping the tail — which one preserves THIS corpus's geometry is
+    * an empirical question, hence both audits).
+    *
+    * Over q147's deterministic adjacent-id pair sample: per budget m,
+    * the exact quantized cosine (q25's floor(x·2²⁰) convention, the
+    * QuantizedCosine kernel) of the full vectors vs the m-prefix slices,
+    * reporting n_pairs, mean |Δcos| and max |Δcos|. Exactness: each
+    * cosine is one IEEE expression over exact longs — bit-identical on
+    * both engines — so Δ, |Δ| and max are too; the MEAN uses the q85
+    * fixed-point device (floor(|Δ|·10⁶) summed as exact longs, one final
+    * division) so summation order can never matter. Zero-norm prefixes
+    * (a vector whose first m quantized coords are all zero) produce SQL
+    * null cosines (the kernel's zero-norm rule) and those pairs drop
+    * from that budget's statistics on both engines.
+    *
+    * Shape at 100 TB: the pair sample is %31-bounded (~6% of vectors),
+    * pairs form by an adjacent-id self-join on the sampled slice, and
+    * the 3-budget explode triples a bounded frame — scan-dominated, no
+    * corpus-sized shuffle, aggregates map-side combined to 3 rows.
+    */
+  private val q152 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val E = graft.functions.expressions
+      val sample = Tables.embeddings(s, d)
+        .filter($"vec_id" % 31 <= 1).select($"vec_id", $"embedding")
+      val a = sample.filter($"vec_id" % 31 === 0)
+        .select($"vec_id".as("a"), $"embedding".as("ea"))
+      val b = sample.filter($"vec_id" % 31 === 1)
+        .select($"vec_id".as("b"), $"embedding".as("eb"))
+      val pairs = a.join(b, b("b") === a("a") + 1)
+      pairs
+        .select($"ea", $"eb",
+          explode(array(lit(8L), lit(16L), lit(32L))).as("dim_budget"))
+        .select($"dim_budget",
+          E.quantized_cosine($"ea", $"eb").as("cf"),
+          E.quantized_cosine(
+            slice($"ea", lit(1), $"dim_budget".cast("int")),
+            slice($"eb", lit(1), $"dim_budget".cast("int"))).as("cm"))
+        .filter($"cf".isNotNull && $"cm".isNotNull)
+        .select($"dim_budget",
+          abs($"cf" - $"cm").as("ad"))
+        .groupBy($"dim_budget")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor($"ad" * 1e6).cast("long")).as("sum_fp"),
+          max($"ad").as("max_abs_err"))
+        .select($"dim_budget", $"n_pairs",
+          ($"sum_fp".cast("double") / ($"n_pairs" * lit(1e6))).as("mae"),
+          $"max_abs_err")
+        .orderBy($"dim_budget")
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xfp
+        FROM embeddings WHERE vec_id % 31 <= 1
+      ), pr AS (
+        SELECT a.xfp AS xa, b.xfp AS xb
+        FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 31 = 0
+      ), sums AS (
+        SELECT CAST(m.dim_budget AS BIGINT) AS dim_budget,
+          CAST(list_sum(list_transform(generate_series(1, 64), i -> xa[i] * xb[i])) AS BIGINT) AS fd,
+          CAST(list_sum(list_transform(generate_series(1, 64), i -> xa[i] * xa[i])) AS BIGINT) AS fa,
+          CAST(list_sum(list_transform(generate_series(1, 64), i -> xb[i] * xb[i])) AS BIGINT) AS fb,
+          CAST(list_sum(list_transform(generate_series(1, m.dim_budget), i -> xa[i] * xb[i])) AS BIGINT) AS pd,
+          CAST(list_sum(list_transform(generate_series(1, m.dim_budget), i -> xa[i] * xa[i])) AS BIGINT) AS pa,
+          CAST(list_sum(list_transform(generate_series(1, m.dim_budget), i -> xb[i] * xb[i])) AS BIGINT) AS pb
+        FROM pr CROSS JOIN (SELECT unnest([8, 16, 32]) AS dim_budget) m
+      ), sc AS (
+        SELECT dim_budget,
+               CASE WHEN fa = 0 OR fb = 0 THEN NULL
+                    ELSE CAST(fd AS DOUBLE) /
+                         (sqrt(CAST(fa AS DOUBLE)) * sqrt(CAST(fb AS DOUBLE)))
+               END AS cf,
+               CASE WHEN pa = 0 OR pb = 0 THEN NULL
+                    ELSE CAST(pd AS DOUBLE) /
+                         (sqrt(CAST(pa AS DOUBLE)) * sqrt(CAST(pb AS DOUBLE)))
+               END AS cm
+        FROM sums
+      )
+      SELECT dim_budget, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(CAST(SUM(CAST(FLOOR(ABS(cf - cm) * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (COUNT(*) * 1e6) AS mae,
+             MAX(ABS(cf - cm)) AS max_abs_err
+      FROM sc WHERE cf IS NOT NULL AND cm IS NOT NULL
+      GROUP BY dim_budget ORDER BY dim_budget"""))
+
   private val q148 = Q(
     fn = (s, d) => {
       import s.implicits._
@@ -2318,6 +2411,7 @@ object VectorOps {
     "q146_jl_projection" -> q146,
     "q147_jl_distance_audit" -> q147,
     "q148_jl_prefilter_knn" -> q148,
+    "q152_matryoshka_audit" -> q152,
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
     "q27_label_centroids" -> q27,

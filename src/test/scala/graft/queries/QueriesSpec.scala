@@ -2387,6 +2387,21 @@ class QueriesSpec extends SparkSpec {
       "a near-dup candidate survived into the hard-negative set")
   }
 
+  test("q152 matryoshka audit: three budgets, error laws, more dims help") {
+    val rows = run("q152_matryoshka_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L))
+    rows.foreach { case (m, n, mae, mx) =>
+      assert(n > 0, s"budget $m: no pairs")
+      assert(mae >= 0.0 && mx >= mae, s"budget $m: mae=$mae max=$mx")
+      assert(mx <= 2.0, s"budget $m: |Δcos| can never exceed 2")
+    }
+    // a 4x dim budget must preserve cosine strictly better on average
+    val byM = rows.map(r => r._1 -> r._3).toMap
+    assert(byM(32L) < byM(8L),
+      s"mae(32)=${byM(32L)} not below mae(8)=${byM(8L)}")
+  }
+
   test("q151 data cards: entropy bounded by ln(n_langs), consistency laws") {
     import spark.implicits._
     val rows = run("q151_source_data_cards").collect()
