@@ -116,7 +116,12 @@ object ScaleBench {
     "q148_jl_prefilter_knn",
     // round-9: NB machine unlearning — victim postings + vocab×langs
     // merges + closed-form refit; scoring is the NbScore scan
-    "q149_nb_unlearn")
+    "q149_nb_unlearn",
+    // round-10: hard negatives (one BM25 serving scan + candidate-
+    // bounded Jaccard verification), per-source data cards (one narrow
+    // projection + two map-side-combined aggs), matryoshka audit
+    // (%31-bounded pair sample × 3 budgets)
+    "q150_hard_negatives", "q151_source_data_cards", "q152_matryoshka_audit")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -3719,6 +3719,126 @@ ORDER BY a.source"""
       FROM s1 JOIN ent USING (source) JOIN dom USING (source)
       ORDER BY source"""))
 
+  /** Q153 — retrieval-quality evaluation without labeled judgments:
+    * near-duplicate pairs as pseudo-relevance (the standard zero-label
+    * eval trick — a query document's verified near-dup IS a relevant
+    * result by construction). For every document under the absolute
+    * request cap that has at least one verified near-dup partner
+    * ([[dedupEdgesCached]] — the q18-equal pair set), run the BM25
+    * serving leg with the doc's own terms and report the best rank of
+    * any partner in the top-10 plus the reciprocal rank (rr10 = 0 on a
+    * miss) — the per-query MRR@10 surface an index health check
+    * aggregates. A sanity gate every pipeline runs after an index
+    * build/append/takedown: if near-dups stop retrieving each other,
+    * the index is broken regardless of what downstream metrics say.
+    *
+    * Shape at 100 TB: the request set is pair-members under the
+    * QuerySetCap id bound (≤ 3,700 absolutely); candidates come from
+    * the ONE Bm25ScanTopK serving scan; the partner check is a join of
+    * nq·10 result rows against the pair set. The pair artifact is the
+    * cached ccluster edge set — already built for q47/q91/q135/q145,
+    * so this eval costs one serving scan + bounded joins.
+    */
+  private val q153 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val edges = dedupEdgesCached(s, d)
+      val partners = edges.select($"u".as("query_id"), $"v".as("partner"))
+        .unionByName(edges.select($"v".as("query_id"), $"u".as("partner")))
+        .localCheckpoint()
+      val qset = partners.select($"query_id").distinct()
+        .filter($"query_id" < QuerySetCap)
+      val qrows = Tables.documents(s, d)
+        .join(qset.select($"query_id".as("doc_id")), Seq("doc_id"), "left_semi")
+        .select($"doc_id",
+          array_distinct(transform(words($"text"), t => xxhash64(t))).as("hs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      val topk = bm25TopK(bm25StoreCached(s, d), qrows, 10)
+      val hit = topk.join(partners,
+          topk("query_id") === partners("query_id") &&
+            topk("doc_id") === partners("partner"))
+        .select(topk("query_id").as("qid"), $"rank")
+        .groupBy($"qid").agg(min($"rank").as("best_rank"))
+      qset
+        .join(partners.groupBy($"query_id")
+          .agg(count_distinct($"partner").as("n_partners")), Seq("query_id"))
+        .join(hit.withColumnRenamed("qid", "query_id"), Seq("query_id"), "left")
+        .select($"query_id", $"n_partners", $"best_rank",
+          coalesce(lit(1.0) / $"best_rank".cast("double"), lit(0.0)).as("rr10"))
+        .orderBy($"query_id")
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), prs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) /
+               (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), partners AS (
+        SELECT i AS query_id, j AS partner FROM prs
+        UNION ALL SELECT j, i FROM prs
+      ), qset AS (
+        SELECT DISTINCT query_id FROM partners WHERE query_id < 3700
+      ), t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+      ), dlen AS (
+        SELECT doc_id, COUNT(*) AS len FROM t GROUP BY doc_id
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), w AS (
+        SELECT tf.doc_id, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (doc_id) JOIN idf USING (term)
+      ), q AS (
+        SELECT qset.query_id, tf.term FROM tf
+        JOIN qset ON tf.doc_id = qset.query_id
+      ), scored AS (
+        SELECT q.query_id, w.doc_id, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN w USING (term)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY q.query_id, w.doc_id
+      ), ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM scored
+      ), hit AS (
+        SELECT r.query_id, CAST(MIN(r.rank) AS BIGINT) AS best_rank
+        FROM ranked r
+        JOIN partners p ON p.query_id = r.query_id AND p.partner = r.doc_id
+        WHERE r.rank <= 10
+        GROUP BY r.query_id
+      ), np AS (
+        SELECT query_id, CAST(COUNT(DISTINCT partner) AS BIGINT) AS n_partners
+        FROM partners GROUP BY query_id
+      )
+      SELECT qs.query_id, np.n_partners, hit.best_rank,
+             COALESCE(CAST(1.0 AS DOUBLE) / hit.best_rank, CAST(0.0 AS DOUBLE)) AS rr10
+      FROM qset qs
+      JOIN np USING (query_id)
+      LEFT JOIN hit USING (query_id)
+      ORDER BY query_id"""))
+
   /** Q85 — language-model perplexity filter (the CCNet recipe shape:
     * score documents under an LM trained on trusted/held data; drop the
     * worst). Trains an add-one-smoothed bigram LM on the stored split
@@ -5233,6 +5353,7 @@ ORDER BY a.source"""
     "q145_cluster_remove" -> q145,
     "q150_hard_negatives" -> q150,
     "q151_source_data_cards" -> q151,
+    "q153_retrieval_eval_neardup" -> q153,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

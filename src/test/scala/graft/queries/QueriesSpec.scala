@@ -2387,6 +2387,26 @@ class QueriesSpec extends SparkSpec {
       "a near-dup candidate survived into the hard-negative set")
   }
 
+  test("q153 near-dup retrieval eval: rr laws, hits occur, partner counts positive") {
+    val rows = run("q153_retrieval_eval_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, np, br, rr) =>
+      assert(np >= 1, s"query $q has no partners yet was evaluated")
+      br match {
+        case Some(rk) =>
+          assert(rk >= 1 && rk <= 10, s"query $q best_rank $rk outside 1..10")
+          assert(rr == 1.0 / rk, s"query $q rr10 $rr != 1/$rk")
+        case None => assert(rr == 0.0, s"query $q missed but rr10 $rr != 0")
+      }
+    }
+    // non-vacuity both ways: the eval must see hits AND misses at this
+    // SF, otherwise the metric is degenerate
+    assert(rows.exists(_._3.isDefined), "no query retrieved a partner")
+    assert(rows.exists(_._3.isEmpty), "every query retrieved a partner — miss leg vacuous")
+  }
+
   test("q152 matryoshka audit: three budgets, error laws, more dims help") {
     val rows = run("q152_matryoshka_audit").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
