@@ -121,7 +121,8 @@ object ScaleBench {
     // bounded Jaccard verification), per-source data cards (one narrow
     // projection + two map-side-combined aggs), matryoshka audit
     // (%31-bounded pair sample × 3 budgets)
-    "q150_hard_negatives", "q151_source_data_cards", "q152_matryoshka_audit")
+    "q150_hard_negatives", "q151_source_data_cards", "q152_matryoshka_audit",
+    "q153_retrieval_eval_neardup")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
