@@ -3653,36 +3653,73 @@ ORDER BY a.source"""
     * inside the per-source agg — the q17 exact-dedup shuffle key, 16
     * bytes per doc.
     */
+  /** q151's shared core over any (source, lang, text) frame — also the
+    * per-batch leg of the streaming data-card gate
+    * ([[graft.streaming.Pipeline.runDataCardGateStream]]), so an
+    * arriving batch is carded by EXACTLY the published-card arithmetic. */
+  private[graft] def sourceCards(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs
+      .select($"source", coalesce($"lang", lit("")).as("lang"),
+        md5(coalesce($"text", lit(""))).as("h"),
+        size(filter(words(coalesce($"text", lit(""))),
+          w => length(w) > 0)).cast("long").as("nw"))
+    val s1 = base.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"nw").as("ws_tokens"),
+      sum(when($"nw" < 50, 1L).otherwise(0L)).as("n_short_docs"),
+      (count(lit(1)) - count_distinct($"h")).as("n_dup_docs"))
+    val l = base.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+    val ent = l.join(s1.select($"source", $"n_docs"), Seq("source"))
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_langs"),
+        sum($"c" * floor(-log($"c".cast("double") / $"n_docs") * 1e6)
+          .cast("long")).as("ent_fp"))
+    val dom = l.withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"c".desc, $"lang")))
+      .filter($"rn" === 1).select($"source", $"lang".as("dominant_lang"))
+    s1.join(ent, Seq("source")).join(dom, Seq("source"))
+      .select($"source", $"n_docs", $"ws_tokens",
+        ($"ws_tokens".cast("double") / $"n_docs").as("mean_doc_len"),
+        $"n_short_docs", $"n_dup_docs", $"n_langs", $"dominant_lang",
+        ($"ent_fp".cast("double") / ($"n_docs" * lit(1e6)))
+          .as("lang_entropy"))
+      .orderBy($"source")
+  }
+
+  /** The data-card QUALITY GATE core (shared by the streaming twin and
+    * its spec's batch replay): card the arriving docs, compare each
+    * source against the stored corpus card, flag
+    *  - `new_source`   — no stored card exists;
+    *  - `len_drift`    — batch mean doc length outside [½, 2]× stored;
+    *  - `short_spike`  — batch short-doc fraction > 2× stored.
+    * All comparisons are exact long cross-multiplications (b_ws·s_n vs
+    * 2·s_ws·b_n etc.) so no float threshold can wobble between engines
+    * or runs. Flags are per (batch, source) — operator alerting, not
+    * row-level filtering (a drifted source needs a human, not a drop). */
+  private[graft] def dataCardFlags(batchDocs: DataFrame,
+      storedCards: DataFrame): DataFrame = {
+    import batchDocs.sparkSession.implicits._
+    val b = sourceCards(batchDocs)
+      .select($"source", $"n_docs".as("b_n"), $"ws_tokens".as("b_ws"),
+        $"n_short_docs".as("b_short"))
+    val st = storedCards
+      .select($"source", $"n_docs".as("s_n"), $"ws_tokens".as("s_ws"),
+        $"n_short_docs".as("s_short"))
+    b.join(st, Seq("source"), "left")
+      .select($"source", $"b_n".as("n_docs"),
+        $"s_n".isNull.as("new_source"),
+        (!$"s_n".isNull &&
+          ($"b_ws" * $"s_n" > $"s_ws" * $"b_n" * 2 ||
+           $"b_ws" * $"s_n" * 2 < $"s_ws" * $"b_n")).as("len_drift"),
+        (!$"s_n".isNull &&
+          $"b_short" * $"s_n" > $"s_short" * $"b_n" * 2).as("short_spike"))
+      .orderBy($"source")
+  }
+
   private val q151 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val base = Tables.documents(s, d)
-        .select($"source", coalesce($"lang", lit("")).as("lang"),
-          md5(coalesce($"text", lit(""))).as("h"),
-          size(filter(words(coalesce($"text", lit(""))),
-            w => length(w) > 0)).cast("long").as("nw"))
-      val s1 = base.groupBy($"source").agg(
-        count(lit(1)).as("n_docs"),
-        sum($"nw").as("ws_tokens"),
-        sum(when($"nw" < 50, 1L).otherwise(0L)).as("n_short_docs"),
-        (count(lit(1)) - count_distinct($"h")).as("n_dup_docs"))
-      val l = base.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
-      val ent = l.join(s1.select($"source", $"n_docs"), Seq("source"))
-        .groupBy($"source").agg(
-          count(lit(1)).as("n_langs"),
-          sum($"c" * floor(-log($"c".cast("double") / $"n_docs") * 1e6)
-            .cast("long")).as("ent_fp"))
-      val dom = l.withColumn("rn", row_number().over(
-          Window.partitionBy($"source").orderBy($"c".desc, $"lang")))
-        .filter($"rn" === 1).select($"source", $"lang".as("dominant_lang"))
-      s1.join(ent, Seq("source")).join(dom, Seq("source"))
-        .select($"source", $"n_docs", $"ws_tokens",
-          ($"ws_tokens".cast("double") / $"n_docs").as("mean_doc_len"),
-          $"n_short_docs", $"n_dup_docs", $"n_langs", $"dominant_lang",
-          ($"ent_fp".cast("double") / ($"n_docs" * lit(1e6)))
-            .as("lang_entropy"))
-        .orderBy($"source")
-    },
+    fn = (s, d) => sourceCards(Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("text"))),
     oracle = Some("""
       WITH d AS (
         SELECT COALESCE(lang, '') AS lang, source,

@@ -1106,6 +1106,42 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q151 — the data-card QUALITY GATE on the ingest
+    * path: the stored corpus's per-source cards
+    * ([[graft.queries.TextOps.sourceCards]]) are computed ONCE at stream
+    * start (sources-bounded frame), and each arriving micro-batch is
+    * carded by the SAME function and compared against them
+    * ([[graft.queries.TextOps.dataCardFlags]], shared core): a new
+    * source, a mean-length drift outside [½, 2]×, or a short-doc spike
+    * > 2× raises a per-(batch, source) flag row — operator alerting
+    * before a bad feed pollutes the corpus, the card-level counterpart
+    * of the row-level anomaly/langid/quality gates. Flag comparisons
+    * are exact long cross-multiplications, and writes are batchId-keyed
+    * for replay idempotence (family rule).
+    */
+  def runDataCardGateStream(s: SparkSession, corpusDir: String, inDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val stored = graft.queries.TextOps.sourceCards(
+      graft.sources.Tables.documents(s, corpusDir)
+        .select(col("source"), col("lang"), col("text")))
+      .localCheckpoint()
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING, lang STRING, source STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite: idempotent on replay (family rule)
+        graft.queries.TextOps.dataCardFlags(
+          batch.select(col("source"), col("lang"), col("text")), stored)
+          .write.mode("overwrite").parquet(s"$outDir/card_flags/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q102 — the model-based quality gate on the ingest
     * path: the weak-supervised binary NB
     * ([[graft.queries.LangId.qualityModelCached]]) is fitted once at

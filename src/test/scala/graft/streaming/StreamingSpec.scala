@@ -363,6 +363,59 @@ class StreamingSpec extends SparkSpec {
     assert(q100rows == confusion)
   }
 
+  test("streaming data-card gate: per-batch flags == batch core, drift legs fire") {
+    import org.apache.spark.sql.functions.{lit, struct, to_json}
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("dc_in")
+    val out = tmpDir("dc_out")
+    val ckpt = tmpDir("dc_ckpt")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    // batch 1: a slice of real corpus rows (familiar sources, no drift
+    // expected on length by construction is NOT guaranteed — the spec
+    // compares against the shared core, not a hand-prediction)
+    val lines = docs.filter($"doc_id" % 10 >= 8)
+      .select(to_json(struct(lit("2026-03-01 08:00:00").as("ts"),
+        $"doc_id", $"text", $"lang", $"source")))
+      .collect().map(_.getString(0))
+    writeJsonl(in, "b1.jsonl", lines.toIndexedSeq: _*)
+    // batch 2: a NEW source plus an engineered short-doc spike on a
+    // stored source — both flag legs must fire
+    val storedSrc = docs.select($"source").distinct()
+      .orderBy($"source").head().getString(0)
+    writeJsonl(in, "b2.jsonl",
+      s"""{"ts":"2026-03-01 09:00:00","doc_id":900001,"text":"brand new feed","lang":"en","source":"never_seen_feed"}""",
+      s"""{"ts":"2026-03-01 09:00:00","doc_id":900002,"text":"a b","lang":"en","source":"$storedSrc"}""",
+      s"""{"ts":"2026-03-01 09:00:00","doc_id":900003,"text":"c d","lang":"en","source":"$storedSrc"}""")
+    Pipeline.runDataCardGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+
+    val stored = graft.queries.TextOps.sourceCards(
+      docs.select($"source", $"lang", $"text"))
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // stream == batch core per batch directory
+    val flags = spark.read.option("basePath", s"$out/card_flags")
+      .parquet(s"$out/card_flags/batch=*")
+    val b1 = spark.read.json(s"$in/b1.jsonl")
+    assert(tab(flags.filter($"batch" === 0).drop("batch")) ==
+      tab(graft.queries.TextOps.dataCardFlags(
+        b1.select($"source", $"lang", $"text"), stored)))
+    // batch 2's engineered drifts fire
+    val f2 = flags.filter($"batch" === 1).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(f2("never_seen_feed") == ((true, false, false)))
+    val (ns, ld, ss) = f2(storedSrc)
+    assert(!ns && (ld || ss),
+      s"engineered 2-word docs on $storedSrc flagged neither len_drift nor short_spike")
+    // replay idempotence: a second run with no new files changes nothing
+    val before = tab(flags)
+    Pipeline.runDataCardGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    assert(tab(spark.read.option("basePath", s"$out/card_flags")
+      .parquet(s"$out/card_flags/batch=*")) == before)
+  }
+
   test("streaming code-switch gate: per-doc window summaries == batch q139 on the same rows") {
     import org.apache.spark.sql.functions.{lit, struct, to_json}
     import spark.implicits._
