@@ -3876,6 +3876,83 @@ ORDER BY a.source"""
       LEFT JOIN hit USING (query_id)
       ORDER BY query_id"""))
 
+  /** Q154 — curriculum phase assignment (data ORDERING, the training-
+    * prep op the split/mix/pack family doesn't cover): rank every
+    * document by q22's quality score and cut the corpus into four exact
+    * rank quartiles — phase 1 trains first (cleanest), phase 4 last.
+    * Declared output is the per-phase summary (4 rows at any corpus
+    * size): doc count, token budget, and the quality range each phase
+    * spans — a wrong assignment at any quartile boundary shifts the
+    * exact sums and fails the hash.
+    *
+    * The global rank uses the two-level prefix-sum device (q70's
+    * shape): scores quantize into ≤ 129 coarse buckets (floor(−64·q),
+    * order-consistent with the (q desc, doc_id) rank by monotonicity —
+    * equal scores always share a bucket, so re-sorting within buckets
+    * restores the exact global order), per-bucket counts roll into
+    * offsets through a ≤ 129-row window, and each doc's rank is its
+    * bucket offset + an in-bucket row_number — no unpartitioned
+    * corpus-sized window anywhere. Phase = ((rank−1)·4) div N, exact
+    * integer arithmetic; N is a bounded single-row action (the Lloyd
+    * pattern). Skew note: a score value shared by a huge doc mass
+    * lands one bucket/window partition — at 100 TB the quantizer
+    * constant is the declared lever (more buckets → smaller
+    * partitions), same contract as the z-order cell constant.
+    */
+  private val q154 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+      val t = Tables.documents(s, d)
+        .select($"doc_id", $"n_chars", words($"text").as("w"))
+        .withColumn("n_tokens", size($"w").cast("long"))
+        .withColumn("q",
+          when($"n_chars" >= 100 && $"n_chars" <= 400, 1.0).otherwise(0.0)
+            + size(filter($"w", w0 => w0.isInCollection(stop)))
+                .cast("double") / $"n_tokens")
+        .select($"doc_id", $"n_tokens", $"q")
+      val n = t.count()
+      val bucketed = t.withColumn("bucket", floor(-$"q" * 64.0).cast("long"))
+      val offsets = bucketed.groupBy($"bucket").agg(count(lit(1)).as("bc"))
+        .withColumn("offset", coalesce(sum($"bc").over(
+          Window.orderBy($"bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"bucket", $"offset")
+      bucketed.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("rnk", $"offset" + row_number().over(
+          Window.partitionBy($"bucket").orderBy($"q".desc, $"doc_id")))
+        .withColumn("phase", expr(s"((rnk - 1) * 4) div ${n}L + 1"))
+        .groupBy($"phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("ws_tokens"),
+          min($"q").as("min_quality"),
+          max($"q").as("max_quality"))
+        .orderBy($"phase")
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END)
+                 + CAST(len(list_filter(string_split(text, ' '),
+                     w -> list_contains(['the','a','of','and','is','to','in'], w))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS q
+        FROM documents
+      ), r AS (
+        SELECT doc_id, n_tokens, q,
+               ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rnk,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n
+        FROM t
+      ), p AS (
+        SELECT CAST(((rnk - 1) * 4) // n + 1 AS BIGINT) AS phase,
+               n_tokens, q
+        FROM r
+      )
+      SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS ws_tokens,
+             MIN(q) AS min_quality, MAX(q) AS max_quality
+      FROM p GROUP BY phase ORDER BY phase"""))
+
   /** Q85 — language-model perplexity filter (the CCNet recipe shape:
     * score documents under an LM trained on trusted/held data; drop the
     * worst). Trains an add-one-smoothed bigram LM on the stored split
@@ -5391,6 +5468,7 @@ ORDER BY a.source"""
     "q150_hard_negatives" -> q150,
     "q151_source_data_cards" -> q151,
     "q153_retrieval_eval_neardup" -> q153,
+    "q154_curriculum_phases" -> q154,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2387,6 +2387,31 @@ class QueriesSpec extends SparkSpec {
       "a near-dup candidate survived into the hard-negative set")
   }
 
+  test("q154 curriculum phases: exact quartile seat law, quality monotone across phases") {
+    val rows = run("q154_curriculum_phases").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_._2).sum == total, "phases must partition the corpus")
+    // exact rank-quartile seat law: phase p spans ranks
+    // (ceil((p-1)N/4), ceil(pN/4)] under phase = ((rank-1)*4) div N + 1
+    def bound(p: Long) = (p * total + 3) / 4
+    rows.foreach { case (p, nd, _, lo, hi) =>
+      assert(nd == bound(p) - bound(p - 1),
+        s"phase $p has $nd docs, expected ${bound(p) - bound(p - 1)} for N=$total")
+      assert(lo <= hi)
+    }
+    // curriculum order: phase k's WORST doc is at least as clean as
+    // phase k+1's BEST (rank cut: quality non-increasing across phases)
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._4 >= b._5,
+          s"phase ${a._1} min ${a._4} below phase ${b._1} max ${b._5}")
+      case _ =>
+    }
+  }
+
   test("q153 near-dup retrieval eval: rr laws, hits occur, partner counts positive") {
     val rows = run("q153_retrieval_eval_neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1),
