@@ -3953,6 +3953,58 @@ ORDER BY a.source"""
              MIN(q) AS min_quality, MAX(q) AS max_quality
       FROM p GROUP BY phase ORDER BY phase"""))
 
+  /** Q155 — label QA over the near-dup graph: verified near-duplicate
+    * pairs whose `lang` labels DISAGREE. Two documents sharing ≥ half
+    * their word-3-gram shingles are the same content; if their language
+    * labels differ, one label is wrong (or the pair is templated
+    * boilerplate straddling a lang boundary) — either way it's exactly
+    * the label noise a langid-conditioned pipeline (mixing quotas,
+    * per-lang tokenizers, q141's strata) must catch before training.
+    * The near-dup graph is thus a free label-consistency checker — the
+    * q153 trick (pairs as pseudo-relevance) applied to label QA.
+    *
+    * Emits EVERY verified pair with both labels and the agreement bit
+    * (the QA report wants the base-rate denominator, not just the
+    * violations). Cost: the cached ccluster edge set + two lang-column
+    * joins — pair-bounded, the corpus text is never re-read.
+    */
+  private val q155 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val langs = Tables.documents(s, d)
+        .select($"doc_id", coalesce($"lang", lit("")).as("lg"))
+      dedupEdgesCached(s, d)
+        .join(langs.select($"doc_id".as("u"), $"lg".as("lang_u")), Seq("u"))
+        .join(langs.select($"doc_id".as("v"), $"lg".as("lang_v")), Seq("v"))
+        .select($"u", $"v", $"lang_u", $"lang_v",
+          ($"lang_u" === $"lang_v").as("lang_match"))
+        .orderBy($"u", $"v")
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), prs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) /
+               (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), lg AS (
+        SELECT doc_id, COALESCE(lang, '') AS lg FROM documents
+      )
+      SELECT p.u, p.v, a.lg AS lang_u, b.lg AS lang_v,
+             a.lg = b.lg AS lang_match
+      FROM prs p
+      JOIN lg a ON a.doc_id = p.u
+      JOIN lg b ON b.doc_id = p.v
+      ORDER BY u, v"""))
+
   /** Q85 — language-model perplexity filter (the CCNet recipe shape:
     * score documents under an LM trained on trusted/held data; drop the
     * worst). Trains an add-one-smoothed bigram LM on the stored split
@@ -5469,6 +5521,7 @@ ORDER BY a.source"""
     "q151_source_data_cards" -> q151,
     "q153_retrieval_eval_neardup" -> q153,
     "q154_curriculum_phases" -> q154,
+    "q155_neardup_label_qa" -> q155,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

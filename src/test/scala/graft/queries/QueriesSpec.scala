@@ -2387,6 +2387,24 @@ class QueriesSpec extends SparkSpec {
       "a near-dup candidate survived into the hard-negative set")
   }
 
+  test("q155 near-dup label QA: pair set matches q18, both verdicts occur") {
+    import spark.implicits._
+    val rows = run("q155_neardup_label_qa").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, v, lu, lv, m) =>
+      assert(u < v, s"pair ($u,$v) not min-first oriented")
+      assert(m == (lu == lv), s"pair ($u,$v) lang_match inconsistent")
+    }
+    // non-vacuity: the QA must see agreeing AND disagreeing pairs
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+    // the audited pair set IS q18's exact near-dup pair set
+    val q18pairs = run("q18_neardup_jaccard").select($"i", $"j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == q18pairs)
+  }
+
   test("q154 curriculum phases: exact quartile seat law, quality monotone across phases") {
     val rows = run("q154_curriculum_phases").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
