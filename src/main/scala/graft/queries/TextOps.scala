@@ -3693,13 +3693,17 @@ ORDER BY a.source"""
     *  - `new_source`   — no stored card exists;
     *  - `len_drift`    — batch mean doc length outside [½, 2]× stored;
     *  - `short_spike`  — batch short-doc fraction > 2× stored.
-    * All comparisons are exact long cross-multiplications (b_ws·s_n vs
-    * 2·s_ws·b_n etc.) so no float threshold can wobble between engines
-    * or runs. Flags are per (batch, source) — operator alerting, not
-    * row-level filtering (a drifted source needs a human, not a drop). */
+    * All comparisons are exact cross-multiplications in decimal(38,0)
+    * (b_ws·s_n vs 2·s_ws·b_n etc. — a stored-corpus token count times a
+    * batch doc count can exceed int64 at 100 TB, and the frame is
+    * sources-bounded so decimal costs nothing) — no float threshold can
+    * wobble between engines or runs. Flags are per (batch, source) —
+    * operator alerting, not row-level filtering (a drifted source needs
+    * a human, not a drop). */
   private[graft] def dataCardFlags(batchDocs: DataFrame,
       storedCards: DataFrame): DataFrame = {
     import batchDocs.sparkSession.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val b = sourceCards(batchDocs)
       .select($"source", $"n_docs".as("b_n"), $"ws_tokens".as("b_ws"),
         $"n_short_docs".as("b_short"))
@@ -3710,10 +3714,12 @@ ORDER BY a.source"""
       .select($"source", $"b_n".as("n_docs"),
         $"s_n".isNull.as("new_source"),
         (!$"s_n".isNull &&
-          ($"b_ws" * $"s_n" > $"s_ws" * $"b_n" * 2 ||
-           $"b_ws" * $"s_n" * 2 < $"s_ws" * $"b_n")).as("len_drift"),
+          (dec($"b_ws") * dec($"s_n") > dec($"s_ws") * dec($"b_n") * 2 ||
+           dec($"b_ws") * dec($"s_n") * 2 < dec($"s_ws") * dec($"b_n")))
+          .as("len_drift"),
         (!$"s_n".isNull &&
-          $"b_short" * $"s_n" > $"s_short" * $"b_n" * 2).as("short_spike"))
+          dec($"b_short") * dec($"s_n") > dec($"s_short") * dec($"b_n") * 2)
+          .as("short_spike"))
       .orderBy($"source")
   }
 
