@@ -2220,6 +2220,91 @@ object VectorOps {
     * the nq·100-bounded candidate set back to the corpus — AQE
     * broadcasts the candidate side; nothing all-pairs in full
     * dimension. */
+  /** Q156 — SEMANTIC hard-negative mining: q150's contract on the dense
+    * leg (dense retrievers train on embedding-space hard negatives; DPR
+    * mines them from the dense index, not BM25). Top-20 exact-cosine
+    * candidates per q25 request, minus verified near-duplicates of the
+    * query document (the lexical pair graph, doc_id ≡ vec_id — a
+    * same-content candidate is a false negative whichever space found
+    * it), survivors re-ranked to top-5. Lexical (q150) and semantic
+    * (q156) negatives are both mined in practice — they surface
+    * different confusions, which is why both exist.
+    *
+    * Shape at 100 TB: q25's broadcast serving scan produces the nq·20
+    * pool; the exclusion is one anti-join of that bounded pool against
+    * the cached ccluster edge set. Nothing pairwise, nothing
+    * corpus-shuffled beyond the declared exact-scoring scan (q26/q39/
+    * q148 are the pruned paths for the pool itself).
+    */
+  private val q156 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val cands = cosineTopK(s, d, isQuery, 20)
+        .select($"query_id", $"neighbor_id", $"score")
+      val edges = graft.queries.TextOps.dedupEdgesCached(s, d)
+      val nd = edges.select($"u".as("query_id"), $"v".as("neighbor_id"))
+        .unionByName(edges.select($"v".as("query_id"), $"u".as("neighbor_id")))
+      cands.join(nd, Seq("query_id", "neighbor_id"), "left_anti")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id")
+            .orderBy($"score".desc, $"neighbor_id")).cast("int"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id", $"rank", $"score")
+        .orderBy($"query_id", $"rank")
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ), withn AS (
+        SELECT vec_id, qv,
+               list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS qq
+        FROM q
+      ), scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                    i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                 / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) AS score
+        FROM withn a JOIN withn b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+      ), ranked AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+      ), cand AS (
+        SELECT query_id, neighbor_id, score FROM ranked WHERE rank <= 20
+      ), docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), prs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) /
+               (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), nd AS (
+        SELECT i AS query_id, j AS neighbor_id FROM prs
+        UNION ALL SELECT j, i FROM prs
+      ), keep AS (
+        SELECT c.query_id, c.neighbor_id, c.score FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM nd
+          WHERE nd.query_id = c.query_id AND nd.neighbor_id = c.neighbor_id)
+      ), rr AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM keep
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+      FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** Q152 — matryoshka (prefix-truncation) fidelity audit: how much
     * cosine similarity degrades when embeddings are served at prefix
     * dimension budgets 8/16/32 of the stored 64 — the measurement a
@@ -2412,6 +2497,7 @@ object VectorOps {
     "q147_jl_distance_audit" -> q147,
     "q148_jl_prefilter_knn" -> q148,
     "q152_matryoshka_audit" -> q152,
+    "q156_semantic_hard_negatives" -> q156,
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
     "q27_label_centroids" -> q27,

@@ -2450,6 +2450,34 @@ class QueriesSpec extends SparkSpec {
     assert(rows.exists(_._3.isEmpty), "every query retrieved a partner — miss leg vacuous")
   }
 
+  test("q156 semantic hard negatives: near-dup exclusion fires, invariants hold") {
+    import spark.implicits._
+    val out = run("q156_semantic_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.length <= 5)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      })
+      assert(rows.forall(_._2 != q), s"query $q returned itself")
+    }
+    // the exclusion must be EXERCISED: >= 1 near-dup pair inside the
+    // exact top-20 pool at this SF, and none in the output
+    val pool = VectorOps.cosineTopK(spark, sf0001,
+      v => v % 50 === 0, 20)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = TextOps.dedupEdgesCached(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nd = (edges ++ edges.map(_.swap)).toSet
+    assert(pool.exists(nd.contains), "exclusion vacuous in the exact top-20 pool")
+    assert(out.forall { case (q, n, _, _) => !nd((q, n)) },
+      "a near-dup candidate survived into the semantic hard-negative set")
+  }
+
   test("q152 matryoshka audit: three budgets, error laws, more dims help") {
     val rows = run("q152_matryoshka_audit").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
