@@ -263,6 +263,86 @@ object MultimodalQ {
       ORDER BY pd.doc_id"""))
 
 
+  /** Q157 — keyframe selection by perceptual novelty (the frame-sampling
+    * pass a vision-training pipeline runs BEFORE feature extraction:
+    * q43 samples frames blindly at a stride; this keeps a frame only
+    * when it LOOKS different from the last kept one, so near-static
+    * media contributes few frames and fast-cutting media contributes
+    * many). Per document: walk the full 64-byte frames in order, keep
+    * frame 0, keep frame i iff Hamming(dHash_i, dHash of last KEPT)
+    * exceeds the novelty radius. Real video sits near Hamming 0 between
+    * adjacent frames, where q134's dedup radius 7 is the natural cut;
+    * this ASCII stand-in corpus has NEAR-RANDOM adjacent frames
+    * (Hamming ≈ 32 ± 4), so the fixture radius is 31 — the median —
+    * making both the keep and drop branches real at every SF (a radius
+    * of 7 kept everything: measured, and exactly the kind of vacuous
+    * branch the non-vacuity spec rule exists to catch). The radius is
+    * the operator's calibration lever, not part of its shape. Emits
+    * (doc_id, n_frames, n_keyframes, kept indices).
+    *
+    * Shape at 100 TB: the ENTIRE operator is one scan-local expression
+    * pass — frame hashing rides a transform lambda over in-row offsets
+    * and the sequential keep-walk is an in-row aggregate() fold
+    * (frames/doc is bounded by the doc-size contract, so the
+    * interpreted fold touches ≲ 60 elements per row); zero shuffles,
+    * zero joins, embarrassingly parallel. The oracle replays dHash
+    * bit-by-bit (q134's CTEs) and the walk as a per-doc recursive CTE.
+    */
+  private val q157 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val media = Multimodal.asMedia(Tables.documents(s, d))
+      val hs = media.select($"doc_id",
+        expr("transform(" +
+          "filter(sequence(1, greatest(length(content), 1), 64)," +
+          " st -> length(content) - st + 1 >= 64)," +
+          " st -> dhash64(substring(content, st, 64)))").as("hs"))
+        .filter(size($"hs") >= 1)
+      hs.select($"doc_id", size($"hs").cast("long").as("n_frames"),
+          expr("aggregate(" +
+            "slice(hs, 2, size(hs) - 1), " +
+            "named_struct('lastH', hs[0], 'kept', array(0), 'idx', 0), " +
+            "(acc, h) -> IF(bit_count(h ^ acc.lastH) > 31, " +
+            "named_struct('lastH', h, 'kept', array_append(acc.kept, acc.idx + 1), 'idx', acc.idx + 1), " +
+            "named_struct('lastH', acc.lastH, 'kept', acc.kept, 'idx', acc.idx + 1)), " +
+            "acc -> acc.kept)").as("kept"))
+        .select($"doc_id", $"n_frames",
+          size($"kept").cast("long").as("n_keyframes"),
+          array_join(transform($"kept", i => i.cast("string")), " ")
+            .as("kept_idx"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH RECURSIVE fr AS (
+        SELECT doc_id, (start - 1) // 64 AS idx, substr(text, start, 64) AS f
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(strlen(text), 1), 64)) AS start
+              FROM documents)
+        WHERE strlen(text) - start + 1 >= 64
+      ), dh AS (
+        SELECT doc_id, idx,
+               CAST(SUM(CASE WHEN ascii(f[j+1:j+1]) < ascii(f[j+2:j+2])
+                        THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS h
+        FROM (SELECT doc_id, idx, f, unnest(generate_series(0, 62)) AS j FROM fr)
+        GROUP BY doc_id, idx
+      ), walk AS (
+        SELECT doc_id, idx, h AS lastH, CAST([0] AS BIGINT[]) AS kept
+        FROM dh WHERE idx = 0
+        UNION ALL
+        SELECT d.doc_id, d.idx,
+               CASE WHEN bit_count(xor(d.h, w.lastH)) > 31 THEN d.h ELSE w.lastH END,
+               CASE WHEN bit_count(xor(d.h, w.lastH)) > 31
+                    THEN list_append(w.kept, d.idx) ELSE w.kept END
+        FROM walk w JOIN dh d ON d.doc_id = w.doc_id AND d.idx = w.idx + 1
+      ), lastf AS (
+        SELECT doc_id, MAX(idx) AS mi FROM dh GROUP BY doc_id
+      )
+      SELECT w.doc_id, CAST(l.mi + 1 AS BIGINT) AS n_frames,
+             CAST(len(w.kept) AS BIGINT) AS n_keyframes,
+             array_to_string(w.kept, ' ') AS kept_idx
+      FROM walk w JOIN lastf l ON l.doc_id = w.doc_id AND w.idx = l.mi
+      ORDER BY w.doc_id"""))
+
   /** Every FULL 64-byte frame of `media` (doc_id, content) with its
     * dHash: (doc_id, fid, h), fid = doc_id·4096 + frame index — the
     * shared stage under q134's within-corpus pass and q136's
@@ -453,6 +533,7 @@ object MultimodalQ {
     "q44_media_frame_resize" -> q44,
     "q73_frame_dedup" -> q73,
     "q134_frame_phash_dedup" -> q134,
+    "q157_keyframe_selection" -> q157,
     "q136_frame_phash_admit" -> q136,
   )
 }

@@ -2450,6 +2450,25 @@ class QueriesSpec extends SparkSpec {
     assert(rows.exists(_._3.isEmpty), "every query retrieved a partner — miss leg vacuous")
   }
 
+  test("q157 keyframe selection: walk laws, both keep and drop branches fire") {
+    val rows = run("q157_keyframe_selection").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, nf, nk, kept) =>
+      val idx = kept.split(" ").map(_.toLong)
+      assert(nk >= 1 && nk <= nf, s"doc $doc: $nk keyframes of $nf")
+      assert(idx.length == nk, s"doc $doc: kept list length != n_keyframes")
+      assert(idx.head == 0L, s"doc $doc: frame 0 must always be kept")
+      assert(idx.last < nf, s"doc $doc: kept index beyond frame count")
+      assert(idx.toSeq == idx.sorted.distinct.toSeq,
+        s"doc $doc: kept indices not strictly increasing")
+    }
+    // both branches must be real at this SF: some doc drops a frame,
+    // some doc keeps more than one
+    assert(rows.exists(r => r._3 < r._2), "drop branch vacuous")
+    assert(rows.exists(r => r._3 > 1L), "multi-keep branch vacuous")
+  }
+
   test("q156 semantic hard negatives: near-dup exclusion fires, invariants hold") {
     import spark.implicits._
     val out = run("q156_semantic_hard_negatives").collect()
