@@ -806,6 +806,70 @@ object TextOps {
       SELECT u AS doc_id, MIN(r) AS cluster_rep, u = MIN(r) AS keep
       FROM reach GROUP BY u ORDER BY doc_id"""))
 
+  /** Q158 — dedup with SURVIVOR RE-WEIGHTING: deduplication changes the
+    * training distribution (a document with 50 near-copies was,
+    * de facto, 50× upweighted in the raw corpus — dropping 49 copies
+    * silently downweights that content 50×). The standard fix is to
+    * keep one survivor per near-dup cluster carrying the cluster's
+    * multiplicity as a sampling weight, so dedup removes redundant
+    * BYTES without moving the distribution. Output: every surviving
+    * document (cluster representatives + singletons never in any pair)
+    * with its integer weight — the training-sampler's input.
+    *
+    * Composition over the cached clustering artifact: weights are one
+    * count over the labeling (pair-bounded); singletons are one
+    * anti-join of the corpus id column against it, weight 1. The
+    * representative (component-minimum id) is the survivor — q91 picks
+    * a QUALITY winner instead when content differs materially; this
+    * operator's contract is distribution preservation, so the choice
+    * of which copy survives is immaterial and the deterministic rep
+    * avoids a second scan.
+    */
+  private val q158 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val labels = dedupClustersCached(s, d)
+      val reps = labels.groupBy($"cluster_rep".as("doc_id"))
+        .agg(count(lit(1)).as("weight"))
+      val singletons = Tables.documents(s, d).select($"doc_id")
+        .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", lit(1L).as("weight"))
+      reps.unionByName(singletons).orderBy($"doc_id")
+    },
+    oracle = Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), edges AS (
+        SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs
+      ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.v AS u, reach.r FROM reach JOIN edges e ON e.u = reach.u
+      ), labels AS (
+        SELECT u AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY u
+      ), reps AS (
+        SELECT cluster_rep AS doc_id, CAST(COUNT(*) AS BIGINT) AS weight
+        FROM labels GROUP BY cluster_rep
+      ), singles AS (
+        SELECT d.doc_id, CAST(1 AS BIGINT) AS weight
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.doc_id = d.doc_id)
+      )
+      SELECT doc_id, weight FROM reps
+      UNION ALL SELECT doc_id, weight FROM singles
+      ORDER BY doc_id"""))
+
   /** Q145 — cluster takedown: q142/q143's removal contract on the
     * near-dup cluster artifact itself. The persisted labeling + edge
     * set ([[dedupClustersCached]] / [[dedupEdgesCached]]) process the
@@ -5528,6 +5592,7 @@ ORDER BY a.source"""
     "q153_retrieval_eval_neardup" -> q153,
     "q154_curriculum_phases" -> q154,
     "q155_neardup_label_qa" -> q155,
+    "q158_dedup_survivor_weights" -> q158,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2450,6 +2450,24 @@ class QueriesSpec extends SparkSpec {
     assert(rows.exists(_._3.isEmpty), "every query retrieved a partner — miss leg vacuous")
   }
 
+  test("q158 survivor weights: mass conservation, weights >= 1, dups excluded") {
+    import spark.implicits._
+    val rows = run("q158_dedup_survivor_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    // distribution preservation: total weight == raw corpus size
+    assert(rows.map(_._2).sum == total, "weights must conserve corpus mass")
+    assert(rows.forall(_._2 >= 1L))
+    assert(rows.exists(_._2 > 1L), "no multi-doc cluster — upweighting vacuous")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate survivor rows")
+    // non-representative cluster members must be absent
+    val labels = TextOps.dedupClustersCached(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = labels.collect { case (d, rep) if d != rep => d }.toSet
+    assert(dropped.nonEmpty && rows.forall(r => !dropped(r._1)))
+  }
+
   test("q157 keyframe selection: walk laws, both keep and drop branches fire") {
     val rows = run("q157_keyframe_selection").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
