@@ -123,7 +123,8 @@ object ScaleBench {
     // (%31-bounded pair sample × 3 budgets)
     "q150_hard_negatives", "q151_source_data_cards", "q152_matryoshka_audit",
     "q153_retrieval_eval_neardup", "q154_curriculum_phases",
-    "q155_neardup_label_qa", "q156_semantic_hard_negatives", "q157_keyframe_selection")
+    "q155_neardup_label_qa", "q156_semantic_hard_negatives", "q157_keyframe_selection",
+    "q158_dedup_survivor_weights")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
