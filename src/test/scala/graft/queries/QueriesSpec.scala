@@ -2468,6 +2468,35 @@ class QueriesSpec extends SparkSpec {
     assert(dropped.nonEmpty && rows.forall(r => !dropped(r._1)))
   }
 
+  test("q158 weights under cluster takedown: survivor mass conserved, == rebuild") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val labels = TextOps.dedupClustersCached(spark, sf0001)
+    val edges = TextOps.dedupEdgesCached(spark, sf0001)
+    val vic = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+    def weights(lb: org.apache.spark.sql.DataFrame,
+        corpus: org.apache.spark.sql.DataFrame) = {
+      val reps = lb.groupBy($"cluster_rep".as("doc_id"))
+        .agg(count(lit(1)).as("weight"))
+      val singles = corpus.select($"doc_id")
+        .join(lb.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", lit(1L).as("weight"))
+      reps.unionByName(singles).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    val survivors = docs.join(vic, Seq("doc_id"), "left_anti")
+    val afterTakedown =
+      weights(TextOps.removeFromClusters(labels, edges, vic), survivors)
+    val survEdges = edges
+      .join(vic.select($"doc_id".as("u")), Seq("u"), "left_anti")
+      .join(vic.select($"doc_id".as("v")), Seq("v"), "left_anti")
+    val rebuilt = weights(TextOps.unionFindCC(survEdges)
+      .select($"vertex".as("doc_id"), $"rep".as("cluster_rep")), survivors)
+    assert(afterTakedown.nonEmpty && afterTakedown == rebuilt)
+    // mass conservation holds over the SURVIVOR corpus after the mutation
+    assert(afterTakedown.map(_._2).sum == survivors.count())
+  }
+
   test("q157 keyframe selection: walk laws, both keep and drop branches fire") {
     val rows = run("q157_keyframe_selection").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
