@@ -74,14 +74,43 @@ object Bench {
     // a fresh deployment pays before steady-state serving
     val artBase = graft.queries.IndexCache.buildSeconds
 
+    // Streaming-ingest throughput leg: wire-format JSONL -> lenient
+    // normalize -> three-rule alert derivation -> day-partitioned parquet
+    // (the reference's E1 path; its producer design point is ~10 rows/s,
+    // BASELINE.md:12). Measured through a bounded availableNow run.
+    // ISOLATED WINDOW (r10 gate swung 25,090 -> 7,419 rows/s on identical
+    // work): it runs HERE — after warmup, before the query sweeps — so
+    // the 163-query × 3-sweep heap/page-cache churn can't land on it,
+    // and as best-of-3 with the sweep-hygiene RDD release between reps
+    // (graft.dev.IngestBench's protocol, so the gate number tracks the
+    // standalone re-measure within rep noise instead of 3.4x).
+    val ingestJson = try {
+      val reps = (1 to 3).map { i =>
+        val (nRows, sec) = measureIngest(spark)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.err.println(f"[bench] ingest rep $i: rows=$nRows sec=$sec%.3f rows_per_sec=${nRows / sec}%.0f")
+        (nRows, sec)
+      }
+      val (nRows, sec) = reps.minBy(_._2)
+      System.err.println(f"[bench] ingest best: rows=$nRows sec=$sec%.3f rows_per_sec=${nRows / sec}%.0f")
+      f"""{"rps":${nRows / sec}%.0f}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ingest leg failed: ${e.getMessage}")
+        """{"rps":-1}"""
+    }
+
     // best-of-N: single-run timings on this box vary ±50% (JIT, page
     // cache, co-tenant load); the minimum is the stable estimate of plan
     // cost. The three reps run as ROUND-ROBIN SWEEPS of the whole suite —
     // not back-to-back per query — so reps of one query are separated by
     // minutes and a transient co-tenant spike poisons at most one rep of
     // each affected query instead of all three reps of one (r04's q16
-    // 0.31->1.41 s was exactly that failure). A spread still above 3x
-    // after the sweeps buys one extra rep.
+    // 0.31->1.41 s was exactly that failure). After the sweeps, any query
+    // whose reported minimum is UNCONFIRMED — second-best/best > 2x, i.e.
+    // only a single rep ever saw the fast path — buys extra reps until the
+    // min is reproduced within 2x or N=6, so one noisy co-tenant window
+    // can't pollute the driver gate (r10's eleven spread>2x flags).
     var failed = List.empty[String]
     val qseq = SparkEntry.queries.toSeq
     def timed(name: String,
@@ -91,13 +120,19 @@ object Bench {
       val r = runOnce(spark, name, fn, sfDir)
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // confidence spread: second-smallest / smallest. max/min only says a
+    // spike happened in SOME rep; this says whether the REPORTED number
+    // (the min) was ever reproduced.
+    def confSpread(secs: Seq[Double]): Double = {
+      val s = secs.sorted
+      if (s.size < 2 || s.head <= 0) 1.0 else s(1) / s.head
+    }
     val sweeps = (1 to 3).map(_ => qseq.map { case (name, fn) => timed(name, fn) })
     val raw = qseq.zipWithIndex.map { case ((name, fn), i) =>
       var times = sweeps.map(_(i))
-      if (times.forall(_._1.isRight)) {
-        val secs = times.map(_._2)
-        if (secs.max / secs.min > 3.0) times :+= timed(name, fn)
-      }
+      while (times.forall(_._1.isRight) && times.size < 6 &&
+             confSpread(times.map(_._2)) > 2.0)
+        times :+= timed(name, fn)
       times.collectFirst { case (Left(err), _) => err } match {
         case Some(err) =>
           System.err.println(s"[bench] FAIL $err"); failed ::= name
@@ -141,8 +176,11 @@ object Bench {
       .map { case (id, v) => "\"" + id + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     raw.foreach { case (name, best, runs) =>
-      if (best >= 0 && runs.max / runs.min > 2.0)
-        System.err.println(f"[bench] spread>2x $name%-28s ${runs.max / runs.min}%.2fx")
+      // flag = reported min never reproduced within 2x even after the
+      // retry loop gave up at N=6 (raw max/min spikes ride BENCH_DETAIL)
+      if (best >= 0 && confSpread(runs) > 2.0)
+        System.err.println(f"[bench] spread>2x $name%-28s ${confSpread(runs)}%.2fx " +
+          s"(min unconfirmed after ${runs.size} reps)")
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -162,20 +200,6 @@ object Bench {
     // timings for the driver's 2000-char tail
     val artJson = s"""{"total":${fmtAt(artAll.values.sum, 1)}}"""
 
-    // Streaming-ingest throughput leg: wire-format JSONL -> lenient
-    // normalize -> three-rule alert derivation -> day-partitioned parquet
-    // (the reference's E1 path; its producer design point is ~10 rows/s,
-    // BASELINE.md:12). Measured through a bounded availableNow run.
-    val ingestJson = try {
-      val (nRows, sec) = measureIngest(spark)
-      System.err.println(f"[bench] ingest rows=$nRows sec=$sec%.3f rows_per_sec=${nRows / sec}%.0f")
-      f"""{"rps":${nRows / sec}%.0f}"""
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] ingest leg failed: ${e.getMessage}")
-        """{"rps":-1}"""
-    }
-
     // sf as basename, not full path — every byte on this line competes
     // with query timings for the driver's 2000-char stdout tail
     val sfName = sfDir.split('/').last
@@ -190,8 +214,19 @@ object Bench {
     val detailArts = artAll.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmtAt(v, 3) }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":${fmtAt(total, 3)},"unit":"sec","sf":"$sfName","n":${results.size},"queries":$detailQs,"artifacts":$detailArts,"ingest":$ingestJson$failedField}"""
+    // default anchored at the repo root (walk up from CWD to the nearest
+    // build.sbt), not CWD-relative — an sbt fork or worktree A/B launched
+    // elsewhere must not strand the sidecar away from the stdout line's
+    // "detail" pointer (ADVICE r10)
     val detailPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", {
+        def repoRoot(d: java.nio.file.Path): java.nio.file.Path =
+          if (d == null) java.nio.file.Paths.get(".").toAbsolutePath.normalize
+          else if (java.nio.file.Files.exists(d.resolve("build.sbt"))) d
+          else repoRoot(d.getParent)
+        repoRoot(java.nio.file.Paths.get(".").toAbsolutePath.normalize)
+          .resolve("BENCH_DETAIL.json").toString
+      }))
     java.nio.file.Files.writeString(detailPath, detail + "\n")
     System.err.println(s"[bench] full per-query detail -> ${detailPath.toAbsolutePath}")
 

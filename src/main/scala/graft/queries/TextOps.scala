@@ -3757,33 +3757,40 @@ ORDER BY a.source"""
     *  - `new_source`   — no stored card exists;
     *  - `len_drift`    — batch mean doc length outside [½, 2]× stored;
     *  - `short_spike`  — batch short-doc fraction > 2× stored.
-    * All comparisons are exact cross-multiplications in decimal(38,0)
-    * (b_ws·s_n vs 2·s_ws·b_n etc. — a stored-corpus token count times a
-    * batch doc count can exceed int64 at 100 TB, and the frame is
-    * sources-bounded so decimal costs nothing) — no float threshold can
-    * wobble between engines or runs. Flags are per (batch, source) —
-    * operator alerting, not row-level filtering (a drifted source needs
-    * a human, not a drop). */
+    * All comparisons are exact cross-multiplications in decimal — no
+    * float threshold can wobble between engines or runs. Overflow is
+    * impossible by construction, not by magnitude assumption: operands
+    * cast decimal(19,0) (counts are int64, so every product of two
+    * fits 38 digits exactly), and "x > 2·y" is evaluated as
+    * "x − y > y" so no intermediate ever exceeds the larger product —
+    * Spark's non-ANSI decimal would otherwise return NULL (reading as
+    * false) on a 39-digit 2·y at extreme corpus counts.
+    * The join is null-safe on source (a null-source batch row must
+    * match its null-source stored card, not flag new_source forever).
+    * Flags are per (batch, source) — operator alerting, not row-level
+    * filtering (a drifted source needs a human, not a drop). */
   private[graft] def dataCardFlags(batchDocs: DataFrame,
       storedCards: DataFrame): DataFrame = {
     import batchDocs.sparkSession.implicits._
-    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    // exact x > 2*y over products of int64 pairs, overflow-free
+    def gtTwice(x: Column, y: Column) = (x - y) > y
     val b = sourceCards(batchDocs)
       .select($"source", $"n_docs".as("b_n"), $"ws_tokens".as("b_ws"),
         $"n_short_docs".as("b_short"))
     val st = storedCards
-      .select($"source", $"n_docs".as("s_n"), $"ws_tokens".as("s_ws"),
-        $"n_short_docs".as("s_short"))
-    b.join(st, Seq("source"), "left")
+      .select($"source".as("s_source"), $"n_docs".as("s_n"),
+        $"ws_tokens".as("s_ws"), $"n_short_docs".as("s_short"))
+    val bwsSn  = dec($"b_ws") * dec($"s_n")
+    val swsBn  = dec($"s_ws") * dec($"b_n")
+    val bshSn  = dec($"b_short") * dec($"s_n")
+    val sshBn  = dec($"s_short") * dec($"b_n")
+    b.join(st, $"source" <=> $"s_source", "left")
       .select($"source", $"b_n".as("n_docs"),
         $"s_n".isNull.as("new_source"),
-        (!$"s_n".isNull &&
-          (dec($"b_ws") * dec($"s_n") > dec($"s_ws") * dec($"b_n") * 2 ||
-           dec($"b_ws") * dec($"s_n") * 2 < dec($"s_ws") * dec($"b_n")))
+        (!$"s_n".isNull && (gtTwice(bwsSn, swsBn) || gtTwice(swsBn, bwsSn)))
           .as("len_drift"),
-        (!$"s_n".isNull &&
-          dec($"b_short") * dec($"s_n") > dec($"s_short") * dec($"b_n") * 2)
-          .as("short_spike"))
+        (!$"s_n".isNull && gtTwice(bshSn, sshBn)).as("short_spike"))
       .orderBy($"source")
   }
 
@@ -4543,6 +4550,24 @@ ORDER BY a.source"""
       dfM, raw.n - nV, raw.sumLen - lenV)
   }
 
+  /** Persist / reload a raw BM25 artifact (bm25RawCached's on-disk
+    * layout) — the compaction fold's materialization surface: the fold
+    * must write the pruned store durably before the ledger partitions
+    * are cleared, and serving re-reads the columnar store. */
+  private[graft] def saveBm25Raw(raw: Bm25Raw, path: String): Unit = {
+    import raw.postings.sparkSession.implicits._
+    raw.postings.write.mode("overwrite").parquet(s"$path/postings")
+    raw.df.write.mode("overwrite").parquet(s"$path/df")
+    Seq((raw.n, raw.sumLen)).toDF("n", "sum_len")
+      .write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  private[graft] def loadBm25Raw(s: SparkSession, path: String): Bm25Raw = {
+    val t = s.read.parquet(s"$path/totals").head()
+    Bm25Raw(s.read.parquet(s"$path/postings"), s.read.parquet(s"$path/df"),
+      t.getLong(0), t.getLong(1))
+  }
+
   /** q137's request set: every 41st document, absolutely bounded (≤ 100
     * queries at any SF — [[QuerySetCap]]'s argument), DISJOINT fixture
     * from q84's % 37 so the two retrieval paths serve different
@@ -4669,6 +4694,99 @@ ORDER BY a.source"""
       SELECT query_id, doc_id, score_fp, rank
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
+
+  /** Q159 — the DEFERRED-DELETION lifecycle as one driver-gated row
+    * (VERDICT r10 item 3; the spec pins live at StreamingSpec's
+    * tombstone tests): takedown batches land as tombstone-ledger
+    * `batch=` partitions ([[graft.streaming.Pipeline
+    * .runTakedownLedgerStream]]'s on-disk format — the stream→ledger
+    * leg itself is spec-pinned), serving MASKS against the accumulated
+    * ledger ([[removeFromBm25Raw]] fed lazily by
+    * [[graft.streaming.Pipeline.readTombstoneLedger]] — no artifact row
+    * rewritten), [[graft.streaming.Pipeline.compactTombstones]] folds
+    * the ledger into a MATERIALIZED pruned store and drains it, and
+    * post-compaction serving runs over the reloaded compacted store
+    * under the now-empty ledger (the empty mask must be the identity).
+    * BOTH serves are emitted under a `leg` column; the oracle computes
+    * the from-scratch survivor rebuild ONCE and pins each leg against
+    * it — a hash match proves masked serve == compacted serve ==
+    * rebuild-on-survivors across the whole composition. The two
+    * batches' victim sets (% 14 == 0 and % 14 == 7) union to q142's
+    * % 7 == 0 takedown set.
+    *
+    * Scale shape: ledger append is a tiny per-batch partition write;
+    * the masked serve adds two victim-bounded anti/semi-joins in front
+    * of the same scan-local top-k kernel; compaction is one store
+    * rewrite amortized over every batch it folds.
+    */
+  private val q159 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_q159").toString
+      val ledger = s"$work/ledger"
+      docs.filter($"doc_id" % 14 === 0).select($"doc_id")
+        .write.mode("overwrite").parquet(s"$ledger/batch=0")
+      docs.filter($"doc_id" % 14 === 7).select($"doc_id")
+        .write.mode("overwrite").parquet(s"$ledger/batch=1")
+      val store = bm25RawCached(s, d)
+      val qrows = bm25RawQueryRows(s, d)
+      val masked = bm25RawTopK(removeFromBm25Raw(store,
+        graft.streaming.Pipeline.readTombstoneLedger(s, ledger)), qrows, 5)
+      graft.streaming.Pipeline.compactTombstones(s, ledger) { vic =>
+        saveBm25Raw(removeFromBm25Raw(store, vic), s"$work/compacted")
+      }
+      val emptied = graft.streaming.Pipeline.readTombstoneLedger(s, ledger)
+      val served = bm25RawTopK(removeFromBm25Raw(
+        loadBm25Raw(s, s"$work/compacted"), emptied), qrows, 5)
+      masked.withColumn("leg", lit("masked"))
+        .unionByName(served.withColumn("leg", lit("compacted")))
+        .orderBy($"query_id", $"rank", $"leg")
+    },
+    oracle = Some("""
+      WITH rem AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 10 < 8 AND doc_id % 7 <> 0
+      ), t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM rem
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+      ), dlen AS (
+        SELECT doc_id, COUNT(*) AS len FROM t GROUP BY doc_id
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), w AS (
+        SELECT tf.doc_id, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (doc_id) JOIN idf USING (term)
+      ), q AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id % 41 = 0 AND doc_id < 4100)
+      ), scored AS (
+        SELECT q.query_id, w.doc_id, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN w USING (term)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY q.query_id, w.doc_id
+      ), ranked AS (
+        SELECT query_id, doc_id, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, doc_id, score_fp, rank, legs.leg
+      FROM ranked, (VALUES ('compacted'), ('masked')) legs(leg)
+      WHERE rank <= 5
+      ORDER BY query_id, rank, legs.leg"""))
 
   /** Q143 — dedup-index removal + probe: q142's takedown contract on
     * the MinHash artifact. The stored-split index drops its doc_id % 7
@@ -5593,6 +5711,7 @@ ORDER BY a.source"""
     "q154_curriculum_phases" -> q154,
     "q155_neardup_label_qa" -> q155,
     "q158_dedup_survivor_weights" -> q158,
+    "q159_deferred_deletion_lifecycle" -> q159,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2305,6 +2305,149 @@ object VectorOps {
       FROM rr WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q156b — q156's semantic hard-negative mining over the PRUNED dense
+    * pool (VERDICT r10 item 6: q156 keeps q25's brute-force nq·n pool as
+    * the declared exactness baseline, but the SERVING DEFAULT at scale
+    * must be a pruned path). The pool is q148's two-stage composition —
+    * JL-prefilter top-100 per query over 16-dim projections, exact
+    * full-dim rerank — cut to top-20, over the QuerySetCap-bounded
+    * request set (% 50 = 0 AND < 5000: a serving batch does not grow
+    * with the corpus); then q150/q156's exclusion contract verbatim:
+    * verified lexical near-duplicates of the query are false negatives
+    * and drop, survivors re-rank to top-5. Both stages and the
+    * exclusion are deterministic exact arithmetic, so the DuckDB oracle
+    * replays the ENTIRE composition — the approximation is purely stage
+    * 1's candidate truncation, whose recall vs the exact pool is
+    * floor-pinned in QueriesSpec (the q25→q26/q39 audit pattern).
+    *
+    * Shape at 100 TB: stage 1 scans 4×-smaller vectors against a ≤100-
+    * query broadcast; stage 2 and everything after operate on the
+    * nq·100-bounded candidate set; the near-dup exclusion is one
+    * anti-join of a nq·20 pool against the cached edge set. Nothing
+    * all-pairs, nothing corpus-shuffled in full dimension.
+    */
+  private val q156b = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"embedding")
+      val pr = jlProject(emb).select($"vec_id", $"y")
+      val reqs = emb.filter(isQuery($"vec_id") && $"vec_id" < 5000L)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val queries = broadcast(pr
+        .filter(isQuery($"vec_id") && $"vec_id" < 5000L)
+        .select($"vec_id".as("query_id"), $"y".as("qy")))
+      val stage1 = pr.join(queries, $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          graft.functions.expressions.long_cosine($"qy", $"y").as("score"))
+      val cand = topK(stage1, 100).select($"query_id", $"neighbor_id")
+      val pool = topK(cand
+        .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"),
+          Seq("neighbor_id"))
+        .join(broadcast(reqs), Seq("query_id"))
+        .select($"query_id", $"neighbor_id",
+          graft.functions.expressions.quantized_cosine($"q_emb", $"embedding")
+            .as("score")), 20)
+        .select($"query_id", $"neighbor_id", $"score")
+      val edges = graft.queries.TextOps.dedupEdgesCached(s, d)
+      val nd = edges.select($"u".as("query_id"), $"v".as("neighbor_id"))
+        .unionByName(edges.select($"v".as("query_id"), $"u".as("neighbor_id")))
+      pool.join(nd, Seq("query_id", "neighbor_id"), "left_anti")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id")
+            .orderBy($"score".desc, $"neighbor_id")).cast("int"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id", $"rank", $"score")
+        .orderBy($"query_id", $"rank")
+    },
+    oracle = Some(s"""
+      WITH q0 AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xfp
+        FROM embeddings
+      ), dims AS (
+        SELECT vec_id, unnest(xfp) AS qx, generate_subscripts(xfp, 1) AS pos
+        FROM q0
+      ), proj AS (
+        SELECT vec_id, t.j,
+               SUM(CASE WHEN substr('$jlSignBits',
+                                    (pos - 1) * $jlK + t.j + 1, 1) = '1'
+                        THEN qx ELSE -qx END) AS y
+        FROM dims CROSS JOIN generate_series(0, ${jlK - 1}) t(j)
+        GROUP BY vec_id, t.j
+      ), projl AS (
+        SELECT vec_id, list(y ORDER BY j) AS ys FROM proj GROUP BY vec_id
+      ), withn AS (
+        SELECT vec_id, ys,
+               list_sum(list_transform(generate_series(1, $jlK),
+                 i -> ys[i] * ys[i])) AS yy
+        FROM projl
+      ), s1 AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, $jlK),
+                    i -> a.ys[i] * b.ys[i])) AS DOUBLE)
+                 / (SQRT(CAST(a.yy AS DOUBLE)) * SQRT(CAST(b.yy AS DOUBLE))) AS score
+        FROM withn a JOIN withn b
+          ON a.vec_id % 50 = 0 AND a.vec_id < 5000 AND a.vec_id <> b.vec_id
+      ), cand AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rk
+          FROM s1)
+        WHERE rk <= 100
+      ), fn AS (
+        SELECT vec_id, xfp,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> xfp[i] * xfp[i])) AS qq
+        FROM q0
+      ), rer AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> a.xfp[i] * b.xfp[i])) AS DOUBLE)
+                 / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) AS score
+        FROM cand c
+        JOIN fn a ON a.vec_id = c.query_id
+        JOIN fn b ON b.vec_id = c.neighbor_id
+      ), pool AS (
+        SELECT query_id, neighbor_id, score FROM (
+          SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rk
+          FROM rer)
+        WHERE rk <= 20
+      ), docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      ), prs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) /
+               (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), nd AS (
+        SELECT i AS query_id, j AS neighbor_id FROM prs
+        UNION ALL SELECT j, i FROM prs
+      ), keep AS (
+        SELECT p.query_id, p.neighbor_id, p.score FROM pool p
+        WHERE NOT EXISTS (SELECT 1 FROM nd
+          WHERE nd.query_id = p.query_id AND nd.neighbor_id = p.neighbor_id)
+      ), rr AS (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM keep
+      )
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+      FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** Q152 — matryoshka (prefix-truncation) fidelity audit: how much
     * cosine similarity degrades when embeddings are served at prefix
     * dimension budgets 8/16/32 of the stored 64 — the measurement a
@@ -2498,6 +2641,7 @@ object VectorOps {
     "q148_jl_prefilter_knn" -> q148,
     "q152_matryoshka_audit" -> q152,
     "q156_semantic_hard_negatives" -> q156,
+    "q156b_semantic_negatives_pruned" -> q156b,
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
     "q27_label_centroids" -> q27,

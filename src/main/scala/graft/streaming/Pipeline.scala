@@ -1330,19 +1330,37 @@ object Pipeline {
     * changes nothing. Serve identity before/after the round-trip
     * (masked serve over the full ledger == compacted store under the
     * emptied ledger) is spec-pinned in StreamingSpec for the whole
-    * artifact family. The victim set is localCheckpointed first: the
-    * fold's store rewrite must not race the ledger scan it is derived
-    * from. */
+    * artifact family.
+    *
+    * Concurrency with a LIVE takedown stream: the set of `batch=`
+    * partitions is SNAPSHOTTED up front, the victim set is read from
+    * exactly that snapshot (localCheckpointed so the fold's store
+    * rewrite cannot race its own input scan), and the clearing loop
+    * deletes ONLY the snapshot list — a tombstone batch appended by a
+    * concurrently running [[runTakedownLedgerStream]] between the
+    * snapshot and the delete survives in the ledger un-folded, to be
+    * masked at serve time and applied by the next compaction, never
+    * silently dropped. */
   def compactTombstones[A](s: SparkSession, ledgerDir: String)
       (fold: DataFrame => A): A = {
-    val victims = readTombstoneLedger(s, ledgerDir).localCheckpoint()
-    val result = fold(victims)
     val p = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      fs.listStatus(p)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .foreach(st => fs.delete(st.getPath, true))
+    val snapshot: Array[org.apache.hadoop.fs.Path] =
+      if (fs.exists(p))
+        fs.listStatus(p)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .map(_.getPath)
+      else Array.empty
+    val victims = (if (snapshot.nonEmpty)
+      s.read.option("basePath", ledgerDir)
+        .parquet(snapshot.map(_.toString).toIndexedSeq: _*)
+        .select(col("doc_id")).distinct()
+    else {
+      import s.implicits._
+      Seq.empty[Long].toDF("doc_id")
+    }).localCheckpoint()
+    val result = fold(victims)
+    snapshot.foreach(dir => fs.delete(dir, true))
     result
   }
 

@@ -1321,4 +1321,31 @@ class StreamingSpec extends SparkSpec {
     assert(tab(TextOps.dedupAgainstIndex(arriving,
       TextOps.loadMinHashIndex(spark, compDir2))) == mhMasked)
   }
+
+  test("compactTombstones: batch appended mid-compaction survives un-folded and applies next round") {
+    import spark.implicits._
+    val ledger = tmpDir("tbc_ledger")
+    Seq(3L, 9L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$ledger/batch=0")
+    // a live takedown stream lands batch=1 WHILE the fold runs — between
+    // the snapshot and the clearing loop. The old implementation deleted
+    // batch=* wholesale and silently dropped it (ADVICE r10, medium).
+    var folded1: Set[Long] = null
+    Pipeline.compactTombstones(spark, ledger) { vic =>
+      folded1 = vic.as[Long].collect().toSet
+      Seq(21L).toDF("doc_id")
+        .write.mode("overwrite").parquet(s"$ledger/batch=1")
+    }
+    assert(folded1 == Set(3L, 9L))
+    // the concurrent batch is still in the ledger (masked at serve time)…
+    assert(Pipeline.readTombstoneLedger(spark, ledger)
+      .as[Long].collect().toSet == Set(21L))
+    // …and the next compaction folds it; the ledger then drains fully
+    var folded2: Set[Long] = null
+    Pipeline.compactTombstones(spark, ledger) { vic =>
+      folded2 = vic.as[Long].collect().toSet
+    }
+    assert(folded2 == Set(21L))
+    assert(Pipeline.readTombstoneLedger(spark, ledger).isEmpty)
+  }
 }
