@@ -1028,6 +1028,131 @@ class StreamingSpec extends SparkSpec {
     assert(byStage == Seq(3, 2, 1))
   }
 
+  test("buffered funnel: deliberately scrambled arrival == batch q109 law") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{min => fmin, unix_micros}
+    val in = tmpDir("bfn_in")
+    val out = tmpDir("bfn_out")
+    val ckpt = tmpDir("bfn_ckpt")
+    def e(ts: String, u: Long, t: String) =
+      s"""{"ts":"$ts","user_id":$u,"event_type":"$t"}"""
+    // the in-order twin's fixture with arrival DELIBERATELY REVERSED:
+    // the LATE-timestamped events land in batch 1, the early ones in
+    // batch 2 — the exact shuffle the in-order twin mis-handles (u1's
+    // purchase would arrive before its view and never fire stage 3).
+    // A far-future sentinel (u999) then pushes the watermark past every
+    // buffered event so all keys drain via their event-time timers.
+    writeJsonl(in, "f1.jsonl",
+      e("2026-03-01 08:01:00", 1, "purchase"),
+      e("2026-03-01 08:01:01", 2, "purchase"),
+      e("2026-03-01 08:01:02", 3, "click"))
+    writeJsonl(in, "f2.jsonl",
+      e("2026-03-01 08:00:00", 1, "view"),
+      e("2026-03-01 08:00:05", 1, "click"),
+      e("2026-03-01 08:00:01", 2, "view"),
+      e("2026-03-01 08:00:02", 3, "click"),
+      e("2026-03-01 08:00:03", 3, "view"),
+      e("2026-03-01 08:00:04", 4, "click"))
+    writeJsonl(in, "f3.jsonl",
+      e("2026-03-01 12:00:00", 999, "view"))
+    for ((stem, i) <- Seq("f1", "f2", "f3").zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(in, s"$stem.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    Pipeline.runBufferedFunnelStream(spark, in, out, ckpt,
+      delay = "1 hour", maxFilesPerTrigger = 1).awaitTermination()
+    // the batch q109 law computed INDEPENDENTLY over the same events
+    // (min-based stage times, not funnelStep — no shared code with the
+    // unit under test); the sentinel rides outside the comparison (its
+    // own drain would need a yet-later watermark)
+    val ev = spark.read.schema("ts TIMESTAMP, user_id LONG, event_type STRING")
+      .json(in).filter($"user_id" < 999)
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(fmin($"ts").as("t"))
+    val t2 = ev.join(t1, "user_id")
+      .filter($"event_type" === "click" && $"ts" > $"t")
+      .groupBy($"user_id").agg(fmin($"ts").as("t"))
+    val t3 = ev.join(t2, "user_id")
+      .filter($"event_type" === "purchase" && $"ts" > $"t")
+      .groupBy($"user_id").agg(fmin($"ts").as("t"))
+    val want = Seq(t1 -> 1, t2 -> 2, t3 -> 3).flatMap { case (df, k) =>
+      df.select($"user_id", unix_micros($"t")).collect()
+        .map(r => (r.getLong(0), k, r.getLong(1)))
+    }.toSet
+    val got = spark.read.parquet(s"$out/funnel_transitions").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter(_._1 < 999).toSet
+    assert(got == want && want.exists(_._2 == 3),
+      s"got $got want $want — stage 3 must fire despite reversed arrival")
+  }
+
+  test("buffered CEP: scrambled arrival == batch q118 lead-window law (late error now matches)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lead, unix_micros}
+    import org.apache.spark.sql.expressions.Window
+    val in = tmpDir("bcep_in")
+    val out = tmpDir("bcep_out")
+    val ckpt = tmpDir("bcep_ckpt")
+    def e(ts: String, u: Long, id: Long, t: String) =
+      s"""{"ts":"$ts","user_id":$u,"event_id":$id,"event_type":"$t"}"""
+    // the in-order CEP fixture with the batches SWAPPED: every user's
+    // later events arrive first. u5 is the decisive case — its 07:00
+    // error arrives last but is EARLIEST in event time; the in-order
+    // twin conservatively refuses the (503,501,502) run, the buffered
+    // twin must emit it because that is what batch q118 computes.
+    writeJsonl(in, "f1.jsonl",
+      e("2026-03-01 08:20:00", 1, 103, "error"),
+      e("2026-03-01 08:03:00", 2, 204, "error"),
+      e("2026-03-01 08:04:00", 2, 205, "error"),
+      e("2026-03-02 02:00:00", 3, 303, "error"),
+      e("2026-03-01 08:02:00", 4, 403, "error"),
+      e("2026-03-01 08:03:00", 4, 404, "error"),
+      e("2026-03-01 07:00:00", 5, 503, "error"))
+    writeJsonl(in, "f2.jsonl",
+      e("2026-03-01 08:00:00", 1, 101, "error"),
+      e("2026-03-01 08:10:00", 1, 102, "error"),
+      e("2026-03-01 08:00:00", 2, 201, "error"),
+      e("2026-03-01 08:01:00", 2, 202, "view"),
+      e("2026-03-01 08:02:00", 2, 203, "error"),
+      e("2026-03-01 00:00:00", 3, 301, "error"),
+      e("2026-03-01 13:00:00", 3, 302, "error"),
+      e("2026-03-01 08:00:00", 4, 401, "error"),
+      e("2026-03-01 08:01:00", 4, 402, "error"),
+      e("2026-03-01 08:00:00", 5, 501, "error"),
+      e("2026-03-01 09:00:00", 5, 502, "error"))
+    writeJsonl(in, "f3.jsonl",
+      e("2026-03-05 00:00:00", 999, 901, "view"))
+    for ((stem, i) <- Seq("f1", "f2", "f3").zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(in, s"$stem.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    Pipeline.runBufferedErrorBurstStream(spark, in, out, ckpt,
+      delay = "27 hours", maxFilesPerTrigger = 1).awaitTermination()
+    // batch q118's lead-window plan applied to the same fed events —
+    // the reconciliation query itself, not a re-derivation
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    val want = spark.read
+      .schema("ts TIMESTAMP, user_id LONG, event_id LONG, event_type STRING")
+      .json(in).filter($"user_id" < 999)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .select($"user_id", $"event_id", $"event_type", $"ts_us",
+        lead($"event_type", 1).over(w).as("t2"),
+        lead($"event_type", 2).over(w).as("t3"),
+        lead($"event_id", 2).over(w).as("id3"),
+        lead($"ts_us", 2).over(w).as("ts3"))
+      .filter($"event_type" === "error" && $"t2" === "error" && $"t3" === "error"
+        && $"ts3" - $"ts_us" <= 86400000000L)
+      .select($"user_id", $"event_id", $"id3", $"ts_us", $"ts3")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = spark.read.parquet(s"$out/error_incidents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter(_._1 < 999).toSet
+    assert(got == want, s"got $got want $want")
+    // the late-error incident the in-order twin cannot emit IS here
+    assert(got.exists(i => i._1 == 5L && i._2 == 503L && i._3 == 502L),
+      "u5's out-of-order error run must match under the buffer")
+  }
+
   test("watermarked ingest dedup: replayed wire records land exactly once") {
     import org.apache.spark.sql.functions.col
     val in = tmpDir("dd_in")
