@@ -124,7 +124,12 @@ object ScaleBench {
     "q150_hard_negatives", "q151_source_data_cards", "q152_matryoshka_audit",
     "q153_retrieval_eval_neardup", "q154_curriculum_phases",
     "q155_neardup_label_qa", "q156_semantic_hard_negatives", "q157_keyframe_selection",
-    "q158_dedup_survivor_weights")
+    "q158_dedup_survivor_weights",
+    // round-11: deferred-deletion lifecycle (ledger append + two
+    // victim-bounded masked serves + one amortized store rewrite) and
+    // the pruned dense-negative pool (q148's two-stage composition +
+    // one bounded anti-join against the cluster edge artifact)
+    "q159_deferred_deletion_lifecycle", "q156b_semantic_negatives_pruned")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
