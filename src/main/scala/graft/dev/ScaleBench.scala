@@ -129,7 +129,10 @@ object ScaleBench {
     // victim-bounded masked serves + one amortized store rewrite) and
     // the pruned dense-negative pool (q148's two-stage composition +
     // one bounded anti-join against the cluster edge artifact)
-    "q159_deferred_deletion_lifecycle", "q156b_semantic_negatives_pruned")
+    "q159_deferred_deletion_lifecycle", "q156b_semantic_negatives_pruned",
+    // round-11 (cont.): eval-bounded banded probe of the training-corpus
+    // index; three batch-proportional store merges + sources-bounded render
+    "q160_neardup_decontamination", "q161_data_card_append")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

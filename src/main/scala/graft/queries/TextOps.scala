@@ -3751,6 +3751,84 @@ ORDER BY a.source"""
       .orderBy($"source")
   }
 
+  /** The MERGEABLE state behind a per-source data card (q161's
+    * artifact): every q151 statistic decomposes into three stores that
+    * merge EXACTLY under corpus append —
+    *  - `sums`   (source → n_docs, ws_tokens, n_short): plain additive;
+    *  - `langs`  (source × lang → count): additive, and n_langs /
+    *    dominant / entropy are pure functions of it;
+    *  - `hashes` (source × md5, distinct): union-distinct mergeable,
+    *    and n_dup = n_docs − |hashes| (COUNT-DISTINCT is not additive —
+    *    a dup can straddle the split — which is why the artifact keeps
+    *    the 16-byte key SET, exactly the q17 exact-dedup shuffle key
+    *    materialized, not just its count).
+    * At 100 TB the hashes table is the big leg (16 bytes/doc) and is
+    * the same store an exact-dedup admission path already maintains;
+    * sums/langs are sources- and sources×langs-bounded. */
+  private[graft] case class CardStore(sums: DataFrame, langs: DataFrame,
+      hashes: DataFrame)
+
+  private[graft] def cardStoreOf(docs: DataFrame): CardStore = {
+    import docs.sparkSession.implicits._
+    val base = docs
+      .select($"source", coalesce($"lang", lit("")).as("lang"),
+        md5(coalesce($"text", lit(""))).as("h"),
+        size(filter(words(coalesce($"text", lit(""))),
+          w => length(w) > 0)).cast("long").as("nw"))
+    CardStore(
+      sums = base.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nw").as("ws_tokens"),
+        sum(when($"nw" < 50, 1L).otherwise(0L)).as("n_short_docs")),
+      langs = base.groupBy($"source", $"lang").agg(count(lit(1)).as("c")),
+      hashes = base.select($"source", $"h").distinct())
+  }
+
+  /** Append a batch into the card store — three exact merges, cost
+    * ∝ batch (+ the hash-set dedup shuffle); the stored corpus text is
+    * never re-read. Append == rebuild over the union by construction
+    * (each store is additive / union-distinct over doc sets), pinned by
+    * q161's oracle which computes the full-corpus card from scratch. */
+  private[graft] def appendToCardStore(st: CardStore, batch: DataFrame): CardStore = {
+    import batch.sparkSession.implicits._
+    val b = cardStoreOf(batch)
+    CardStore(
+      sums = st.sums.unionByName(b.sums).groupBy($"source").agg(
+        sum($"n_docs").as("n_docs"), sum($"ws_tokens").as("ws_tokens"),
+        sum($"n_short_docs").as("n_short_docs")),
+      langs = st.langs.unionByName(b.langs).groupBy($"source", $"lang")
+        .agg(sum($"c").as("c")),
+      hashes = st.hashes.unionByName(b.hashes).distinct())
+  }
+
+  /** Render a [[CardStore]] as q151's card rows — the same statistics
+    * by the same arithmetic (entropy's per-share fixed-point device,
+    * one double division per source), just read off the mergeable
+    * stores instead of the corpus scan. sourceCards(docs) ==
+    * cardsOfStore(cardStoreOf(docs)) is pinned in QueriesSpec. */
+  private[graft] def cardsOfStore(st: CardStore): DataFrame = {
+    import st.sums.sparkSession.implicits._
+    val distinctH = st.hashes.groupBy($"source").agg(count(lit(1)).as("n_distinct"))
+    val s1 = st.sums.join(distinctH, Seq("source"))
+      .select($"source", $"n_docs", $"ws_tokens", $"n_short_docs",
+        ($"n_docs" - $"n_distinct").as("n_dup_docs"))
+    val ent = st.langs.join(s1.select($"source", $"n_docs"), Seq("source"))
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_langs"),
+        sum($"c" * floor(-log($"c".cast("double") / $"n_docs") * 1e6)
+          .cast("long")).as("ent_fp"))
+    val dom = st.langs.withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"c".desc, $"lang")))
+      .filter($"rn" === 1).select($"source", $"lang".as("dominant_lang"))
+    s1.join(ent, Seq("source")).join(dom, Seq("source"))
+      .select($"source", $"n_docs", $"ws_tokens",
+        ($"ws_tokens".cast("double") / $"n_docs").as("mean_doc_len"),
+        $"n_short_docs", $"n_dup_docs", $"n_langs", $"dominant_lang",
+        ($"ent_fp".cast("double") / ($"n_docs" * lit(1e6)))
+          .as("lang_entropy"))
+      .orderBy($"source")
+  }
+
   /** The data-card QUALITY GATE core (shared by the streaming twin and
     * its spec's batch replay): card the arriving docs, compare each
     * source against the stored corpus card, flag
@@ -3797,6 +3875,64 @@ ORDER BY a.source"""
   private val q151 = Q(
     fn = (s, d) => sourceCards(Tables.documents(s, d)
       .select(col("source"), col("lang"), col("text"))),
+    oracle = Some("""
+      WITH d AS (
+        SELECT COALESCE(lang, '') AS lang, source,
+               md5(COALESCE(text, '')) AS h,
+               CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                 w -> len(w) > 0)) AS BIGINT) AS nw
+        FROM documents
+      ), s1 AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+               CAST(SUM(CASE WHEN nw < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs
+        FROM d GROUP BY source
+      ), l AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY source, lang
+      ), ent AS (
+        SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+               CAST(SUM(c * CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n_docs) * 1e6)
+                 AS BIGINT)) AS BIGINT) AS ent_fp
+        FROM l JOIN s1 ON s1.source = l.source GROUP BY l.source
+      ), dom AS (
+        SELECT source, lang AS dominant_lang FROM (
+          SELECT source, lang,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY c DESC, lang) AS rn
+          FROM l)
+        WHERE rn = 1
+      )
+      SELECT s1.source, n_docs, ws_tokens,
+             CAST(ws_tokens AS DOUBLE) / n_docs AS mean_doc_len,
+             n_short_docs, n_dup_docs, n_langs, dominant_lang,
+             CAST(ent_fp AS DOUBLE) / (n_docs * 1e6) AS lang_entropy
+      FROM s1 JOIN ent USING (source) JOIN dom USING (source)
+      ORDER BY source"""))
+
+  /** Q161 — INCREMENTAL data cards: q151's datasheet maintained under
+    * corpus append instead of recomputed from scratch (the q137/q138
+    * maintenance argument applied to the curation layer — a release
+    * card over a 100 TB corpus cannot re-scan history every admission).
+    * The stored split's [[CardStore]] absorbs the arriving snapshot
+    * ([[appendToCardStore]] — three exact merges, cost ∝ batch) and the
+    * merged store renders as card rows ([[cardsOfStore]]). The oracle
+    * computes the FULL-corpus card from scratch (q151's SQL verbatim) —
+    * a hash match proves append ∘ render ≡ rebuild exactly, including
+    * the non-additive legs: n_dup through the union-distinct hash SET
+    * (a duplicate pair straddling the split boundary is counted — a
+    * count-only store would miss it) and entropy/dominant through the
+    * merged per-(source, lang) counts.
+    */
+  private val q161 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"lang", $"text")
+      val stored = cardStoreOf(docs.filter($"doc_id" % 10 < 8))
+      cardsOfStore(appendToCardStore(stored, docs.filter($"doc_id" % 10 >= 8)))
+    },
     oracle = Some("""
       WITH d AS (
         SELECT COALESCE(lang, '') AS lang, source,
@@ -4829,6 +4965,64 @@ ORDER BY a.source"""
       HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
       ORDER BY new_doc_id, old_doc_id"""))
 
+  /** Q160 — NEAR-DUP decontamination: eval-set leakage screening at the
+    * paraphrase level. The exact n-gram decontamination family
+    * (q46/q68/q89) catches verbatim eval text in the training corpus;
+    * reworded or lightly edited eval items slip through — the gap the
+    * near-dup machinery exists to close. Here the BOUNDED eval set
+    * (doc_id % 29 = 0 under the q84/q137 QuerySetCap device — an eval
+    * suite is thousands of items at any corpus size, never
+    * corpus-proportional) probes a MinHash index over the training
+    * corpus (everything else) through EXACTLY the admission-screen leg
+    * ([[dedupAgainstIndex]], shared function): banded candidates, exact
+    * sorted-intersect Jaccard verify at ≥ 0.5, emitted as
+    * (train_doc_id, eval_doc_id) contamination pairs. The DuckDB oracle
+    * brute-forces eval × train shingle overlap from scratch — a hash
+    * match proves the banding lost no qualifying pair and the kernel's
+    * arithmetic is exact (q82/q143's recall argument, new membership
+    * split).
+    *
+    * Shape at 100 TB: the index over the training corpus is the SAME
+    * artifact the dedup admission path already maintains (q82/q95 —
+    * build once, probe forever); the probe is eval-bounded (≤100 rows
+    * here), so decontamination costs one banded lookup of the eval
+    * suite, not a corpus scan. Training docs flagged here are dropped
+    * or audited before the split materialization (q45/q56).
+    */
+  private val q160 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val isEval = ($"doc_id" % 29 === 0) && ($"doc_id" < 5300L)
+      val idx = buildMinHashIndex(shingleDocs(docs.filter(!isEval)))
+      dedupAgainstIndex(docs.filter(isEval), idx)
+        .select($"old_doc_id".as("train_doc_id"),
+          $"new_doc_id".as("eval_doc_id"),
+          $"common", $"jaccard")
+        .orderBy($"train_doc_id", $"eval_doc_id")
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), shingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ), ex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
+      )
+      SELECT b.doc_id AS train_doc_id, a.doc_id AS eval_doc_id,
+             COUNT(*) AS common,
+             CAST(COUNT(*) AS DOUBLE) /
+               (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jaccard
+      FROM ex a JOIN ex b ON a.s = b.s
+        AND a.doc_id % 29 = 0 AND a.doc_id < 5300
+        AND NOT (b.doc_id % 29 = 0 AND b.doc_id < 5300)
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(COUNT(*) AS DOUBLE) /
+             (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ORDER BY train_doc_id, eval_doc_id"""))
+
   /** Q138 — bigram-LM APPEND + re-score: the language-model artifact's
     * incremental-maintenance step (q137's argument applied to q85's
     * LM). An add-one-smoothed bigram LM is nothing but count tables,
@@ -5712,6 +5906,8 @@ ORDER BY a.source"""
     "q155_neardup_label_qa" -> q155,
     "q158_dedup_survivor_weights" -> q158,
     "q159_deferred_deletion_lifecycle" -> q159,
+    "q160_neardup_decontamination" -> q160,
+    "q161_data_card_append" -> q161,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2374,6 +2374,44 @@ class QueriesSpec extends SparkSpec {
     assert(sel.forall(p => !nd.contains(p)), "a near-dup pair survived the exclusion")
   }
 
+  test("q160 near-dup decontamination: pairs == q18's cross-boundary pairs, membership laws") {
+    val out = run("q160_neardup_decontamination").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.nonEmpty, "decontamination leg must be exercised at spec SF")
+    def isEval(id: Long) = id % 29 == 0 && id < 5300
+    out.foreach { case (train, eval, j) =>
+      assert(!isEval(train), s"train doc $train is in the eval set")
+      assert(isEval(eval), s"eval doc $eval fails the fixture predicate")
+      assert(j >= 0.5, s"pair ($train,$eval) below the verify threshold")
+    }
+    // independent cross-check: q18's all-pairs set (PPJoin machinery,
+    // not the banded index) restricted to pairs straddling the eval
+    // boundary must equal q160's pair set exactly
+    val q18pairs = run("q18_neardup_jaccard").select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wantPairs = q18pairs.collect {
+      case (i, j) if isEval(i) && !isEval(j) => (j, i)
+      case (i, j) if !isEval(i) && isEval(j) => (i, j)
+    }.toSet
+    assert(out.map(p => (p._1, p._2)).toSet == wantPairs)
+  }
+
+  test("q161 card store: render == direct cards, append == full-corpus rebuild") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"lang", $"text")
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // the store decomposition loses nothing: rendering the store of a
+    // corpus equals carding the corpus directly
+    assert(tab(TextOps.cardsOfStore(TextOps.cardStoreOf(docs))) ==
+      tab(TextOps.sourceCards(docs.select($"source", $"lang", $"text"))))
+    // the append law against the Spark batch form (the oracle pins the
+    // same law against DuckDB's from-scratch card)
+    assert(tab(SparkEntry.queries("q161_data_card_append")(spark, sf0001)) ==
+      tab(TextOps.sourceCards(docs.select($"source", $"lang", $"text"))))
+  }
+
   test("q150 hard negatives: near-dup candidates excluded, invariants hold") {
     import spark.implicits._
     val E = graft.functions.expressions
