@@ -132,7 +132,8 @@ object ScaleBench {
     "q159_deferred_deletion_lifecycle", "q156b_semantic_negatives_pruned",
     // round-11 (cont.): eval-bounded banded probe of the training-corpus
     // index; three batch-proportional store merges + sources-bounded render
-    "q160_neardup_decontamination", "q161_data_card_append")
+    "q160_neardup_decontamination", "q161_data_card_append",
+    "q162_data_card_remove")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

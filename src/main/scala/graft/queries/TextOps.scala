@@ -3757,14 +3757,16 @@ ORDER BY a.source"""
     *  - `sums`   (source → n_docs, ws_tokens, n_short): plain additive;
     *  - `langs`  (source × lang → count): additive, and n_langs /
     *    dominant / entropy are pure functions of it;
-    *  - `hashes` (source × md5, distinct): union-distinct mergeable,
-    *    and n_dup = n_docs − |hashes| (COUNT-DISTINCT is not additive —
-    *    a dup can straddle the split — which is why the artifact keeps
-    *    the 16-byte key SET, exactly the q17 exact-dedup shuffle key
-    *    materialized, not just its count).
-    * At 100 TB the hashes table is the big leg (16 bytes/doc) and is
-    * the same store an exact-dedup admission path already maintains;
-    * sums/langs are sources- and sources×langs-bounded. */
+    *  - `hashes` (source × md5 → count): COUNTED, not just distinct —
+    *    n_dup = n_docs − |rows with c > 0|. COUNT-DISTINCT is not
+    *    additive (a dup can straddle a split boundary) and a bare SET
+    *    is not SUBTRACTABLE (removing one copy of a twice-held hash
+    *    must keep the row) — the counted multiset supports both append
+    *    and takedown exactly. The key is the q17 exact-dedup shuffle
+    *    key materialized.
+    * At 100 TB the hashes table is the big leg (~24 bytes/distinct doc)
+    * and is the same store an exact-dedup admission path already
+    * maintains; sums/langs are sources- and sources×langs-bounded. */
   private[graft] case class CardStore(sums: DataFrame, langs: DataFrame,
       hashes: DataFrame)
 
@@ -3781,13 +3783,13 @@ ORDER BY a.source"""
         sum($"nw").as("ws_tokens"),
         sum(when($"nw" < 50, 1L).otherwise(0L)).as("n_short_docs")),
       langs = base.groupBy($"source", $"lang").agg(count(lit(1)).as("c")),
-      hashes = base.select($"source", $"h").distinct())
+      hashes = base.groupBy($"source", $"h").agg(count(lit(1)).as("c")))
   }
 
   /** Append a batch into the card store — three exact merges, cost
-    * ∝ batch (+ the hash-set dedup shuffle); the stored corpus text is
+    * ∝ batch (+ the hash-multiset shuffle); the stored corpus text is
     * never re-read. Append == rebuild over the union by construction
-    * (each store is additive / union-distinct over doc sets), pinned by
+    * (every store is count-additive over disjoint doc sets), pinned by
     * q161's oracle which computes the full-corpus card from scratch. */
   private[graft] def appendToCardStore(st: CardStore, batch: DataFrame): CardStore = {
     import batch.sparkSession.implicits._
@@ -3798,7 +3800,41 @@ ORDER BY a.source"""
         sum($"n_short_docs").as("n_short_docs")),
       langs = st.langs.unionByName(b.langs).groupBy($"source", $"lang")
         .agg(sum($"c").as("c")),
-      hashes = st.hashes.unionByName(b.hashes).distinct())
+      hashes = st.hashes.unionByName(b.hashes).groupBy($"source", $"h")
+        .agg(sum($"c").as("c")))
+  }
+
+  /** TAKEDOWN on the card store — the removal half of the curation
+    * maintenance matrix (q142's contract on the datasheet layer): the
+    * victims' own rows (the corpus rows being deleted, read once on
+    * their way out) subtract from every table, zero-count groups drop.
+    * Exact inverse of [[appendToCardStore]] because every store is
+    * count-additive over disjoint doc sets; the counted hash multiset
+    * is what makes the dup statistic survive removal (dropping one
+    * copy of a twice-held hash keeps the row, c 2→1, and the rendered
+    * n_dup falls by exactly one). remove ∘ append ≡ rebuild-on-
+    * survivors is q162's oracle. */
+  private[graft] def removeFromCardStore(st: CardStore,
+      victimDocs: DataFrame): CardStore = {
+    import victimDocs.sparkSession.implicits._
+    val v = cardStoreOf(victimDocs)
+    CardStore(
+      sums = st.sums
+        .join(v.sums.select($"source", $"n_docs".as("dn"),
+          $"ws_tokens".as("dw"), $"n_short_docs".as("ds")), Seq("source"), "left")
+        .select($"source",
+          ($"n_docs" - coalesce($"dn", lit(0L))).as("n_docs"),
+          ($"ws_tokens" - coalesce($"dw", lit(0L))).as("ws_tokens"),
+          ($"n_short_docs" - coalesce($"ds", lit(0L))).as("n_short_docs"))
+        .filter($"n_docs" > 0),
+      langs = st.langs
+        .join(v.langs.withColumnRenamed("c", "dc"), Seq("source", "lang"), "left")
+        .select($"source", $"lang", ($"c" - coalesce($"dc", lit(0L))).as("c"))
+        .filter($"c" > 0),
+      hashes = st.hashes
+        .join(v.hashes.withColumnRenamed("c", "dc"), Seq("source", "h"), "left")
+        .select($"source", $"h", ($"c" - coalesce($"dc", lit(0L))).as("c"))
+        .filter($"c" > 0))
   }
 
   /** Render a [[CardStore]] as q151's card rows — the same statistics
@@ -3882,6 +3918,67 @@ ORDER BY a.source"""
                CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
                  w -> len(w) > 0)) AS BIGINT) AS nw
         FROM documents
+      ), s1 AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+               CAST(SUM(CASE WHEN nw < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs
+        FROM d GROUP BY source
+      ), l AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY source, lang
+      ), ent AS (
+        SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+               CAST(SUM(c * CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n_docs) * 1e6)
+                 AS BIGINT)) AS BIGINT) AS ent_fp
+        FROM l JOIN s1 ON s1.source = l.source GROUP BY l.source
+      ), dom AS (
+        SELECT source, lang AS dominant_lang FROM (
+          SELECT source, lang,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY c DESC, lang) AS rn
+          FROM l)
+        WHERE rn = 1
+      )
+      SELECT s1.source, n_docs, ws_tokens,
+             CAST(ws_tokens AS DOUBLE) / n_docs AS mean_doc_len,
+             n_short_docs, n_dup_docs, n_langs, dominant_lang,
+             CAST(ent_fp AS DOUBLE) / (n_docs * 1e6) AS lang_entropy
+      FROM s1 JOIN ent USING (source) JOIN dom USING (source)
+      ORDER BY source"""))
+
+  /** Q162 — data-card TAKEDOWN: the full append × remove lifecycle on
+    * the curation datasheet (the maintenance matrix's last layer —
+    * postings q137/q142, MinHash q82/q143, LM q138/q144, clusters
+    * q135/q145, PQ q140, NB q149 all have both halves; cards gained
+    * append in q161, this is the removal half). The stored split's
+    * [[CardStore]] absorbs the arriving snapshot, then processes a
+    * takedown batch (% 13 = 0, the victims' rows read once on their
+    * way out — [[removeFromCardStore]]); the oracle computes the
+    * SURVIVOR-corpus card from scratch. A hash match proves
+    * remove ∘ append ≡ rebuild-on-survivors exactly — including n_dup
+    * through the COUNTED hash multiset (a set-valued store would
+    * over-subtract a dup pair whose one member is taken down) and the
+    * entropy/dominant recomputation over decremented lang counts.
+    */
+  private val q162 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"lang", $"text")
+      val appended = appendToCardStore(
+        cardStoreOf(docs.filter($"doc_id" % 10 < 8)),
+        docs.filter($"doc_id" % 10 >= 8))
+      cardsOfStore(removeFromCardStore(appended,
+        docs.filter($"doc_id" % 13 === 0)))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT COALESCE(lang, '') AS lang, source,
+               md5(COALESCE(text, '')) AS h,
+               CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                 w -> len(w) > 0)) AS BIGINT) AS nw
+        FROM documents WHERE doc_id % 13 <> 0
       ), s1 AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(nw) AS BIGINT) AS ws_tokens,
@@ -5908,6 +6005,7 @@ ORDER BY a.source"""
     "q159_deferred_deletion_lifecycle" -> q159,
     "q160_neardup_decontamination" -> q160,
     "q161_data_card_append" -> q161,
+    "q162_data_card_remove" -> q162,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -1571,6 +1571,47 @@ object Pipeline {
     result
   }
 
+  /** Streaming DECONTAMINATION gate — q160's near-dup eval screen on
+    * the admission path: the eval suite's MinHash index is built ONCE
+    * at stream start (eval sets are bounded — the q160 fixture, ≤183
+    * docs at any SF), and each arriving micro-batch of candidate
+    * TRAINING documents probes it through EXACTLY the batch leg
+    * ([[graft.queries.TextOps.dedupAgainstIndex]], shared function) —
+    * an arriving paraphrase of an eval item flags in the stream iff
+    * q160's batch sweep would flag it (banding is symmetric in the
+    * pair, verification is exact; StreamingSpec pins both the
+    * stream==batch and the orientation-equivalence laws). Flagged
+    * (train, eval) pairs land batchId-keyed for replay idempotency;
+    * per-batch cost is one batch-sized banded probe of the tiny eval
+    * index. */
+  def runDecontaminationGateStream(s: SparkSession, corpusDir: String,
+      inDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    import graft.queries.TextOps
+    val evalDocs = graft.sources.Tables.documents(s, corpusDir)
+      .filter(col("doc_id") % 29 === 0 && col("doc_id") < 5300L)
+      .select(col("doc_id"), col("text"))
+    val idx = TextOps.buildMinHashIndex(
+      TextOps.shingleDocs(evalDocs).localCheckpoint())
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextOps.dedupAgainstIndex(batch.select(col("doc_id"), col("text")), idx)
+          .select(col("new_doc_id").as("train_doc_id"),
+            col("old_doc_id").as("eval_doc_id"),
+            col("common"), col("jaccard"))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/contamination/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q136 — the perceptual frame gate on the ingest
     * path: the stored corpus's frame-dHash band index is built ONCE at
     * stream start ([[graft.queries.MultimodalQ.framePhashIndexCached]]),

@@ -416,6 +416,52 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$out/card_flags/batch=*")) == before)
   }
 
+  test("streaming decontamination gate: flags == batch screen, orientation == q160") {
+    import org.apache.spark.sql.functions.{lit, struct, to_json}
+    import spark.implicits._
+    import graft.queries.TextOps
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("dg_in")
+    val out = tmpDir("dg_out")
+    val ckpt = tmpDir("dg_ckpt")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    def isEval(c: org.apache.spark.sql.Column) = c % 29 === 0 && c < 5300L
+    // the arriving "training candidates": every non-eval doc — the full
+    // admission surface, split over two files (batch boundaries must
+    // not change what flags)
+    val train = docs.filter(!isEval($"doc_id"))
+    val lines = train
+      .select($"doc_id",
+        to_json(struct(lit("2026-03-01 08:00:00").as("ts"), $"doc_id", $"text")))
+      .collect().sortBy(_.getLong(0)).map(_.getString(1))
+    val (l1, l2) = lines.splitAt(lines.length / 2)
+    writeJsonl(in, "b1.jsonl", l1.toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", l2.toIndexedSeq: _*)
+    Pipeline.runDecontaminationGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val got = spark.read.option("basePath", s"$out/contamination")
+      .parquet(s"$out/contamination/batch=*")
+      .select($"train_doc_id", $"eval_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stream == the batch screen on the same rows (shared function,
+    // reversed orientation: arriving train probes the eval index)
+    val evalIdx = TextOps.buildMinHashIndex(TextOps.shingleDocs(
+      docs.filter(isEval($"doc_id")).select($"doc_id", $"text")))
+    val want = TextOps.dedupAgainstIndex(
+        train.select($"doc_id", $"text"), evalIdx)
+      .select($"new_doc_id", $"old_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // orientation equivalence: banding is symmetric in the pair and the
+    // verify is exact, so the stream's flags equal batch q160 (which
+    // probes EVAL against a TRAIN index) on the same corpus
+    val q160pairs = graft.SparkEntry
+      .queries("q160_neardup_decontamination")(spark, corpus)
+      .select($"train_doc_id", $"eval_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == q160pairs)
+  }
+
   test("streaming code-switch gate: per-doc window summaries == batch q139 on the same rows") {
     import org.apache.spark.sql.functions.{lit, struct, to_json}
     import spark.implicits._
