@@ -569,20 +569,45 @@ object Relational {
   private val q09 = Q(
     fn = (s, d) => {
       import s.implicits._
+      // the q36b gating pattern (round 11): the HLL estimate itself is
+      // engine-specific and can't be hashed, but its GUARANTEE can —
+      // the exact distinct rides along (one extra shuffle the sketch
+      // exists to avoid at 100 TB; here it is the audit leg) and the
+      // oracle pins |estimate − exact| ≤ 5%·exact as literal TRUE.
+      // rsd 0.016 ≈ lgK 14 (q36c's precision), so the 5% bound is ~3σ
+      // of a DETERMINISTIC estimator — fixed per dataset, verified at
+      // all three SFs; a broken sketch fails the driver hash.
       val ev = Tables.events(s, d)
       val tot = ev.agg(
         decSum($"value").as("total_value"),
         count(lit(1)).as("total_events"),
-        approx_count_distinct($"user_id").as("approx_users"))
+        countDistinct($"user_id").as("n_users"),
+        approx_count_distinct($"user_id", 0.016).as("approx_users"))
       val key = ev.filter($"event_type".isin("error", "signup"))
         .agg(count(lit(1)).as("key_events"))
       tot.crossJoin(key)
-        .select($"total_value", $"total_events", $"approx_users", $"key_events",
+        .select($"total_value", $"total_events", $"n_users", $"key_events",
           when($"key_events" > 0, $"total_value" / $"key_events")
-            .as("value_per_key_event"))
+            .as("value_per_key_event"),
+          (abs($"approx_users" - $"n_users") <=
+            greatest(lit(1L), ($"n_users" * 0.05).cast("long")))
+            .as("users_estimate_ok"))
     },
-    oracle = None, // approx_count_distinct is engine-specific; rows-only check
-    doc = "1-row fleet summary; HLL distinct-count replaces exact distinct at scale")
+    oracle = Some("""
+      WITH tot AS (
+        SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value,
+               COUNT(*) AS total_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events),
+      key_ev AS (
+        SELECT COUNT(*) AS key_events FROM events
+        WHERE event_type IN ('error', 'signup'))
+      SELECT total_value, total_events, n_users, key_events,
+             CASE WHEN key_events > 0
+                  THEN total_value / key_events END AS value_per_key_event,
+             TRUE AS users_estimate_ok
+      FROM tot CROSS JOIN key_ev"""),
+    doc = "1-row fleet summary; HLL distinct gated by its 5% contract against the exact rider")
 
   /** Q9b — exact variant of Q9 with a full oracle. */
   private val q09b = Q(

@@ -228,11 +228,14 @@ object Windowed {
     * combined and associative, so the daily and roll-up levels are the
     * same partial-aggregation machinery.
     *
-    * Sketch bytes and estimates are engine-specific → rows-only in
-    * CORRECTNESS; the exact distinct rides along and WindowedSpec pins
-    * the estimate within 5%. The exact column shows the price being
-    * avoided: countDistinct shuffles every (type, user) pair, the sketch
-    * path shuffles |days|·|types| kilobyte rows.
+    * Sketch bytes and estimates are engine-specific, but their CONTRACT
+    * is hashable (the q36b/q09 gating pattern, round 11): the exact
+    * distinct rides along (the audit leg — at 100 TB it is exactly the
+    * shuffle the sketch path avoids) and the oracle pins n_days, the
+    * exact count, and |union-estimate − exact| ≤ 5%·exact as literal
+    * TRUE (lgK 14 ⇒ σ ≈ 0.8%, so 5% is ~6σ of a DETERMINISTIC
+    * estimator — fixed per dataset, verified at all three SFs). A
+    * sketch whose daily/merge machinery drifts fails the driver hash.
     */
   private val q36c = Q(
     fn = (s, d) => {
@@ -247,11 +250,20 @@ object Windowed {
         .groupBy($"event_type")
         .agg(countDistinct($"user_id").as("exact_users"))
       merged.join(exact, Seq("event_type"))
-        .select($"event_type", $"n_days", $"approx_users", $"exact_users")
+        .select($"event_type", $"n_days", $"exact_users",
+          (abs($"approx_users" - $"exact_users") <=
+            greatest(lit(1L), ($"exact_users" * 0.05).cast("long")))
+            .as("estimate_ok"))
         .orderBy($"event_type")
     },
-    oracle = None,
-    doc = "per-day HLL sketches merged per type — sketch estimates engine-specific → rows-only; ε pinned in spec")
+    oracle = Some("""
+      SELECT event_type,
+             CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             TRUE AS estimate_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
 
   /** Q37 — time-series similarity search (PAPERS.md: "Time Series
     * Similarity Search for Streaming Data in Distributed Systems",

