@@ -133,7 +133,10 @@ object ScaleBench {
     // round-11 (cont.): eval-bounded banded probe of the training-corpus
     // index; three batch-proportional store merges + sources-bounded render
     "q160_neardup_decontamination", "q161_data_card_append",
-    "q162_data_card_remove")
+    "q162_data_card_remove",
+    // round-11 (cont.): chunk-store build (IndexCache'd) + one scan-local
+    // bounded-heap serve + nq*20-bounded doc pooling
+    "q163_maxpassage_bm25")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -3535,6 +3535,119 @@ ORDER BY a.source"""
       .sortBy(_._1)
   }
 
+  /** Q163 — MAX-PASSAGE retrieval: BM25 over fixed-size CHUNKS with
+    * document-level max pooling — the long-document retrieval shape
+    * (a 100-page manual should rank by its best passage, not by its
+    * diluted whole-document term statistics; RAG serving retrieves the
+    * passage, attribution needs the document). The corpus is chunked by
+    * q69's exact windowing (stride 24, width 32), each chunk keyed as a
+    * pseudo-document `cid = doc_id·100000 + chunk + 1` (> QuerySetCap,
+    * so the scan kernel's self-exclusion-by-id can never fire on a
+    * chunk; the +1 keeps doc 0's first chunk off id 0), the q84 scoring
+    * machinery runs UNCHANGED over the chunk store (one build via
+    * IndexCache, one Bm25ScanTopK scan per request set), top-20 chunks
+    * per query pool to their parent docs by MAX score, the query's own
+    * document drops, and the top-5 documents emit with their best
+    * chunk's id and score. Every step is deterministic exact/fixed-
+    * point arithmetic — the oracle replays chunking, scoring, pooling
+    * and ranking from scratch.
+    *
+    * Scale shape: the chunk store is ~len/24 rows per document of the
+    * same per-row width as q84's (the tokenize/weight passes are the
+    * same map-side aggs over more, shorter rows); serving is still ONE
+    * scan-local bounded-heap pass + an nq·20-bounded pool/rank. */
+  private val q163 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val store = s.read.parquet(IndexCache.resolve(
+        "bm25chunks|" + IndexCache.dataKey(d), "bm25chunks") { p =>
+        val chunks = Tables.documents(s, d)
+          .select($"doc_id", words($"text").as("w"))
+          .select($"doc_id", $"w",
+            posexplode(sequence(lit(1), size($"w"), lit(24))).as(Seq("pos", "start")))
+          .select(($"doc_id" * 100000L + $"pos" + 1L).as("doc_id"),
+            array_join(slice($"w", $"start", lit(32)), " ").as("text"))
+        bm25WeightStore(chunks).write.mode("overwrite").parquet(p)
+      })
+      val byChunk = bm25TopK(store, bm25QueryRows(s, d), 20)
+      byChunk
+        .select($"query_id",
+          expr("(doc_id - 1) div 100000").as("parent_doc"),
+          $"doc_id".as("cid"), $"score_fp")
+        .filter($"parent_doc" =!= $"query_id")
+        .groupBy($"query_id", $"parent_doc")
+        .agg(max(struct($"score_fp", ($"cid" * -1L).as("negcid"))).as("best"))
+        .select($"query_id", $"parent_doc".as("doc_id"),
+          ($"best.negcid" * -1L).as("best_chunk_cid"),
+          $"best.score_fp".as("score_fp"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id")
+            .orderBy($"score_fp".desc, $"doc_id")).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"doc_id", $"best_chunk_cid", $"score_fp", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    oracle = Some("""
+      WITH w0 AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), ch AS (
+        SELECT doc_id * 100000 + (start - 1) // 24 + 1 AS cid,
+               array_to_string(w[start:start+31], ' ') AS ctext
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS start
+              FROM w0)
+      ), t AS (
+        SELECT cid, unnest(string_split(ctext, ' ')) AS term FROM ch
+      ), tf AS (
+        SELECT cid, term, COUNT(*) AS tf FROM t GROUP BY cid, term
+      ), dlen AS (
+        SELECT cid, COUNT(*) AS len FROM t GROUP BY cid
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), wt AS (
+        SELECT tf.cid, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (cid) JOIN idf USING (term)
+      ), q AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id % 37 = 0 AND doc_id < 3700)
+      ), scored AS (
+        SELECT q.query_id, wt.cid, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN wt USING (term)
+        GROUP BY q.query_id, wt.cid
+      ), topch AS (
+        SELECT query_id, cid, score_fp FROM (
+          SELECT query_id, cid, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_fp DESC, cid) AS rk
+          FROM scored)
+        WHERE rk <= 20
+      ), pooled AS (
+        SELECT query_id, doc_id, cid AS best_chunk_cid, score_fp FROM (
+          SELECT query_id, (cid - 1) // 100000 AS doc_id, cid, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY query_id, (cid - 1) // 100000
+                   ORDER BY score_fp DESC, cid) AS rn
+          FROM topch WHERE (cid - 1) // 100000 <> query_id)
+        WHERE rn = 1
+      ), ranked AS (
+        SELECT query_id, doc_id, best_chunk_cid, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM pooled
+      )
+      SELECT query_id, doc_id, best_chunk_cid, score_fp, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   private val q84 = Q(
     fn = (s, d) => bm25TopK(bm25StoreCached(s, d), bm25QueryRows(s, d), 5),
     oracle = Some("""
@@ -6006,6 +6119,7 @@ ORDER BY a.source"""
     "q160_neardup_decontamination" -> q160,
     "q161_data_card_append" -> q161,
     "q162_data_card_remove" -> q162,
+    "q163_maxpassage_bm25" -> q163,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2374,6 +2374,27 @@ class QueriesSpec extends SparkSpec {
     assert(sel.forall(p => !nd.contains(p)), "a near-dup pair survived the exclusion")
   }
 
+  test("q163 max-passage retrieval: pooling laws hold") {
+    val out = run("q163_maxpassage_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not contiguous")
+      assert(sorted.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }, s"query $q doc scores not non-increasing")
+      assert(sorted.map(_._2).distinct.length == sorted.length,
+        s"query $q returned a document twice")
+      rows.foreach { case (_, doc, cid, _, _) =>
+        assert(doc != q, s"query $q returned its own document")
+        assert((cid - 1) / 100000 == doc,
+          s"best chunk $cid does not decode to parent $doc")
+      }
+    }
+  }
+
   test("q160 near-dup decontamination: pairs == q18's cross-boundary pairs, membership laws") {
     val out = run("q160_neardup_decontamination").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
