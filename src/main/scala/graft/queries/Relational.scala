@@ -352,6 +352,82 @@ object Relational {
     (ev, t1, t2, t3)
   }
 
+  /** Q165 — TIME-BUDGET funnel: q109's ordered view → click → purchase
+    * with per-stage conversion deadlines (click within 1 h of the first
+    * view; purchase within 24 h of that click) — the product form of
+    * the funnel metric ("converted", unqualified, hides whether the
+    * journey took a minute or a month; every growth dashboard reports
+    * the budgeted variant alongside). Same min-based stage derivation
+    * as q109 — each stage is the FIRST qualifying event inside its
+    * budget window — so the whole query is three filtered joins + tiny
+    * aggregations, no per-user loops, and the oracle replays it with
+    * epoch-microsecond arithmetic (exact longs; the only doubles are
+    * the final pct divisions over identical operands).
+    */
+  private val q165 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+        .filter($"user_id".isNotNull)
+      val t1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+        .filter($"ts" > $"t1" &&
+          unix_micros($"ts") - unix_micros($"t1") <= 3600000000L)
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
+        .filter($"ts" > $"t2" &&
+          unix_micros($"ts") - unix_micros($"t2") <= 86400000000L)
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      val stages =
+        ev.agg(countDistinct($"user_id").as("n_users"))
+          .select(lit(0).as("stage_idx"), lit("any_activity").as("stage"), $"n_users")
+        .unionByName(t1.agg(count(lit(1)).as("n_users"))
+          .select(lit(1).as("stage_idx"), lit("view").as("stage"), $"n_users"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage_idx"), lit("click_within_1h").as("stage"), $"n_users"))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage_idx"), lit("purchase_within_24h").as("stage"), $"n_users"))
+      val w = Window.orderBy($"stage_idx")
+      stages
+        .withColumn("pct_of_prev",
+          $"n_users".cast("double") / lag($"n_users", 1).over(w).cast("double"))
+        .orderBy($"stage_idx")
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, ts FROM events WHERE user_id IS NOT NULL
+      ), t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+      ), t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+        JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+          AND epoch_us(e.ts) - epoch_us(t1.t1) <= 3600000000
+        GROUP BY e.user_id
+      ), t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+        JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          AND epoch_us(e.ts) - epoch_us(t2.t2) <= 86400000000
+        GROUP BY e.user_id
+      ), stages AS (
+        SELECT 0 AS stage_idx, 'any_activity' AS stage,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
+        UNION ALL
+        SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM t1
+        UNION ALL
+        SELECT 2, 'click_within_1h', CAST(COUNT(*) AS BIGINT) FROM t2
+        UNION ALL
+        SELECT 3, 'purchase_within_24h', CAST(COUNT(*) AS BIGINT) FROM t3
+      )
+      SELECT stage_idx, stage, n_users,
+             CAST(n_users AS DOUBLE)
+               / CAST(LAG(n_users) OVER (ORDER BY stage_idx) AS DOUBLE)
+               AS pct_of_prev
+      FROM stages ORDER BY stage_idx"""))
+
   private val q109 = Q(
     fn = (s, d) => {
       import s.implicits._
@@ -1623,6 +1699,7 @@ object Relational {
     "q105_zorder_box" -> q105,
     "q106_expectation_audit" -> q106,
     "q109_funnel" -> q109,
+    "q165_funnel_time_budget" -> q165,
     "q110_retention_cohorts" -> q110,
     "q111_conversion_latency" -> q111,
     "q115_event_cooccurrence_lift" -> q115,

@@ -4060,6 +4060,71 @@ ORDER BY a.source"""
       FROM s1 JOIN ent USING (source) JOIN dom USING (source)
       ORDER BY source"""))
 
+  /** Q164 — k-ANONYMITY audit over a generalization lattice: the
+    * privacy-review measurement a corpus release runs next to the PII
+    * scan (q92) and the data cards (q151) — how identifying are the
+    * release's quasi-identifier columns, and how much does each
+    * generalization step (dropping a column) buy? For each lattice
+    * level — (source, lang), (source), (lang) — the audit reports the
+    * group count, the smallest group, and the ROW mass sitting in
+    * groups below k ∈ {2, 5, 10} (the re-identification-exposed rows;
+    * k-anonymity holds at k iff that mass is 0). All exact integer
+    * arithmetic over three map-side-combined group-bys of one narrow
+    * two-column projection — text never leaves the scan, cost is
+    * |groups| per level regardless of corpus size.
+    */
+  private val q164 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select(
+        coalesce($"source", lit("")).as("source"),
+        coalesce($"lang", lit("")).as("lang"))
+      def level(name: String, keys: Column*) =
+        base.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            min($"n").as("min_group"),
+            sum(when($"n" < 2, $"n").otherwise(0L)).as("rows_below_k2"),
+            sum(when($"n" < 5, $"n").otherwise(0L)).as("rows_below_k5"),
+            sum(when($"n" < 10, $"n").otherwise(0L)).as("rows_below_k10"))
+          .select(lit(name).as("level"), $"n_groups", $"min_group",
+            $"rows_below_k2", $"rows_below_k5", $"rows_below_k10")
+      level("lang", $"lang")
+        .unionByName(level("source", $"source"))
+        .unionByName(level("source_lang", $"source", $"lang"))
+        .orderBy($"level")
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT COALESCE(source, '') AS source, COALESCE(lang, '') AS lang
+        FROM documents
+      ), g2 AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY source, lang
+      ), gs AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY source
+      ), gl AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY lang
+      )
+      SELECT 'lang' AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(MIN(n) AS BIGINT) AS min_group,
+             CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k2,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k5,
+             CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k10
+      FROM gl
+      UNION ALL
+      SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      FROM gs
+      UNION ALL
+      SELECT 'source_lang', CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      FROM g2
+      ORDER BY level"""))
+
   /** Q162 — data-card TAKEDOWN: the full append × remove lifecycle on
     * the curation datasheet (the maintenance matrix's last layer —
     * postings q137/q142, MinHash q82/q143, LM q138/q144, clusters
@@ -6120,6 +6185,7 @@ ORDER BY a.source"""
     "q161_data_card_append" -> q161,
     "q162_data_card_remove" -> q162,
     "q163_maxpassage_bm25" -> q163,
+    "q164_k_anonymity_audit" -> q164,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

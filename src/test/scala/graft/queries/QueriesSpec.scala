@@ -2374,6 +2374,36 @@ class QueriesSpec extends SparkSpec {
     assert(sel.forall(p => !nd.contains(p)), "a near-dup pair survived the exclusion")
   }
 
+  test("q164 k-anonymity: generalization monotonicity, risk leg non-vacuous") {
+    val rows = run("q164_k_anonymity_audit").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet == Set("lang", "source", "source_lang"))
+    val (fineG, fineMin, f2, f5, f10) = rows("source_lang")
+    Seq("lang", "source").foreach { coarse =>
+      val (g, mn, k2, k5, k10) = rows(coarse)
+      // dropping a quasi-identifier can only merge groups: fewer groups,
+      // larger smallest group, less at-risk row mass
+      assert(g <= fineG && mn >= fineMin && k2 <= f2 && k5 <= f5 && k10 <= f10,
+        s"generalizing to $coarse did not monotonically reduce risk")
+    }
+    assert(f10 > 0, "finest level must expose at-risk rows at spec SF")
+  }
+
+  test("q165 time-budget funnel: budgets only shrink q109's stages, and do bind") {
+    def stages(name: String) = run(name).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val budget = stages("q165_funnel_time_budget")
+    val free = stages("q109_funnel")
+    assert(budget.keySet == Set(0, 1, 2, 3))
+    // stage 0/1 have no budget — identical; budgeted stages can only lose users
+    assert(budget(0) == free(0) && budget(1) == free(1))
+    assert(budget(2) <= free(2) && budget(3) <= free(3))
+    assert(budget(2) < free(2), "the 1h click budget must bind at spec SF")
+    // funnel monotone within itself
+    assert(budget(1) >= budget(2) && budget(2) >= budget(3))
+  }
+
   test("q163 max-passage retrieval: pooling laws hold") {
     val out = run("q163_maxpassage_bm25").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
