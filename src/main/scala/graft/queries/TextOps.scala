@@ -3556,36 +3556,52 @@ ORDER BY a.source"""
     * same per-row width as q84's (the tokenize/weight passes are the
     * same map-side aggs over more, shorter rows); serving is still ONE
     * scan-local bounded-heap pass + an nq·20-bounded pool/rank. */
+  /** q69's exact chunk windowing (stride 24, width 32) with each chunk
+    * keyed as a pseudo-document `cid = doc_id·100000 + chunk + 1` —
+    * shared by the max-passage family (q163 serve, q166 append). */
+  private[graft] def chunkedDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(1), size($"w"), lit(24))).as(Seq("pos", "start")))
+      .select(($"doc_id" * 100000L + $"pos" + 1L).as("doc_id"),
+        array_join(slice($"w", $"start", lit(32)), " ").as("text"))
+  }
+
+  /** Doc-level MAX pooling of a chunk-keyed top-k result — q163's
+    * serving tail, shared with q166: decode the parent id, drop the
+    * query's own document, keep each doc's best chunk (ties → lowest
+    * cid), rank docs top-5. */
+  private[graft] def maxPassagePool(byChunk: DataFrame): DataFrame = {
+    import byChunk.sparkSession.implicits._
+    byChunk
+      .select($"query_id",
+        expr("(doc_id - 1) div 100000").as("parent_doc"),
+        $"doc_id".as("cid"), $"score_fp")
+      .filter($"parent_doc" =!= $"query_id")
+      .groupBy($"query_id", $"parent_doc")
+      .agg(max(struct($"score_fp", ($"cid" * -1L).as("negcid"))).as("best"))
+      .select($"query_id", $"parent_doc".as("doc_id"),
+        ($"best.negcid" * -1L).as("best_chunk_cid"),
+        $"best.score_fp".as("score_fp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"score_fp".desc, $"doc_id")).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"doc_id", $"best_chunk_cid", $"score_fp", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   private val q163 = Q(
     fn = (s, d) => {
       import s.implicits._
       val store = s.read.parquet(IndexCache.resolve(
         "bm25chunks|" + IndexCache.dataKey(d), "bm25chunks") { p =>
-        val chunks = Tables.documents(s, d)
-          .select($"doc_id", words($"text").as("w"))
-          .select($"doc_id", $"w",
-            posexplode(sequence(lit(1), size($"w"), lit(24))).as(Seq("pos", "start")))
-          .select(($"doc_id" * 100000L + $"pos" + 1L).as("doc_id"),
-            array_join(slice($"w", $"start", lit(32)), " ").as("text"))
-        bm25WeightStore(chunks).write.mode("overwrite").parquet(p)
+        bm25WeightStore(chunkedDocs(Tables.documents(s, d)
+          .select($"doc_id", $"text")))
+          .write.mode("overwrite").parquet(p)
       })
-      val byChunk = bm25TopK(store, bm25QueryRows(s, d), 20)
-      byChunk
-        .select($"query_id",
-          expr("(doc_id - 1) div 100000").as("parent_doc"),
-          $"doc_id".as("cid"), $"score_fp")
-        .filter($"parent_doc" =!= $"query_id")
-        .groupBy($"query_id", $"parent_doc")
-        .agg(max(struct($"score_fp", ($"cid" * -1L).as("negcid"))).as("best"))
-        .select($"query_id", $"parent_doc".as("doc_id"),
-          ($"best.negcid" * -1L).as("best_chunk_cid"),
-          $"best.score_fp".as("score_fp"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy($"query_id")
-            .orderBy($"score_fp".desc, $"doc_id")).cast("long"))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"doc_id", $"best_chunk_cid", $"score_fp", $"rank")
-        .orderBy($"query_id", $"rank")
+      maxPassagePool(bm25TopK(store, bm25QueryRows(s, d), 20))
     },
     oracle = Some("""
       WITH w0 AS (
@@ -3620,6 +3636,102 @@ ORDER BY a.source"""
         SELECT DISTINCT doc_id AS query_id, term FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term
           FROM documents WHERE doc_id % 37 = 0 AND doc_id < 3700)
+      ), scored AS (
+        SELECT q.query_id, wt.cid, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN wt USING (term)
+        GROUP BY q.query_id, wt.cid
+      ), topch AS (
+        SELECT query_id, cid, score_fp FROM (
+          SELECT query_id, cid, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_fp DESC, cid) AS rk
+          FROM scored)
+        WHERE rk <= 20
+      ), pooled AS (
+        SELECT query_id, doc_id, cid AS best_chunk_cid, score_fp FROM (
+          SELECT query_id, (cid - 1) // 100000 AS doc_id, cid, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY query_id, (cid - 1) // 100000
+                   ORDER BY score_fp DESC, cid) AS rn
+          FROM topch WHERE (cid - 1) // 100000 <> query_id)
+        WHERE rn = 1
+      ), ranked AS (
+        SELECT query_id, doc_id, best_chunk_cid, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM pooled
+      )
+      SELECT query_id, doc_id, best_chunk_cid, score_fp, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Q166 — max-passage INDEX APPEND: the maintenance story for the
+    * newest serving artifact (a RAG passage index absorbs today's
+    * admitted documents without re-tokenizing its history). q163's
+    * weight store bakes global idf/avgdl into every row — the
+    * serve-fast form, invalidated wholesale by any corpus change — so
+    * the MAINTAINED form is the chunk-keyed RAW store (q137's
+    * argument, chunk-granular): per-chunk (term-hash, tf, len)
+    * postings + the vocabulary-bounded df table + totals, all additive
+    * over disjoint chunk sets. The stored split's chunk-raw artifact
+    * absorbs the arriving snapshot's CHUNKS ([[appendToBm25Raw]]
+    * unchanged — chunks are just short documents to it), serves the
+    * % 41 request set with query-time idf over the merged statistics,
+    * and pools to documents ([[maxPassagePool]], shared with q163).
+    * The oracle chunks the FULL corpus and rebuilds from scratch — a
+    * hash match proves chunk-append ∘ serve ∘ pool ≡ rebuild exactly,
+    * including the idf/avgdl refresh over merged totals.
+    */
+  private val q166 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val p = IndexCache.resolve(
+        "bm25chunkraw|" + IndexCache.dataKey(d), "bm25chunkraw") { path =>
+        bm25RawPostings(chunkedDocs(docs.filter($"doc_id" % 10 < 8)))
+          .write.mode("overwrite").parquet(s"$path/postings")
+        val post = s.read.parquet(s"$path/postings")
+        bm25DfOf(post).write.mode("overwrite").parquet(s"$path/df")
+        val (n, sumLen) = bm25TotalsOf(post)
+        Seq((n, sumLen)).toDF("n", "sum_len")
+          .write.mode("overwrite").parquet(s"$path/totals")
+      }
+      val merged = appendToBm25Raw(loadBm25Raw(s, p),
+        chunkedDocs(docs.filter($"doc_id" % 10 >= 8)))
+      maxPassagePool(bm25RawTopK(merged, bm25RawQueryRows(s, d), 20))
+    },
+    oracle = Some("""
+      WITH w0 AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), ch AS (
+        SELECT doc_id * 100000 + (start - 1) // 24 + 1 AS cid,
+               array_to_string(w[start:start+31], ' ') AS ctext
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS start
+              FROM w0)
+      ), t AS (
+        SELECT cid, unnest(string_split(ctext, ' ')) AS term FROM ch
+      ), tf AS (
+        SELECT cid, term, COUNT(*) AS tf FROM t GROUP BY cid, term
+      ), dlen AS (
+        SELECT cid, COUNT(*) AS len FROM t GROUP BY cid
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), wt AS (
+        SELECT tf.cid, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (cid) JOIN idf USING (term)
+      ), q AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id % 41 = 0 AND doc_id < 4100)
       ), scored AS (
         SELECT q.query_id, wt.cid, CAST(SUM(w_fp) AS BIGINT) AS score_fp
         FROM q JOIN wt USING (term)
@@ -6186,6 +6298,7 @@ ORDER BY a.source"""
     "q162_data_card_remove" -> q162,
     "q163_maxpassage_bm25" -> q163,
     "q164_k_anonymity_audit" -> q164,
+    "q166_maxpassage_index_append" -> q166,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2404,8 +2404,9 @@ class QueriesSpec extends SparkSpec {
     assert(budget(1) >= budget(2) && budget(2) >= budget(3))
   }
 
-  test("q163 max-passage retrieval: pooling laws hold") {
-    val out = run("q163_maxpassage_bm25").collect()
+  for (qn <- Seq("q163_maxpassage_bm25", "q166_maxpassage_index_append"))
+  test(s"$qn: max-passage pooling laws hold") {
+    val out = run(qn).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.nonEmpty)
     out.groupBy(_._1).foreach { case (q, rows) =>
