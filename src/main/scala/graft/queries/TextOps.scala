@@ -3760,6 +3760,104 @@ ORDER BY a.source"""
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q167 — max-passage index TAKEDOWN: q166's removal half, closing
+    * the append × remove pair for the passage index. A takedown request
+    * names DOCUMENTS (doc_id % 7 = 0); the victims' CHUNK ids are
+    * looked up IN THE STORE (one postings projection filtered on the
+    * decoded parent — no victim text is re-read, it may already be
+    * gone) and fed to the UNCHANGED [[removeFromBm25Raw]]: postings
+    * anti-join, vocabulary-bounded df subtraction, totals decrement.
+    * Serving the % 41 request set over what remains and pooling to
+    * documents must equal the from-scratch chunk index over the
+    * survivor corpus — the oracle's claim, chunk-granular: every chunk
+    * of a removed document stops scoring, every surviving chunk's
+    * statistics refresh through the merged idf/avgdl.
+    */
+  private val q167 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val p = IndexCache.resolve(
+        "bm25chunkraw|" + IndexCache.dataKey(d), "bm25chunkraw") { path =>
+        bm25RawPostings(chunkedDocs(docs.filter($"doc_id" % 10 < 8)))
+          .write.mode("overwrite").parquet(s"$path/postings")
+        val post = s.read.parquet(s"$path/postings")
+        bm25DfOf(post).write.mode("overwrite").parquet(s"$path/df")
+        val (n, sumLen) = bm25TotalsOf(post)
+        Seq((n, sumLen)).toDF("n", "sum_len")
+          .write.mode("overwrite").parquet(s"$path/totals")
+      }
+      val merged = appendToBm25Raw(loadBm25Raw(s, p),
+        chunkedDocs(docs.filter($"doc_id" % 10 >= 8)))
+      // victim documents -> their chunk ids, read off the store itself
+      val victimCids = merged.postings
+        .filter(expr("(doc_id - 1) div 100000 % 7 = 0"))
+        .select($"doc_id")
+      val pruned = removeFromBm25Raw(merged, victimCids)
+      maxPassagePool(bm25RawTopK(pruned, bm25RawQueryRows(s, d), 20))
+    },
+    oracle = Some("""
+      WITH w0 AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 7 <> 0
+      ), ch AS (
+        SELECT doc_id * 100000 + (start - 1) // 24 + 1 AS cid,
+               array_to_string(w[start:start+31], ' ') AS ctext
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS start
+              FROM w0)
+      ), t AS (
+        SELECT cid, unnest(string_split(ctext, ' ')) AS term FROM ch
+      ), tf AS (
+        SELECT cid, term, COUNT(*) AS tf FROM t GROUP BY cid, term
+      ), dlen AS (
+        SELECT cid, COUNT(*) AS len FROM t GROUP BY cid
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dlen
+      ), idf AS (
+        SELECT term,
+               CAST(FLOOR(LN((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_fp,
+               avgdl
+        FROM df CROSS JOIN stats
+      ), wt AS (
+        SELECT tf.cid, tf.term,
+               idf_fp * CAST(FLOOR((tf * 2.2) /
+                 (tf + 1.2 * (0.25 + 0.75 * len / avgdl)) * 1e6) AS BIGINT) AS w_fp
+        FROM tf JOIN dlen USING (cid) JOIN idf USING (term)
+      ), q AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id % 41 = 0 AND doc_id < 4100)
+      ), scored AS (
+        SELECT q.query_id, wt.cid, CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM q JOIN wt USING (term)
+        GROUP BY q.query_id, wt.cid
+      ), topch AS (
+        SELECT query_id, cid, score_fp FROM (
+          SELECT query_id, cid, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_fp DESC, cid) AS rk
+          FROM scored)
+        WHERE rk <= 20
+      ), pooled AS (
+        SELECT query_id, doc_id, cid AS best_chunk_cid, score_fp FROM (
+          SELECT query_id, (cid - 1) // 100000 AS doc_id, cid, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY query_id, (cid - 1) // 100000
+                   ORDER BY score_fp DESC, cid) AS rn
+          FROM topch WHERE (cid - 1) // 100000 <> query_id)
+        WHERE rn = 1
+      ), ranked AS (
+        SELECT query_id, doc_id, best_chunk_cid, score_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rank
+        FROM pooled
+      )
+      SELECT query_id, doc_id, best_chunk_cid, score_fp, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   private val q84 = Q(
     fn = (s, d) => bm25TopK(bm25StoreCached(s, d), bm25QueryRows(s, d), 5),
     oracle = Some("""
@@ -6299,6 +6397,7 @@ ORDER BY a.source"""
     "q163_maxpassage_bm25" -> q163,
     "q164_k_anonymity_audit" -> q164,
     "q166_maxpassage_index_append" -> q166,
+    "q167_maxpassage_index_remove" -> q167,
     "q24_winnow_fingerprint" -> q24,
     "q45_dataset_split" -> q45,
     "q141_stratified_split" -> q141,

@@ -2404,7 +2404,7 @@ class QueriesSpec extends SparkSpec {
     assert(budget(1) >= budget(2) && budget(2) >= budget(3))
   }
 
-  for (qn <- Seq("q163_maxpassage_bm25", "q166_maxpassage_index_append"))
+  for (qn <- Seq("q163_maxpassage_bm25", "q166_maxpassage_index_append", "q167_maxpassage_index_remove"))
   test(s"$qn: max-passage pooling laws hold") {
     val out = run(qn).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
