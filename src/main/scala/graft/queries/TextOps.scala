@@ -3572,7 +3572,8 @@ ORDER BY a.source"""
     * serving tail, shared with q166: decode the parent id, drop the
     * query's own document, keep each doc's best chunk (ties → lowest
     * cid), rank docs top-5. */
-  private[graft] def maxPassagePool(byChunk: DataFrame): DataFrame = {
+  private[graft] def maxPassagePool(byChunk: DataFrame,
+      topN: Int = 5): DataFrame = {
     import byChunk.sparkSession.implicits._
     byChunk
       .select($"query_id",
@@ -3587,22 +3588,24 @@ ORDER BY a.source"""
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id")
           .orderBy($"score_fp".desc, $"doc_id")).cast("long"))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= topN)
       .select($"query_id", $"doc_id", $"best_chunk_cid", $"score_fp", $"rank")
       .orderBy($"query_id", $"rank")
   }
 
+  /** q163's chunk-keyed weight store over dataset `d`, per-JVM cached —
+    * shared with the passage-level hybrid (Retrieval q168). */
+  private[graft] def bm25ChunkStoreCached(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(IndexCache.resolve(
+      "bm25chunks|" + IndexCache.dataKey(d), "bm25chunks") { p =>
+      bm25WeightStore(chunkedDocs(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))))
+        .write.mode("overwrite").parquet(p)
+    })
+
   private val q163 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val store = s.read.parquet(IndexCache.resolve(
-        "bm25chunks|" + IndexCache.dataKey(d), "bm25chunks") { p =>
-        bm25WeightStore(chunkedDocs(Tables.documents(s, d)
-          .select($"doc_id", $"text")))
-          .write.mode("overwrite").parquet(p)
-      })
-      maxPassagePool(bm25TopK(store, bm25QueryRows(s, d), 20))
-    },
+    fn = (s, d) =>
+      maxPassagePool(bm25TopK(bm25ChunkStoreCached(s, d), bm25QueryRows(s, d), 20)),
     oracle = Some("""
       WITH w0 AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents

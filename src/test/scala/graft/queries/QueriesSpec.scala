@@ -709,6 +709,35 @@ class QueriesSpec extends SparkSpec {
     assert(got.exists(r => r._3 == 0 && r._4 > 0))
   }
 
+  test("q168 passage-level hybrid == in-memory fusion of its max-passage and cosine legs") {
+    val lex = TextOps.maxPassagePool(
+        TextOps.bm25TopK(TextOps.bm25ChunkStoreCached(spark, sf0001),
+          TextOps.bm25QueryRows(spark, sf0001), 40), 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+    val dense = VectorOps.cosineTopK(spark, sf0001, _ % 37 === 0, 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong))
+    val lexM = lex.toMap
+    val denseM = dense.toMap
+    val expected = (lexM.keySet ++ denseM.keySet).toSeq.map { key =>
+      val lr = lexM.getOrElse(key, 0L)
+      val dr = denseM.getOrElse(key, 0L)
+      val score = (if (lr > 0) 1.0 / (lr + 60) else 0.0) +
+        (if (dr > 0) 1.0 / (dr + 60) else 0.0)
+      (key._1, key._2, lr, dr, score)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, docId, _, _, score) => (-score, docId) }
+        .take(10).zipWithIndex
+        .map { case ((q, doc, lr, dr, sc), i) => (q, doc, lr, dr, sc, (i + 1).toLong) }
+    }.sortBy(r => (r._1, r._6))
+    val got = run("q168_hybrid_maxpassage_rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // the passage leg and the dense leg each contribute alone somewhere
+    assert(got.exists(r => r._3 > 0 && r._4 == 0))
+    assert(got.exists(r => r._3 == 0 && r._4 > 0))
+  }
+
   test("MinHash index save/load: loaded index serves identical pairs") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)
