@@ -137,7 +137,8 @@ object ScaleBench {
     // round-11 (cont.): chunk-store build (IndexCache'd) + one scan-local
     // bounded-heap serve + nq*20-bounded doc pooling
     "q163_maxpassage_bm25", "q166_maxpassage_index_append",
-    "q167_maxpassage_index_remove", "q168_hybrid_maxpassage_rrf")
+    "q167_maxpassage_index_remove", "q168_hybrid_maxpassage_rrf",
+    "q169_semantic_decontamination")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

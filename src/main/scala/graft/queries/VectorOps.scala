@@ -2448,6 +2448,62 @@ object VectorOps {
       FROM rr WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Q169 — SEMANTIC decontamination: q160's eval-leakage screen on the
+    * DENSE side (lexical shingles miss a translated or heavily reworded
+    * eval item whose embedding still sits on top of a training doc —
+    * the lexical and semantic screens are run together in practice,
+    * exactly like the q150/q156 hard-negative pair). The bounded eval
+    * fixture (vec_id % 29 < 5300, doc_id ≡ vec_id — q160's set)
+    * broadcasts against one scan of the non-eval corpus embeddings;
+    * every (train, eval) pair at quantized cosine ≥ 0.4 — the corpus's
+    * established near-dup threshold (q38/q75/q83) — is flagged. Exact
+    * quantized arithmetic, so the oracle brute-forces the same pairs
+    * bit-identically.
+    *
+    * Shape at 100 TB: one broadcast-nested-loop scan, nq ≤ 183 by the
+    * QuerySetCap argument — cost ∝ corpus × eval-suite, never
+    * corpus²; the IVF/JL pruned paths (q39/q148) apply unchanged if
+    * the eval suite ever grows.
+    */
+  private val q169 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"embedding")
+      def isEval(c: Column) = c % 29 === 0 && c < 5300L
+      val evalQ = broadcast(emb.filter(isEval($"vec_id"))
+        .select($"vec_id".as("eval_doc_id"), $"embedding".as("q_emb")))
+      emb.filter(!isEval($"vec_id"))
+        .join(evalQ, $"vec_id" =!= $"eval_doc_id")
+        .select($"vec_id".as("train_doc_id"), $"eval_doc_id",
+          graft.functions.expressions.quantized_cosine($"q_emb", $"embedding")
+            .as("cos"))
+        .filter($"cos" >= 0.4)
+        .orderBy($"train_doc_id", $"eval_doc_id")
+    },
+    oracle = Some("""
+      WITH q0 AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+        FROM embeddings
+      ), withn AS (
+        SELECT vec_id, v,
+               list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])) AS qq
+        FROM q0
+      ), scored AS (
+        SELECT b.vec_id AS train_doc_id, a.vec_id AS eval_doc_id,
+               CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                    i -> a.v[i] * b.v[i])) AS DOUBLE)
+                 / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) AS cos
+        FROM withn a JOIN withn b
+          ON a.vec_id % 29 = 0 AND a.vec_id < 5300
+          AND NOT (b.vec_id % 29 = 0 AND b.vec_id < 5300)
+      )
+      SELECT train_doc_id, eval_doc_id, cos
+      FROM scored WHERE cos >= 0.4
+      ORDER BY train_doc_id, eval_doc_id"""))
+
   /** Q152 — matryoshka (prefix-truncation) fidelity audit: how much
     * cosine similarity degrades when embeddings are served at prefix
     * dimension budgets 8/16/32 of the stored 64 — the measurement a
@@ -2642,6 +2698,7 @@ object VectorOps {
     "q152_matryoshka_audit" -> q152,
     "q156_semantic_hard_negatives" -> q156,
     "q156b_semantic_negatives_pruned" -> q156b,
+    "q169_semantic_decontamination" -> q169,
     "q25_knn_cosine_exact" -> q25,
     "q26_knn_ann_lsh" -> q26,
     "q27_label_centroids" -> q27,

@@ -2455,6 +2455,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q169 semantic decontamination: membership and threshold laws, non-vacuous") {
+    val out = run("q169_semantic_decontamination").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty, "semantic leakage leg must fire at spec SF")
+    def isEval(id: Long) = id % 29 == 0 && id < 5300
+    out.foreach { case (train, eval, cos) =>
+      assert(!isEval(train) && isEval(eval), s"membership violated for ($train,$eval)")
+      assert(cos >= 0.4, s"pair ($train,$eval) below threshold")
+    }
+    // distinct screen from the lexical one: at least one flagged pair must
+    // NOT be a verified lexical near-dup (embeddings see what shingles miss)
+    val lex = run("q160_neardup_decontamination")
+      .select("train_doc_id", "eval_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.exists(p => !lex.contains((p._1, p._2))),
+      "semantic screen added nothing beyond the lexical one at spec SF")
+  }
+
   test("q160 near-dup decontamination: pairs == q18's cross-boundary pairs, membership laws") {
     val out = run("q160_neardup_decontamination").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
