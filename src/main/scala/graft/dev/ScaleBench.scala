@@ -138,7 +138,13 @@ object ScaleBench {
     // bounded-heap serve + nq*20-bounded doc pooling
     "q163_maxpassage_bm25", "q166_maxpassage_index_append",
     "q167_maxpassage_index_remove", "q168_hybrid_maxpassage_rrf",
-    "q169_semantic_decontamination")
+    "q169_semantic_decontamination",
+    // round-11 (cont.): FFD packing audit (q50's per-group pack + two
+    // doc-level aggs), per-lang fertility (q23b's cached merges +
+    // scan-local BpeEncode), snapshot diff (one co-partitioned
+    // full-outer join on doc_id over two narrow hash projections)
+    "q172_packing_efficiency", "q173_tokenizer_fertility",
+    "q174_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -1886,6 +1886,76 @@ object TextOps {
     oracle = Some(bpeOracleSql(48)))
 
 
+  /** Q173 — TOKENIZER FERTILITY by language: the multilingual-fairness
+    * audit every shared-tokenizer pipeline reports (a BPE vocabulary
+    * trained on a skewed mix tokenizes under-represented languages into
+    * more, shorter pieces — those languages pay more context budget and
+    * more FLOPs per word; fertility = subword tokens per whitespace
+    * word is the standard measure). Applies q23b's SHARED trained
+    * tokenizer (same [[bpeMergesCached]] artifact, same native
+    * BpeEncode kernel) and aggregates by the `lang` label instead of
+    * `source`, adding the compression view (word chars per subword
+    * token). All counts exact longs; the two ratios are single final
+    * divisions.
+    *
+    * Shape at 100 TB: identical to q23b's serve leg — the ≤48-entry
+    * merges table rides as a plan literal, encoding is scan-local, one
+    * map-side-combined aggregation to ≤|langs| rows. The oracle shares
+    * [[bpeTrainCtes]] verbatim, so q173 and q23b gate the SAME
+    * tokenizer replay.
+    */
+  private val q173 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val E = graft.functions.expressions
+      val merges = bpeMergesCached(s, d)
+      val wl = filter(words($"text"), w => length(w) > 0)
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(coalesce($"lang", lit("")).as("lang"),
+          size(E.bpe_encode($"text", merges)).cast("long").as("n_sub"),
+          size(wl).cast("long").as("n_words"),
+          aggregate(wl, lit(0L),
+            (acc, w) => acc + length(w).cast("long")).as("n_chars"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_sub").as("bpe_tokens"),
+          sum($"n_words").as("ws_tokens"),
+          sum($"n_chars").as("word_chars"))
+        .withColumn("fertility",
+          $"bpe_tokens".cast("double") / nullif($"ws_tokens", lit(0L)))
+        .withColumn("chars_per_token",
+          $"word_chars".cast("double") / nullif($"bpe_tokens", lit(0L)))
+        .orderBy($"lang")
+    },
+    oracle = Some(bpeFertilitySql(48)))
+
+  /** q173's oracle: [[bpeTrainCtes]]'s tokenizer replay, aggregated by
+    * language with the word-chars leg. */
+  private def bpeFertilitySql(n: Int): String = {
+    s"""${bpeTrainCtes(n)},
+agg AS (
+  SELECT d.lang,
+         CAST(SUM(wn.n_sub) AS BIGINT) AS bpe_tokens,
+         CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+         CAST(SUM(len(d.w)) AS BIGINT) AS word_chars
+  FROM (SELECT COALESCE(lang, '') AS lang,
+               unnest(string_split(text, ' ')) AS w FROM documents) d
+  JOIN wn ON wn.w = d.w
+  WHERE len(d.w) > 0
+  GROUP BY d.lang),
+nd AS (SELECT COALESCE(lang, '') AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT nd.lang, nd.n_docs,
+       COALESCE(a.bpe_tokens, 0) AS bpe_tokens,
+       COALESCE(a.ws_tokens, 0) AS ws_tokens,
+       COALESCE(a.word_chars, 0) AS word_chars,
+       CAST(a.bpe_tokens AS DOUBLE) / NULLIF(a.ws_tokens, 0) AS fertility,
+       CAST(a.word_chars AS DOUBLE) / NULLIF(a.bpe_tokens, 0) AS chars_per_token
+FROM nd LEFT JOIN agg a USING (lang)
+ORDER BY nd.lang"""
+  }
+
   /** q23b's oracle-SQL generator: `n` unrolled BPE training rounds plus
     * the apply/aggregate phase, as one DuckDB query (see q23b's scaladoc
     * for the replay-equivalence argument). Each round:
@@ -1902,7 +1972,24 @@ object TextOps {
     *          early-stop).
     */
   private def bpeOracleSql(n: Int): String = {
-    def round(k: Int): String = {
+    s"""${bpeTrainCtes(n)},
+agg AS (
+  SELECT d.source,
+         CAST(SUM(wn.n_sub) AS BIGINT) AS bpe_tokens,
+         CAST(COUNT(*) AS BIGINT) AS ws_tokens
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) d
+  JOIN wn ON wn.w = d.w
+  WHERE len(d.w) > 0
+  GROUP BY d.source),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT a.source, nd.n_docs, a.bpe_tokens, a.ws_tokens,
+       CAST(a.bpe_tokens AS DOUBLE) / a.ws_tokens AS avg_bpe_per_word
+FROM agg a JOIN nd USING (source)
+ORDER BY a.source"""
+  }
+
+  /** One unrolled BPE merge round (see [[q23b]]'s scaladoc). */
+  private def bpeRoundSql(k: Int): String = {
       val p = s"seg${k - 1}"
       s"""p$k AS MATERIALIZED (
   SELECT l, r FROM (
@@ -1932,7 +2019,14 @@ seg$k AS MATERIALIZED (
   GROUP BY m.w
   UNION ALL
   SELECT s.* FROM $p s WHERE NOT EXISTS (SELECT 1 FROM p$k))"""
-    }
+  }
+
+  /** The shared BPE-training replay prefix (vocab → 48 unrolled merge
+    * rounds → per-word subword counts `wn`), extracted from
+    * [[bpeOracleSql]] so q173's fertility oracle replays EXACTLY the
+    * tokenizer q23b gates — the two oracles cannot drift. */
+  private def bpeTrainCtes(n: Int): String = {
+    def round(k: Int): String = bpeRoundSql(k)
     val rounds = (1 to n).map(round).mkString(",\n")
     s"""WITH vocab AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c
@@ -1942,20 +2036,7 @@ seg0 AS MATERIALIZED (
   SELECT w, c, list_transform(generate_series(1, len(w)), i -> w[i:i]) AS seq
   FROM vocab),
 $rounds,
-wn AS (SELECT w, len(seq) AS n_sub FROM seg$n),
-agg AS (
-  SELECT d.source,
-         CAST(SUM(wn.n_sub) AS BIGINT) AS bpe_tokens,
-         CAST(COUNT(*) AS BIGINT) AS ws_tokens
-  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) d
-  JOIN wn ON wn.w = d.w
-  WHERE len(d.w) > 0
-  GROUP BY d.source),
-nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
-SELECT a.source, nd.n_docs, a.bpe_tokens, a.ws_tokens,
-       CAST(a.bpe_tokens AS DOUBLE) / a.ws_tokens AS avg_bpe_per_word
-FROM agg a JOIN nd USING (source)
-ORDER BY a.source"""
+wn AS (SELECT w, len(seq) AS n_sub FROM seg$n)"""
   }
 
   /** Q24 — document fingerprinting by winnowing (brief's "rolling hash"):
@@ -2512,6 +2593,37 @@ ORDER BY a.source"""
       FROM ranked WHERE rank <= 3
       ORDER BY doc_id, rank"""))
 
+  /** q50's sequential FFD replay (the recursive-CTE oracle), extracted so
+    * q172's efficiency audit aggregates EXACTLY the same packing — the
+    * two oracles cannot drift. Declared before q50: object vals
+    * initialize in declaration order. */
+  private val ffdPackCtes = """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n,
+               CAST(doc_id % 64 AS INT) AS grp
+        FROM documents
+      ), ordered AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n DESC, doc_id) AS INT) AS rn
+        FROM docs
+      ), steps AS (
+        SELECT grp, 0 AS rn, CAST([] AS INT[]) AS bins,
+               CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin, CAST(NULL AS INT) AS n
+        FROM (SELECT DISTINCT grp FROM ordered)
+        UNION ALL
+        SELECT o.grp, o.rn,
+               CASE WHEN COALESCE(list_position(list_transform(s.bins, b -> b >= o.n), true), 0) = 0
+                    THEN list_append(s.bins, GREATEST(128 - o.n, 0))
+                    ELSE list_transform(generate_series(1, len(s.bins)),
+                           i -> CASE WHEN i = list_position(list_transform(s.bins, b -> b >= o.n), true)
+                                     THEN s.bins[i] - o.n ELSE s.bins[i] END) END,
+               o.doc_id,
+               CAST(CASE WHEN COALESCE(list_position(list_transform(s.bins, b -> b >= o.n), true), 0) = 0
+                    THEN len(s.bins)
+                    ELSE list_position(list_transform(s.bins, b -> b >= o.n), true) - 1 END AS INT),
+               o.n
+        FROM steps s JOIN ordered o ON o.grp = s.grp AND o.rn = s.rn + 1
+      )"""
+
   /** Q50 — sequence packing: assign documents to fixed token-budget bins
     * (context windows) so training batches waste minimal padding. Bin
     * packing is NP-hard and inherently sequential, so the distributed
@@ -2563,35 +2675,83 @@ ORDER BY a.source"""
         .toDF("doc_id", "grp", "bin", "n_tokens")
         .orderBy($"doc_id")
     },
-    oracle = Some("""
-      WITH RECURSIVE docs AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n,
-               CAST(doc_id % 64 AS INT) AS grp
-        FROM documents
-      ), ordered AS (
-        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n DESC, doc_id) AS INT) AS rn
-        FROM docs
-      ), steps AS (
-        SELECT grp, 0 AS rn, CAST([] AS INT[]) AS bins,
-               CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin, CAST(NULL AS INT) AS n
-        FROM (SELECT DISTINCT grp FROM ordered)
-        UNION ALL
-        SELECT o.grp, o.rn,
-               CASE WHEN COALESCE(list_position(list_transform(s.bins, b -> b >= o.n), true), 0) = 0
-                    THEN list_append(s.bins, GREATEST(128 - o.n, 0))
-                    ELSE list_transform(generate_series(1, len(s.bins)),
-                           i -> CASE WHEN i = list_position(list_transform(s.bins, b -> b >= o.n), true)
-                                     THEN s.bins[i] - o.n ELSE s.bins[i] END) END,
-               o.doc_id,
-               CAST(CASE WHEN COALESCE(list_position(list_transform(s.bins, b -> b >= o.n), true), 0) = 0
-                    THEN len(s.bins)
-                    ELSE list_position(list_transform(s.bins, b -> b >= o.n), true) - 1 END AS INT),
-               o.n
-        FROM steps s JOIN ordered o ON o.grp = s.grp AND o.rn = s.rn + 1
-      )
+    oracle = Some(s"""$ffdPackCtes
       SELECT doc_id, grp, bin, n AS n_tokens
       FROM steps WHERE doc_id IS NOT NULL
       ORDER BY doc_id"""))
+
+  /** Q172 — PACKING-EFFICIENCY audit: the measurement that tells you
+    * whether q50's sequence packing is worth shipping — per packing
+    * group, how many context windows the FFD packing used, how much
+    * padding it wastes, and how far it sits from the bin-packing lower
+    * bound (a packing run without this audit can silently burn 30% of
+    * paid FLOPs on pad tokens). From q50's packing (shared fn — the
+    * audit measures EXACTLY the shipped packing):
+    *
+    *  - a bin's load is the token sum of its documents; a bin with
+    *    load > 128 is an OVERSIZED singleton (FFD gives an oversized
+    *    document remaining capacity 0, so nothing joins it) and is
+    *    excluded from the waste accounting — truncation is q70's
+    *    concern, not packing's;
+    *  - padding_waste = Σ over regular bins of (128 − load);
+    *  - lb_bins = n_oversized + ceil(small_tokens / 128), the
+    *    classical capacity lower bound — FFD guarantees
+    *    n_bins ≤ 11/9·lb + 1 (Johnson 1973), which the spec pins;
+    *  - utilization = small_tokens / (128 · regular bins), null when a
+    *    group is all-oversized (NULLIF on both engines).
+    *
+    * All integer arithmetic except the one final division. Shape at
+    * 100 TB: q50's per-group FFD (P groups track cluster parallelism)
+    * plus two map-side-combined aggregations of the packed frame —
+    * the audit costs one pass over doc-level rows, never the text.
+    */
+  private val q172 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val bins = q50.fn(s, d)
+        .groupBy($"grp", $"bin")
+        .agg(sum($"n_tokens".cast("long")).as("load"),
+          count(lit(1)).as("n_docs"))
+      bins.groupBy($"grp")
+        .agg(
+          sum($"n_docs").as("n_docs"),
+          count(lit(1)).as("n_bins"),
+          sum(when($"load" > 128L, 1L).otherwise(0L)).as("n_oversized_bins"),
+          sum(when($"load" <= 128L, $"load").otherwise(0L)).as("small_tokens"),
+          sum(when($"load" <= 128L, lit(128L) - $"load").otherwise(0L))
+            .as("padding_waste"))
+        .withColumn("lb_bins",
+          $"n_oversized_bins" + expr("(small_tokens + 127) div 128"))
+        .withColumn("utilization",
+          $"small_tokens".cast("double") /
+            nullif(lit(128L) * ($"n_bins" - $"n_oversized_bins"), lit(0L)))
+        .select($"grp", $"n_docs", $"n_bins", $"n_oversized_bins",
+          $"small_tokens", $"padding_waste", $"lb_bins", $"utilization")
+        .orderBy($"grp")
+    },
+    oracle = Some(s"""$ffdPackCtes,
+      packed AS (
+        SELECT grp, bin, CAST(n AS BIGINT) AS n
+        FROM steps WHERE doc_id IS NOT NULL
+      ), binload AS (
+        SELECT grp, bin, SUM(n) AS load, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM packed GROUP BY grp, bin
+      ), agg AS (
+        SELECT grp,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(CASE WHEN load > 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized_bins,
+               CAST(SUM(CASE WHEN load <= 128 THEN load ELSE 0 END) AS BIGINT) AS small_tokens,
+               CAST(SUM(CASE WHEN load <= 128 THEN 128 - load ELSE 0 END) AS BIGINT) AS padding_waste
+        FROM binload GROUP BY grp
+      )
+      SELECT grp, n_docs, n_bins, n_oversized_bins, small_tokens,
+             padding_waste,
+             CAST(n_oversized_bins + (small_tokens + 127) // 128 AS BIGINT) AS lb_bins,
+             CAST(small_tokens AS DOUBLE)
+               / NULLIF(128 * (n_bins - n_oversized_bins), 0) AS utilization
+      FROM agg
+      ORDER BY grp"""))
 
   /** Q56 — the flagship composition: materialize the cleaned TRAINING
     * SPLIT end to end, the query a pre-training data pipeline actually
@@ -4272,6 +4432,311 @@ ORDER BY a.source"""
              CAST(ent_fp AS DOUBLE) / (n_docs * 1e6) AS lang_entropy
       FROM s1 JOIN ent USING (source) JOIN dom USING (source)
       ORDER BY source"""))
+
+  /** Q174 — SNAPSHOT DIFF: the dataset-version audit a pipeline
+    * publishes between releases (the lakeFS/DVC/Delta "what changed"
+    * summary next to the data card q151): per source, how many
+    * documents were added, removed, content-changed, and untouched
+    * between corpus v1 and v2, with the whitespace-token mass entering
+    * and leaving. Content identity is the md5 the exact-dedup path
+    * already materializes (q17/CardStore) — a diff never re-reads
+    * text it can hash.
+    *
+    * Version fixture (the q161/q162 convention): v1 = the doc_id%10<8
+    * split, with the %17==3 docs carrying a simulated PRIOR revision
+    * (text reversed — a pure deterministic function both engines
+    * replay); v2 = the %13≠0 survivor corpus. So all four legs are
+    * non-vacuous at every SF: added = admitted snapshot survivors,
+    * removed = takedown victims, changed = the %17 revision set's
+    * common members, unchanged = the rest.
+    *
+    * Shape at 100 TB: two narrow projections (doc_id, source, md5,
+    * token count) and ONE co-partitioned full-outer sort-merge join on
+    * doc_id — the canonical snapshot-diff plan — then a map-side
+    * combined per-source aggregation. Text never leaves either scan.
+    */
+  private val q174 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id",
+        coalesce($"source", lit("")).as("source"),
+        coalesce($"text", lit("")).as("text"),
+        size(filter(words(coalesce($"text", lit(""))),
+          w => length(w) > 0)).cast("long").as("nw"))
+      val v1 = docs.filter($"doc_id" % 10 < 8).select($"doc_id",
+        $"source".as("src1"),
+        when($"doc_id" % 17 === 3, md5(reverse($"text")))
+          .otherwise(md5($"text")).as("h1"),
+        $"nw".as("nw1"))
+      val v2 = docs.filter($"doc_id" % 13 =!= 0).select($"doc_id",
+        $"source".as("src2"), md5($"text").as("h2"), $"nw".as("nw2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce($"src2", $"src1").as("source"),
+          when($"h1".isNotNull, 1L).otherwise(0L).as("in1"),
+          when($"h2".isNotNull, 1L).otherwise(0L).as("in2"),
+          when($"h1".isNull && $"h2".isNotNull, 1L).otherwise(0L).as("add"),
+          when($"h1".isNotNull && $"h2".isNull, 1L).otherwise(0L).as("rem"),
+          when($"h1".isNotNull && $"h2".isNotNull && $"h1" =!= $"h2", 1L)
+            .otherwise(0L).as("chg"),
+          when($"h1".isNotNull && $"h2".isNotNull && $"h1" === $"h2", 1L)
+            .otherwise(0L).as("same"),
+          when($"h1".isNull, $"nw2").otherwise(0L).as("tokadd"),
+          when($"h2".isNull, $"nw1").otherwise(0L).as("tokrem"))
+        .groupBy($"source")
+        .agg(sum($"in1").as("n_v1"), sum($"in2").as("n_v2"),
+          sum($"add").as("n_added"), sum($"rem").as("n_removed"),
+          sum($"chg").as("n_changed"), sum($"same").as("n_unchanged"),
+          sum($"tokadd").as("tokens_added"),
+          sum($"tokrem").as("tokens_removed"))
+        .orderBy($"source")
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT doc_id, COALESCE(source, '') AS source,
+               COALESCE(text, '') AS text,
+               CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                 w -> len(w) > 0)) AS BIGINT) AS nw
+        FROM documents
+      ), v1 AS (
+        SELECT doc_id, source AS src1,
+               CASE WHEN doc_id % 17 = 3 THEN md5(reverse(text))
+                    ELSE md5(text) END AS h1,
+               nw AS nw1
+        FROM base WHERE doc_id % 10 < 8
+      ), v2 AS (
+        SELECT doc_id, source AS src2, md5(text) AS h2, nw AS nw2
+        FROM base WHERE doc_id % 13 <> 0
+      ), j AS (
+        SELECT COALESCE(v2.src2, v1.src1) AS source, h1, h2, nw1, nw2
+        FROM v1 FULL JOIN v2 USING (doc_id)
+      )
+      SELECT source,
+             CAST(SUM(CASE WHEN h1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+             CAST(SUM(CASE WHEN h2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+             CAST(SUM(CASE WHEN h1 IS NULL AND h2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(SUM(CASE WHEN h1 IS NOT NULL AND h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             CAST(SUM(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             CAST(SUM(CASE WHEN h1 IS NULL THEN nw2 ELSE 0 END) AS BIGINT) AS tokens_added,
+             CAST(SUM(CASE WHEN h2 IS NULL THEN nw1 ELSE 0 END) AS BIGINT) AS tokens_removed
+      FROM j
+      GROUP BY source
+      ORDER BY source"""))
+
+  /** Q171 — DIFFERENTIALLY-PRIVATE marginal release: the third leg of
+    * the privacy family — q164 MEASURES re-identification risk, q170
+    * measures sensitive-value diversity, this RELEASES the corpus
+    * composition marginals (per-source / per-lang / per-source×lang
+    * document counts, the numbers a data card publishes) under ε-DP so
+    * the release itself cannot leak any single document's presence.
+    *
+    * Mechanism: discrete Laplace (two-sided geometric) noise with
+    * α = 1/2, i.e. ε = ln 2 per marginal (3·ln 2 total by sequential
+    * composition — each document contributes to one group per level).
+    * The noise is the DIFFERENCE OF TWO GEOMETRIC(1/2) draws (a
+    * textbook identity for the discrete Laplace), and each geometric
+    * draw is the leading-zero count of a 24-bit slice of
+    * md5('dp1|' ‖ level ‖ '|' ‖ key) — P(G = g) = 2^−(g+1), truncated
+    * at 24 (probability 2⁻²⁴, so |noise| ≤ 24 is a structural bound
+    * the spec pins). Leading zeros = 24 − len(bin(x)) — EXACT integer
+    * arithmetic on both engines, no ln/floor boundary risk anywhere;
+    * the md5 seed makes the release deterministic and hash-oracle-able
+    * while remaining a faithful inverse-CDF sample of the mechanism
+    * (seeded DP is standard practice for reproducible releases; the
+    * privacy argument treats the seed as secret). The final
+    * GREATEST(0, ·) clamp is post-processing — DP is closed under it.
+    *
+    * Shape at 100 TB: one narrow two-column projection, three
+    * map-side-combined group-bys (groups bounded by the key
+    * cardinality, not the corpus), then per-group scalar arithmetic.
+    * True counts never leave the query — only the noised release.
+    */
+  private val q171 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select(
+        coalesce($"source", lit("")).as("source"),
+        coalesce($"lang", lit("")).as("lang"))
+      def level(name: String, key: Column) =
+        base.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+          .select(lit(name).as("level"), $"key", $"n")
+      def geo(x: Column) =
+        when(x === 0L, lit(24L))
+          .otherwise(lit(24L) - length(bin(x)).cast("long"))
+      level("source", $"source")
+        .unionByName(level("lang", $"lang"))
+        .unionByName(
+          level("source_lang", concat($"source", lit("|"), $"lang")))
+        .withColumn("h",
+          md5(concat(lit("dp1|"), $"level", lit("|"), $"key")))
+        .withColumn("x1", conv(substring($"h", 1, 6), 16, 10).cast("long"))
+        .withColumn("x2", conv(substring($"h", 7, 6), 16, 10).cast("long"))
+        .select($"level", $"key",
+          greatest(lit(0L), $"n" + geo($"x1") - geo($"x2")).as("released"))
+        .orderBy($"level", $"key")
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT COALESCE(source, '') AS source, COALESCE(lang, '') AS lang
+        FROM documents
+      ), m AS (
+        SELECT 'source' AS level, source AS key,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY source
+        UNION ALL
+        SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY lang
+        UNION ALL
+        SELECT 'source_lang', source || '|' || lang, CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY source, lang
+      ), xs AS (
+        SELECT level, key, n,
+               CAST('0x' || substr(md5('dp1|' || level || '|' || key), 1, 6)
+                 AS BIGINT) AS x1,
+               CAST('0x' || substr(md5('dp1|' || level || '|' || key), 7, 6)
+                 AS BIGINT) AS x2
+        FROM m
+      )
+      SELECT level, key,
+             CAST(GREATEST(0,
+               n + (CASE WHEN x1 = 0 THEN 24 ELSE 24 - length(bin(x1)) END)
+                 - (CASE WHEN x2 = 0 THEN 24 ELSE 24 - length(bin(x2)) END))
+               AS BIGINT) AS released
+      FROM xs
+      ORDER BY level, key"""))
+
+  /** Q170 — l-DIVERSITY audit: the companion measurement to q164's
+    * k-anonymity (Machanavajjhala et al. 2007). k-anonymity bounds
+    * group SIZE; a group of 500 rows that all share one sensitive
+    * value still leaks it — l-diversity requires every
+    * quasi-identifier group to contain at least l WELL-REPRESENTED
+    * sensitive values. Audited release: the interaction log
+    * generalized to (user-cohort = user_id mod 20, time bucket), with
+    * `event_type` as the sensitive attribute. For each lattice level —
+    * (cohort, hour), (cohort, day), (cohort) — the audit reports both
+    * diversity notions per the paper: distinct-l (groups whose
+    * sensitive-value set has < 2 members, and the row mass in them)
+    * and entropy-l (groups whose sensitive-value entropy is below
+    * ln 2, i.e. entropy-l-diversity fails at l = 2 — catches the
+    * "49 views + 1 purchase" group that distinct-l passes).
+    *
+    * Exactness: the entropy check is q151's per-share fixed-point
+    * device — each sensitive value contributes c·floor(−ln(c/n)·10⁶)
+    * in exact longs, and the l = 2 bound compares against
+    * floor(ln 2·10⁶)·n = 693147·n, so every emitted quantity is an
+    * exact integer on both engines.
+    *
+    * Shape at 100 TB: per level, one map-side-combined group-by to
+    * (keys, type) counts, a window partitioned by the group keys (the
+    * fine-grained lattice key — never unpartitioned) over that
+    * already-aggregated frame, and a single-row summary. Cost is
+    * |groups × sensitive values| per level regardless of corpus size;
+    * min_l is monotone under generalization (every coarse group is a
+    * union of fine groups), which the spec pins.
+    */
+  private val q170 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select(
+        pmod($"user_id", lit(20L)).as("cohort"),
+        date_trunc("hour", $"ts").as("hr"),
+        to_date($"ts").as("day"),
+        coalesce($"event_type", lit("")).as("event_type"))
+      def level(name: String, keys: Column*) = {
+        val g = e.groupBy((keys :+ $"event_type"): _*)
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(keys: _*)
+        val grp = g
+          .withColumn("n", sum($"c").over(w))
+          .withColumn("efp",
+            $"c" * floor(-log($"c".cast("double") / $"n") * 1e6).cast("long"))
+          .groupBy(keys: _*)
+          .agg(max($"n").as("n"), count(lit(1)).as("l_d"),
+            sum($"efp").as("ent_fp"))
+        grp.agg(
+          count(lit(1)).as("n_groups"),
+          min($"l_d").as("min_l"),
+          sum(when($"l_d" < 2, 1L).otherwise(0L)).as("g_below_l2"),
+          sum(when($"l_d" < 2, $"n").otherwise(0L)).as("rows_below_l2"),
+          sum(when($"ent_fp" < lit(693147L) * $"n", 1L).otherwise(0L))
+            .as("g_ent_below_l2"),
+          sum(when($"ent_fp" < lit(693147L) * $"n", $"n").otherwise(0L))
+            .as("rows_ent_below_l2"))
+          .select(lit(name).as("level"), $"n_groups", $"min_l",
+            $"g_below_l2", $"rows_below_l2", $"g_ent_below_l2",
+            $"rows_ent_below_l2")
+      }
+      level("cohort", $"cohort")
+        .unionByName(level("cohort_day", $"cohort", $"day"))
+        .unionByName(level("cohort_hour", $"cohort", $"hr"))
+        .orderBy($"level")
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id % 20 AS cohort,
+               date_trunc('hour', ts) AS hr,
+               CAST(ts AS DATE) AS day,
+               COALESCE(event_type, '') AS event_type
+        FROM events
+      ), gh AS (
+        SELECT cohort, hr, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY cohort, hr, event_type
+      ), gd AS (
+        SELECT cohort, day, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY cohort, day, event_type
+      ), gc AS (
+        SELECT cohort, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY cohort, event_type
+      ), wh AS (
+        SELECT cohort, hr, c,
+               SUM(c) OVER (PARTITION BY cohort, hr) AS n
+        FROM gh
+      ), wd AS (
+        SELECT cohort, day, c,
+               SUM(c) OVER (PARTITION BY cohort, day) AS n
+        FROM gd
+      ), wc AS (
+        SELECT cohort, c,
+               SUM(c) OVER (PARTITION BY cohort) AS n
+        FROM gc
+      ), sh AS (
+        SELECT cohort, hr, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS l_d,
+               SUM(c * CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n) * 1e6)
+                 AS BIGINT)) AS ent_fp
+        FROM wh GROUP BY cohort, hr
+      ), sd AS (
+        SELECT cohort, day, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS l_d,
+               SUM(c * CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n) * 1e6)
+                 AS BIGINT)) AS ent_fp
+        FROM wd GROUP BY cohort, day
+      ), sc AS (
+        SELECT cohort, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS l_d,
+               SUM(c * CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n) * 1e6)
+                 AS BIGINT)) AS ent_fp
+        FROM wc GROUP BY cohort
+      )
+      SELECT 'cohort' AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(MIN(l_d) AS BIGINT) AS min_l,
+             CAST(SUM(CASE WHEN l_d < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g_below_l2,
+             CAST(SUM(CASE WHEN l_d < 2 THEN n ELSE 0 END) AS BIGINT) AS rows_below_l2,
+             CAST(SUM(CASE WHEN ent_fp < 693147 * n THEN 1 ELSE 0 END) AS BIGINT) AS g_ent_below_l2,
+             CAST(SUM(CASE WHEN ent_fp < 693147 * n THEN n ELSE 0 END) AS BIGINT) AS rows_ent_below_l2
+      FROM sc
+      UNION ALL
+      SELECT 'cohort_day', CAST(COUNT(*) AS BIGINT), CAST(MIN(l_d) AS BIGINT),
+             CAST(SUM(CASE WHEN l_d < 2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN l_d < 2 THEN n ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN ent_fp < 693147 * n THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN ent_fp < 693147 * n THEN n ELSE 0 END) AS BIGINT)
+      FROM sd
+      UNION ALL
+      SELECT 'cohort_hour', CAST(COUNT(*) AS BIGINT), CAST(MIN(l_d) AS BIGINT),
+             CAST(SUM(CASE WHEN l_d < 2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN l_d < 2 THEN n ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN ent_fp < 693147 * n THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN ent_fp < 693147 * n THEN n ELSE 0 END) AS BIGINT)
+      FROM sh
+      ORDER BY level"""))
 
   /** Q164 — k-ANONYMITY audit over a generalization lattice: the
     * privacy-review measurement a corpus release runs next to the PII
@@ -6399,6 +6864,11 @@ ORDER BY a.source"""
     "q162_data_card_remove" -> q162,
     "q163_maxpassage_bm25" -> q163,
     "q164_k_anonymity_audit" -> q164,
+    "q170_l_diversity_audit" -> q170,
+    "q171_dp_marginal_release" -> q171,
+    "q172_packing_efficiency" -> q172,
+    "q173_tokenizer_fertility" -> q173,
+    "q174_snapshot_diff" -> q174,
     "q166_maxpassage_index_append" -> q166,
     "q167_maxpassage_index_remove" -> q167,
     "q24_winnow_fingerprint" -> q24,

@@ -2419,6 +2419,128 @@ class QueriesSpec extends SparkSpec {
     assert(f10 > 0, "finest level must expose at-risk rows at spec SF")
   }
 
+  test("q170 l-diversity: generalization monotonicity, entropy⊇distinct, both verdicts") {
+    val rows = run("q170_l_diversity_audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.keySet == Set("cohort", "cohort_day", "cohort_hour"))
+    // an l=1 group has entropy 0 < ln 2, so the entropy-l check flags a
+    // SUPERSET of the distinct-l check at every level
+    rows.values.foreach { case (_, _, gL2, rL2, gEnt, rEnt) =>
+      assert(gEnt >= gL2 && rEnt >= rL2, "entropy-l must subsume distinct-l")
+    }
+    // every coarse group is a union of fine groups, so generalizing can
+    // only raise min_l and shrink the flagged mass
+    val (hg, hMin, hG2, hR2, hGe, hRe) = rows("cohort_hour")
+    Seq("cohort_day", "cohort").foreach { coarse =>
+      val (g, mn, g2, r2, ge, re) = rows(coarse)
+      assert(g <= hg && mn >= hMin && g2 <= hG2 && r2 <= hR2 &&
+        ge <= hGe && re <= hRe,
+        s"generalizing to $coarse did not monotonically improve diversity")
+    }
+    // both verdicts at spec SF: the finest level exposes low-diversity
+    // groups, the coarsest passes l=2 outright
+    assert(hG2 > 0, "finest level must expose l<2 groups at spec SF")
+    assert(rows("cohort")._3 == 0 && rows("cohort")._5 == 0,
+      "coarsest level must satisfy both l=2 notions at spec SF")
+  }
+
+  test("q171 DP release: noise bound, clamp, determinism, noise fires") {
+    import spark.implicits._
+    val out = run("q171_dp_marginal_release").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.keys.map(_._1).toSet == Set("source", "lang", "source_lang"))
+    assert(out.values.forall(_ >= 0L), "clamped release must be non-negative")
+    // true marginals, computed independently
+    val base = graft.sources.Tables.documents(spark, sf0001)
+      .select(coalesce($"source", lit("")).as("source"),
+        coalesce($"lang", lit("")).as("lang"))
+    val truth =
+      base.groupBy($"source").count().collect()
+        .map(r => ("source", r.getString(0)) -> r.getLong(1)) ++
+      base.groupBy($"lang").count().collect()
+        .map(r => ("lang", r.getString(0)) -> r.getLong(1)) ++
+      base.groupBy($"source", $"lang").count().collect()
+        .map(r => ("source_lang", s"${r.getString(0)}|${r.getString(1)}") -> r.getLong(2))
+    val tm = truth.toMap
+    assert(out.keySet == tm.keySet, "release must cover exactly the true marginals")
+    // |noise| <= 24 structurally (truncated geometrics), clamp only tightens
+    assert(out.forall { case (k, rel) => math.abs(rel - tm(k)) <= 24L },
+      "released value strayed past the truncated-noise bound")
+    // the mechanism is non-degenerate at spec SF: some noise fired
+    assert(out.exists { case (k, rel) => rel != tm(k) }, "no noise fired")
+    // seeded mechanism: bit-identical on re-run
+    val again = run("q171_dp_marginal_release").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == out, "seeded release must be deterministic")
+  }
+
+  test("q172 packing efficiency: waste identity, LB + FFD bounds, covers q50") {
+    val rows = run("q172_packing_efficiency").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBins, nOver, small, waste, lb) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // accounting identity: regular bins split exactly into fill + pad
+      assert(128L * (nBins - nOver) == small + waste,
+        s"waste identity broken at grp ${r.get(0)}")
+      // capacity lower bound and Johnson's FFD guarantee (≤ 11/9·LB + 1)
+      assert(nBins >= lb, s"bins below LB at grp ${r.get(0)}")
+      assert(9L * nBins <= 11L * lb + 9L, s"FFD bound broken at grp ${r.get(0)}")
+      if (!r.isNullAt(7)) {
+        val u = r.getDouble(7)
+        assert(u > 0.0 && u <= 1.0, s"utilization $u out of range")
+      }
+    }
+    // the audit covers exactly the shipped packing
+    val packedDocs = run("q50_sequence_packing").count()
+    assert(rows.map(_.getLong(1)).sum == packedDocs)
+    assert(rows.map(_.getLong(5)).sum > 0L, "padding waste must be non-vacuous")
+  }
+
+  test("q173 tokenizer fertility: bounds, ratio identity, mass == q23b") {
+    val rows = run("q173_tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, bpe, ws, wc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nd > 0 && ws > 0)
+      // every word is >= 1 subword, every subword >= 1 char
+      assert(bpe >= ws, s"fertility below 1 at lang ${r.get(0)}")
+      assert(bpe <= wc, s"more subwords than chars at lang ${r.get(0)}")
+      assert(math.abs(r.getDouble(5) - bpe.toDouble / ws) < 1e-12)
+      assert(math.abs(r.getDouble(6) - wc.toDouble / bpe) < 1e-12)
+    }
+    // same corpus, same trained tokenizer, different grouping: total
+    // subword mass must equal q23b's per-source totals exactly
+    val bySource = run("q23b_bpe_token_stats").collect()
+      .map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(2)).sum == bySource,
+      "per-lang and per-source subword mass diverged")
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.sources.Tables.documents(spark, sf0001).count())
+  }
+
+  test("q174 snapshot diff: conservation laws, version counts, all legs fire") {
+    import spark.implicits._
+    val rows = run("q174_snapshot_diff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v1, v2, add, rem, chg, same) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // the diff must reconcile the two versions exactly
+      assert(v2 == v1 - rem + add, s"v2 != v1 - removed + added at ${r.get(0)}")
+      assert(chg + same == v1 - rem, s"common split broken at ${r.get(0)}")
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    assert(rows.map(_.getLong(1)).sum == docs.filter($"doc_id" % 10 < 8).count())
+    assert(rows.map(_.getLong(2)).sum == docs.filter($"doc_id" % 13 =!= 0).count())
+    // every leg non-vacuous at spec SF
+    Seq(3, 4, 5, 6).foreach { i =>
+      assert(rows.map(_.getLong(i)).sum > 0L, s"diff leg $i is vacuous")
+    }
+  }
+
   test("q165 time-budget funnel: budgets only shrink q109's stages, and do bind") {
     def stages(name: String) = run(name).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
