@@ -144,7 +144,14 @@ object ScaleBench {
     // scan-local BpeEncode), snapshot diff (one co-partitioned
     // full-outer join on doc_id over two narrow hash projections)
     "q172_packing_efficiency", "q173_tokenizer_fertility",
-    "q174_snapshot_diff")
+    "q174_snapshot_diff",
+    // round-11 (cont.): tokenizer version drift (two plan-literal merges
+    // tables into one stored-split scan; rep 1 carries the v1 artifact),
+    // truncation loss (one scan, all budgets in one map-side agg)
+    "q175_tokenizer_drift", "q176_truncation_loss",
+    // round-11 (cont.): DP marginal release — three map-side group-bys
+    // to key-bounded marginals + per-group scalar noise arithmetic
+    "q171_dp_marginal_release")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

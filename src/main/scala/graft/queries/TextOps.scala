@@ -1886,6 +1886,186 @@ object TextOps {
     oracle = Some(bpeOracleSql(48)))
 
 
+  /** [[bpeMergesCached]]'s v1-tokenizer twin: merges trained on the
+    * STORED SPLIT only (doc_id % 10 < 8 — the q137/q161 admission
+    * convention), cached under its own key. q175 compares this frozen
+    * release tokenizer against the full-corpus retrain. */
+  private[queries] def bpeMergesCachedV1(s: SparkSession, d: String,
+      nMerges: Int = 48): Seq[(String, String)] = {
+    import s.implicits._
+    val p = IndexCache.resolve(
+      s"bpemergesv1|${IndexCache.dataKey(d)}|$nMerges", "bpemergesv1") { path =>
+      val vocab = Tables.documents(s, d)
+        .filter($"doc_id" % 10 < 8)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(words($"text")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      trainBpeDistributed(vocab, nMerges).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "l", "r")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(p).orderBy($"rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Q175 — TOKENIZER VERSION DRIFT: what re-training the tokenizer on
+    * the grown corpus does to the EXISTING corpus's tokenization — the
+    * release-engineering measurement behind "can we ship tokenizer v2,
+    * or does it invalidate every cached token count, packing layout and
+    * context-budget estimate keyed to v1?". The v1 tokenizer trains on
+    * the stored split (doc_id%10<8 — [[bpeMergesCachedV1]], frozen at
+    * release time); v2 is q23b's shipped full-corpus tokenizer. Both
+    * encode the SAME stored split (every stored word is in both
+    * training vocabularies, so the q23b greedy≡rank-replay property
+    * holds for both legs), and the drift surfaces per language:
+    * total subword mass under each version, the token mass that moved
+    * (Σ per-doc |n_v1 − n_v2|), how many documents' cached counts are
+    * invalidated, and both fertilities.
+    *
+    * Shape at 100 TB: both ≤48-entry merges tables ride as plan
+    * literals into ONE scan of the stored split (two scan-local
+    * BpeEncode passes per row), then a map-side-combined aggregation
+    * to ≤|langs| rows. The oracle replays BOTH trainings via the
+    * shared [[bpeTrainCtes]] under disjoint CTE prefixes.
+    */
+  private val q175 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val E = graft.functions.expressions
+      val m1 = bpeMergesCachedV1(s, d)
+      val m2 = bpeMergesCached(s, d)
+      val wl = filter(words($"text"), w => length(w) > 0)
+      Tables.documents(s, d)
+        .filter($"doc_id" % 10 < 8)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(coalesce($"lang", lit("")).as("lang"),
+          size(E.bpe_encode($"text", m1)).cast("long").as("n1"),
+          size(E.bpe_encode($"text", m2)).cast("long").as("n2"),
+          size(wl).cast("long").as("nw"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"nw").as("ws_tokens"),
+          sum($"n1").as("bpe_v1"),
+          sum($"n2").as("bpe_v2"),
+          sum(abs($"n1" - $"n2")).as("drift_tokens"),
+          sum(when($"n1" =!= $"n2", 1L).otherwise(0L)).as("drift_docs"))
+        .withColumn("fertility_v1",
+          $"bpe_v1".cast("double") / nullif($"ws_tokens", lit(0L)))
+        .withColumn("fertility_v2",
+          $"bpe_v2".cast("double") / nullif($"ws_tokens", lit(0L)))
+        .orderBy($"lang")
+    },
+    oracle = Some(bpeDriftSql(48)))
+
+  /** q175's oracle: two independent [[bpeTrainCtes]] replays (prefix `a`
+    * = v1 on the stored split; unprefixed = v2 on the full corpus), both
+    * applied per word to the stored split and re-assembled per document
+    * for the |Δ| legs. */
+  private def bpeDriftSql(n: Int): String = {
+    s"""WITH ${bpeTrainCtes(n, "a", "WHERE doc_id % 10 < 8")},
+${bpeTrainCtes(n)},
+dw AS (
+  SELECT doc_id, COALESCE(lang, '') AS lang,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 10 < 8),
+pd AS (
+  SELECT doc_id, MIN(lang) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS nw,
+         CAST(SUM(a.n_sub) AS BIGINT) AS n1,
+         CAST(SUM(b.n_sub) AS BIGINT) AS n2
+  FROM dw JOIN awn a ON a.w = dw.w JOIN wn b ON b.w = dw.w
+  WHERE len(dw.w) > 0
+  GROUP BY doc_id),
+agg AS (
+  SELECT lang,
+         CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+         CAST(SUM(n1) AS BIGINT) AS bpe_v1,
+         CAST(SUM(n2) AS BIGINT) AS bpe_v2,
+         CAST(SUM(ABS(n1 - n2)) AS BIGINT) AS drift_tokens,
+         CAST(SUM(CASE WHEN n1 <> n2 THEN 1 ELSE 0 END) AS BIGINT) AS drift_docs
+  FROM pd GROUP BY lang),
+nd AS (
+  SELECT COALESCE(lang, '') AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id % 10 < 8 GROUP BY 1)
+SELECT nd.lang, nd.n_docs,
+       COALESCE(a.ws_tokens, 0) AS ws_tokens,
+       COALESCE(a.bpe_v1, 0) AS bpe_v1,
+       COALESCE(a.bpe_v2, 0) AS bpe_v2,
+       COALESCE(a.drift_tokens, 0) AS drift_tokens,
+       COALESCE(a.drift_docs, 0) AS drift_docs,
+       CAST(a.bpe_v1 AS DOUBLE) / NULLIF(a.ws_tokens, 0) AS fertility_v1,
+       CAST(a.bpe_v2 AS DOUBLE) / NULLIF(a.ws_tokens, 0) AS fertility_v2
+FROM nd LEFT JOIN agg a USING (lang)
+ORDER BY nd.lang"""
+  }
+
+  /** Q176 — TRUNCATION-LOSS audit: the context-budget selection
+    * measurement that pairs q70's trim (which CUTS at a budget) and
+    * q172's packing audit (which measures padding BELOW it) — for each
+    * candidate context length, how much token mass and how many
+    * documents a hard truncation would cost, per source. The curve over
+    * budgets is what picks the context length for a training run (too
+    * short burns content, too long burns padding — q172's other half).
+    * Budgets 32/64/96 bracket this corpus's length distribution (every
+    * leg non-vacuous at every SF). ONE corpus scan: all per-budget
+    * sums ride a single map-side-combined aggregation; the budget rows
+    * unpivot from the sources-bounded aggregate, never the corpus.
+    */
+  private val q176 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val budgets = Seq(32L, 64L, 96L)
+      val base = Tables.documents(s, d).select(
+        coalesce($"source", lit("")).as("source"),
+        size(filter(words(coalesce($"text", lit(""))),
+          w => length(w) > 0)).cast("long").as("nw"))
+      val aggCols = budgets.flatMap { b =>
+        Seq(
+          sum(when($"nw" > b, $"nw" - b).otherwise(0L)).as(s"lost$b"),
+          sum(when($"nw" > b, 1L).otherwise(0L)).as(s"cut$b"))
+      }
+      val allAggs = Seq(count(lit(1)).as("n_docs"),
+        sum($"nw").as("ws_tokens")) ++ aggCols
+      val agg = base.groupBy($"source").agg(allAggs.head, allAggs.tail: _*)
+      budgets.map { b =>
+        agg.select(lit(b).as("budget"), $"source", $"n_docs", $"ws_tokens",
+          col(s"lost$b").as("tokens_lost"), col(s"cut$b").as("docs_truncated"))
+      }.reduce(_ unionByName _)
+        .withColumn("loss_frac",
+          $"tokens_lost".cast("double") / nullif($"ws_tokens", lit(0L)))
+        .orderBy($"budget", $"source")
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT COALESCE(source, '') AS source,
+               CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                 w -> len(w) > 0)) AS BIGINT) AS nw
+        FROM documents
+      ), agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+               CAST(SUM(CASE WHEN nw > 32 THEN nw - 32 ELSE 0 END) AS BIGINT) AS lost32,
+               CAST(SUM(CASE WHEN nw > 32 THEN 1 ELSE 0 END) AS BIGINT) AS cut32,
+               CAST(SUM(CASE WHEN nw > 64 THEN nw - 64 ELSE 0 END) AS BIGINT) AS lost64,
+               CAST(SUM(CASE WHEN nw > 64 THEN 1 ELSE 0 END) AS BIGINT) AS cut64,
+               CAST(SUM(CASE WHEN nw > 96 THEN nw - 96 ELSE 0 END) AS BIGINT) AS lost96,
+               CAST(SUM(CASE WHEN nw > 96 THEN 1 ELSE 0 END) AS BIGINT) AS cut96
+        FROM base GROUP BY source
+      ), stacked AS (
+        SELECT CAST(32 AS BIGINT) AS budget, source, n_docs, ws_tokens,
+               lost32 AS tokens_lost, cut32 AS docs_truncated FROM agg
+        UNION ALL
+        SELECT CAST(64 AS BIGINT), source, n_docs, ws_tokens, lost64, cut64 FROM agg
+        UNION ALL
+        SELECT CAST(96 AS BIGINT), source, n_docs, ws_tokens, lost96, cut96 FROM agg
+      )
+      SELECT budget, source, n_docs, ws_tokens, tokens_lost, docs_truncated,
+             CAST(tokens_lost AS DOUBLE) / NULLIF(ws_tokens, 0) AS loss_frac
+      FROM stacked
+      ORDER BY budget, source"""))
+
   /** Q173 — TOKENIZER FERTILITY by language: the multilingual-fairness
     * audit every shared-tokenizer pipeline reports (a BPE vocabulary
     * trained on a skewed mix tokenizes under-represented languages into
@@ -1933,7 +2113,7 @@ object TextOps {
   /** q173's oracle: [[bpeTrainCtes]]'s tokenizer replay, aggregated by
     * language with the word-chars leg. */
   private def bpeFertilitySql(n: Int): String = {
-    s"""${bpeTrainCtes(n)},
+    s"""WITH ${bpeTrainCtes(n)},
 agg AS (
   SELECT d.lang,
          CAST(SUM(wn.n_sub) AS BIGINT) AS bpe_tokens,
@@ -1972,7 +2152,7 @@ ORDER BY nd.lang"""
     *          early-stop).
     */
   private def bpeOracleSql(n: Int): String = {
-    s"""${bpeTrainCtes(n)},
+    s"""WITH ${bpeTrainCtes(n)},
 agg AS (
   SELECT d.source,
          CAST(SUM(wn.n_sub) AS BIGINT) AS bpe_tokens,
@@ -1988,55 +2168,59 @@ FROM agg a JOIN nd USING (source)
 ORDER BY a.source"""
   }
 
-  /** One unrolled BPE merge round (see [[q23b]]'s scaladoc). */
-  private def bpeRoundSql(k: Int): String = {
-      val p = s"seg${k - 1}"
-      s"""p$k AS MATERIALIZED (
+  /** One unrolled BPE merge round (see [[q23b]]'s scaladoc). `x` prefixes
+    * every CTE name so two independent tokenizer replays can coexist in
+    * one WITH clause (q175's version-drift oracle). */
+  private def bpeRoundSql(k: Int, x: String = ""): String = {
+      val p = s"${x}seg${k - 1}"
+      s"""${x}p$k AS MATERIALIZED (
   SELECT l, r FROM (
     SELECT seq[i] AS l, seq[i+1] AS r, SUM(c) AS cnt
     FROM (SELECT c, seq, unnest(generate_series(1, len(seq)-1)) AS i FROM $p)
     GROUP BY 1, 2)
   ORDER BY cnt DESC, l, r LIMIT 1),
-m$k AS MATERIALIZED (
+${x}m$k AS MATERIALIZED (
   SELECT s.w, s.c, s.i, s.seq[s.i] AS tok,
          (s.i < len(s.seq) AND s.seq[s.i] = p.l AND s.seq[s.i+1] = p.r) AS elig
   FROM (SELECT w, c, seq, unnest(generate_series(1, len(seq))) AS i FROM $p) s
-  CROSS JOIN p$k p),
-ma$k AS MATERIALIZED (
+  CROSS JOIN ${x}p$k p),
+${x}ma$k AS MATERIALIZED (
   SELECT w, i FROM (
     SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) AS pir
     FROM (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
-          FROM m$k WHERE elig))
+          FROM ${x}m$k WHERE elig))
   WHERE pir % 2 = 1),
-seg$k AS MATERIALIZED (
+${x}seg$k AS MATERIALIZED (
   SELECT m.w, MIN(m.c) AS c,
-         list(CASE WHEN ma.i IS NOT NULL THEN (SELECT l || r FROM p$k)
+         list(CASE WHEN ma.i IS NOT NULL THEN (SELECT l || r FROM ${x}p$k)
                    ELSE m.tok END ORDER BY m.i) AS seq
-  FROM m$k m
-  LEFT JOIN ma$k ma ON ma.w = m.w AND ma.i = m.i
-  LEFT JOIN ma$k mb ON mb.w = m.w AND mb.i = m.i - 1
+  FROM ${x}m$k m
+  LEFT JOIN ${x}ma$k ma ON ma.w = m.w AND ma.i = m.i
+  LEFT JOIN ${x}ma$k mb ON mb.w = m.w AND mb.i = m.i - 1
   WHERE mb.i IS NULL
   GROUP BY m.w
   UNION ALL
-  SELECT s.* FROM $p s WHERE NOT EXISTS (SELECT 1 FROM p$k))"""
+  SELECT s.* FROM $p s WHERE NOT EXISTS (SELECT 1 FROM ${x}p$k))"""
   }
 
   /** The shared BPE-training replay prefix (vocab → 48 unrolled merge
     * rounds → per-word subword counts `wn`), extracted from
     * [[bpeOracleSql]] so q173's fertility oracle replays EXACTLY the
-    * tokenizer q23b gates — the two oracles cannot drift. */
-  private def bpeTrainCtes(n: Int): String = {
-    def round(k: Int): String = bpeRoundSql(k)
-    val rounds = (1 to n).map(round).mkString(",\n")
-    s"""WITH vocab AS MATERIALIZED (
+    * tokenizer q23b gates — the two oracles cannot drift. `x` prefixes
+    * CTE names and `where` restricts the training corpus (q175's v1
+    * tokenizer trains on the stored split only); emitted WITHOUT the
+    * leading WITH keyword so replays compose. */
+  private def bpeTrainCtes(n: Int, x: String = "", where: String = ""): String = {
+    val rounds = (1 to n).map(k => bpeRoundSql(k, x)).mkString(",\n")
+    s"""${x}vocab AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents $where)
   WHERE len(w) > 0 GROUP BY w),
-seg0 AS MATERIALIZED (
+${x}seg0 AS MATERIALIZED (
   SELECT w, c, list_transform(generate_series(1, len(w)), i -> w[i:i]) AS seq
-  FROM vocab),
+  FROM ${x}vocab),
 $rounds,
-wn AS (SELECT w, len(seq) AS n_sub FROM seg$n)"""
+${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
   }
 
   /** Q24 — document fingerprinting by winnowing (brief's "rolling hash"):
@@ -6869,6 +7053,8 @@ wn AS (SELECT w, len(seq) AS n_sub FROM seg$n)"""
     "q172_packing_efficiency" -> q172,
     "q173_tokenizer_fertility" -> q173,
     "q174_snapshot_diff" -> q174,
+    "q175_tokenizer_drift" -> q175,
+    "q176_truncation_loss" -> q176,
     "q166_maxpassage_index_append" -> q166,
     "q167_maxpassage_index_remove" -> q167,
     "q24_winnow_fingerprint" -> q24,

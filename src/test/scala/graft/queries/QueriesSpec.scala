@@ -2541,6 +2541,54 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q175 tokenizer drift: triangle law, per-doc floor, drift fires") {
+    import spark.implicits._
+    val rows = run("q175_tokenizer_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ws, v1, v2, dt, dd) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      // each version tokenizes every word into >= 1 subword
+      assert(v1 >= ws && v2 >= ws)
+      // per-doc |Δ| sums dominate the net mass shift, and every drifted
+      // doc moves at least one token
+      assert(dt >= math.abs(v1 - v2), s"triangle law broken at ${r.get(0)}")
+      assert(dt >= dd, s"drifted docs without moved tokens at ${r.get(0)}")
+      assert(math.abs(r.getDouble(7) - v1.toDouble / ws) < 1e-12)
+      assert(math.abs(r.getDouble(8) - v2.toDouble / ws) < 1e-12)
+    }
+    // retraining on the grown corpus must actually move tokenizations
+    // at spec SF, else the audit is vacuous
+    assert(rows.map(_.getLong(6)).sum > 0L, "no document drifted")
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.sources.Tables.documents(spark, sf0001)
+        .filter($"doc_id" % 10 < 8).count())
+  }
+
+  test("q176 truncation loss: budget monotonicity, ratio identity, binds") {
+    val rows = run("q176_truncation_loss").collect()
+    val byBudget = rows.groupBy(_.getLong(0))
+    assert(byBudget.keySet == Set(32L, 64L, 96L))
+    rows.foreach { r =>
+      val (nd, ws, lost, cut) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lost <= ws && cut <= nd)
+      assert(math.abs(r.getDouble(6) - lost.toDouble / ws) < 1e-12)
+    }
+    // a larger budget can only cut less, per source
+    def bySource(b: Long) = byBudget(b)
+      .map(r => r.getString(1) -> ((r.getLong(4), r.getLong(5)))).toMap
+    val (m32, m64, m96) = (bySource(32L), bySource(64L), bySource(96L))
+    m32.keys.foreach { src =>
+      assert(m32(src)._1 >= m64(src)._1 && m64(src)._1 >= m96(src)._1)
+      assert(m32(src)._2 >= m64(src)._2 && m64(src)._2 >= m96(src)._2)
+    }
+    // every budget leg binds somewhere at spec SF
+    Seq(32L, 64L, 96L).foreach { b =>
+      assert(byBudget(b).map(_.getLong(4)).sum > 0L, s"budget $b is vacuous")
+    }
+  }
+
   test("q165 time-budget funnel: budgets only shrink q109's stages, and do bind") {
     def stages(name: String) = run(name).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
