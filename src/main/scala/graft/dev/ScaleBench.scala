@@ -151,7 +151,15 @@ object ScaleBench {
     "q175_tokenizer_drift", "q176_truncation_loss",
     // round-11 (cont.): DP marginal release — three map-side group-bys
     // to key-bounded marginals + per-group scalar noise arithmetic
-    "q171_dp_marginal_release")
+    "q171_dp_marginal_release",
+    // round-11 (cont.): vocab-coverage curve (one word-count agg, all
+    // downstream vocab-bounded) and the dedup-threshold sweep (five
+    // filters over q18's verified pair frame)
+    "q177_vocab_coverage", "q178_dedup_threshold_sweep",
+    // round-11 (cont.): the three-screen decontamination stack — every
+    // leg eval-bounded (distinct-eval-shingle semi-join, index probe,
+    // broadcast dense scan)
+    "q179_decontamination_stack")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")

@@ -132,7 +132,10 @@ object TextOps {
     * the data's jaccard levels (all true pairs >= 0.8) is ~1-1e-4, so both
     * produce the true pair set; verified equal at sf0.01 via local_verify.
     */
-  private val nearDupOracle = """
+  /** The word-3-gram shingle explode shared by the near-dup oracles
+    * (q18/q19's pair select and q178's threshold sweep — one extracted
+    * string, the replays cannot drift). */
+  private val nearDupShingleCtes = """
       WITH docs AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
       ), shingled AS (
@@ -141,7 +144,9 @@ object TextOps {
         FROM docs WHERE len(w) >= 3
       ), ex AS (
         SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shingled
-      )
+      )"""
+
+  private val nearDupOracle = s"""$nearDupShingleCtes
       SELECT a.doc_id AS i, b.doc_id AS j,
              any_value(a.n) AS n_i, any_value(b.n) AS n_j,
              COUNT(*) AS common,
@@ -513,10 +518,15 @@ object TextOps {
       // can be the bridge between two sub-clusters, and only the
       // original edges know whether the component splits
       // ([[removeFromClusters]]). nearDupPairsLsh already returns a
-      // localCheckpointed frame; the rename is lineage-only.
-      val pairs = nearDupPairsLsh(s, d).select($"i".as("u"), $"j".as("v"))
+      // localCheckpointed frame; the rename is lineage-only. The exact
+      // jaccard rides along (verifyPairs computes it anyway) so
+      // artifact consumers that need similarity values — q178's
+      // threshold sweep — read them off the store instead of
+      // re-shingling the corpus.
+      val pairs = nearDupPairsLsh(s, d)
+        .select($"i".as("u"), $"j".as("v"), $"jaccard")
       pairs.write.mode("overwrite").parquet(s"$p/edges")
-      connectedComponents(pairs)
+      connectedComponents(pairs.select($"u", $"v"))
         .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
         .write.mode("overwrite").parquet(s"$p/labels")
     }
@@ -2065,6 +2075,264 @@ ORDER BY nd.lang"""
              CAST(tokens_lost AS DOUBLE) / NULLIF(ws_tokens, 0) AS loss_frac
       FROM stacked
       ORDER BY budget, source"""))
+
+  /** Q177 — VOCABULARY COVERAGE curve: the "choose the vocab budget"
+    * measurement next to q108's OOV rate (which fixes a vocabulary and
+    * scores a split) and q98's vocab growth (which tracks type counts
+    * over time) — for each candidate budget, what fraction of the
+    * corpus's token MASS the top-k types cover. The elbow of this curve
+    * is where a tokenizer/embedding-table budget stops paying.
+    * Budgets {8, 16, 24} bracket this corpus's ~30-type closed
+    * vocabulary (every leg strictly between 0 and 1 at every SF).
+    *
+    * Shape at 100 TB: one map-side-combined word count to the VOCAB
+    * table, then everything downstream — the rank window, the budget
+    * sums, the cross-combines — runs over that vocabulary-bounded
+    * frame, never corpus rows (the q141 bounded-table argument; the
+    * window is unpartitioned but its input is ≤|vocab| rows, and a
+    * deployment with a 10⁸-type vocabulary would swap in q70's
+    * two-level prefix rank).
+    */
+  private val q177 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val wc = Tables.documents(s, d)
+        .select(explode(words(coalesce($"text", lit("")))).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val ranked = wc.withColumn("rk",
+        row_number().over(Window.orderBy($"c".desc, $"w")))
+      val tot = wc.agg(sum($"c").as("total_tokens"),
+        count(lit(1)).as("n_types"))
+      Seq(8L, 16L, 24L).map { b =>
+        ranked.filter($"rk" <= b)
+          .agg(coalesce(sum($"c"), lit(0L)).as("covered_tokens"))
+          .crossJoin(tot)
+          .select(lit(b).as("vocab_budget"), $"covered_tokens",
+            $"total_tokens", $"n_types",
+            ($"covered_tokens".cast("double") / $"total_tokens")
+              .as("coverage"))
+      }.reduce(_ unionByName _).orderBy($"vocab_budget")
+    },
+    oracle = Some("""
+      WITH wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+              FROM documents)
+        WHERE len(w) > 0 GROUP BY w
+      ), rk AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM wc
+      ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM wc
+      ), b AS (
+        SELECT CAST(unnest([8, 16, 24]) AS BIGINT) AS vocab_budget
+      ), cov AS (
+        SELECT b.vocab_budget,
+               CAST(COALESCE(SUM(CASE WHEN rk.rk <= b.vocab_budget
+                 THEN rk.c END), 0) AS BIGINT) AS covered_tokens
+        FROM b LEFT JOIN rk ON rk.rk <= b.vocab_budget
+        GROUP BY b.vocab_budget
+      )
+      SELECT cov.vocab_budget, cov.covered_tokens, tot.total_tokens,
+             tot.n_types,
+             CAST(cov.covered_tokens AS DOUBLE) / tot.total_tokens AS coverage
+      FROM cov CROSS JOIN tot
+      ORDER BY cov.vocab_budget"""))
+
+  /** Q178 — DEDUP THRESHOLD SENSITIVITY sweep: the calibration curve
+    * behind the near-dup family's single most consequential knob. Every
+    * near-dup consumer (q18 pairs, q47 clusters, q158 survivor weights,
+    * q160 decontamination) runs at Jaccard ≥ 0.5 by declaration — this
+    * measures what each CANDIDATE threshold would have flagged, from
+    * the MAINTAINED verified pair set: the ccluster artifact persists
+    * every pair with its exact Jaccard (q145's removal path needs the
+    * edges anyway; the similarity value now rides along), so the sweep
+    * is five filters over the stored pair frame, never a re-shingle.
+    * Emits pairs flagged and distinct documents touched per threshold;
+    * monotone decreasing by construction, which the spec pins
+    * alongside the t = 0.5 row's equality with q18 (the artifact's
+    * pair set IS the exact pair set — q19/q47's verified-LSH property).
+    *
+    * Shape at 100 TB: the sweep aggregates the stored pair frame,
+    * orders of magnitude smaller than the corpus; the docs-touched
+    * legs are distinct-collapses of it, and the five 1-row combines
+    * are broadcast scalar crosses. The oracle recomputes the exact
+    * all-pairs sweep from scratch, so the gate also re-verifies the
+    * artifact's pair set AND its stored jaccard values per threshold.
+    */
+  private val q178 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val pairs = dedupEdgesCached(s, d)
+        .select($"u".as("i"), $"v".as("j"), $"jaccard")
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { t =>
+        val p = pairs.filter($"jaccard" >= t)
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(
+            p.select(explode(array($"i", $"j")).as("doc")).distinct()
+              .agg(count(lit(1)).as("n_docs_touched")))
+          .select(lit(t).as("threshold"), $"n_pairs", $"n_docs_touched")
+      }.reduce(_ unionByName _).orderBy($"threshold")
+    },
+    oracle = Some(s"""$nearDupShingleCtes,
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               CAST(COUNT(*) AS DOUBLE)
+                 / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jaccard
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE)
+                 / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), t AS (
+        SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold
+      ), f AS (
+        SELECT t.threshold, pairs.i, pairs.j
+        FROM t LEFT JOIN pairs ON pairs.jaccard >= t.threshold
+      ), np AS (
+        SELECT threshold,
+               CAST(SUM(CASE WHEN i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+        FROM f GROUP BY threshold
+      ), nd AS (
+        SELECT threshold, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_touched
+        FROM (SELECT threshold, unnest([i, j]) AS doc FROM f WHERE i IS NOT NULL)
+        GROUP BY threshold
+      )
+      SELECT np.threshold, np.n_pairs,
+             CAST(COALESCE(nd.n_docs_touched, 0) AS BIGINT) AS n_docs_touched
+      FROM np LEFT JOIN nd ON nd.threshold = np.threshold
+      ORDER BY np.threshold"""))
+
+  /** Q179 — the DECONTAMINATION STACK: all three eval-leakage screens a
+    * release actually runs, composed over one eval fixture and reported
+    * as the per-source audit a data card cites. The screens are the
+    * shipped ones, not re-implementations — each is individually
+    * hash-oracled and this composition is too:
+    *
+    *  1. EXACT n-gram overlap (q46's criterion against the eval set):
+    *     a training doc sharing ≥ 8 distinct word-3-grams with ANY
+    *     eval content — catches verbatim inclusion;
+    *  2. NEAR-DUP (q160, shared [[dedupAgainstIndex]] leg): banded
+    *     MinHash candidates + exact Jaccard ≥ 0.5 — catches paraphrase
+    *     and light edits that break verbatim n-grams;
+    *  3. SEMANTIC (q169's screen): quantized cosine ≥ 0.4 between the
+    *     doc's embedding and any eval embedding — catches rewrites and
+    *     translations that break shingles entirely.
+    *
+    * Per source: training docs, each screen's raw catch (screens
+    * overlap — the spec pins the inclusion-exclusion bounds), the
+    * union catch, and the clean remainder that may enter q56's
+    * materialization.
+    *
+    * Shape at 100 TB: every leg is eval-bounded — the exact leg is a
+    * semi-join against the DISTINCT eval shingle set, the near-dup leg
+    * probes the maintained dedup index with ≤183 eval docs, the
+    * semantic leg is one broadcast-bounded scan (q169's shape); the
+    * three flag sets are contamination-sized, so the attribution joins
+    * are broadcast-small under AQE.
+    */
+  private val q179 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      def isEval(c: Column) = c % 29 === 0 && c < 5300L
+      val docs = Tables.documents(s, d)
+      val idDoc = docs.select($"doc_id", $"text")
+      // leg 1: exact n-gram overlap with the eval set
+      val sh = shingleDocs(idDoc)
+      val evalH = sh.filter(isEval($"doc_id"))
+        .select(explode($"hs").as("h")).distinct()
+      val exactF = sh.filter(!isEval($"doc_id"))
+        .select($"doc_id", explode($"hs").as("h"))
+        .join(evalH, Seq("h"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 8)
+        .select($"doc_id", lit(1L).as("f_exact"))
+      // leg 2: near-dup screen (q160's orientation — eval probes the
+      // training-corpus index through the shared admission leg)
+      val idx = buildMinHashIndex(shingleDocs(idDoc.filter(!isEval($"doc_id"))))
+      val ndF = dedupAgainstIndex(idDoc.filter(isEval($"doc_id")), idx)
+        .select($"old_doc_id".as("doc_id")).distinct()
+        .select($"doc_id", lit(1L).as("f_nd"))
+      // leg 3: semantic screen (q169; doc_id ≡ vec_id)
+      val emb = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"embedding")
+      val evalQ = broadcast(emb.filter(isEval($"vec_id"))
+        .select($"vec_id".as("eval_id"), $"embedding".as("q_emb")))
+      val semF = emb.filter(!isEval($"vec_id"))
+        .join(evalQ, $"vec_id" =!= $"eval_id")
+        .filter(graft.functions.expressions
+          .quantized_cosine($"q_emb", $"embedding") >= 0.4)
+        .select($"vec_id".as("doc_id")).distinct()
+        .select($"doc_id", lit(1L).as("f_sem"))
+      docs.filter(!isEval($"doc_id"))
+        .select($"doc_id", coalesce($"source", lit("")).as("source"))
+        .join(exactF, Seq("doc_id"), "left")
+        .join(ndF, Seq("doc_id"), "left")
+        .join(semF, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_train"),
+          sum(coalesce($"f_exact", lit(0L))).as("n_exact"),
+          sum(coalesce($"f_nd", lit(0L))).as("n_neardup"),
+          sum(coalesce($"f_sem", lit(0L))).as("n_semantic"),
+          sum(when($"f_exact".isNotNull || $"f_nd".isNotNull ||
+            $"f_sem".isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+          sum(when($"f_exact".isNull && $"f_nd".isNull &&
+            $"f_sem".isNull, 1L).otherwise(0L)).as("n_clean"))
+        .orderBy($"source")
+    },
+    oracle = Some(s"""$nearDupShingleCtes,
+      evs AS (
+        SELECT DISTINCT s FROM ex WHERE doc_id % 29 = 0 AND doc_id < 5300
+      ), fx AS (
+        SELECT ex.doc_id FROM ex JOIN evs USING (s)
+        WHERE NOT (ex.doc_id % 29 = 0 AND ex.doc_id < 5300)
+        GROUP BY ex.doc_id HAVING COUNT(*) >= 8
+      ), fn AS (
+        SELECT DISTINCT b.doc_id
+        FROM ex a JOIN ex b ON a.s = b.s
+          AND a.doc_id % 29 = 0 AND a.doc_id < 5300
+          AND NOT (b.doc_id % 29 = 0 AND b.doc_id < 5300)
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) /
+               (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+      ), q0 AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+        FROM embeddings
+      ), withn AS (
+        SELECT vec_id, v,
+               list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])) AS qq
+        FROM q0
+      ), fs AS (
+        SELECT DISTINCT b.vec_id AS doc_id
+        FROM withn a JOIN withn b
+          ON a.vec_id % 29 = 0 AND a.vec_id < 5300
+          AND NOT (b.vec_id % 29 = 0 AND b.vec_id < 5300)
+        WHERE CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                i -> a.v[i] * b.v[i])) AS DOUBLE)
+              / (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(b.qq AS DOUBLE))) >= 0.4
+      ), t AS (
+        SELECT d.doc_id, COALESCE(d.source, '') AS source,
+               CASE WHEN fx.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+               CASE WHEN fn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_nd,
+               CASE WHEN fs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_sem
+        FROM documents d
+        LEFT JOIN fx ON fx.doc_id = d.doc_id
+        LEFT JOIN fn ON fn.doc_id = d.doc_id
+        LEFT JOIN fs ON fs.doc_id = d.doc_id
+        WHERE NOT (d.doc_id % 29 = 0 AND d.doc_id < 5300)
+      )
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train,
+             CAST(SUM(f_exact) AS BIGINT) AS n_exact,
+             CAST(SUM(f_nd) AS BIGINT) AS n_neardup,
+             CAST(SUM(f_sem) AS BIGINT) AS n_semantic,
+             CAST(SUM(CASE WHEN f_exact + f_nd + f_sem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST(SUM(CASE WHEN f_exact + f_nd + f_sem = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      FROM t
+      GROUP BY source
+      ORDER BY source"""))
 
   /** Q173 — TOKENIZER FERTILITY by language: the multilingual-fairness
     * audit every shared-tokenizer pipeline reports (a BPE vocabulary
@@ -4639,6 +4907,42 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     * doc_id — the canonical snapshot-diff plan — then a map-side
     * combined per-source aggregation. Text never leaves either scan.
     */
+  /** The snapshot-diff classification core shared by q174 and the
+    * streaming CDC gate ([[graft.streaming.Pipeline
+    * .runSnapshotDiffGateStream]]): both versions as (doc_id, source,
+    * h, nw) frames, ONE co-partitioned full-outer join on doc_id,
+    * per-row classification flags. The stream aggregates the in2 = 1
+    * restriction of exactly these rows, so an arriving document
+    * classifies identically in stream and batch by construction. */
+  private[graft] def snapshotDiffRows(v1: DataFrame, v2: DataFrame): DataFrame = {
+    import v1.sparkSession.implicits._
+    v1.select($"doc_id", $"source".as("src1"), $"h".as("h1"), $"nw".as("nw1"))
+      .join(v2.select($"doc_id", $"source".as("src2"), $"h".as("h2"),
+        $"nw".as("nw2")), Seq("doc_id"), "full_outer")
+      .select(coalesce($"src2", $"src1").as("source"),
+        when($"h1".isNotNull, 1L).otherwise(0L).as("in1"),
+        when($"h2".isNotNull, 1L).otherwise(0L).as("in2"),
+        when($"h1".isNull && $"h2".isNotNull, 1L).otherwise(0L).as("add"),
+        when($"h1".isNotNull && $"h2".isNull, 1L).otherwise(0L).as("rem"),
+        when($"h1".isNotNull && $"h2".isNotNull && $"h1" =!= $"h2", 1L)
+          .otherwise(0L).as("chg"),
+        when($"h1".isNotNull && $"h2".isNotNull && $"h1" === $"h2", 1L)
+          .otherwise(0L).as("same"),
+        when($"h1".isNull, $"nw2").otherwise(0L).as("tokadd"),
+        when($"h2".isNull, $"nw1").otherwise(0L).as("tokrem"))
+  }
+
+  /** documents → the (doc_id, source, h, nw) projection both diff legs
+    * and the streaming gate's stored-version map use. */
+  private[graft] def diffProjection(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      coalesce($"source", lit("")).as("source"),
+      md5(coalesce($"text", lit(""))).as("h"),
+      size(filter(words(coalesce($"text", lit(""))),
+        w => length(w) > 0)).cast("long").as("nw"))
+  }
+
   private val q174 = Q(
     fn = (s, d) => {
       import s.implicits._
@@ -4647,25 +4951,13 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
         coalesce($"text", lit("")).as("text"),
         size(filter(words(coalesce($"text", lit(""))),
           w => length(w) > 0)).cast("long").as("nw"))
-      val v1 = docs.filter($"doc_id" % 10 < 8).select($"doc_id",
-        $"source".as("src1"),
+      val v1 = docs.filter($"doc_id" % 10 < 8).select($"doc_id", $"source",
         when($"doc_id" % 17 === 3, md5(reverse($"text")))
-          .otherwise(md5($"text")).as("h1"),
-        $"nw".as("nw1"))
-      val v2 = docs.filter($"doc_id" % 13 =!= 0).select($"doc_id",
-        $"source".as("src2"), md5($"text").as("h2"), $"nw".as("nw2"))
-      v1.join(v2, Seq("doc_id"), "full_outer")
-        .select(coalesce($"src2", $"src1").as("source"),
-          when($"h1".isNotNull, 1L).otherwise(0L).as("in1"),
-          when($"h2".isNotNull, 1L).otherwise(0L).as("in2"),
-          when($"h1".isNull && $"h2".isNotNull, 1L).otherwise(0L).as("add"),
-          when($"h1".isNotNull && $"h2".isNull, 1L).otherwise(0L).as("rem"),
-          when($"h1".isNotNull && $"h2".isNotNull && $"h1" =!= $"h2", 1L)
-            .otherwise(0L).as("chg"),
-          when($"h1".isNotNull && $"h2".isNotNull && $"h1" === $"h2", 1L)
-            .otherwise(0L).as("same"),
-          when($"h1".isNull, $"nw2").otherwise(0L).as("tokadd"),
-          when($"h2".isNull, $"nw1").otherwise(0L).as("tokrem"))
+          .otherwise(md5($"text")).as("h"),
+        $"nw")
+      val v2 = docs.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id", $"source", md5($"text").as("h"), $"nw")
+      snapshotDiffRows(v1, v2)
         .groupBy($"source")
         .agg(sum($"in1").as("n_v1"), sum($"in2").as("n_v2"),
           sum($"add").as("n_added"), sum($"rem").as("n_removed"),
@@ -7055,6 +7347,9 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     "q174_snapshot_diff" -> q174,
     "q175_tokenizer_drift" -> q175,
     "q176_truncation_loss" -> q176,
+    "q177_vocab_coverage" -> q177,
+    "q178_dedup_threshold_sweep" -> q178,
+    "q179_decontamination_stack" -> q179,
     "q166_maxpassage_index_append" -> q166,
     "q167_maxpassage_index_remove" -> q167,
     "q24_winnow_fingerprint" -> q24,

@@ -1612,6 +1612,55 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming twin of q174 — the CDC admission gate on the ingest path:
+    * every arriving micro-batch is DIFFED against the stored corpus
+    * version before admission — which documents are brand-new, which
+    * are content revisions of stored ids, which are byte-identical
+    * re-deliveries (the at-least-once upstream case a CDC gate exists
+    * to absorb). Classification is EXACTLY q174's shared core
+    * ([[graft.queries.TextOps.snapshotDiffRows]] restricted to the
+    * batch's rows — in2 = 1), so a document classifies identically in
+    * stream and batch by construction; per-(batch, source) counts +
+    * arriving-token masses land batchId-keyed (replay-idempotent).
+    *
+    * The stored map is the (doc_id, md5, nw) projection the exact-dedup
+    * admission path already maintains (q95's store / CardStore's hash
+    * leg) — at 100 TB the gate joins the batch against that maintained
+    * artifact, never re-hashing stored text; here it projects the
+    * corpus directly (lazily — no corpus-sized checkpoint, the r10
+    * memory rule).
+    */
+  def runSnapshotDiffGateStream(s: SparkSession, corpusDir: String,
+      inDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    import graft.queries.TextOps
+    val stored = TextOps.diffProjection(
+      graft.sources.Tables.documents(s, corpusDir))
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING, source STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arriving = TextOps.diffProjection(
+          batch.select(col("doc_id"), col("source"), col("text")))
+        TextOps.snapshotDiffRows(stored, arriving)
+          .filter(col("in2") === 1L)
+          .groupBy(col("source"))
+          .agg(sum(col("in2")).as("n_batch"),
+            sum(col("add")).as("n_new"),
+            sum(col("chg")).as("n_revised"),
+            sum(col("same")).as("n_redelivered"),
+            sum(col("tokadd")).as("tokens_new"))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/snapshot_diff/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of q136 — the perceptual frame gate on the ingest
     * path: the stored corpus's frame-dHash band index is built ONCE at
     * stream start ([[graft.queries.MultimodalQ.framePhashIndexCached]]),

@@ -2589,6 +2589,72 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q177 vocab coverage: curve strictly grows, mass checks out") {
+    import spark.implicits._
+    val rows = run("q177_vocab_coverage").collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 16L, 24L))
+    val total = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(coalesce($"text", lit("")), " ")).as("w"))
+      .filter(length($"w") > 0).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == total, "total token mass mismatch")
+      assert(r.getLong(1) > 0 && r.getLong(1) <= total)
+      val cov = r.getDouble(4)
+      assert(cov > 0.0 && cov < 1.0, s"budget ${r.getLong(0)} not inside the curve")
+      assert(math.abs(cov - r.getLong(1).toDouble / total) < 1e-12)
+    }
+    // a bigger budget strictly covers more on this >24-type corpus
+    assert(rows(0).getLong(1) < rows(1).getLong(1) &&
+      rows(1).getLong(1) < rows(2).getLong(1))
+  }
+
+  test("q178 threshold sweep: monotone, 0.5 row == q18, 0.9 bites") {
+    val rows = run("q178_dedup_threshold_sweep").collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // tightening the threshold can only drop pairs and touched docs
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1) && lo.getLong(2) >= hi.getLong(2))
+    }
+    // the 0.5 row is exactly q18's verified pair set
+    val q18pairs = run("q18_neardup_jaccard").collect()
+    assert(rows(0).getLong(1) == q18pairs.length)
+    assert(rows(0).getLong(2) ==
+      q18pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length)
+    // the sweep is non-vacuous at spec SF: 0.9 excludes some pairs
+    assert(rows(4).getLong(1) < rows(0).getLong(1),
+      "0.9 must exclude pairs at spec SF")
+    assert(rows(4).getLong(1) > 0)
+  }
+
+  test("q179 decontamination stack: partition, union bounds, legs == q160/q169") {
+    val rows = run("q179_decontamination_stack").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, ex, nd, se, fl, cl) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // flagged/clean partition the training docs
+      assert(fl + cl == nt, s"partition broken at ${r.get(0)}")
+      // union bounds: at least the biggest leg, at most the sum
+      assert(fl >= math.max(ex, math.max(nd, se)) && fl <= ex + nd + se)
+    }
+    // each screen's catch equals its standalone query's flagged-doc set
+    assert(rows.map(_.getLong(3)).sum ==
+      run("q160_neardup_decontamination").collect()
+        .map(_.getLong(0)).distinct.length,
+      "near-dup leg diverged from q160")
+    assert(rows.map(_.getLong(4)).sum ==
+      run("q169_semantic_decontamination").collect()
+        .map(_.getLong(0)).distinct.length,
+      "semantic leg diverged from q169")
+    // every screen catches something, and the screens overlap (the
+    // union is strictly below the sum) at spec SF
+    Seq(2, 3, 4).foreach(i => assert(rows.map(_.getLong(i)).sum > 0L))
+    assert(rows.map(_.getLong(5)).sum <
+      rows.map(r => r.getLong(2) + r.getLong(3) + r.getLong(4)).sum)
+  }
+
   test("q165 time-budget funnel: budgets only shrink q109's stages, and do bind") {
     def stages(name: String) = run(name).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap

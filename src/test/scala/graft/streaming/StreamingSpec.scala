@@ -416,6 +416,71 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$out/card_flags/batch=*")) == before)
   }
 
+  test("streaming snapshot-diff gate: CDC legs classify, == shared core, idempotent") {
+    import org.apache.spark.sql.functions.{lit, struct, to_json}
+    import spark.implicits._
+    import graft.queries.TextOps
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("sd_in")
+    val out = tmpDir("sd_out")
+    val ckpt = tmpDir("sd_ckpt")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    val base = docs.orderBy($"doc_id").limit(2).collect()
+    def f(r: org.apache.spark.sql.Row, revise: Boolean) =
+      (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text") + (if (revise) " zz" else ""),
+        r.getAs[String]("source"))
+    // batch 1 (engineered): one byte-identical redelivery, one content
+    // revision of a stored id, one brand-new document
+    val b1rows = Seq(f(base(0), revise = false), f(base(1), revise = true),
+      (900001L, "brand new doc", "fresh_feed")).toDF("doc_id", "text", "source")
+    val b1lines = b1rows.select(to_json(struct(
+      lit("2026-03-01 08:00:00").as("ts"), $"doc_id", $"text", $"source")))
+      .collect().map(_.getString(0))
+    writeJsonl(in, "b1.jsonl", b1lines.toIndexedSeq: _*)
+    // batch 2: a real corpus slice — all redeliveries by construction
+    val slice = docs.filter($"doc_id" % 10 >= 8)
+    val b2lines = slice.select(to_json(struct(
+      lit("2026-03-01 09:00:00").as("ts"), $"doc_id", $"text", $"source")))
+      .collect().map(_.getString(0))
+    writeJsonl(in, "b2.jsonl", b2lines.toIndexedSeq: _*)
+    Pipeline.runSnapshotDiffGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+
+    val got = spark.read.option("basePath", s"$out/snapshot_diff")
+      .parquet(s"$out/snapshot_diff/batch=*")
+    // engineered batch: each CDC leg classifies exactly one document
+    val b1got = got.filter($"batch" === 0)
+    assert(b1got.agg(sum($"n_new"), sum($"n_revised"), sum($"n_redelivered"),
+      sum($"tokens_new")).head() ==
+      org.apache.spark.sql.Row(1L, 1L, 1L, 3L))
+    assert(b1got.filter($"source" === "fresh_feed")
+      .head().getAs[Long]("n_new") == 1L)
+    // real-slice batch: every row is a byte-identical redelivery
+    val b2got = got.filter($"batch" === 1)
+    assert(b2got.agg(sum($"n_new"), sum($"n_revised")).head() ==
+      org.apache.spark.sql.Row(0L, 0L))
+    assert(b2got.agg(sum($"n_redelivered")).head().getLong(0) == slice.count())
+    // stream == the shared classification core on the same rows
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val want = TextOps.snapshotDiffRows(
+        TextOps.diffProjection(docs),
+        TextOps.diffProjection(slice.select($"doc_id", $"source", $"text")))
+      .filter($"in2" === 1L)
+      .groupBy($"source")
+      .agg(sum($"in2").as("n_batch"), sum($"add").as("n_new"),
+        sum($"chg").as("n_revised"), sum($"same").as("n_redelivered"),
+        sum($"tokadd").as("tokens_new"))
+    assert(tab(b2got.drop("batch")) == tab(want))
+    // replay idempotence: re-run with no new files changes nothing
+    val before = tab(got)
+    Pipeline.runSnapshotDiffGateStream(spark, corpus, in, out, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    assert(tab(spark.read.option("basePath", s"$out/snapshot_diff")
+      .parquet(s"$out/snapshot_diff/batch=*")) == before)
+  }
+
   test("streaming decontamination gate: flags == batch screen, orientation == q160") {
     import org.apache.spark.sql.functions.{lit, struct, to_json}
     import spark.implicits._
