@@ -573,7 +573,11 @@ object TextOps {
       victims: DataFrame): DataFrame = {
     import labels.sparkSession.implicits._
     val vic = victims.select($"doc_id").distinct().localCheckpoint()
-    val survEdges = edges
+    // narrow to (u, v) whatever the store carries alongside (the edges
+    // artifact also persists jaccard for q178's sweep): the distributed
+    // CC branch unions the input with a 2-column projection positionally
+    // and would throw on a wider frame
+    val survEdges = edges.select($"u", $"v")
       .join(vic.select($"doc_id".as("u")), Seq("u"), "left_anti")
       .join(vic.select($"doc_id".as("v")), Seq("v"), "left_anti")
     val touchedReps = labels.join(vic, Seq("doc_id"), "left_semi")
@@ -600,7 +604,13 @@ object TextOps {
     * bounded-artifact budget as the centroid/probe collects. */
   private def boundedCC(ccInput: DataFrame): DataFrame = {
     import ccInput.sparkSession.implicits._
-    (if (ccInput.count() <= 200000L) unionFindCC(ccInput)
+    // threshold session-tunable (default 200k) so specs can force the
+    // distributed branch on small graphs — the branch the wide-edges
+    // regression (jaccard column in the store) would otherwise only
+    // exercise in a dup-storm
+    val driverMax = ccInput.sparkSession.conf
+      .get("graft.text.ccDriverMax", "200000").toLong
+    (if (ccInput.count() <= driverMax) unionFindCC(ccInput)
      else connectedComponents(ccInput))
       .select($"vertex".as("doc_id"), $"rep".as("cluster_rep"))
   }
@@ -1823,11 +1833,19 @@ object TextOps {
     * scan; reruns — bench reps, the spec's both-SF sweep — read the
     * ≤`nMerges`-row parquet. */
   private[queries] def bpeMergesCached(s: SparkSession, d: String,
-      nMerges: Int = 48): Seq[(String, String)] = {
+      nMerges: Int = 48): Seq[(String, String)] =
+    bpeMergesOf(s, d, nMerges, "bpemerges", identity)
+
+  /** One trainer pipeline behind both cached tokenizers ([[bpeMergesCached]]
+    * full-corpus, [[bpeMergesCachedV1]] stored-split): a projection change
+    * (e.g. word normalization) lands on both by construction, so q175's
+    * drift comparison can never mix differently-preprocessed trainers. */
+  private def bpeMergesOf(s: SparkSession, d: String, nMerges: Int,
+      tag: String, docFilter: DataFrame => DataFrame): Seq[(String, String)] = {
     import s.implicits._
     val p = IndexCache.resolve(
-      s"bpemerges|${IndexCache.dataKey(d)}|$nMerges", "bpemerges") { path =>
-      val vocab = Tables.documents(s, d)
+      s"$tag|${IndexCache.dataKey(d)}|$nMerges", tag) { path =>
+      val vocab = docFilter(Tables.documents(s, d))
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(words($"text")).as("w"))
         .filter(length($"w") > 0)
@@ -1901,24 +1919,9 @@ object TextOps {
     * convention), cached under its own key. q175 compares this frozen
     * release tokenizer against the full-corpus retrain. */
   private[queries] def bpeMergesCachedV1(s: SparkSession, d: String,
-      nMerges: Int = 48): Seq[(String, String)] = {
-    import s.implicits._
-    val p = IndexCache.resolve(
-      s"bpemergesv1|${IndexCache.dataKey(d)}|$nMerges", "bpemergesv1") { path =>
-      val vocab = Tables.documents(s, d)
-        .filter($"doc_id" % 10 < 8)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(words($"text")).as("w"))
-        .filter(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("c"))
-      trainBpeDistributed(vocab, nMerges).zipWithIndex
-        .map { case ((l, r), i) => (i, l, r) }
-        .toDF("rank", "l", "r")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-    }
-    s.read.parquet(p).orderBy($"rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-  }
+      nMerges: Int = 48): Seq[(String, String)] =
+    bpeMergesOf(s, d, nMerges, "bpemergesv1",
+      _.filter(col("doc_id") % 10 < 8))
 
   /** Q175 — TOKENIZER VERSION DRIFT: what re-training the tokenizer on
     * the grown corpus does to the EXISTING corpus's tokenization — the
@@ -3147,8 +3150,11 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     *    concern, not packing's;
     *  - padding_waste = Σ over regular bins of (128 − load);
     *  - lb_bins = n_oversized + ceil(small_tokens / 128), the
-    *    classical capacity lower bound — FFD guarantees
-    *    n_bins ≤ 11/9·lb + 1 (Johnson 1973), which the spec pins;
+    *    classical capacity lower bound (the spec pins n_bins ≥ lb;
+    *    Johnson's 11/9·OPT + 1 FFD guarantee is NOT pinned against lb
+    *    — OPT can sit far above the capacity bound when documents are
+    *    just over half the budget, so that inequality is not a theorem
+    *    of this audit's observables);
     *  - utilization = small_tokens / (128 · regular bins), null when a
     *    group is all-oversized (NULLIF on both engines).
     *
@@ -5033,53 +5039,59 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
       val base = Tables.documents(s, d).select(
         coalesce($"source", lit("")).as("source"),
         coalesce($"lang", lit("")).as("lang"))
-      def level(name: String, key: Column) =
-        base.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
-          .select(lit(name).as("level"), $"key", $"n")
+      // marginals group by the (key1, key2) PAIR and emit both columns
+      // — a rendered 'a|b' concatenation would be ambiguous when a key
+      // value itself contains the delimiter, silently merging two cells
+      // of the released histogram
+      def level(name: String, k1: Column, k2: Column) =
+        base.groupBy(k1.as("key1"), k2.as("key2"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(name).as("level"), $"key1", $"key2", $"n")
       def geo(x: Column) =
         when(x === 0L, lit(24L))
           .otherwise(lit(24L) - length(bin(x)).cast("long"))
-      level("source", $"source")
-        .unionByName(level("lang", $"lang"))
-        .unionByName(
-          level("source_lang", concat($"source", lit("|"), $"lang")))
-        .withColumn("h",
-          md5(concat(lit("dp1|"), $"level", lit("|"), $"key")))
+      level("source", $"source", lit(""))
+        .unionByName(level("lang", lit(""), $"lang"))
+        .unionByName(level("source_lang", $"source", $"lang"))
+        // the seed concatenates md5 digests (fixed-width hex), so the
+        // (level, key1, key2) → seed map is injective whatever the keys
+        .withColumn("h", md5(concat(lit("dp1|"), $"level", lit("|"),
+          md5($"key1"), md5($"key2"))))
         .withColumn("x1", conv(substring($"h", 1, 6), 16, 10).cast("long"))
         .withColumn("x2", conv(substring($"h", 7, 6), 16, 10).cast("long"))
-        .select($"level", $"key",
+        .select($"level", $"key1", $"key2",
           greatest(lit(0L), $"n" + geo($"x1") - geo($"x2")).as("released"))
-        .orderBy($"level", $"key")
+        .orderBy($"level", $"key1", $"key2")
     },
     oracle = Some("""
       WITH base AS (
         SELECT COALESCE(source, '') AS source, COALESCE(lang, '') AS lang
         FROM documents
       ), m AS (
-        SELECT 'source' AS level, source AS key,
+        SELECT 'source' AS level, source AS key1, '' AS key2,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM base GROUP BY source
         UNION ALL
-        SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT)
+        SELECT 'lang', '', lang, CAST(COUNT(*) AS BIGINT)
         FROM base GROUP BY lang
         UNION ALL
-        SELECT 'source_lang', source || '|' || lang, CAST(COUNT(*) AS BIGINT)
+        SELECT 'source_lang', source, lang, CAST(COUNT(*) AS BIGINT)
         FROM base GROUP BY source, lang
       ), xs AS (
-        SELECT level, key, n,
-               CAST('0x' || substr(md5('dp1|' || level || '|' || key), 1, 6)
-                 AS BIGINT) AS x1,
-               CAST('0x' || substr(md5('dp1|' || level || '|' || key), 7, 6)
-                 AS BIGINT) AS x2
+        SELECT level, key1, key2, n,
+               CAST('0x' || substr(md5('dp1|' || level || '|'
+                 || md5(key1) || md5(key2)), 1, 6) AS BIGINT) AS x1,
+               CAST('0x' || substr(md5('dp1|' || level || '|'
+                 || md5(key1) || md5(key2)), 7, 6) AS BIGINT) AS x2
         FROM m
       )
-      SELECT level, key,
+      SELECT level, key1, key2,
              CAST(GREATEST(0,
                n + (CASE WHEN x1 = 0 THEN 24 ELSE 24 - length(bin(x1)) END)
                  - (CASE WHEN x2 = 0 THEN 24 ELSE 24 - length(bin(x2)) END))
                AS BIGINT) AS released
       FROM xs
-      ORDER BY level, key"""))
+      ORDER BY level, key1, key2"""))
 
   /** Q170 — l-DIVERSITY audit: the companion measurement to q164's
     * k-anonymity (Machanavajjhala et al. 2007). k-anonymity bounds

@@ -2430,12 +2430,16 @@ class QueriesSpec extends SparkSpec {
       assert(gEnt >= gL2 && rEnt >= rL2, "entropy-l must subsume distinct-l")
     }
     // every coarse group is a union of fine groups, so generalizing can
-    // only raise min_l and shrink the flagged mass
-    val (hg, hMin, hG2, hR2, hGe, hRe) = rows("cohort_hour")
+    // only raise min_l and shrink the distinct-l flagged mass (an l=1
+    // coarse group is made entirely of l=1 fine groups). The ENTROPY
+    // legs are deliberately NOT pinned monotone: entropy-flagged row
+    // mass can grow under merging (a 75/25 coarse group flags all its
+    // rows while its 50/0 + 25/25 fine parts flag only half), so that
+    // is not a theorem
+    val (hg, hMin, hG2, hR2, _, _) = rows("cohort_hour")
     Seq("cohort_day", "cohort").foreach { coarse =>
-      val (g, mn, g2, r2, ge, re) = rows(coarse)
-      assert(g <= hg && mn >= hMin && g2 <= hG2 && r2 <= hR2 &&
-        ge <= hGe && re <= hRe,
+      val (g, mn, g2, r2, _, _) = rows(coarse)
+      assert(g <= hg && mn >= hMin && g2 <= hG2 && r2 <= hR2,
         s"generalizing to $coarse did not monotonically improve diversity")
     }
     // both verdicts at spec SF: the finest level exposes low-diversity
@@ -2448,7 +2452,7 @@ class QueriesSpec extends SparkSpec {
   test("q171 DP release: noise bound, clamp, determinism, noise fires") {
     import spark.implicits._
     val out = run("q171_dp_marginal_release").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
     assert(out.keys.map(_._1).toSet == Set("source", "lang", "source_lang"))
     assert(out.values.forall(_ >= 0L), "clamped release must be non-negative")
     // true marginals, computed independently
@@ -2457,11 +2461,11 @@ class QueriesSpec extends SparkSpec {
         coalesce($"lang", lit("")).as("lang"))
     val truth =
       base.groupBy($"source").count().collect()
-        .map(r => ("source", r.getString(0)) -> r.getLong(1)) ++
+        .map(r => ("source", r.getString(0), "") -> r.getLong(1)) ++
       base.groupBy($"lang").count().collect()
-        .map(r => ("lang", r.getString(0)) -> r.getLong(1)) ++
+        .map(r => ("lang", "", r.getString(0)) -> r.getLong(1)) ++
       base.groupBy($"source", $"lang").count().collect()
-        .map(r => ("source_lang", s"${r.getString(0)}|${r.getString(1)}") -> r.getLong(2))
+        .map(r => ("source_lang", r.getString(0), r.getString(1)) -> r.getLong(2))
     val tm = truth.toMap
     assert(out.keySet == tm.keySet, "release must cover exactly the true marginals")
     // |noise| <= 24 structurally (truncated geometrics), clamp only tightens
@@ -2471,7 +2475,7 @@ class QueriesSpec extends SparkSpec {
     assert(out.exists { case (k, rel) => rel != tm(k) }, "no noise fired")
     // seeded mechanism: bit-identical on re-run
     val again = run("q171_dp_marginal_release").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
     assert(again == out, "seeded release must be deterministic")
   }
 
@@ -2484,9 +2488,10 @@ class QueriesSpec extends SparkSpec {
       // accounting identity: regular bins split exactly into fill + pad
       assert(128L * (nBins - nOver) == small + waste,
         s"waste identity broken at grp ${r.get(0)}")
-      // capacity lower bound and Johnson's FFD guarantee (≤ 11/9·LB + 1)
+      // capacity lower bound (Johnson's 11/9 guarantee is vs OPT, which
+      // is unobservable — lb can sit far below OPT when most docs are
+      // just over half the budget, so only the lower bound is a theorem)
       assert(nBins >= lb, s"bins below LB at grp ${r.get(0)}")
-      assert(9L * nBins <= 11L * lb + 9L, s"FFD bound broken at grp ${r.get(0)}")
       if (!r.isNullAt(7)) {
         val u = r.getDouble(7)
         assert(u > 0.0 && u <= 1.0, s"utilization $u out of range")
@@ -3024,5 +3029,25 @@ class QueriesSpec extends SparkSpec {
         Seq(5L, 9L, 10L).toDF("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(out2 == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("cluster removal: distributed CC branch handles the widened edge store") {
+    import spark.implicits._
+    // the ccluster artifact now persists jaccard alongside (u, v); the
+    // distributed CC branch unions its input with a 2-column projection
+    // POSITIONALLY, so removeFromClusters must narrow the store before
+    // CC. Force the distributed branch (ccDriverMax = 0) on a wide
+    // frame — without the narrowing this throws NUM_COLUMNS_MISMATCH
+    val edges = Seq((1L, 2L, 0.9), (2L, 5L, 0.8), (5L, 9L, 0.7),
+      (9L, 10L, 0.6)).toDF("u", "v", "jaccard")
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 1L), (9L, 1L), (10L, 1L))
+      .toDF("doc_id", "cluster_rep")
+    spark.conf.set("graft.text.ccDriverMax", "0")
+    try {
+      val out = TextOps.removeFromClusters(labels, edges,
+          Seq(5L).toDF("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(out == Seq((1L, 1L), (2L, 1L), (9L, 9L), (10L, 9L)))
+    } finally spark.conf.unset("graft.text.ccDriverMax")
   }
 }
