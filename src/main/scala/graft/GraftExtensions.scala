@@ -101,8 +101,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_might_contain", "_FUNC_(bloom, xxhash64_value) - bloom membership probe"),
       exprs => {
         require(exprs.length == 2, "bloom_might_contain requires exactly 2 arguments")
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))
+        // graft's own probe: Spark's internal BloomFilterMightContain
+        // fails codegen on a scalar-subquery bloom argument
+        graft.functions.expressions.BloomProbe(exprs(0), exprs(1))
       }))
     e.injectFunction((FunctionIdentifier("ppjoin_pairs"),
       info("ppjoin_pairs",

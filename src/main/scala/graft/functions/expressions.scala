@@ -1387,6 +1387,54 @@ object expressions {
       copy(child = c)
   }
 
+  /** The SQL-path bloom probe: `bloom_might_contain(bloom, xxhash64(v))`
+    * where the bloom argument may be NON-foldable — in practice a scalar
+    * subquery (`(SELECT bloom_agg(...) FROM heldout)`). Spark's own
+    * `BloomFilterMightContain` assumes a foldable/null bloom child and
+    * its generated code breaks on a subquery argument (whole-stage
+    * codegen falls back with `ERROR CodeGenerator ... not an rvalue` —
+    * results stay correct via the interpreter, but the hot path
+    * de-optimizes and the log screams). This expression handles ANY
+    * binary-typed bloom child in both eval and codegen: the filter is
+    * deserialized once per task and memo-cached on the byte array's
+    * reference identity (a scalar subquery yields the same instance
+    * every row), so the per-row cost is one `mightContainLong`, inside
+    * whole-stage codegen. Semantics mirror `BloomFilterMightContain`
+    * exactly (`BloomFilter.readFrom` + `mightContainLong`); q68 pins
+    * bit-identity of the results.
+    */
+  case class BloomProbe(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, BinaryType, "bloom_might_contain")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, LongType, "bloom_might_contain")
+    }
+    // per-task memo: tasks deserialize their own expression copy, so the
+    // mutable cache is task-confined (no cross-thread sharing)
+    @transient private var cachedBytes: Array[Byte] = _
+    @transient private var cachedFilter: org.apache.spark.util.sketch.BloomFilter = _
+    def probe(bloom: Array[Byte], v: Long): Boolean = {
+      if (!(bloom eq cachedBytes)) {
+        cachedFilter = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bloom))
+        cachedBytes = bloom
+      }
+      cachedFilter.mightContainLong(v)
+    }
+    override def nullSafeEval(b: Any, v: Any): Any =
+      probe(b.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("bloomProbe", this,
+        classOf[BloomProbe].getName)
+      nullSafeCodeGen(ctx, ev, (b, v) => s"${ev.value} = $self.probe($b, $v);")
+    }
+    override def toString: String = s"bloom_might_contain($left, $right)"
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): BloomProbe = copy(left = l, right = r)
+  }
+
   /** PQ asymmetric-distance accumulation: (codes array<int> — one code id
     * per subspace, m-ordered; dtable array<long> — a query's flattened
     * per-(subspace, code) distance table, slot = m·K + cid) → Σ_m
@@ -2621,8 +2669,10 @@ object expressions {
     reg.createOrReplaceTempFunction("bloom_might_contain",
       exprs => {
         require(exprs.length == 2, "bloom_might_contain requires exactly 2 arguments (bloom, xxhash64 value)")
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))
+        // graft's own probe, not Spark's BloomFilterMightContain: the
+        // internal expression's codegen breaks on a non-foldable (scalar
+        // subquery) bloom argument — see [[BloomProbe]]'s scaladoc
+        BloomProbe(exprs(0), exprs(1))
       }, "scala_udf")
   }
 

@@ -653,6 +653,12 @@ object Relational {
       // rsd 0.016 ≈ lgK 14 (q36c's precision), so the 5% bound is ~3σ
       // of a DETERMINISTIC estimator — fixed per dataset, verified at
       // all three SFs; a broken sketch fails the driver hash.
+      // PRODUCTION NOTE: the exact countDistinct is GATE-TIME AUDIT
+      // ONLY — a production call site at 100 TB uses the sketch column
+      // alone (approx_count_distinct, no exact rider), because the
+      // exact rider is precisely the global distinct shuffle the
+      // sketch exists to avoid. The bench cost of this query prices
+      // the audit, not the production plan.
       val ev = Tables.events(s, d)
       val tot = ev.agg(
         decSum($"value").as("total_value"),

@@ -535,9 +535,20 @@ object TextOps {
     s.read.parquet(s"${dedupClusterArtifact(s, d)}/labels")
 
   /** The verified near-dup pair set underlying [[dedupClustersCached]]
-    * — the removal path's source of truth. */
-  private[graft] def dedupEdgesCached(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${dedupClusterArtifact(s, d)}/edges")
+    * — the removal path's source of truth. The 3-column store schema
+    * `(u, v, jaccard)` is a contract (q145's removal path needs u/v;
+    * q178's threshold sweep needs jaccard), so assert it at read time:
+    * a future writer that narrows the store fails HERE, loudly, not
+    * inside a downstream consumer's analysis error. */
+  private[graft] def dedupEdgesCached(s: SparkSession, d: String): DataFrame = {
+    val df = s.read.parquet(s"${dedupClusterArtifact(s, d)}/edges")
+    val expected = Seq("u", "v", "jaccard")
+    require(expected.forall(df.columns.contains),
+      s"dedup edges store at ${dedupClusterArtifact(s, d)}/edges must carry " +
+        s"columns $expected (the q145 removal + q178 sweep contract); " +
+        s"found ${df.columns.toSeq}")
+    df
+  }
 
   /** Exact takedown on the near-dup cluster labeling — the removal
     * counterpart of [[appendToClusters]]. Appends only ever MERGE, so
@@ -1949,13 +1960,14 @@ object TextOps {
       val E = graft.functions.expressions
       val m1 = bpeMergesCachedV1(s, d)
       val m2 = bpeMergesCached(s, d)
-      val wl = filter(words($"text"), w => length(w) > 0)
+      val txt = coalesce($"text", lit(""))
+      val wl = filter(words(txt), w => length(w) > 0)
       Tables.documents(s, d)
         .filter($"doc_id" % 10 < 8)
         .repartition(s.sparkContext.defaultParallelism)
         .select(coalesce($"lang", lit("")).as("lang"),
-          size(E.bpe_encode($"text", m1)).cast("long").as("n1"),
-          size(E.bpe_encode($"text", m2)).cast("long").as("n2"),
+          size(E.bpe_encode(txt, m1)).cast("long").as("n1"),
+          size(E.bpe_encode(txt, m2)).cast("long").as("n2"),
           size(wl).cast("long").as("nw"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -2103,8 +2115,12 @@ ORDER BY nd.lang"""
         .select(explode(words(coalesce($"text", lit("")))).as("w"))
         .filter(length($"w") > 0)
         .groupBy($"w").agg(count(lit(1)).as("c"))
-      val ranked = wc.withColumn("rk",
-        row_number().over(Window.orderBy($"c".desc, $"w")))
+      // top-k FIRST (TakeOrderedAndProject — distributed), then rank
+      // the ≤24 survivors: the former full-vocab row_number was a
+      // single-task sort over the whole type table for a rk ≤ 24 read
+      val ranked = wc.orderBy($"c".desc, $"w").limit(24)
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"c".desc, $"w")))
       val tot = wc.agg(sum($"c").as("total_tokens"),
         count(lit(1)).as("n_types"))
       Seq(8L, 16L, 24L).map { b =>
@@ -2360,11 +2376,12 @@ ORDER BY nd.lang"""
       import s.implicits._
       val E = graft.functions.expressions
       val merges = bpeMergesCached(s, d)
-      val wl = filter(words($"text"), w => length(w) > 0)
+      val txt = coalesce($"text", lit(""))
+      val wl = filter(words(txt), w => length(w) > 0)
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(coalesce($"lang", lit("")).as("lang"),
-          size(E.bpe_encode($"text", merges)).cast("long").as("n_sub"),
+          size(E.bpe_encode(txt, merges)).cast("long").as("n_sub"),
           size(wl).cast("long").as("n_words"),
           aggregate(wl, lit(0L),
             (acc, w) => acc + length(w).cast("long")).as("n_chars"))
@@ -5023,10 +5040,16 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     * the spec pins). Leading zeros = 24 − len(bin(x)) — EXACT integer
     * arithmetic on both engines, no ln/floor boundary risk anywhere;
     * the md5 seed makes the release deterministic and hash-oracle-able
-    * while remaining a faithful inverse-CDF sample of the mechanism
-    * (seeded DP is standard practice for reproducible releases; the
-    * privacy argument treats the seed as secret). The final
-    * GREATEST(0, ·) clamp is post-processing — DP is closed under it.
+    * while remaining a faithful inverse-CDF sample of the mechanism.
+    * HONESTY NOTE: because the seed derivation here is PUBLIC (md5 of
+    * the released key), an adversary can recompute and subtract the
+    * noise exactly — the shipped sample demonstrates the mechanism but
+    * does NOT itself carry the formal ε-DP guarantee. The production
+    * contract is a SECRET seed (a keyed PRF, e.g. HMAC with a key held
+    * by the releasing party): swap the md5 for that PRF and the
+    * identical plan is ε-DP; seeded-but-secret DP is standard practice
+    * for reproducible releases. The final GREATEST(0, ·) clamp is
+    * post-processing — DP is closed under it.
     *
     * Shape at 100 TB: one narrow two-column projection, three
     * map-side-combined group-bys (groups bounded by the key
@@ -5126,7 +5149,7 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     fn = (s, d) => {
       import s.implicits._
       val e = Tables.events(s, d).select(
-        pmod($"user_id", lit(20L)).as("cohort"),
+        ($"user_id" % lit(20L)).as("cohort"),
         date_trunc("hour", $"ts").as("hr"),
         to_date($"ts").as("day"),
         coalesce($"event_type", lit("")).as("event_type"))
@@ -6757,6 +6780,14 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     * dense-id caveat and range-statistics remedy documented there apply.
     * All arithmetic is long-integer, so the decomposition is
     * bit-identical to the oracle's flat windows.
+    *
+    * The coarse level has a FIXED fan-out: bucket width is
+    * max(256, ceil((max doc_id + 1) / 65536)), so the single
+    * unpartitioned window never sees more than ~65536 rows at ANY
+    * corpus size (at 10¹⁰ docs the width is ~153k and the bucket table
+    * is still ≤65536 rows in one task). The width probe is a 1-row
+    * column-pruned max() — the bounded-collect class PlanAuditSpec's
+    * unpartitioned-window whitelist documents.
     */
   /** Q133 — exact two-sample Kolmogorov–Smirnov test between the stored
     * and held-out splits over document length: D = sup |F_train(x) −
@@ -6852,9 +6883,14 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
         .select($"doc_id", explode(array_distinct($"w")).as("term"))
         .groupBy($"term").agg(min($"doc_id").as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+      // fixed coarse fan-out: ≤ ~65536 buckets regardless of corpus
+      // size (1-row column-pruned probe; see scaladoc)
+      val maxDoc = Tables.documents(s, d)
+        .agg(max($"doc_id")).head().getLong(0)
+      val width = math.max(256L, (maxDoc + 65536L) / 65536L)
       val base = perDoc.join(newTerms, Seq("doc_id"), "left")
         .withColumn("n_new", coalesce($"n_new", lit(0L)))
-        .withColumn("bucket", ($"doc_id" / 256L).cast("long"))
+        .withColumn("bucket", ($"doc_id" / width).cast("long"))
       val bw = Window.orderBy($"bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = base.groupBy($"bucket")

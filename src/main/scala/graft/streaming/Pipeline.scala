@@ -1626,16 +1626,22 @@ object Pipeline {
     * The stored map is the (doc_id, md5, nw) projection the exact-dedup
     * admission path already maintains (q95's store / CardStore's hash
     * leg) — at 100 TB the gate joins the batch against that maintained
-    * artifact, never re-hashing stored text; here it projects the
-    * corpus directly (lazily — no corpus-sized checkpoint, the r10
-    * memory rule).
+    * artifact, never re-hashing stored text. Here, without a persisted
+    * hash store, the per-batch cost is kept BATCH-keyed the same way:
+    * the raw corpus is semi-joined on the batch's (broadcast) doc_id
+    * set FIRST, and only the touched rows enter [[TextOps
+    * .diffProjection]]'s md5/token hashing — the stored-only side the
+    * in2 = 1 restriction would discard is never hashed at all.
+    * Restricting v1 to the batch's keys is classification-preserving:
+    * every in2 = 1 row's doc_id is in the batch by definition, so its
+    * v1 partner (if any) survives the semi-join.
     */
   def runSnapshotDiffGateStream(s: SparkSession, corpusDir: String,
       inDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 10): StreamingQuery = {
     import graft.queries.TextOps
-    val stored = TextOps.diffProjection(
-      graft.sources.Tables.documents(s, corpusDir))
+    val storedRaw = graft.sources.Tables.documents(s, corpusDir)
+      .select(col("doc_id"), col("source"), col("text"))
     s.readStream
       .schema("ts TIMESTAMP, doc_id LONG, text STRING, source STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -1645,7 +1651,10 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val arriving = TextOps.diffProjection(
           batch.select(col("doc_id"), col("source"), col("text")))
-        TextOps.snapshotDiffRows(stored, arriving)
+        val storedTouched = TextOps.diffProjection(
+          storedRaw.join(broadcast(arriving.select(col("doc_id"))),
+            Seq("doc_id"), "left_semi"))
+        TextOps.snapshotDiffRows(storedTouched, arriving)
           .filter(col("in2") === 1L)
           .groupBy(col("source"))
           .agg(sum(col("in2")).as("n_batch"),

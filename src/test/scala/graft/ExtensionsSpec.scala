@@ -76,17 +76,45 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(hh.map(r => r.getString(0) -> r.getLong(1)).toMap ==
         Map("a" -> 2L, "b" -> 1L))
       // the probe's bloom argument must be a constant or scalar subquery
-      // (the engine passes a collected literal; SQL users use a subquery)
-      val probes = s.sql(
-        """SELECT bloom_might_contain(
-               (SELECT bloom_agg(xxhash64(t), 10L) FROM VALUES ('x'),('y') AS v(t)),
-               xxhash64('x')),
-             bloom_might_contain(
-               (SELECT bloom_agg(xxhash64(t), 10L) FROM VALUES ('x'),('y') AS v(t)),
-               xxhash64('zzz-absent'))""")
-        .head()
-      assert(probes.getBoolean(0))
-      assert(!probes.getBoolean(1))
+      // (the engine passes a collected literal; SQL users use a subquery).
+      // The subquery path once fell out of codegen (Spark's internal
+      // BloomFilterMightContain logs `ERROR CodeGenerator ... not an
+      // rvalue` and de-optimizes to the interpreter); graft's BloomProbe
+      // must run it clean — capture the codegen logger and assert zero
+      // ERROR events while the probe executes.
+      val codegenErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+          "graft-codegen-capture", null, null, false,
+          org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+          if (e.getLevel == org.apache.logging.log4j.Level.ERROR &&
+              e.getLoggerName.contains("CodeGenerator"))
+            codegenErrors.add(e.getMessage.getFormattedMessage)
+      }
+      appender.start()
+      val logCtx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      logCtx.getConfiguration.getRootLogger
+        .addAppender(appender, org.apache.logging.log4j.Level.ERROR, null)
+      logCtx.updateLoggers()
+      try {
+        val probes = s.sql(
+          """SELECT bloom_might_contain(
+                 (SELECT bloom_agg(xxhash64(t), 10L) FROM VALUES ('x'),('y') AS v(t)),
+                 xxhash64('x')),
+               bloom_might_contain(
+                 (SELECT bloom_agg(xxhash64(t), 10L) FROM VALUES ('x'),('y') AS v(t)),
+                 xxhash64('zzz-absent'))""")
+          .head()
+        assert(probes.getBoolean(0))
+        assert(!probes.getBoolean(1))
+      } finally {
+        logCtx.getConfiguration.getRootLogger.removeAppender("graft-codegen-capture")
+        logCtx.updateLoggers()
+        appender.stop()
+      }
+      assert(codegenErrors.isEmpty,
+        s"bloom probe fell out of whole-stage codegen: ${codegenErrors}")
     }
   }
 

@@ -35,6 +35,43 @@ class PlanAuditSpec extends SparkSpec {
       .flatMap(collectAll)
   }
 
+  /** Queries allowed to plan an UNPARTITIONED WindowExec, each with the
+    * reason its window input is bounded regardless of corpus size. Any
+    * query not listed here that plans one fails the audit below — an
+    * unpartitioned window is a single-task sort over its whole input,
+    * so "the input is provably small" must be an explicit, reviewed
+    * claim, not an accident. */
+  private val boundedUnpartitionedWindows: Map[String, String] = Map(
+    "q61_priority_sample" ->
+      "row_number over a limit(64) frame — TakeOrderedAndProject feeds ≤64 rows",
+    "q98_vocab_growth" ->
+      "coarse prefix sum over ≤~65536 buckets (fixed fan-out: width scales with max doc_id)",
+    "q109_funnel" -> "lag over exactly 4 funnel-stage rows",
+    "q165_funnel_time_budget" -> "lag over exactly 4 funnel-stage rows",
+    "q133_ks_split_test" ->
+      "cumulative sums over the distinct n_chars table — bounded by the document-length domain, not corpus size",
+    "q154_curriculum_phases" ->
+      "prefix sum over quality buckets: q in [0,2], 64 buckets/unit -> <=129 rows",
+    "q177_vocab_coverage" ->
+      "row_number over a limit(24) frame — TakeOrderedAndProject feeds <=24 rows")
+
+  test("every unpartitioned WindowExec input is in the bounded whitelist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan
+        val unpart = collectAll(plan).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (unpart.nonEmpty && !boundedUnpartitionedWindows.contains(name))
+          Some(s"$name (${unpart.size} unpartitioned WindowExec)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned windows outside the bounded whitelist: " +
+        offenders.mkString(", "))
+  }
+
   test("no declared query plans a cartesian product at sf0.001") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
