@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Windowed.all ++
       graft.queries.Retrieval.all ++
       graft.queries.GraphOps.all ++
-      graft.queries.LangId.all
+      graft.queries.LangId.all ++
+      graft.queries.Admission.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -460,7 +460,7 @@ object LangId {
     * prelude (rule labeling, training, fixed-point scoring, the per-doc
     * keep/drop margin in `piv`, labels in `lbl`) — q102 ranks it, q129
     * bins it; one string so both hash checks replay the SAME model. */
-  private val qualityOracleCtes: String = """
+  private[queries] val qualityOracleCtes: String = """
       WITH wsp AS (
         SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
       ), feat AS (

@@ -26,7 +26,7 @@ import graft.sources.Tables
 object TextOps {
 
   /** Whitespace word tokens. */
-  private def words(text: Column): Column = split(text, " ")
+  private[queries] def words(text: Column): Column = split(text, " ")
 
   /** Pathological-bucket guard for candidate generation (q18/q19/q20): a
     * bucket (shared prefix shingle / LSH band / SimHash byte) larger than
@@ -135,7 +135,7 @@ object TextOps {
   /** The word-3-gram shingle explode shared by the near-dup oracles
     * (q18/q19's pair select and q178's threshold sweep — one extracted
     * string, the replays cannot drift). */
-  private val nearDupShingleCtes = """
+  private[queries] val nearDupShingleCtes = """
       WITH docs AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
       ), shingled AS (
@@ -1249,7 +1249,7 @@ object TextOps {
     */
   private val mhBands = 16
   private val mhRows = 64 / mhBands
-  private[queries] def bandsOf(docs: DataFrame): DataFrame = {
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.withColumn("sig",
         graft.functions.expressions.minhash_signature($"hs"))

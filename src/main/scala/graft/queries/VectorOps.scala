@@ -612,16 +612,12 @@ object VectorOps {
     * ([[graft.streaming.Pipeline.runIncrementalVecDedupStream]]) loads
     * the same artifact and screens micro-batches with the same function.
     */
-  private val q83 = Q(
-    fn = (s, d) => {
-      import s.implicits._
-      val all = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"vec_id", $"label", $"embedding")
-      val idx = vecDedupIndexCached(s, d)
-      dedupVecAgainstIndex(all.filter($"vec_id" % 10 >= 8), idx)
-    },
-    oracle = Some(kmeansOracleCtes("WHERE vec_id % 10 < 8") + """,
+  /** The frozen-quantizer IVF cell assignment over ALL embeddings, as
+    * oracle CTEs appended after [[kmeansOracleCtes]] — ends with `asg`
+    * (vec_id, cell) and `qn` (vec_id, qv, qq). Shared by q83's oracle
+    * and the composed admission-pipeline oracle
+    * ([[graft.queries.Admission]]) so both replay the SAME assignment. */
+  private[queries] val ivfAssignCtes: String = """,
       a3 AS (
         SELECT vec_id, xq, cid AS cluster FROM d3
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
@@ -656,7 +652,18 @@ object VectorOps {
                    c.c_label) AS rn
           FROM qn n CROSS JOIN cn c
         ) WHERE rn = 1
-      )
+      )"""
+
+  private val q83 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val all = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label", $"embedding")
+      val idx = vecDedupIndexCached(s, d)
+      dedupVecAgainstIndex(all.filter($"vec_id" % 10 >= 8), idx)
+    },
+    oracle = Some(kmeansOracleCtes("WHERE vec_id % 10 < 8") + ivfAssignCtes + """
       SELECT a.vec_id AS new_vec_id, b.vec_id AS old_vec_id,
              CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
                   k -> x.qv[k] * y.qv[k])) AS DOUBLE)
@@ -1029,7 +1036,7 @@ object VectorOps {
     * oracle follows the scaled-k default at EVERY scale factor; like
     * q38's maxCell, the oracle pins the default `cellTarget` (1536) and
     * CORRECTNESS runs must use it. */
-  private def kmeansOracleCtes(where: String = ""): String = """
+  private[queries] def kmeansOracleCtes(where: String = ""): String = """
       WITH q AS (
         SELECT vec_id,
                list_transform(embedding,

@@ -1894,4 +1894,73 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** The COMPOSED ADMISSION PIPELINE (VERDICT r11 #1) — the single
+    * wired ingest path: every arriving micro-batch runs the full
+    * [[graft.queries.Admission.decide]] cascade (CDC → quality →
+    * three-screen decontamination → exact/lexical/embedding dedup
+    * probes) against the MAINTAINED state under `stateDir`, then the
+    * admitted survivors append to every store and artifact
+    * ([[graft.queries.Admission.appendAdmitted]]: corpus, hash store,
+    * MinHash index, IVF vectors, BM25 raw, card store). One stream, one
+    * checkpoint; every write is its own `batch=<id>` overwrite, so a
+    * crash-replayed batch rewrites its own partitions — idempotent end
+    * to end. StreamingSpec pins the end state row-identical to the
+    * batch composition on the same rows; q180 is the driver-gated
+    * lifecycle row over the same shared core.
+    *
+    * Per-batch order is load-bearing for crash safety: the decision
+    * frame is MATERIALIZED (decisions/batch=<id> write) before any
+    * store append mutates the state directories the lazy decision plan
+    * reads, and the admitted rows re-derive from the immutable source
+    * batch semi-joined on the persisted decisions — a replay after any
+    * partial failure reproduces both writes bit-identically.
+    *
+    * Scale shape: state reloads per batch are lazy partition-discovered
+    * unions (no corpus materialization); each probe broadcasts the
+    * batch side against in-place artifact scans; the card-flag gate
+    * compares against [[graft.queries.Admission.servedCardStore]] — the
+    * maintained aggregate, so the baseline EVOLVES with admissions
+    * instead of freezing at stream start.
+    */
+  def runAdmissionPipeline(s: SparkSession, corpusDir: String,
+      inDir: String, stateDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    import graft.queries.{Admission, TextOps}
+    Admission.seedState(s, corpusDir, stateDir)
+    val scr = Admission.screens(s, corpusDir)
+    s.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING, lang STRING, " +
+        "source STRING, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val wire = Admission.normalize(batch).persist()
+        try {
+          val st = Admission.readDedupState(s, stateDir)
+          // decisions FIRST (materializes the verdicts before appends
+          // mutate the state dirs the lazy plan reads)
+          Admission.decide(wire, st, scr)
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/decisions/batch=$batchId")
+          // advisory card-flag gate vs the MAINTAINED card aggregate
+          TextOps.dataCardFlags(
+              wire.select(col("source"), col("lang"), col("text")),
+              TextOps.cardsOfStore(Admission.servedCardStore(s, stateDir))
+                .localCheckpoint())
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/card_flags/batch=$batchId")
+          val admitted = wire.join(
+            s.read.parquet(s"$stateDir/decisions/batch=$batchId")
+              .filter(col("status") === "admitted").select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          Admission.appendAdmitted(s, stateDir, batchId, admitted)
+        } finally wire.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -481,6 +481,106 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$out/snapshot_diff/batch=*")) == before)
   }
 
+  test("composed admission pipeline: stream end-state == batch composition, idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.{Admission, TextOps, VectorOps}
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("adm_in")
+    val state = tmpDir("adm_state")
+    val ckpt = tmpDir("adm_ckpt")
+    // the SAME arrival fixture the q180 lifecycle row composes, split
+    // over two stream files (one micro-batch each)
+    val (b0, b1) = Admission.fixtureBatches(spark, corpus)
+    def lines(df: org.apache.spark.sql.DataFrame) = df.select(to_json(struct(
+      lit("2026-03-01 08:00:00").as("ts"), $"doc_id", $"text", $"lang",
+      $"source", $"embedding"))).collect().map(_.getString(0))
+    writeJsonl(in, "b1.jsonl", lines(b0).toIndexedSeq: _*)
+    writeJsonl(in, "b2.jsonl", lines(b1).toIndexedSeq: _*)
+    Pipeline.runAdmissionPipeline(spark, corpus, in, state, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // 1. per-batch decisions == the shared-core batch composition
+    val comp = Admission.batchComposition(spark, corpus)
+    val decGot = spark.read.option("basePath", s"$state/decisions")
+      .parquet(s"$state/decisions/batch=*")
+    comp.zipWithIndex.foreach { case ((_, dec), i) =>
+      assert(tab(decGot.filter($"batch" === i).drop("batch")) == tab(dec),
+        s"decisions batch $i")
+    }
+    // the admitted corpus under the composition
+    val admitted = comp.map { case (b, dec) =>
+      Admission.normalize(b).join(
+        dec.filter($"status" === "admitted").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+    }.reduce(_ unionByName _).localCheckpoint()
+    val stored = spark.read.parquet(s"$corpus/documents.parquet")
+      .filter($"doc_id" % 10 < 8)
+      .select($"doc_id", coalesce($"source", lit("")).as("source"),
+        $"lang", $"text")
+    val allDocs = stored.unionByName(admitted.drop("embedding"))
+      .localCheckpoint()
+    // 2. corpus + hash stores == stored ∪ admitted
+    assert(tab(spark.read.parquet(s"$state/corpus").drop("batch")) ==
+      tab(allDocs), "corpus store")
+    assert(tab(spark.read.parquet(s"$state/hashes").drop("batch")) ==
+      tab(allDocs.select($"doc_id", $"source",
+        md5(coalesce($"text", lit(""))).as("h"),
+        Admission.nwOf($"text").as("nw"))), "hash store")
+    // 3. MinHash index == fresh build over the union (the append law)
+    val freshSh = TextOps.shingleDocs(allDocs.select($"doc_id", $"text"))
+      .localCheckpoint()
+    assert(tab(spark.read.parquet(s"$state/minhash/shingles")
+      .select($"doc_id", $"n", $"hs")) ==
+      tab(freshSh.select($"doc_id", $"n", $"hs")), "minhash shingles")
+    assert(tab(spark.read.parquet(s"$state/minhash/bands")
+      .select($"doc_id", $"band", $"bh")) ==
+      tab(TextOps.bandsOf(freshSh)), "minhash bands")
+    // 4. IVF vectors == frozen-centroid assignment over the union
+    val cents = spark.read.parquet(s"$state/vec/centroids")
+    val expVecs = VectorOps.assignCells(
+        spark.read.parquet(s"$corpus/embeddings.parquet")
+          .filter($"vec_id" % 10 < 8).select($"vec_id", $"embedding")
+          .unionByName(admitted.filter($"embedding".isNotNull)
+            .select($"doc_id".as("vec_id"), $"embedding")),
+        cents).select($"vec_id", $"cell", $"embedding")
+    assert(tab(spark.read.parquet(s"$state/vec/vectors")
+      .select($"vec_id", $"cell", $"embedding")) == tab(expVecs),
+      "ivf vectors")
+    // 5. BM25 raw serving == rebuild over the union (array order inside
+    // a posting row is collect_list-nondeterministic — compare the
+    // exploded canonical rows)
+    val served = Admission.servedBm25(spark, state)
+    def postRows(p: org.apache.spark.sql.DataFrame) = tab(p
+      .select($"doc_id", $"len", explode(arrays_zip($"hs", $"tfs")).as("z"))
+      .select($"doc_id", $"len", $"z.hs", $"z.tfs"))
+    val freshPost = TextOps.bm25RawPostings(allDocs.select($"doc_id", $"text"))
+      .localCheckpoint()
+    assert(postRows(served.postings) == postRows(freshPost), "bm25 postings")
+    assert(tab(served.df) == tab(TextOps.bm25DfOf(freshPost)), "bm25 df")
+    val (n, sumLen) = TextOps.bm25TotalsOf(freshPost)
+    assert(served.n == n && served.sumLen == sumLen, "bm25 totals")
+    // 6. card store serving == rebuild over the union
+    assert(tab(TextOps.cardsOfStore(Admission.servedCardStore(spark, state))) ==
+      tab(TextOps.cardsOfStore(TextOps.cardStoreOf(
+        allDocs.select($"source", $"lang", $"text")))), "card store")
+    // 7. the advisory card-flag gate wrote per-batch verdicts
+    assert(spark.read.parquet(s"$state/card_flags").count() >= 0)
+    // 8. replay idempotence: re-run with no new files changes nothing
+    val before = (tab(decGot),
+      tab(spark.read.parquet(s"$state/corpus").drop("batch")),
+      tab(spark.read.parquet(s"$state/hashes").drop("batch")))
+    Pipeline.runAdmissionPipeline(spark, corpus, in, state, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val after = (tab(spark.read.option("basePath", s"$state/decisions")
+        .parquet(s"$state/decisions/batch=*")),
+      tab(spark.read.parquet(s"$state/corpus").drop("batch")),
+      tab(spark.read.parquet(s"$state/hashes").drop("batch")))
+    assert(before == after, "replay changed the end state")
+  }
+
   test("streaming decontamination gate: flags == batch screen, orientation == q160") {
     import org.apache.spark.sql.functions.{lit, struct, to_json}
     import spark.implicits._
