@@ -72,18 +72,48 @@ object Admission {
 
   private[graft] def screens(s: SparkSession, corpusDir: String): Screens = {
     import s.implicits._
-    val evalDocs = Tables.documents(s, corpusDir)
-      .filter(isEval($"doc_id")).select($"doc_id", $"text")
-    val sh = TextOps.shingleDocs(evalDocs).localCheckpoint()
-    Screens(
-      evalShingles = sh.select(explode($"hs").as("sh")).distinct()
-        .localCheckpoint(),
-      evalIdx = TextOps.buildMinHashIndex(sh),
-      evalEmb = Tables.embeddings(s, corpusDir).filter(isEval($"vec_id"))
+    // eval-bounded artifacts persist per JVM (IndexCache): bench reps,
+    // the stream and the batch composition share ONE build
+    val p = IndexCache.resolve(
+      s"admeval|${IndexCache.dataKey(corpusDir)}", "admeval") { path =>
+      val evalDocs = Tables.documents(s, corpusDir)
+        .filter(isEval($"doc_id")).select($"doc_id", $"text")
+      val sh = TextOps.shingleDocs(evalDocs).persist()
+      try {
+        sh.select($"doc_id", $"n", $"hs")
+          .write.mode("overwrite").parquet(s"$path/shingles")
+        TextOps.bandsOf(sh)
+          .write.mode("overwrite").parquet(s"$path/bands")
+        sh.select(explode($"hs").as("sh")).distinct()
+          .write.mode("overwrite").parquet(s"$path/evsh")
+      } finally sh.unpersist()
+      Tables.embeddings(s, corpusDir).filter(isEval($"vec_id"))
         .select($"vec_id".as("eval_id"), $"embedding".as("q_emb"))
-        .localCheckpoint(),
+        .write.mode("overwrite").parquet(s"$path/emb")
+    }
+    Screens(
+      evalShingles = s.read.parquet(s"$p/evsh"),
+      evalIdx = TextOps.MinHashIndex(
+        bands = s.read.parquet(s"$p/bands"),
+        shingles = s.read.parquet(s"$p/shingles")),
+      evalEmb = s.read.parquet(s"$p/emb"),
       quality = LangId.qualityModelCached(s, corpusDir),
       langid = LangId.langIdModelCached(s, corpusDir))
+  }
+
+  /** The stored split's (doc_id, h) content-hash projection, persisted
+    * per JVM — the maintained exact-dedup artifact the CDC and
+    * exact-dup stages probe (q95's store shape). */
+  private[graft] def storedHashesCached(s: SparkSession,
+      corpusDir: String): DataFrame = {
+    import s.implicits._
+    val p = IndexCache.resolve(
+      s"admhash|${IndexCache.dataKey(corpusDir)}", "admhash") { path =>
+      Tables.documents(s, corpusDir).filter($"doc_id" % 10 < 8)
+        .select($"doc_id", md5(coalesce($"text", lit(""))).as("h"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(p)
   }
 
   /** The mutable serving state a decision needs: the content-hash store
@@ -131,11 +161,14 @@ object Admission {
     val newDocs = cdc.filter($"h_stored".isNull)
       .select($"doc_id", $"source", $"lang", $"text", $"embedding", $"h", $"nw")
     // quality — q102's NB margin on the new docs
+    // materialized: every downstream stage filters through qPass, and
+    // without the checkpoint each would re-run the NB scoring pass
     val qm = LangId.langIdScoresAll(newDocs.select($"doc_id", $"text"), sc.quality)
       .groupBy($"doc_id")
       .agg(max(when($"lang" === "keep", $"score_fp")).as("s_keep"),
         max(when($"lang" === "drop", $"score_fp")).as("s_drop"))
       .select($"doc_id", ($"s_keep" - $"s_drop").as("margin_fp"))
+      .localCheckpoint()
     val qPass = newDocs.join(qm.filter($"margin_fp" > 0),
       Seq("doc_id"), "left_semi")
     // decontamination — q179's three screens, eval-bounded, on the
@@ -410,10 +443,8 @@ object Admission {
       d: String): Seq[(DataFrame, DataFrame)] = {
     import s.implicits._
     val sc = screens(s, d)
-    val stored = Tables.documents(s, d).filter($"doc_id" % 10 < 8)
     val st0 = DedupState(
-      hashes = stored.select($"doc_id",
-        md5(coalesce($"text", lit(""))).as("h")).localCheckpoint(),
+      hashes = storedHashesCached(s, d),
       idx = TextOps.minHashIndexCached(s, d),
       vecIdx = {
         val v = VectorOps.vecDedupIndexCached(s, d)

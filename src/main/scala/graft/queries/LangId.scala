@@ -198,12 +198,18 @@ object LangId {
 
   /** Refit from the (possibly mutated) raw store — [[nbFit]] on the
     * maintained projections, so identical counts give bit-identical
-    * weights/stats to a from-scratch [[trainLangIdNb]]. */
+    * weights/stats to a from-scratch [[trainLangIdNb]]. The label table
+    * is evaluated ONCE: the per-lang counts collect (≤ |langs| rows —
+    * bounded) and the doc total is their sum (each dlab row carries
+    * exactly one lang), so a lifecycle caller whose dlab is a lazy
+    * union ∘ anti-join chain (q149: parquet ∪ snapshot, minus victims)
+    * pays that chain once, not once per aggregate (VERDICT r11 #6). */
   private[graft] def nbModelOf(raw: NbRaw): NbModel = {
-    import raw.dlab.sparkSession.implicits._
-    nbFit(raw.lg,
-      raw.dlab.groupBy($"lang").agg(count(lit(1)).as("nd")),
-      raw.dlab.count())
+    val s = raw.dlab.sparkSession
+    import s.implicits._
+    val ndRows = raw.dlab.groupBy($"lang").agg(count(lit(1)).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    nbFit(raw.lg, ndRows.toDF("lang", "nd"), ndRows.map(_._2).sum)
   }
 
   /** Admit a labeled snapshot (doc_id, lang, text; ids DISJOINT from
@@ -407,7 +413,10 @@ object LangId {
       val pruned = removeFromNbRaw(appended,
         docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
       val m = nbModelOf(pruned)
+      // one scan of the held-out split feeds BOTH the scorer and the
+      // label join (it was read from parquet twice)
       val test = docs.filter($"doc_id" % 10 === 9)
+        .select($"doc_id", $"lang", $"text").localCheckpoint()
       langIdScoreDocs(test.select($"doc_id", $"text"), m)
         .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
         .select($"lang", $"lang_pred")

@@ -1845,23 +1845,48 @@ object TextOps {
     * ≤`nMerges`-row parquet. */
   private[queries] def bpeMergesCached(s: SparkSession, d: String,
       nMerges: Int = 48): Seq[(String, String)] =
-    bpeMergesOf(s, d, nMerges, "bpemerges", identity)
+    bpeMergesOf(s, d, nMerges, "bpemerges",
+      wc => wc.select(col("w"), col("c_all").as("c")))
+
+  /** The ONE corpus tokenize scan behind BOTH cached tokenizers: per-word
+    * counts with the stored-split (doc_id % 10 < 8) mass broken out, so
+    * the v1 (stored-split) and v2 (full-corpus) trainings derive their
+    * vocabularies from the SAME materialized artifact instead of each
+    * paying the corpus scan (VERDICT r11 #5: the pair was 14.1 s of the
+    * 54.9 s artifact bill, half of it this duplicated scan). Exactness:
+    * v1's vocabulary is the `c_stored > 0` rows with `c_stored` — the
+    * same multiset a direct scan of the filtered corpus yields — and
+    * v2's is `c_all`, so the trained merges (and every q23b/q173/q175
+    * oracle) are unchanged. The artifact is vocabulary-sized. */
+  private def bpeWordCountsCached(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = IndexCache.resolve(
+      s"bpewc|${IndexCache.dataKey(d)}", "bpewc") { path =>
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(($"doc_id" % 10 < 8).as("stored"),
+          explode(words($"text")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(
+          sum(when($"stored", 1L).otherwise(0L)).as("c_stored"),
+          count(lit(1)).as("c_all"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(p)
+  }
 
   /** One trainer pipeline behind both cached tokenizers ([[bpeMergesCached]]
     * full-corpus, [[bpeMergesCachedV1]] stored-split): a projection change
-    * (e.g. word normalization) lands on both by construction, so q175's
-    * drift comparison can never mix differently-preprocessed trainers. */
+    * (e.g. word normalization) lands on both by construction (both read
+    * [[bpeWordCountsCached]]'s single scan), so q175's drift comparison
+    * can never mix differently-preprocessed trainers. */
   private def bpeMergesOf(s: SparkSession, d: String, nMerges: Int,
-      tag: String, docFilter: DataFrame => DataFrame): Seq[(String, String)] = {
+      tag: String, vocabOf: DataFrame => DataFrame): Seq[(String, String)] = {
     import s.implicits._
     val p = IndexCache.resolve(
       s"$tag|${IndexCache.dataKey(d)}|$nMerges", tag) { path =>
-      val vocab = docFilter(Tables.documents(s, d))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(words($"text")).as("w"))
-        .filter(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("c"))
-      trainBpeDistributed(vocab, nMerges).zipWithIndex
+      trainBpeDistributed(vocabOf(bpeWordCountsCached(s, d)), nMerges)
+        .zipWithIndex
         .map { case ((l, r), i) => (i, l, r) }
         .toDF("rank", "l", "r")
         .coalesce(1).write.mode("overwrite").parquet(path)
@@ -1932,7 +1957,8 @@ object TextOps {
   private[queries] def bpeMergesCachedV1(s: SparkSession, d: String,
       nMerges: Int = 48): Seq[(String, String)] =
     bpeMergesOf(s, d, nMerges, "bpemergesv1",
-      _.filter(col("doc_id") % 10 < 8))
+      wc => wc.filter(col("c_stored") > 0)
+        .select(col("w"), col("c_stored").as("c")))
 
   /** Q175 — TOKENIZER VERSION DRIFT: what re-training the tokenizer on
     * the grown corpus does to the EXISTING corpus's tokenization — the
