@@ -335,40 +335,58 @@ object Admission {
       .parquet(s"$stateDir/vec/vectors/batch=$batchId")
   }
 
-  private def readPart(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(dir)
+  /** Read a batch-partitioned store, keeping only partitions BEFORE
+    * `before` (when given). This is the crash-replay guard: a
+    * micro-batch that crashed AFTER its appends landed but BEFORE the
+    * checkpoint commit is replayed under the same batchId — if its
+    * decision read saw its OWN partitions, its documents would
+    * classify as already-stored (`redelivered`), the replay would
+    * overwrite the decisions with rejections and the appends with
+    * empty partitions, losing the batch. Excluding `batch >= before`
+    * makes the state a batch sees a pure function of the PRIOR
+    * batches, so a replay reproduces the original decisions and
+    * appends bit-identically (StreamingSpec simulates the torn commit
+    * by deleting the checkpoint's commit marker). */
+  private def readPart(s: SparkSession, dir: String,
+      before: Option[Long] = None): DataFrame = {
+    val df = s.read.parquet(dir)
+    before.fold(df)(b => df.filter(col("batch") < b))
+  }
 
   /** The decision-serving state over the partition-discovered union —
-    * lazy frames: each [[decide]] call sees every admitted batch
-    * written so far. */
-  private[graft] def readDedupState(s: SparkSession,
-      stateDir: String): DedupState = {
+    * lazy frames. `before` (the current batchId on the streaming path)
+    * excludes this batch's own partially-written partitions, see
+    * [[readPart]]. */
+  private[graft] def readDedupState(s: SparkSession, stateDir: String,
+      before: Option[Long] = None): DedupState = {
     import s.implicits._
     DedupState(
-      hashes = readPart(s, s"$stateDir/hashes").select($"doc_id", $"h"),
+      hashes = readPart(s, s"$stateDir/hashes", before)
+        .select($"doc_id", $"h"),
       idx = TextOps.MinHashIndex(
-        bands = readPart(s, s"$stateDir/minhash/bands")
+        bands = readPart(s, s"$stateDir/minhash/bands", before)
           .select($"doc_id", $"band", $"bh"),
-        shingles = readPart(s, s"$stateDir/minhash/shingles")
+        shingles = readPart(s, s"$stateDir/minhash/shingles", before)
           .select($"doc_id", $"n", $"hs")),
       vecIdx = VectorOps.VecDedupIndex(
         centroids = readPart(s, s"$stateDir/vec/centroids"),
-        vectors = readPart(s, s"$stateDir/vec/vectors")
+        vectors = readPart(s, s"$stateDir/vec/vectors", before)
           .select($"vec_id", $"cell", $"embedding")))
   }
 
   /** Serve the maintained card store (q161's aggregation of the
     * per-batch deltas — exact because every store is count-additive). */
-  private[graft] def servedCardStore(s: SparkSession,
-      stateDir: String): TextOps.CardStore = {
+  private[graft] def servedCardStore(s: SparkSession, stateDir: String,
+      before: Option[Long] = None): TextOps.CardStore = {
     import s.implicits._
     TextOps.CardStore(
-      sums = readPart(s, s"$stateDir/cards/sums").groupBy($"source").agg(
-        sum($"n_docs").as("n_docs"), sum($"ws_tokens").as("ws_tokens"),
-        sum($"n_short_docs").as("n_short_docs")),
-      langs = readPart(s, s"$stateDir/cards/langs")
+      sums = readPart(s, s"$stateDir/cards/sums", before)
+        .groupBy($"source").agg(
+          sum($"n_docs").as("n_docs"), sum($"ws_tokens").as("ws_tokens"),
+          sum($"n_short_docs").as("n_short_docs")),
+      langs = readPart(s, s"$stateDir/cards/langs", before)
         .groupBy($"source", $"lang").agg(sum($"c").as("c")),
-      hashes = readPart(s, s"$stateDir/cards/hashes")
+      hashes = readPart(s, s"$stateDir/cards/hashes", before)
         .groupBy($"source", $"h").agg(sum($"c").as("c")))
   }
 

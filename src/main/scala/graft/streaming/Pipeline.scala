@@ -1939,7 +1939,12 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val wire = Admission.normalize(batch).persist()
         try {
-          val st = Admission.readDedupState(s, stateDir)
+          // state read EXCLUDES this batch's own partitions: a replay
+          // after a torn commit (appends landed, checkpoint didn't)
+          // must see exactly the prior batches' state, or its docs
+          // would classify as redelivered and the replay would
+          // overwrite the batch with rejections (Admission.readPart)
+          val st = Admission.readDedupState(s, stateDir, Some(batchId))
           // decisions FIRST (materializes the verdicts before appends
           // mutate the state dirs the lazy plan reads)
           Admission.decide(wire, st, scr)
@@ -1948,7 +1953,8 @@ object Pipeline {
           // advisory card-flag gate vs the MAINTAINED card aggregate
           TextOps.dataCardFlags(
               wire.select(col("source"), col("lang"), col("text")),
-              TextOps.cardsOfStore(Admission.servedCardStore(s, stateDir))
+              TextOps.cardsOfStore(
+                Admission.servedCardStore(s, stateDir, Some(batchId)))
                 .localCheckpoint())
             .write.mode("overwrite")
             .parquet(s"$stateDir/card_flags/batch=$batchId")

@@ -579,6 +579,24 @@ class StreamingSpec extends SparkSpec {
       tab(spark.read.parquet(s"$state/corpus").drop("batch")),
       tab(spark.read.parquet(s"$state/hashes").drop("batch")))
     assert(before == after, "replay changed the end state")
+    // 9. TORN COMMIT: the appends landed but the checkpoint commit
+    // didn't — delete batch 1's commit marker and re-run. The replayed
+    // batch must see only PRIOR batches' state (Admission.readPart's
+    // before-filter): without it, batch 1's own appended hashes would
+    // classify its docs as redelivered and the replay would overwrite
+    // the batch with rejections and empty appends.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "1"))
+    // the local checksum FS keeps a .crc sibling; it must go too or the
+    // replayed commit's rename fails
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    Pipeline.runAdmissionPipeline(spark, corpus, in, state, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val afterTorn = (tab(spark.read.option("basePath", s"$state/decisions")
+        .parquet(s"$state/decisions/batch=*")),
+      tab(spark.read.parquet(s"$state/corpus").drop("batch")),
+      tab(spark.read.parquet(s"$state/hashes").drop("batch")))
+    assert(before == afterTorn, "torn-commit replay diverged")
   }
 
   test("streaming decontamination gate: flags == batch screen, orientation == q160") {
