@@ -382,13 +382,34 @@ object MultimodalQ {
       .select($"fid", $"h", $"bb.band".as("band"), $"bb.bv".as("bv"))
   }
 
+  /** 4×16-bit multi-index-hashing banding (Norouzi et al., CVPR 2012)
+    * of a [[frameHashes]] frame: (fid, h, band ∈ 0..3, bv — a 16-bit
+    * substring of h). The SERVING index's layout: a Hamming ≤ 7 pair
+    * has, by pigeonhole over 4 chunks, some chunk with ≤ 1 differing
+    * bit, so probing each query chunk value plus its 16 one-bit
+    * perturbations finds EVERY true match — exact like the 8×8-bit
+    * banding, but 2¹⁶ buckets per band instead of 2⁸ make the
+    * candidate join ~30× more selective (the r12 x100 replay measured
+    * the 8-bit scheme at 764 s: 256 buckets over millions of frames is
+    * a quadratic blow-up by construction). */
+  private[graft] def mihBands(frames: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    frames.select($"fid", $"h",
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright($"h", b * 16).bitwiseAND(65535).as("bv"))): _*)).as("bb"))
+      .select($"fid", $"h", $"bb.band".as("band"), $"bb.bv".as("bv"))
+  }
+
   /** The persisted perceptual frame index over a stored corpus: one
-    * table (band, bv, fid, h) — 8 rows per stored full frame, carrying
-    * the full hash so Hamming verification never touches stored
-    * content (the [[graft.queries.TextOps.MinHashIndex]] shape with
-    * bands and verification operand fused — h IS 8 bytes, so a
-    * separate shingles-style table would save nothing). Cached per JVM
-    * over the `doc_id % 10 < 8` stored split (q82/q95/q135's split
+    * table (band, bv, fid, h) — 4 MIH rows per stored full frame
+    * ([[mihBands]]), carrying the full hash so Hamming verification
+    * never touches stored content (the
+    * [[graft.queries.TextOps.MinHashIndex]] shape with bands and
+    * verification operand fused — h IS 8 bytes, so a separate
+    * shingles-style table would save nothing). Cached per JVM over the
+    * `doc_id % 10 < 8` stored split (q82/q95/q135's split
     * convention). */
   private[graft] def framePhashIndexCached(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -398,7 +419,7 @@ object MultimodalQ {
       val stored = Multimodal.asMedia(Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .filter($"doc_id" % 10 < 8))
-      phashBands(frameHashes(stored))
+      mihBands(frameHashes(stored))
         .select($"band", $"bv", $"fid", $"h")
         .write.mode("overwrite").parquet(p)
     })
@@ -427,15 +448,20 @@ object MultimodalQ {
     * completing the incremental-admission matrix (q95 exact text,
     * q82 MinHash text, q83 embedding, q136 perceptual frame).
     *
-    * Scale shape: the arriving snapshot is bounded by contract; its
-    * banded frames enter ONE equi-join against the index, which is
-    * only ever scanned in place — AQE broadcasts the snapshot side at
-    * any realistic batch size and degrades to a shuffle join beyond
-    * (no hint, this round's verifyPairs rule). Candidates are
-    * distinct-collapsed before the Hamming filter; 8 bands over ≤ 7
-    * flipped bits make the probe EXACT by pigeonhole (q134's
-    * argument), so the report equals the brute-force new×old
-    * comparison — which is precisely what the DuckDB oracle replays.
+    * Scale shape: the probe runs at the DISTINCT-HASH level (matching
+    * is a pure function of the 64-bit hash) through the [[mihBands]]
+    * multi-index — each distinct arriving hash probes, per 16-bit
+    * band, its chunk value plus all 16 one-bit perturbations (17
+    * probes × 4 bands = 68 bucket lookups). Pigeonhole over 4 chunks:
+    * a Hamming ≤ 7 pair has a chunk with ≤ 1 differing bit, so the
+    * probe set covers EVERY true match and the Hamming filter
+    * verifies exactly — the report equals the brute-force new×old
+    * comparison, which is precisely what the DuckDB oracle replays
+    * (via the equivalent 8×8-bit pigeonhole — both candidate schemes
+    * are supersets of the true match set, so the verified results are
+    * identical). The arriving snapshot is bounded by contract; AQE
+    * broadcasts its probe side at any realistic batch size and
+    * degrades to a shuffle join beyond (no hint, verifyPairs' rule).
     */
   private[graft] def frameDupAgainstIndex(newMedia: org.apache.spark.sql.DataFrame,
       idxBands: org.apache.spark.sql.DataFrame, maxHam: Int = 7)
@@ -449,18 +475,38 @@ object MultimodalQ {
     // The final localCheckpoint materializes the BOUNDED per-doc report
     // before the unpersist; its blocks are ContextCleaner-collected when
     // the returned frame goes out of scope (dedupAgainstIndex's shape).
+    // MIH's single-perturbation probe set covers Hamming ≤ 7 over 4
+    // chunks; a larger radius would need a wider perturbation
+    // enumeration — fail loudly rather than silently lose recall
+    require(maxHam <= 7,
+      s"frameDupAgainstIndex: maxHam=$maxHam exceeds the 4x16-bit " +
+        "multi-index's single-bit probe guarantee (<= 7)")
     val fresh = frameHashes(newMedia).persist()
     try {
-      val cand = phashBands(fresh)
-        .select($"band", $"bv", $"fid".as("new_fid"), $"h".as("h_new"))
-        .join(idxBands.select($"band", $"bv", $"fid".as("old_fid"), $"h".as("h_old")),
-          Seq("band", "bv"))
-        .select($"new_fid", $"h_new", $"old_fid", $"h_old")
-        .distinct()
-      val matched = cand
+      // distinct-hash level (matching is a pure function of h), MIH
+      // probe: chunk value + 16 one-bit perturbations per band — see
+      // the scaladoc; the r12 x100 replay measured the former 8-bit
+      // frame-level join at 764 s (quadratic bucket blow-up)
+      val probes = (0 until 4).flatMap { b =>
+        val chunk = shiftright($"h", b * 16).bitwiseAND(65535)
+        (-1 until 16).map { i =>
+          val bv = if (i < 0) chunk
+            else chunk.bitwiseXOR(lit(1 << i)).bitwiseAND(65535)
+          struct(lit(b).as("band"), bv.as("bv"))
+        }
+      }
+      val newProbes = fresh.select($"h").distinct()
+        .select($"h".as("h_new"), explode(array(probes: _*)).as("bb"))
+        .select($"h_new", $"bb.band".as("band"), $"bb.bv".as("bv"))
+        .distinct() // a perturbation can collide with the base chunk
+      val oldBands = idxBands
+        .select($"band", $"bv", $"h".as("h_old")).distinct()
+      val matchedH = newProbes
+        .join(oldBands, Seq("band", "bv"))
         .filter(expr(s"bit_count(h_new ^ h_old) <= $maxHam"))
-        .select($"new_fid").distinct()
-        .select(expr("new_fid div 4096").as("doc_id"))
+        .select($"h_new".as("h")).distinct()
+      val matched = fresh.join(matchedH, Seq("h"), "left_semi")
+        .select(expr("fid div 4096").as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_matched_frames"))
       fresh.groupBy($"doc_id").agg(count(lit(1)).as("n_full_frames"))
         .join(matched, Seq("doc_id"), "left")

@@ -466,7 +466,7 @@ class QueriesSpec extends SparkSpec {
     // rebuilding the bands over the survivor split
     val docs = graft.sources.Tables.documents(spark, sf0001)
     def bandsOf(df: org.apache.spark.sql.DataFrame) =
-      MultimodalQ.phashBands(MultimodalQ.frameHashes(
+      MultimodalQ.mihBands(MultimodalQ.frameHashes(
         graft.multimodal.Multimodal.asMedia(df)))
         .select("band", "bv", "fid", "h")
     val fIdx = bandsOf(docs.filter($"doc_id" % 10 < 8))
