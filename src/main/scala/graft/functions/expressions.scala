@@ -1412,16 +1412,20 @@ object expressions {
       else requireType(right, LongType, "bloom_might_contain")
     }
     // per-task memo: tasks deserialize their own expression copy, so the
-    // mutable cache is task-confined (no cross-thread sharing)
-    @transient private var cachedBytes: Array[Byte] = _
-    @transient private var cachedFilter: org.apache.spark.util.sketch.BloomFilter = _
+    // cache is task-confined in practice — but (bytes, filter) live in ONE
+    // immutable pair assigned atomically, so even a hypothetically shared
+    // instance can never observe one thread's bytes paired with another's
+    // filter (a torn read sees a consistent pair or misses and re-derives)
+    @transient private var cached:
+        (Array[Byte], org.apache.spark.util.sketch.BloomFilter) = _
     def probe(bloom: Array[Byte], v: Long): Boolean = {
-      if (!(bloom eq cachedBytes)) {
-        cachedFilter = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(bloom))
-        cachedBytes = bloom
+      var c = cached
+      if (c == null || !(bloom eq c._1)) {
+        c = (bloom, org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bloom)))
+        cached = c
       }
-      cachedFilter.mightContainLong(v)
+      c._2.mightContainLong(v)
     }
     override def nullSafeEval(b: Any, v: Any): Any =
       probe(b.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])

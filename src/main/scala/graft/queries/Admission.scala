@@ -129,11 +129,15 @@ object Admission {
       .cast("long")
 
   /** Normalize an arriving frame to the admission wire shape
-    * (doc_id, source, lang, text, embedding). */
+    * (doc_id, source, lang, text, embedding). Text coalesces to '' HERE —
+    * the single entry point — so a null-text wire record gets a decision
+    * row under exactly [[decide]]'s semantics on both the streaming and
+    * batch paths (the stream used to drop null texts at the source, which
+    * made stream == batch parity data-dependent rather than structural). */
   private[graft] def normalize(batch: DataFrame): DataFrame = {
     import batch.sparkSession.implicits._
     batch.select($"doc_id", coalesce($"source", lit("")).as("source"),
-      $"lang", $"text", $"embedding")
+      $"lang", coalesce($"text", lit("")).as("text"), $"embedding")
   }
 
   /** The per-batch decision core — one row per arriving document with

@@ -495,10 +495,15 @@ object MultimodalQ {
           struct(lit(b).as("band"), bv.as("bv"))
         }
       }
+      // no distinct over the probe rows: for one h_new the 17 probes of a
+      // band are pairwise distinct (XOR with a nonzero single bit never
+      // equals the base chunk), bands ride in the row, and h_new itself
+      // distinguishes the rest — the row set is duplicate-free by
+      // construction, and matchedH's own distinct collapses multi-band
+      // hits, so the removed exchange changed no result row
       val newProbes = fresh.select($"h").distinct()
         .select($"h".as("h_new"), explode(array(probes: _*)).as("bb"))
         .select($"h_new", $"bb.band".as("band"), $"bb.bv".as("bv"))
-        .distinct() // a perturbation can collide with the base chunk
       val oldBands = idxBands
         .select($"band", $"bv", $"h".as("h_old")).distinct()
       val matchedH = newProbes

@@ -1934,7 +1934,12 @@ object Pipeline {
         "source STRING, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inDir)
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      // null TEXT is admitted to the cascade (normalize coalesces it to
+      // '', so the doc gets a decision row exactly as the batch
+      // composition would decide it — stream == batch is structural, not
+      // an accident of the data); only a null doc_id (corrupt wire line)
+      // has no identity to decide and is dropped
+      .filter(col("doc_id").isNotNull)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val wire = Admission.normalize(batch).persist()

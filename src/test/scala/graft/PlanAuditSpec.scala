@@ -55,17 +55,26 @@ class PlanAuditSpec extends SparkSpec {
     "q177_vocab_coverage" ->
       "row_number over a limit(24) frame — TakeOrderedAndProject feeds <=24 rows")
 
+  /** One executedPlan per query, built ON FIRST USE and shared by both
+    * audits below. Constructing a plan runs the query's eager segments
+    * (localCheckpoints, driver collects, index builds) — for the
+    * lifecycle compositions (q180-style two-batch stacks) that is the
+    * full query cost, so paying it once per suite instead of once per
+    * test keeps the audit's cost linear in the catalog (ADVICE r12). */
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf0001).queryExecution.executedPlan
+    }
+
   test("every unpartitioned WindowExec input is in the bounded whitelist") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf0001).queryExecution.executedPlan
-        val unpart = collectAll(plan).collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
-        }
-        if (unpart.nonEmpty && !boundedUnpartitionedWindows.contains(name))
-          Some(s"$name (${unpart.size} unpartitioned WindowExec)")
-        else None
+    val offenders = plans.flatMap { case (name, plan) =>
+      val unpart = collectAll(plan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (unpart.nonEmpty && !boundedUnpartitionedWindows.contains(name))
+        Some(s"$name (${unpart.size} unpartitioned WindowExec)")
+      else None
     }
     assert(offenders.isEmpty,
       "unpartitioned windows outside the bounded whitelist: " +
@@ -73,11 +82,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no declared query plans a cartesian product at sf0.001") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf0001).queryExecution.executedPlan
-        val cart = collectAll(plan).collect { case c: CartesianProductExec => c }
-        if (cart.nonEmpty) Some(name) else None
+    val offenders = plans.flatMap { case (name, plan) =>
+      val cart = collectAll(plan).collect { case c: CartesianProductExec => c }
+      if (cart.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"cartesian products in: ${offenders.mkString(", ")}")
