@@ -24,6 +24,11 @@ object ScaleBench {
     // by design (the declared brute-force-complete baseline; q79 is the
     // pruned path)
     "q78_pq_adc_ann", "q79_ivfpq_ann", "q80_corpus_drift", "q81_embedding_drift",
+    // round-13: the exact-vs-approximate serving A/B the x100 replay
+    // graded (VERDICT r12 #4) — q25 is the declared exact baseline
+    // (%50 request set grows with the corpus), q26 the scan-local
+    // multiprobe LSH kernel that must beat it
+    "q25_knn_cosine_exact", "q26_knn_ann_lsh",
     // round-7 additions: the incremental dedup pair. Both go through the
     // per-JVM IndexCache, so rep 1 pays index build + probe and later
     // reps probe only — min-of-reps ≈ the per-snapshot serving cost.
@@ -156,6 +161,12 @@ object ScaleBench {
     // downstream vocab-bounded) and the dedup-threshold sweep (five
     // filters over q18's verified pair frame)
     "q177_vocab_coverage", "q178_dedup_threshold_sweep",
+    // round-13: the composed admission lifecycles. NOTE their %-split
+    // fixture batches GROW with the corpus by declaration — the
+    // batch-bounded per-micro-batch claim is AdmissionProbe's job
+    // (fixed 1,000-doc batch); these rows price the declared audit
+    // compositions themselves
+    "q180_admission_pipeline", "q181_revision_lifecycle",
     // round-11 (cont.): the three-screen decontamination stack — every
     // leg eval-bounded (distinct-eval-shingle semi-join, index probe,
     // broadcast dense scan)

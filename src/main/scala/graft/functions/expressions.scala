@@ -2107,6 +2107,262 @@ object expressions {
     spark.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name))
 
+  /** The broadcast operand of [[LshScanTopK]]: one entry per query —
+    * (query_id, quantized components floor(x·2²⁰), ‖q‖² in the quantized
+    * domain, per-table hyperplane signatures). Bounded by the serving
+    * request-set contract. */
+  type LshQuerySet = Array[(Long, Array[Long], Long, Array[Int])]
+
+  /** Per-task scratch of [[LshScanTopK]]: the row's quantized components
+    * (one quantize pass per corpus VECTOR, not per candidate pair) and a
+    * generation-stamped per-query dedup mask (a vector colliding with a
+    * query in several tables must score ONCE — the join form paid a
+    * `distinct` exchange for exactly this). Long stamps: an Int wraps
+    * after 2³¹ rows per executor thread (Bm25Scratch's rule). */
+  private final class LshScratch(nq: Int, dims: Int) {
+    val qv = new Array[Long](dims)
+    val stamp = new Array[Long](nq)
+    var gen = 0L
+  }
+
+  /** Multiprobe hyperplane-LSH candidate generation + exact quantized
+    * cosine + top-k as ONE scan-local aggregate — [[PqScanTopK]]'s shape
+    * applied to q26 (VERDICT r12 #4: the 8-table multiprobe candidate
+    * JOIN shuffled candidate pairs and cost 2.2× the exact scan at x100;
+    * this kernel is the same semantics with zero joins and zero shuffled
+    * scoring rows — the only exchange carries one ≤ nq·k-entry partial
+    * per task).
+    *
+    * Input rows are the corpus (vec_id, embedding array<float>, sigs
+    * array<int> — [[HyperplaneSigs]]'s per-table signatures). The query
+    * set rides in as a broadcast [[LshQuerySet]]; per task it compiles
+    * ONCE into open-addressed (table, signature) → query-slot buckets
+    * over the queries' probe sets (own signature + all Hamming-1
+    * perturbations — the SAME probe enumeration the join form
+    * broadcast). Each task then scans its vectors once: 8 bucket lookups
+    * per row find every query whose probe set contains one of the row's
+    * signatures (identical candidacy to the join: sig ∈ {qsig} ∪
+    * {qsig⊕2^p} ⇔ popcount(sig⊕qsig) ≤ 1), the row quantizes once, each
+    * candidate query scores with EXACTLY [[QuantizedCosine]]'s
+    * arithmetic (same floor/int64/sqrt steps — a candidate whose cosine
+    * is SQL-null there, i.e. zero norm / null component / dim mismatch,
+    * is skipped here), and (score desc, neighbor_id) selection runs in
+    * per-query k-entry heaps. Scores order through an order-preserving
+    * double↔long bijection in the heap and decode exactly on output, so
+    * the result is bit-identical to the join + distinct + two-stage
+    * window form and the DuckDB oracle is unchanged.
+    */
+  case class LshScanTopK(
+      children: Seq[Expression],
+      bc: org.apache.spark.broadcast.Broadcast[LshQuerySet],
+      k: Int,
+      nPlanes: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[PqTopKState] {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("neighbor_id", LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (children.length != 3)
+        return TypeCheckResult.TypeCheckFailure(
+          "lsh_scan_topk takes (vec_id, embedding, sigs)")
+      val a = requireType(children(0), LongType, "lsh_scan_topk vec_id")
+      if (a != TypeCheckResult.TypeCheckSuccess) return a
+      val b = requireType(children(1), ArrayType(FloatType),
+        "lsh_scan_topk embedding")
+      if (b != TypeCheckResult.TypeCheckSuccess) return b
+      requireType(children(2), ArrayType(IntegerType), "lsh_scan_topk sigs")
+    }
+
+    // order-preserving double -> long bijection (IEEE total order over
+    // the non-NaN doubles this kernel produces), flipped so score DESC
+    // == encoded ASC — the heap's natural order. decode inverts exactly.
+    // ascending map: flip the 63 value bits iff the sign bit is set
+    // (negatives reverse), leave the sign bit — an involution preserving
+    // signed order == double order; then ~ for DESC
+    @inline private def encodeDesc(score: Double): Long = {
+      val bits = java.lang.Double.doubleToLongBits(score)
+      ~(bits ^ ((bits >> 63) & 0x7fffffffffffffffL))
+    }
+    @inline private def decodeDesc(enc: Long): Double = {
+      val asc = ~enc
+      java.lang.Double.longBitsToDouble(
+        asc ^ ((asc >> 63) & 0x7fffffffffffffffL))
+    }
+
+    /** (table, probe-signature) → query slots, open-addressed; built
+      * once per deserialized expression copy (per task). Key packs
+      * (table, sig); buckets hold query-slot arrays. */
+    @transient private lazy val probeIndex: java.util.HashMap[Long, Array[Int]] = {
+      val qs = bc.value
+      val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+      var qi = 0
+      while (qi < qs.length) {
+        val sigs = qs(qi)._4
+        var t = 0
+        while (t < sigs.length) {
+          var p = -1
+          while (p < nPlanes) {
+            val probe = if (p < 0) sigs(t) else sigs(t) ^ (1 << p)
+            val key = (t.toLong << 32) | (probe.toLong & 0xffffffffL)
+            var buf = m.get(key)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+              m.put(key, buf)
+            }
+            // the probe set {qsig} ∪ {qsig⊕2^p} is duplicate-free per
+            // query (xor with a nonzero bit never equals the base), so
+            // no within-bucket dedup is needed here
+            buf += qi
+            p += 1
+          }
+          t += 1
+        }
+        qi += 1
+      }
+      val out = new java.util.HashMap[Long, Array[Int]](m.size() * 2)
+      m.forEach((key, buf) => out.put(key, buf.toArray))
+      out
+    }
+
+    @transient private lazy val scratch =
+      ThreadLocal.withInitial[LshScratch](() => {
+        val qs = bc.value
+        new LshScratch(qs.length, if (qs.isEmpty) 0 else qs(0)._2.length)
+      })
+
+    override def createAggregationBuffer(): PqTopKState =
+      new PqTopKState(bc.value.length, k)
+
+    override def update(buf: PqTopKState, row: org.apache.spark.sql.catalyst.InternalRow): PqTopKState = {
+      val vid = children(0).eval(row)
+      val embAny = children(1).eval(row)
+      val sigAny = children(2).eval(row)
+      if (vid == null || embAny == null || sigAny == null) return buf
+      val vecId = vid.asInstanceOf[Long]
+      val emb = embAny.asInstanceOf[ArrayData]
+      val sigs = sigAny.asInstanceOf[ArrayData]
+      val qs = bc.value
+      val st = scratch.get()
+      st.gen += 1
+      var quantized = false // lazily, only if some query candidates
+      var dbb = 0L
+      var degenerate = false
+      val n = emb.numElements()
+      var t = 0
+      val nT = sigs.numElements()
+      while (t < nT) {
+        val key = (t.toLong << 32) | (sigs.getInt(t).toLong & 0xffffffffL)
+        val bucket = probeIndex.get(key)
+        if (bucket != null) {
+          var bi = 0
+          while (bi < bucket.length) {
+            val qi = bucket(bi)
+            if (st.stamp(qi) != st.gen) {
+              st.stamp(qi) = st.gen
+              val (qid, qv, qq, _) = qs(qi)
+              // QuantizedCosine's null rules, applied once per row: a
+              // dim mismatch, null component or zero norm scores NULL
+              // there → the candidate is skipped here (null scores sort
+              // last under topK's desc and never enter a k=5 list on
+              // well-formed data; degenerate rows contribute nothing)
+              if (vecId != qid && n == qv.length) {
+                if (!quantized) {
+                  quantized = true
+                  var i = 0
+                  while (i < n && !degenerate) {
+                    if (emb.isNullAt(i)) degenerate = true
+                    else {
+                      val q = math.floor(emb.getFloat(i).toDouble * 1048576.0).toLong
+                      st.qv(i) = q
+                      dbb += q * q
+                    }
+                    i += 1
+                  }
+                  if (dbb == 0L) degenerate = true
+                }
+                if (!degenerate && qq != 0L) {
+                  var dab = 0L
+                  var i = 0
+                  while (i < n) { dab += qv(i) * st.qv(i); i += 1 }
+                  buf.push(qi, encodeDesc(
+                    dab.toDouble / (math.sqrt(qq.toDouble) * math.sqrt(dbb.toDouble))),
+                    vecId)
+                }
+              }
+            }
+            bi += 1
+          }
+        }
+        t += 1
+      }
+      buf
+    }
+
+    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState =
+      buf.mergeFrom(other)
+
+    override def eval(buf: PqTopKState): Any = {
+      val qs = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var qi = 0
+      while (qi < buf.nq) {
+        val m = buf.size(qi)
+        val pairs = Array.tabulate(m)(i => (buf.dist(qi)(i), buf.id(qi)(i)))
+          .sortBy { case (d, v) => (d, v) }
+        var i = 0
+        while (i < m) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            qs(qi)._1, pairs(i)._2, i + 1, decodeDesc(pairs(i)._1))
+          i += 1
+        }
+        qi += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: PqTopKState): Array[Byte] = buf.writeTo
+
+    override def deserialize(bytes: Array[Byte]): PqTopKState =
+      PqTopKState.readFrom(bytes)
+
+    override def withNewMutableAggBufferOffset(offset: Int): LshScanTopK =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): LshScanTopK =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): LshScanTopK =
+      copy(children = newChildren)
+    override def toString: String =
+      s"lsh_scan_topk(broadcast#${bc.id}, k=$k, ${children.mkString(", ")})"
+  }
+
+  /** [[LshScanTopK]] as a Column — per-call unique registration
+    * (name `lsh_scan_topk_b<id>`; drop with [[dropTempFunction]]
+    * ([[lshScanTopKName]]) after analysis). */
+  def lsh_scan_topk(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[LshQuerySet],
+      k: Int, nPlanes: Int, cols: Column*): Column = {
+    val name = s"lsh_scan_topk_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => LshScanTopK(exprs, bc, k, nPlanes), "scala_udf")
+    call_function(name, cols: _*)
+  }
+
+  /** Name of the temp function [[lsh_scan_topk]] registers. */
+  def lshScanTopKName(
+      bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"lsh_scan_topk_b${bc.id}"
+
   /** Compiled Naive-Bayes trigram model for [[NbScore]] — the
     * vocabulary-bounded (lang, gram, w_fp) / (lang, prior_fp, unseen_fp)
     * tables flattened into primitive arrays for a branch-light scoring

@@ -35,8 +35,13 @@ import graft.sources.Tables
   * Policy (documented contracts, pinned by the oracle + StreamingSpec):
   *  - CDC: only brand-NEW doc_ids proceed; byte-identical re-deliveries
   *    are dropped, content revisions are flagged (`revised`) but NOT
-  *    admitted — a revision is takedown + re-admission, which routes
-  *    through the tombstone ledger (q159), not the ingest path.
+  *    admitted — a revision is takedown + re-admission: the flagged
+  *    doc_id enters the state's tombstone ledger (q159's format,
+  *    written by the streaming pipeline's revised leg), an operator-
+  *    scheduled compaction ([[compactState]] via [[graft.streaming
+  *    .Pipeline.compactAdmissionState]]) folds it out of every store,
+  *    and the new content re-enters admission as a fresh arrival —
+  *    the full composition is the driver-gated lifecycle row q181.
   *  - Quality: NB margin must be strictly positive (q102's nb_keep).
   *  - Decontamination flags reject; the three screens run on
   *    quality-pass docs only (cascade), each eval-bounded.
@@ -60,6 +65,17 @@ import graft.sources.Tables
 object Admission {
 
   private def isEval(c: Column): Column = c % 29 === 0 && c < 5300L
+
+  /** Run independent Spark actions concurrently (store writes of one
+    * maintenance step): the wall becomes the slowest job, not the sum
+    * of the launches. Callers sequence only the REAL dependencies. */
+  private def inParallel(work: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+  }
 
   /** Static screens and models, built/loaded ONCE (stream start or
     * query entry): all eval-bounded or vocabulary-bounded. */
@@ -287,28 +303,35 @@ object Admission {
   private def writeDocStores(stateDir: String, batchId: String,
       docs: DataFrame): Unit = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", $"source", $"lang", $"text")
-      .write.mode("overwrite").parquet(s"$stateDir/corpus/batch=$batchId")
-    docs.select($"doc_id", $"source", $"h", $"nw")
-      .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
-    // BM25 raw (q137's append law): snapshot postings, derived df/totals
+    // batch-bounded independent writes, launched concurrently (the
+    // compactState rule): the only real ordering is the bm25 legs'
+    // shared postings checkpoint
     val post = TextOps.bm25RawPostings(docs.select($"doc_id", $"text"))
       .localCheckpoint()
-    post.write.mode("overwrite")
-      .parquet(s"$stateDir/bm25/postings/batch=$batchId")
-    TextOps.bm25DfOf(post).write.mode("overwrite")
-      .parquet(s"$stateDir/bm25/df/batch=$batchId")
-    val (n, sumLen) = TextOps.bm25TotalsOf(post)
-    Seq((n, sumLen)).toDF("n", "sum_len").coalesce(1)
-      .write.mode("overwrite").parquet(s"$stateDir/bm25/totals/batch=$batchId")
-    // card store deltas (q161's counted-multiset law)
     val cs = TextOps.cardStoreOf(docs.select($"source", $"lang", $"text"))
-    cs.sums.write.mode("overwrite")
-      .parquet(s"$stateDir/cards/sums/batch=$batchId")
-    cs.langs.write.mode("overwrite")
-      .parquet(s"$stateDir/cards/langs/batch=$batchId")
-    cs.hashes.write.mode("overwrite")
-      .parquet(s"$stateDir/cards/hashes/batch=$batchId")
+    inParallel(Seq(
+      () => docs.select($"doc_id", $"source", $"lang", $"text")
+        .write.mode("overwrite").parquet(s"$stateDir/corpus/batch=$batchId"),
+      () => docs.select($"doc_id", $"source", $"h", $"nw")
+        .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId"),
+      // BM25 raw (q137's append law): snapshot postings, derived df/totals
+      () => post.write.mode("overwrite")
+        .parquet(s"$stateDir/bm25/postings/batch=$batchId"),
+      () => TextOps.bm25DfOf(post).write.mode("overwrite")
+        .parquet(s"$stateDir/bm25/df/batch=$batchId"),
+      () => {
+        val (n, sumLen) = TextOps.bm25TotalsOf(post)
+        Seq((n, sumLen)).toDF("n", "sum_len").coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/bm25/totals/batch=$batchId")
+      },
+      // card store deltas (q161's counted-multiset law)
+      () => cs.sums.write.mode("overwrite")
+        .parquet(s"$stateDir/cards/sums/batch=$batchId"),
+      () => cs.langs.write.mode("overwrite")
+        .parquet(s"$stateDir/cards/langs/batch=$batchId"),
+      () => cs.hashes.write.mode("overwrite")
+        .parquet(s"$stateDir/cards/hashes/batch=$batchId")))
   }
 
   /** Append an ADMITTED batch (doc_id, source, lang, text, embedding)
@@ -321,22 +344,153 @@ object Admission {
       .withColumn("h", md5(coalesce($"text", lit(""))))
       .withColumn("nw", nwOf($"text"))
       .localCheckpoint()
-    writeDocStores(stateDir, batchId.toString, a)
     val fresh = TextOps.shingleDocs(a.select($"doc_id", $"text"))
       .localCheckpoint()
-    TextOps.bandsOf(fresh).write.mode("overwrite")
-      .parquet(s"$stateDir/minhash/bands/batch=$batchId")
-    fresh.select($"doc_id", $"n", $"hs").write.mode("overwrite")
-      .parquet(s"$stateDir/minhash/shingles/batch=$batchId")
-    // IVF vectors: assign under the FROZEN seed quantizer (q83's
-    // append contract)
-    VectorOps.assignCells(
-        a.filter($"embedding".isNotNull)
-          .select($"doc_id".as("vec_id"), $"embedding"),
-        s.read.parquet(s"$stateDir/vec/centroids"))
-      .select($"vec_id", $"cell", $"embedding")
-      .write.mode("overwrite")
-      .parquet(s"$stateDir/vec/vectors/batch=$batchId")
+    inParallel(Seq(
+      () => writeDocStores(stateDir, batchId.toString, a),
+      () => TextOps.bandsOf(fresh).write.mode("overwrite")
+        .parquet(s"$stateDir/minhash/bands/batch=$batchId"),
+      () => fresh.select($"doc_id", $"n", $"hs").write.mode("overwrite")
+        .parquet(s"$stateDir/minhash/shingles/batch=$batchId"),
+      // IVF vectors: assign under the FROZEN seed quantizer (q83's
+      // append contract)
+      () => VectorOps.assignCells(
+          a.filter($"embedding".isNotNull)
+            .select($"doc_id".as("vec_id"), $"embedding"),
+          s.read.parquet(s"$stateDir/vec/centroids"))
+        .select($"vec_id", $"cell", $"embedding")
+        .write.mode("overwrite")
+        .parquet(s"$stateDir/vec/vectors/batch=$batchId")))
+  }
+
+  /** The seeded state as a per-JVM IndexCache ARTIFACT: the maintained
+    * deployment state that exists before any arrival — corpus, hashes,
+    * MinHash, IVF, BM25, cards over the stored split. Build cost lands
+    * in the priced artifact bill (Bench's train/serve split), exactly
+    * like bm25RawCached for q159; lifecycle queries CLONE it instead of
+    * re-materializing six store families per run. */
+  private[graft] def seededStateCached(s: SparkSession, d: String): String =
+    IndexCache.resolve(
+      s"admstate|${IndexCache.dataKey(d)}", "admstate") { path =>
+      seedState(s, d, path)
+    }
+
+  /** Clone the cached seeded state into `stateDir` via HARD LINKS —
+    * O(files) metadata ops, no data copied. Safe because every mutation
+    * of a state dir is create-new-file or delete-dir (parquet parts are
+    * immutable; compaction unlinks and renames) — a linked byte is
+    * never modified in place, so the cached master stays pristine.
+    * Falls back to a real copy when the link crosses filesystems.
+    * Idempotent via the `_seeded` marker, like [[seedState]]. */
+  private[graft] def cloneSeededState(s: SparkSession, d: String,
+      stateDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(seedMarker(stateDir))) return
+    val src = java.nio.file.Paths.get(seededStateCached(s, d))
+    val dst = java.nio.file.Paths.get(stateDir)
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else if (!java.nio.file.Files.exists(t))
+        try java.nio.file.Files.createLink(t, p)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(p, t)
+        }
+    }
+  }
+
+  /** COMPACTION FOLD for the admission stores — the artifact-specific
+    * leg [[graft.streaming.Pipeline.compactTombstones]] calls with the
+    * accumulated tombstone set (the q159 contract applied to the WHOLE
+    * store family): every doc-keyed store masks its victims and
+    * rewrites as a fresh consolidated `batch=-1` partition; the
+    * count-additive artifacts (BM25 df/totals, card store) RECOMPUTE
+    * from the masked postings/corpus — definitionally the
+    * rebuild-on-survivors, so post-compaction serving is exact by
+    * construction (AdmissionSpec pins it against seedState over the
+    * survivor corpus). Idempotent: re-applying the same victims
+    * anti-joins nothing (the compactTombstones crash rule), and each
+    * swap materializes (localCheckpoint) BEFORE deleting the partitions
+    * it read. Cost: one store rewrite, amortized over every tombstone
+    * batch the ledger folded — never per takedown/revision.
+    *
+    * Operator contract (like q159's): run with the admission stream
+    * STOPPED at a checkpointed boundary — folding `batch=N` partitions
+    * into `batch=-1` forfeits [[readPart]]'s own-batch exclusion for
+    * any batch that had appended but not committed. */
+  private[graft] def compactState(s: SparkSession, stateDir: String,
+      victims: DataFrame): Unit = {
+    import s.implicits._
+    val vic = victims.select($"doc_id").distinct().localCheckpoint()
+    val vicVec = vic.select($"doc_id".as("vec_id"))
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // write-once swap: the masked fold lands in an underscore-prefixed
+    // sibling (invisible to partition discovery, so the fold can read
+    // the old partitions while writing), then the old partitions drop
+    // and the fold RENAMES in as the consolidated batch=-1 — one
+    // materialization instead of localCheckpoint + write, and the store
+    // is never in a state where a crash loses both copies
+    def swap(dir: String)(masked: DataFrame): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp")
+      masked.write.mode("overwrite").parquet(tmp.toString)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(p))
+        fs.listStatus(p)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .foreach(st => fs.delete(st.getPath, true))
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/batch=-1"))
+    }
+    // the per-family folds are INDEPENDENT Spark jobs over small frames
+    // (each swap is one anti-join + one partition write) — run them
+    // concurrently so the compaction wall is the slowest family, not
+    // the sum of nine job launches. Only two orderings are real:
+    // cards read the NEWLY compacted corpus, and the bm25 legs share
+    // the masked-postings checkpoint.
+    val post = readPart(s, s"$stateDir/bm25/postings")
+      .select($"doc_id", $"hs", $"tfs", $"len")
+      .join(vic, Seq("doc_id"), "left_anti").localCheckpoint()
+    inParallel(Seq(
+      () => swap(s"$stateDir/corpus")(
+        readPart(s, s"$stateDir/corpus")
+          .select($"doc_id", $"source", $"lang", $"text")
+          .join(vic, Seq("doc_id"), "left_anti")),
+      () => swap(s"$stateDir/hashes")(
+        readPart(s, s"$stateDir/hashes")
+          .select($"doc_id", $"source", $"h", $"nw")
+          .join(vic, Seq("doc_id"), "left_anti")),
+      () => swap(s"$stateDir/minhash/bands")(
+        readPart(s, s"$stateDir/minhash/bands")
+          .select($"doc_id", $"band", $"bh")
+          .join(vic, Seq("doc_id"), "left_anti")),
+      () => swap(s"$stateDir/minhash/shingles")(
+        readPart(s, s"$stateDir/minhash/shingles")
+          .select($"doc_id", $"n", $"hs")
+          .join(vic, Seq("doc_id"), "left_anti")),
+      () => swap(s"$stateDir/vec/vectors")(
+        readPart(s, s"$stateDir/vec/vectors")
+          .select($"vec_id", $"cell", $"embedding")
+          .join(vicVec, Seq("vec_id"), "left_anti")),
+      // BM25: postings mask, df/totals RECOMPUTED from the masked
+      // postings (the rebuild each serve must equal)
+      () => swap(s"$stateDir/bm25/postings")(post),
+      () => swap(s"$stateDir/bm25/df")(TextOps.bm25DfOf(post)),
+      () => {
+        val (n, sumLen) = TextOps.bm25TotalsOf(post)
+        swap(s"$stateDir/bm25/totals")(
+          Seq((n, sumLen)).toDF("n", "sum_len").coalesce(1))
+      }))
+    // cards: recomputed from the NEWLY compacted corpus store
+    val cs = TextOps.cardStoreOf(
+      s.read.parquet(s"$stateDir/corpus/batch=-1")
+        .select($"source", $"lang", $"text"))
+    inParallel(Seq(
+      () => swap(s"$stateDir/cards/sums")(cs.sums),
+      () => swap(s"$stateDir/cards/langs")(cs.langs),
+      () => swap(s"$stateDir/cards/hashes")(cs.hashes)))
   }
 
   /** Read a batch-partitioned store, keeping only partitions BEFORE
@@ -655,6 +809,210 @@ object Admission {
       ORDER BY batch_idx, source"""
     })
 
+  // ------------------------------------------------------------------
+  // Q181 — the REVISION ROUTE as one driver-gated lifecycle row
+  // (VERDICT r12 #5: the admission policy declared "revision = takedown
+  // + re-admission through the tombstone ledger" but nothing wired it).
+  // The composition, run through the REAL on-disk state machinery:
+  //
+  //   seed state (stored split, all six artifact families)
+  //   → batch 0: every stored doc_id % 50 == 1 re-arrives with its
+  //     content revised (text + ' zz') → decide flags all `revised`
+  //   → the flagged doc_ids land in the state's tombstone ledger
+  //     (exactly the streaming pipeline's revised leg)
+  //   → compactAdmissionState folds the ledger: every store drops the
+  //     old versions (compactState — the q159 fold on the whole family)
+  //   → batch 1: the SAME revised contents re-enter admission as fresh
+  //     arrivals and run the FULL cascade against the survivor state
+  //     (quality on the new text, eval screens, exact/lexical/embedding
+  //     dedup vs survivors — a revision whose new text still near-dups
+  //     an unrevised stored doc is REJECTED, the honest outcome)
+  //   → admitted re-admissions append to every store.
+  //
+  // Output: per-doc decision rows for both legs plus the END STATE — the
+  // maintained hashes store read back from disk. The oracle rebuilds all
+  // three legs from scratch (model training, modified-text scoring and
+  // shingles, survivor-masked dedup probes), so a hash match proves the
+  // tombstone fold removed exactly the old versions, the re-admission
+  // cascade decided exactly as a fresh arrival would, and the final
+  // stores equal a from-scratch build over the final contents.
+  // ------------------------------------------------------------------
+
+  /** The revision arrival set: stored doc_id % 50 == 1 (⊂ the stored
+    * split since %50==1 ⇒ %10==1), text revised by appending ' zz'
+    * (q180's engineered-revision device), embeddings riding by
+    * doc_id ≡ vec_id where present (revision touches text only). */
+  private[graft] def revisionArrivals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.documents(s, d)
+      .filter($"doc_id" % 10 < 8 && $"doc_id" % 50 === 1)
+      .select($"doc_id", $"source", $"lang",
+        concat(coalesce($"text", lit("")), lit(" zz")).as("text"))
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    rev.join(emb, rev("doc_id") === emb("vec_id"), "left").drop("vec_id")
+  }
+
+  /** The two-leg revision composition over the ON-DISK state machinery,
+    * exposed so StreamingSpec can pin the streamed route (revised leg →
+    * ledger → compactAdmissionState → re-arrival) end-state-identical.
+    * Returns (dec0, dec1, stateDir) — decisions materialized, state
+    * fully appended. */
+  private[graft] def revisionComposition(s: SparkSession, d: String,
+      stateDir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    cloneSeededState(s, d, stateDir)
+    val scr = screens(s, d)
+    val arr = revisionArrivals(s, d)
+    // batch 0: all arrivals classify `revised` against the seeded state
+    val dec0 = decide(arr, readDedupState(s, stateDir), scr)
+    // the revision route: flagged old versions enter the tombstone
+    // ledger — the exact on-disk leg the streaming pipeline writes
+    dec0.filter($"status" === "revised").select($"doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/tombstones/batch=0")
+    // operator-scheduled compaction folds the ledger into every store
+    graft.streaming.Pipeline.compactAdmissionState(s, stateDir)
+    // batch 1: the new contents re-enter admission as fresh arrivals
+    val dec1 = decide(arr, readDedupState(s, stateDir), scr)
+    val admitted = normalize(arr).join(
+      dec1.filter($"status" === "admitted").select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    appendAdmitted(s, stateDir, 1L, admitted)
+    (dec0, dec1)
+  }
+
+  private val q181 = Q(
+    fn = (s, d) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft_q181").toString
+      val state = s"$work/state"
+      val (dec0, dec1) = revisionComposition(s, d, state)
+      def legOf(dec: DataFrame, leg: String) = dec
+        .select(lit(leg).as("leg"), $"doc_id", $"source", $"h", $"nw",
+          $"status")
+      legOf(dec0, "revise")
+        .unionByName(legOf(dec1, "readmit"))
+        .unionByName(s.read.parquet(s"$state/hashes")
+          .select(lit("final").as("leg"), $"doc_id", $"source", $"h",
+            $"nw", lit("stored").as("status")))
+        .orderBy($"leg", $"doc_id")
+    },
+    oracle = Some {
+      val jac = "CAST(COUNT(*) AS DOUBLE) / " +
+        "(any_value(oo.n) + any_value(nn.n) - COUNT(*))"
+      val cosExpr = "CAST(list_sum(list_transform(generate_series(1, " +
+        "len(x.qv)), k -> x.qv[k] * y.qv[k])) AS DOUBLE) / " +
+        "(SQRT(CAST(x.qq AS DOUBLE)) * SQRT(CAST(y.qq AS DOUBLE)))"
+      LangId.qualityOracleCtesFor(
+        "\n        SELECT doc_id, COALESCE(text, '') || ' zz' AS text" +
+        "\n        FROM documents WHERE doc_id % 10 < 8 AND doc_id % 50 = 1") +
+        "," +
+        TextOps.nearDupShingleCtes.trim.stripPrefix("WITH") + "," +
+        VectorOps.kmeansOracleCtes("WHERE vec_id % 10 < 8").trim
+          .stripPrefix("WITH") +
+        VectorOps.ivfAssignCtes + s""",
+      arr AS (
+        SELECT doc_id, COALESCE(source, '') AS source,
+               COALESCE(text, '') || ' zz' AS mtext
+        FROM documents WHERE doc_id % 10 < 8 AND doc_id % 50 = 1
+      ), arrh AS (
+        SELECT doc_id, source, md5(mtext) AS h,
+               CAST(len(list_filter(string_split(mtext, ' '),
+                 x -> len(x) > 0)) AS BIGINT) AS nw
+        FROM arr
+      ), survh AS (
+        SELECT doc_id, COALESCE(source, '') AS source,
+               md5(COALESCE(text, '')) AS h,
+               CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                 x -> len(x) > 0)) AS BIGINT) AS nw
+        FROM documents WHERE doc_id % 10 < 8 AND doc_id % 50 <> 1
+      ), mdocs AS (
+        SELECT doc_id, string_split(mtext, ' ') AS w FROM arr
+      ), mshingled AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM mdocs WHERE len(w) >= 3
+      ), mex AS (
+        SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM mshingled
+      ), qrej AS (
+        SELECT a.doc_id FROM arrh a JOIN piv p ON p.doc_id = a.doc_id
+        WHERE p.s_keep - p.s_drop <= 0
+      ), evsh AS (
+        SELECT DISTINCT s FROM ex WHERE doc_id % 29 = 0 AND doc_id < 5300
+      ), dfx AS (
+        SELECT mex.doc_id FROM mex JOIN evsh USING (s)
+        GROUP BY mex.doc_id HAVING COUNT(*) >= 8
+      ), dfn AS (
+        SELECT DISTINCT nn.doc_id AS doc_id
+        FROM ex oo JOIN mex nn ON oo.s = nn.s
+        WHERE oo.doc_id % 29 = 0 AND oo.doc_id < 5300
+        GROUP BY oo.doc_id, nn.doc_id
+        HAVING $jac >= 0.5
+      ), dfs AS (
+        SELECT DISTINCT y.vec_id AS doc_id
+        FROM qn x JOIN qn y ON x.vec_id % 29 = 0 AND x.vec_id < 5300
+        WHERE $cosExpr >= 0.4
+      ), cont AS (
+        SELECT doc_id FROM dfx UNION SELECT doc_id FROM dfn
+        UNION SELECT doc_id FROM dfs
+      ), cln AS (
+        SELECT a.* FROM arrh a
+        WHERE a.doc_id NOT IN (SELECT doc_id FROM qrej)
+          AND a.doc_id NOT IN (SELECT doc_id FROM cont)
+      ), xw AS (
+        SELECT cln.*, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM cln
+      ), xd AS (
+        SELECT doc_id FROM xw
+        WHERE rn > 1 OR h IN (SELECT h FROM survh)
+      ), s4 AS (
+        SELECT * FROM cln WHERE doc_id NOT IN (SELECT doc_id FROM xd)
+      ), nd AS (
+        SELECT DISTINCT nn.doc_id AS doc_id
+        FROM ex oo JOIN mex nn ON oo.s = nn.s
+        WHERE oo.doc_id % 10 < 8 AND oo.doc_id % 50 <> 1
+          AND nn.doc_id IN (SELECT doc_id FROM s4)
+        GROUP BY oo.doc_id, nn.doc_id
+        HAVING $jac >= 0.5
+      ), s5 AS (
+        SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+      ), ed AS (
+        SELECT DISTINCT aa.vec_id AS doc_id
+        FROM asg aa JOIN asg bb ON aa.cell = bb.cell
+        JOIN qn x ON x.vec_id = aa.vec_id
+        JOIN qn y ON y.vec_id = bb.vec_id
+        WHERE bb.vec_id % 10 < 8 AND bb.vec_id % 50 <> 1
+          AND aa.vec_id IN (SELECT doc_id FROM s5)
+          AND $cosExpr >= 0.4
+      ), adm AS (
+        SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM ed)
+      ), outrows AS (
+        SELECT 'revise' AS leg, doc_id, source, h, nw, 'revised' AS status
+        FROM arrh
+        UNION ALL
+        SELECT 'readmit', a.doc_id, a.source, a.h, a.nw,
+               CASE WHEN a.doc_id IN (SELECT doc_id FROM qrej)
+                      THEN 'quality_rejected'
+                    WHEN a.doc_id IN (SELECT doc_id FROM cont)
+                      THEN 'contaminated'
+                    WHEN a.doc_id IN (SELECT doc_id FROM xd)
+                      THEN 'exact_dup'
+                    WHEN a.doc_id IN (SELECT doc_id FROM nd)
+                      THEN 'near_dup'
+                    WHEN a.doc_id IN (SELECT doc_id FROM ed)
+                      THEN 'embed_dup'
+                    ELSE 'admitted' END
+        FROM arrh a
+        UNION ALL
+        SELECT 'final', doc_id, source, h, nw, 'stored' FROM survh
+        UNION ALL
+        SELECT 'final', doc_id, source, h, nw, 'stored' FROM arrh
+        WHERE doc_id IN (SELECT doc_id FROM adm)
+      )
+      SELECT leg, doc_id, source, h, nw, status FROM outrows
+      ORDER BY leg, doc_id"""
+    })
+
   val all: Map[String, Q] = Map(
-    "q180_admission_pipeline" -> q180)
+    "q180_admission_pipeline" -> q180,
+    "q181_revision_lifecycle" -> q181)
 }

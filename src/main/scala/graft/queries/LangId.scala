@@ -95,25 +95,44 @@ object LangId {
     * (counts aggregated from a labeled frame) and [[nbModelOf]]
     * (counts read from a mutated raw store), so exact unlearning
     * (q149) can never drift from training: identical count inputs
-    * produce bit-identical weights/stats (IEEE log over the same exact
-    * integers). */
+    * produce bit-identical weights/stats.
+    *
+    * Computed DRIVER-SIDE over ONE collect of the count table: the
+    * vocabulary×|langs| collect is the budget [[NbModel.compiled]]
+    * already spends on the fitted weights, and folding the fit into it
+    * replaces four cluster jobs (vocab distinct count, two model
+    * localCheckpoints, the langTot joins) with local array arithmetic —
+    * the q149 gate paid ~1 s of pure job overhead for vocab-bounded
+    * work. Exactness is unchanged: `StrictMath.log` is EXACTLY the
+    * function Spark's `log` expression evaluates (mathExpressions.scala
+    * — both interpreted and codegen'd paths), over the same exact
+    * integer-built doubles, so the driver fit is bit-identical to the
+    * old in-plan fit on any platform. */
   private def nbFit(lg: DataFrame, priors: DataFrame, nTrain: Long): NbModel = {
-    import lg.sparkSession.implicits._
-    val v = lg.select($"g").distinct().count()
-    val langTot = lg.groupBy($"lang").agg(sum($"c").as("nl"))
-    val stats = langTot.join(priors, Seq("lang"))
-      .select($"lang",
-        floor(log($"nd".cast("double") / nTrain) * 1e6)
-          .cast("long").as("prior_fp"),
-        floor(log(lit(1.0) / ($"nl" + v).cast("double")) * 1e6)
-          .cast("long").as("unseen_fp"))
-      .localCheckpoint()
-    val weights = lg.join(langTot, Seq("lang"))
-      .select($"lang", $"g",
-        floor(log(($"c" + 1).cast("double") / ($"nl" + v).cast("double")) * 1e6)
-          .cast("long").as("w_fp"))
-      .localCheckpoint()
-    NbModel(weights, stats)
+    val s = lg.sparkSession
+    import s.implicits._
+    def fp(x: Double): Long = math.floor(x * 1e6).toLong
+    val rows = lg.select($"lang", $"g", $"c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val v = {
+      val set = new java.util.HashSet[String]()
+      rows.foreach(r => set.add(r._2))
+      set.size.toLong
+    }
+    val nl = rows.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.iterator.map(_._3).sum
+    }
+    val stats = priors.select($"lang", $"nd").collect()
+      .map { r =>
+        val l = r.getString(0); val nd = r.getLong(1)
+        (l, fp(StrictMath.log(nd.toDouble / nTrain)),
+          fp(StrictMath.log(1.0 / (nl(l) + v).toDouble)))
+      }.toSeq
+    val weights = rows.map { case (l, g, c) =>
+      (l, g, fp(StrictMath.log((c + 1).toDouble / (nl(l) + v).toDouble)))
+    }.toSeq
+    NbModel(weights.toDF("lang", "g", "w_fp"),
+      stats.toDF("lang", "prior_fp", "unseen_fp"))
   }
 
   /** The model over dataset `d`'s stored split (doc_id % 10 < 8),
@@ -148,24 +167,26 @@ object LangId {
       // the prior denominator include them, exactly as trainLangIdNb's
       // direct frame counts do).
       // the per-doc count fold happens INSIDE the scan (char_gram_counts
-      // kernel): (doc_id, lang, g) is unique by construction per row, so
-      // the postings store needs NO groupBy — the old explode →
-      // groupBy(doc, lang, g) shuffled one row per trigram OCCURRENCE
-      // (the corpus×chars shuffle that dominated the artifact build);
-      // this writes tgpost entirely map-side. The exploded frame is NOT
-      // cached (a localCheckpoint of corpus×distinct-grams rows as
-      // deserialized blocks starved execution memory at x100 — flaky
-      // AGGREGATE_OUT_OF_MEMORY); the lg projection re-reads the compact
-      // columnar store it just wrote instead.
+      // kernel) and the store keeps it AS the kernel emits it: ONE row
+      // per document, grams as an array<struct<g,c>> column. Doc-keyed
+      // mutations (the unlearning semi-/anti-joins) then move one row
+      // per DOC through the join instead of one per distinct gram —
+      // the flat layout made q149's victim-count subtraction scan tens
+      // of millions of join rows at sf0.1 where the doc-level store has
+      // tens of thousands, and only the victims' arrays ever explode.
+      // The exploded frame is still never cached (a localCheckpoint of
+      // corpus×distinct-grams rows as deserialized blocks starved
+      // execution memory at x100 — flaky AGGREGATE_OUT_OF_MEMORY); the
+      // lg projection re-reads the compact columnar store it just wrote.
       training
         .select($"doc_id", $"lang",
-          explode(graft.functions.expressions.char_gram_counts($"text")).as("gc"))
-        .select($"doc_id", $"lang", $"gc.g".as("g"), $"gc.c".as("c"))
+          graft.functions.expressions.char_gram_counts($"text").as("gcs"))
         .write.mode("overwrite").parquet(s"$path/tgpost")
       training.select($"doc_id", $"lang")
         .write.mode("overwrite").parquet(s"$path/dlab")
       val lg = s.read.parquet(s"$path/tgpost")
-        .groupBy($"lang", $"g").agg(sum($"c").as("c"))
+        .select($"lang", explode($"gcs").as("gc"))
+        .groupBy($"lang", $"gc.g".as("g")).agg(sum($"gc.c").as("c"))
         .localCheckpoint()
       lg.write.mode("overwrite").parquet(s"$path/lg")
       val m = nbFit(lg,
@@ -182,18 +203,26 @@ object LangId {
   }
 
   /** The langid model's raw, mutable store: per-doc labeled trigram
-    * counts (`tgpost`: doc_id, lang, g, c), doc labels (`dlab`: doc_id,
-    * lang — includes trigram-less short docs), and the maintained
-    * count-table projection (`lg`: lang, g, c). Every fitted quantity
-    * is a closed form of these ([[nbFit]]), so append and removal are
-    * count arithmetic and the refit is vocabulary-bounded. */
+    * counts (`tgpost`: doc_id, lang, gcs array<struct<g,c>> — ONE row
+    * per doc, so doc-keyed mutations join doc-level rows), doc labels
+    * (`dlab`: doc_id, lang — includes trigram-less short docs), and the
+    * maintained count-table projection (`lg`: lang, g, c). Every fitted
+    * quantity is a closed form of these ([[nbFit]]), so append and
+    * removal are count arithmetic and the refit is vocabulary-bounded. */
   private[graft] case class NbRaw(tgpost: DataFrame, dlab: DataFrame,
       lg: DataFrame)
 
+  /** Memoized like [[modelInstances]] (same app-scoped key rule): the
+    * three parquet handles re-read footers for schema on every
+    * construction — a measurable per-rep tax in the q149 gate for
+    * frames whose path is immutable within the JVM. */
+  private val rawInstances =
+    new java.util.concurrent.ConcurrentHashMap[String, NbRaw]()
   private[graft] def nbRawCached(s: SparkSession, d: String): NbRaw = {
     val p = langIdArtifact(s, d)
-    NbRaw(s.read.parquet(s"$p/tgpost"), s.read.parquet(s"$p/dlab"),
-      s.read.parquet(s"$p/lg"))
+    rawInstances.computeIfAbsent(modelKey(s, p), _ =>
+      NbRaw(s.read.parquet(s"$p/tgpost"), s.read.parquet(s"$p/dlab"),
+        s.read.parquet(s"$p/lg")))
   }
 
   /** Refit from the (possibly mutated) raw store — [[nbFit]] on the
@@ -218,16 +247,21 @@ object LangId {
     * addition (vocab×langs-bounded). */
   private[graft] def appendToNbRaw(raw: NbRaw, snap: DataFrame): NbRaw = {
     import snap.sparkSession.implicits._
-    // scan-local per-doc count fold — (doc_id, lang, g) unique per row,
-    // no groupBy (the langIdArtifact tgpost rule)
+    // scan-local per-doc count fold, kept in the store's doc-level
+    // array shape (the langIdArtifact tgpost rule); checkpointed once
+    // because both the postings union and the count merge consume it
     val sg = snap
       .select($"doc_id", $"lang",
-        explode(graft.functions.expressions.char_gram_counts($"text")).as("gc"))
-      .select($"doc_id", $"lang", $"gc.g".as("g"), $"gc.c".as("c"))
+        graft.functions.expressions.char_gram_counts($"text").as("gcs"))
       .localCheckpoint()
+    // the merged count table stays LAZY: its one consumer per lifecycle
+    // is nbFit's single collect (or the next mutation's join), and an
+    // eager vocab×langs materialization here was a whole cluster job of
+    // pure overhead in the q149 gate
     val lgM = raw.lg
-      .unionByName(sg.groupBy($"lang", $"g").agg(sum($"c").as("c")))
-      .groupBy($"lang", $"g").agg(sum($"c").as("c")).localCheckpoint()
+      .unionByName(sg.select(explode($"gcs").as("gc"), $"lang")
+        .groupBy($"lang", $"gc.g".as("g")).agg(sum($"gc.c").as("c")))
+      .groupBy($"lang", $"g").agg(sum($"c").as("c"))
     NbRaw(raw.tgpost.unionByName(sg),
       raw.dlab.unionByName(snap.select($"doc_id", $"lang")), lgM)
   }
@@ -245,11 +279,15 @@ object LangId {
   private[graft] def removeFromNbRaw(raw: NbRaw, removeIds: DataFrame): NbRaw = {
     import removeIds.sparkSession.implicits._
     val vic = removeIds.select($"doc_id").distinct().localCheckpoint()
+    // doc-level semi-join (one row per DOC in the array-shaped store),
+    // then only the VICTIMS' gram arrays explode into the count merge
     val dec = raw.tgpost.join(vic, Seq("doc_id"), "left_semi")
-      .groupBy($"lang", $"g").agg(sum($"c").as("dec"))
+      .select($"lang", explode($"gcs").as("gc"))
+      .groupBy($"lang", $"gc.g".as("g")).agg(sum($"gc.c").as("dec"))
+    // lazy like appendToNbRaw's merge — one consumer per lifecycle
     val lgM = raw.lg.join(dec, Seq("lang", "g"), "left")
       .select($"lang", $"g", ($"c" - coalesce($"dec", lit(0L))).as("c"))
-      .filter($"c" > 0).localCheckpoint()
+      .filter($"c" > 0)
     NbRaw(raw.tgpost.join(vic, Seq("doc_id"), "left_anti"),
       raw.dlab.join(vic, Seq("doc_id"), "left_anti"), lgM)
   }
@@ -288,16 +326,28 @@ object LangId {
 
   /** The scoring leg, shared verbatim by batch q100 and the streaming
     * ingest gate: (doc_id, text) → (doc_id, lang_pred, score_fp) — the
-    * argmax of [[langIdScoresAll]] with the deterministic (score desc,
-    * lang asc) tie-break. */
+    * argmax of the kernel's score array with the deterministic
+    * (score desc, lang asc) tie-break. The argmax happens IN-ROW: the
+    * kernel emits scores in sorted-lang order, so the FIRST occurrence
+    * of the array max (array_position) IS the window's
+    * (score desc, lang asc) row_number()=1 pick — the old
+    * posexplode → |langs|·corpus rows → partitioned-window sort is a
+    * pure plan change, row-identical output (LangIdSpec pins it against
+    * the windowed form). */
   private[graft] def langIdScoreDocs(docs: DataFrame, m: NbModel): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    langIdScoresAll(docs, m)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"score_fp".desc, $"lang")))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"lang".as("lang_pred"), $"score_fp")
+    val (langs, bc) = m.compiled
+    // coalesce(text, ""): the langIdScoresAll null rule — a null text
+    // must score prior-only, not vanish
+    docs.select($"doc_id",
+        graft.functions.expressions.nb_score(s, bc,
+          coalesce($"text", lit(""))).as("sc"))
+      .select($"doc_id",
+        element_at(typedlit(langs.toSeq),
+          array_position($"sc", array_max($"sc")).cast("int"))
+          .as("lang_pred"),
+        array_max($"sc").as("score_fp"))
   }
 
   /** The fitted-model CTEs shared by the q100/q139/q149 oracles (the
@@ -407,16 +457,22 @@ object LangId {
     fn = (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val par = s.sparkContext.defaultParallelism
+      // repartition AFTER the split filters, and only the legs that do
+      // per-char kernel work (snapshot tokenize, held-out scoring) — the
+      // old whole-table repartition exchanged the full corpus text once
+      // per consuming job; the victim leg needs doc_id only (pruned scan)
       val appended = appendToNbRaw(nbRawCached(s, d),
-        docs.filter($"doc_id" % 10 === 8).select($"doc_id", $"lang", $"text"))
+        docs.filter($"doc_id" % 10 === 8)
+          .select($"doc_id", $"lang", $"text").repartition(par))
       val pruned = removeFromNbRaw(appended,
         docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
       val m = nbModelOf(pruned)
       // one scan of the held-out split feeds BOTH the scorer and the
       // label join (it was read from parquet twice)
       val test = docs.filter($"doc_id" % 10 === 9)
-        .select($"doc_id", $"lang", $"text").localCheckpoint()
+        .select($"doc_id", $"lang", $"text").repartition(par)
+        .localCheckpoint()
       langIdScoreDocs(test.select($"doc_id", $"text"), m)
         .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
         .select($"lang", $"lang_pred")
@@ -468,8 +524,12 @@ object LangId {
   /** q102's full weak-supervised NB scoring pipeline as a shared oracle
     * prelude (rule labeling, training, fixed-point scoring, the per-doc
     * keep/drop margin in `piv`, labels in `lbl`) — q102 ranks it, q129
-    * bins it; one string so both hash checks replay the SAME model. */
-  private[queries] val qualityOracleCtes: String = """
+    * bins it, q180/q181 gate on it; one PARAMETERIZED string so every
+    * hash check replays the SAME model over its own held-out rows.
+    * `testSql` must select (doc_id, text); the default instantiation
+    * ([[qualityOracleCtes]]) is the %10>=8 held-out split, byte-
+    * identical to the pre-refactor literal. */
+  private[queries] def qualityOracleCtesFor(testSql: String): String = """
       WITH wsp AS (
         SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
       ), feat AS (
@@ -492,8 +552,7 @@ object LangId {
       ), train AS (
         SELECT doc_id, CASE WHEN keep THEN 'keep' ELSE 'drop' END AS lang, text
         FROM lbl WHERE doc_id % 10 < 8
-      ), test AS (
-        SELECT doc_id, text FROM lbl WHERE doc_id % 10 >= 8
+      ), test AS (""" + testSql + """
       ), traing AS (
         SELECT lang, unnest(list_transform(generate_series(1, len(text) - 2),
                i -> substr(text, i, 3))) AS g
@@ -545,6 +604,11 @@ object LangId {
                MAX(CASE WHEN lang = 'drop' THEN score_fp END) AS s_drop
         FROM scored GROUP BY doc_id
       )"""
+
+  /** The default instantiation — the %10>=8 held-out split (q102/q129/
+    * q180); byte-identical to the pre-refactor literal. */
+  private[queries] val qualityOracleCtes: String = qualityOracleCtesFor(
+    "\n        SELECT doc_id, text FROM lbl WHERE doc_id % 10 >= 8")
 
   /** q102's scored held-out frame (doc_id, rule_keep, nb_keep,
     * margin_fp), unordered — shared by the ranking (q102) and the

@@ -157,32 +157,48 @@ object VectorOps {
     fn = (s, d) => {
       import s.implicits._
       val nPlanes = 6
-      val nTables = 8
       // All 48 hyperplane projections in one native fused multiply-add
       // pass per row (hyperplane_sigs kernel; signs are the shared
-      // splitmix constants of (table, plane, dim)) — bit-identical to the
-      // aggregate(zip_with(...)) declarative form it replaced, which paid
-      // 48 interpreted lambda passes per row.
+      // splitmix constants of (table, plane, dim)).
       val emb = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"embedding",
           graft.functions.expressions.hyperplane_sigs($"embedding").as("sigs"))
-      val corpus = emb.select($"vec_id", $"embedding",
-        posexplode($"sigs").as(Seq("tbl", "sig")))
-      val probes = array(lit(0) +: (0 until nPlanes).map(p => lit(1 << p)): _*)
-      val queries = broadcast(
-        emb.filter(isQuery($"vec_id"))
-          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-            posexplode($"sigs").as(Seq("tbl", "qsig")))
-          .select($"query_id", $"q_emb", $"tbl",
-            explode(transform(probes, m => $"qsig".bitwiseXOR(m))).as("probe_sig")))
-      val scored = corpus.join(queries,
-          corpus("tbl") === queries("tbl") && $"sig" === $"probe_sig" &&
-            $"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
-        .distinct()
-      topK(scored, 5)
+      // the serving request set, collected once (bounded by the %50
+      // request convention): quantized components + norm + signatures
+      // ride to every task in ONE broadcast. The old shape — posexplode
+      // the corpus 8×, equi-join the broadcast probe table, `distinct`
+      // the candidate pairs, two-stage window — shuffled candidate rows
+      // and cost 2.2× the exact q25 scan at x100 (VERDICT r12 #4);
+      // LshScanTopK is the same candidacy, scoring and selection with
+      // zero joins and one ≤ nq·k partial per task through the exchange
+      // (the PqScanTopK / MIH serving shape).
+      val qrows: graft.functions.expressions.LshQuerySet = emb
+        .filter(isQuery($"vec_id"))
+        .select($"vec_id",
+          quantize($"embedding").cast("array<bigint>").as("qv"), $"sigs")
+        .collect()
+        .map { r =>
+          val qv = r.getSeq[Long](1).toArray
+          (r.getLong(0), qv, qv.map(x => x * x).sum,
+            r.getSeq[Int](2).toArray)
+        }
+        .sortBy(_._1)
+      val bc = s.sparkContext.broadcast(qrows)
+      try {
+        emb.agg(graft.functions.expressions.lsh_scan_topk(s, bc, 5, nPlanes,
+            $"vec_id", $"embedding", $"sigs").as("t"))
+          .select(explode($"t").as("e"))
+          .select($"e.query_id", $"e.neighbor_id", $"e.rank", $"e.score")
+          .orderBy($"query_id", $"rank")
+          // materialize (nq·k rows) so the broadcast reclaims NOW
+          // (pqAdcTopK's cleanup rule)
+          .localCheckpoint()
+      } finally {
+        graft.functions.expressions.dropTempFunction(s,
+          graft.functions.expressions.lshScanTopKName(bc))
+        bc.destroy()
+      }
     },
     oracle = Some(s"""
       WITH q AS (

@@ -1927,7 +1927,9 @@ object Pipeline {
       inDir: String, stateDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 10): StreamingQuery = {
     import graft.queries.{Admission, TextOps}
-    Admission.seedState(s, corpusDir, stateDir)
+    // seed via the per-JVM cached state artifact (hard-link clone):
+    // stream startup pays O(files) metadata, not six store rebuilds
+    Admission.cloneSeededState(s, corpusDir, stateDir)
     val scr = Admission.screens(s, corpusDir)
     s.readStream
       .schema("ts TIMESTAMP, doc_id LONG, text STRING, lang STRING, " +
@@ -1963,9 +1965,21 @@ object Pipeline {
                 .localCheckpoint())
             .write.mode("overwrite")
             .parquet(s"$stateDir/card_flags/batch=$batchId")
+          val decided = s.read.parquet(s"$stateDir/decisions/batch=$batchId")
+          // the REVISION ROUTE's first leg (the Admission policy's
+          // "takedown + re-admission"): a content revision's doc_id
+          // lands in the state's tombstone ledger as this batch's own
+          // partition (runTakedownLedgerStream's on-disk format,
+          // idempotent under replay). [[compactAdmissionState]] folds
+          // the ledger into every store; the revised CONTENT then
+          // re-enters admission as a fresh arrival — q181 gates the
+          // whole composition
+          decided.filter(col("status") === "revised").select(col("doc_id"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/tombstones/batch=$batchId")
           val admitted = wire.join(
-            s.read.parquet(s"$stateDir/decisions/batch=$batchId")
-              .filter(col("status") === "admitted").select(col("doc_id")),
+            decided.filter(col("status") === "admitted").select(col("doc_id")),
             Seq("doc_id"), "left_semi")
           Admission.appendAdmitted(s, stateDir, batchId, admitted)
         } finally wire.unpersist()
@@ -1974,4 +1988,20 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** COMPACTION for the admission state (the q159 leg on the WHOLE
+    * store family): fold the accumulated revision/takedown tombstones
+    * (`<stateDir>/tombstones/batch=*`, written by
+    * [[runAdmissionPipeline]]'s revised leg) into every store —
+    * [[graft.queries.Admission.compactState]] — and drain the ledger.
+    * Operator-scheduled, with the admission stream STOPPED at a
+    * checkpointed boundary (folding partitions forfeits the own-batch
+    * replay exclusion for an uncommitted batch — Admission.compactState
+    * scaladoc). After compaction, a revised document's new content
+    * re-enters [[runAdmissionPipeline]] as a fresh arrival and runs the
+    * full cascade against the survivor state. */
+  def compactAdmissionState(s: SparkSession, stateDir: String): Unit =
+    compactTombstones(s, s"$stateDir/tombstones") { vic =>
+      graft.queries.Admission.compactState(s, stateDir, vic)
+    }
 }

@@ -91,4 +91,110 @@ class AdmissionSpec extends SparkSpec {
     assert(mustFlag.join(contaminated, Seq("doc_id"), "left_anti")
       .count() == 0, "exact-leg contamination not flagged")
   }
+
+  private def tab(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("compactState == rebuild-on-survivors across every store family") {
+    import graft.streaming.Pipeline
+    val state = tmpDir("adm_compact")
+    Admission.seedState(spark, sf0001, state)
+    // an arbitrary victim set spanning the stored split
+    val vic = docs.filter($"doc_id" % 10 < 8 && $"doc_id" % 13 === 2)
+      .select($"doc_id")
+    assert(vic.count() > 0)
+    vic.write.mode("overwrite").parquet(s"$state/tombstones/batch=0")
+    Pipeline.compactAdmissionState(spark, state)
+    // ledger drained
+    assert(Pipeline.readTombstoneLedger(spark, s"$state/tombstones")
+      .count() == 0, "compaction must drain the ledger")
+    val surv = docs.filter($"doc_id" % 10 < 8 && $"doc_id" % 13 =!= 2)
+      .select($"doc_id", coalesce($"source", lit("")).as("source"),
+        $"lang", $"text").localCheckpoint()
+    // corpus + hashes == survivors
+    assert(tab(spark.read.parquet(s"$state/corpus").drop("batch")) ==
+      tab(surv), "compacted corpus")
+    assert(tab(spark.read.parquet(s"$state/hashes").drop("batch")) ==
+      tab(surv.select($"doc_id", $"source",
+        md5(coalesce($"text", lit(""))).as("h"),
+        Admission.nwOf($"text").as("nw"))), "compacted hashes")
+    // minhash == fresh build over survivors
+    val freshSh = TextOps.shingleDocs(surv.select($"doc_id", $"text"))
+      .localCheckpoint()
+    assert(tab(spark.read.parquet(s"$state/minhash/shingles")
+      .select($"doc_id", $"n", $"hs")) ==
+      tab(freshSh.select($"doc_id", $"n", $"hs")), "compacted shingles")
+    assert(tab(spark.read.parquet(s"$state/minhash/bands")
+      .select($"doc_id", $"band", $"bh")) ==
+      tab(TextOps.bandsOf(freshSh)), "compacted bands")
+    // IVF == frozen-centroid assignment over surviving vectors
+    val cents = spark.read.parquet(s"$state/vec/centroids")
+    val expVecs = VectorOps.assignCells(
+        spark.read.parquet(s"$sf0001/embeddings.parquet")
+          .filter($"vec_id" % 10 < 8 && $"vec_id" % 13 =!= 2)
+          .select($"vec_id", $"embedding"), cents)
+      .select($"vec_id", $"cell", $"embedding")
+    assert(tab(spark.read.parquet(s"$state/vec/vectors")
+      .select($"vec_id", $"cell", $"embedding")) == tab(expVecs),
+      "compacted ivf vectors")
+    // BM25 serving == rebuild over survivors
+    val served = Admission.servedBm25(spark, state)
+    def postRows(p: org.apache.spark.sql.DataFrame) = tab(p
+      .select($"doc_id", $"len", explode(arrays_zip($"hs", $"tfs")).as("z"))
+      .select($"doc_id", $"len", $"z.hs", $"z.tfs"))
+    val freshPost = TextOps.bm25RawPostings(surv.select($"doc_id", $"text"))
+      .localCheckpoint()
+    assert(postRows(served.postings) == postRows(freshPost),
+      "compacted bm25 postings")
+    assert(tab(served.df) == tab(TextOps.bm25DfOf(freshPost)),
+      "compacted bm25 df")
+    val (n, sumLen) = TextOps.bm25TotalsOf(freshPost)
+    assert(served.n == n && served.sumLen == sumLen, "compacted bm25 totals")
+    // card serving == rebuild over survivors
+    assert(tab(TextOps.cardsOfStore(Admission.servedCardStore(spark, state))) ==
+      tab(TextOps.cardsOfStore(TextOps.cardStoreOf(
+        surv.select($"source", $"lang", $"text")))), "compacted cards")
+    // idempotence: re-folding the SAME victims changes nothing (the
+    // compactTombstones crash rule — stale tombstones re-apply as no-ops)
+    val before = (tab(spark.read.parquet(s"$state/hashes").drop("batch")),
+      tab(spark.read.parquet(s"$state/minhash/bands").drop("batch")))
+    Admission.compactState(spark, state, vic)
+    assert(before == (tab(spark.read.parquet(s"$state/hashes").drop("batch")),
+      tab(spark.read.parquet(s"$state/minhash/bands").drop("batch"))),
+      "re-applying folded victims must be a no-op")
+  }
+
+  test("revision lifecycle: tombstone fold + re-admission laws (q181 core)") {
+    val state = tmpDir("adm_revise")
+    val (dec0, dec1) = Admission.revisionComposition(spark, sf0001, state)
+    val rev = docs.filter($"doc_id" % 10 < 8 && $"doc_id" % 50 === 1)
+    assert(rev.count() > 0)
+    // batch 0: every arrival is a revision, nothing else
+    assert(dec0.count() == rev.count())
+    assert(dec0.filter($"status" =!= "revised").count() == 0)
+    // the ledger was drained by the compaction
+    assert(graft.streaming.Pipeline.readTombstoneLedger(
+      spark, s"$state/tombstones").count() == 0)
+    // batch 1: every re-arrival decides as a FRESH doc (no CDC verdicts)
+    assert(dec1.count() == rev.count())
+    assert(dec1.filter($"status".isin("redelivered", "revised")).count() == 0)
+    // end state: hashes store == survivors(original) ∪ admitted(modified)
+    val survRows = docs.filter($"doc_id" % 10 < 8 && $"doc_id" % 50 =!= 1)
+      .select($"doc_id", coalesce($"source", lit("")).as("source"),
+        md5(coalesce($"text", lit(""))).as("h"), Admission.nwOf($"text").as("nw"))
+    val admRows = dec1.filter($"status" === "admitted")
+      .select($"doc_id", $"source", $"h", $"nw")
+    assert(tab(spark.read.parquet(s"$state/hashes").drop("batch")) ==
+      tab(survRows.unionByName(admRows)), "final hashes store")
+    // no old version survives: a revised doc's (id, ORIGINAL hash) pair
+    // is gone from the store — its id reappears only if re-admitted,
+    // and then under the new content's hash. (Pair-keyed, not hash-
+    // keyed: an unrevised exact TWIN of a revised doc legitimately
+    // keeps the same content hash under its own id.)
+    val oldPairs = rev.select($"doc_id",
+      md5(coalesce($"text", lit(""))).as("h"))
+    assert(spark.read.parquet(s"$state/hashes").select($"doc_id", $"h")
+      .join(oldPairs, Seq("doc_id", "h"), "left_semi").count() == 0,
+      "an old revision (id, hash) survived the fold")
+  }
 }

@@ -212,6 +212,25 @@ class LangIdSpec extends SparkSpec {
     assert(tab(back.tgpost) == tab(raw.tgpost))
   }
 
+  test("langIdScoreDocs in-row argmax == windowed argmax over the score surface") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the in-row array_position argmax must pick exactly the row the
+    // old posexplode + row_number (score desc, lang asc) window picked,
+    // doc for doc — ties included (the kernel's langs ride sorted asc)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 >= 8).select($"doc_id", $"text")
+    val m = LangId.langIdModelCached(spark, sf0001)
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val windowed = LangId.langIdScoresAll(docs, m)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score_fp".desc, $"lang")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang".as("lang_pred"), $"score_fp")
+    assert(tab(LangId.langIdScoreDocs(docs, m)) == tab(windowed))
+  }
+
   test("NB unlearning: a trigram unique to the victim leaves the vocabulary") {
     import spark.implicits._
     // 'zzz' occurs only in doc 2 — its takedown must drop the gram from
@@ -221,7 +240,10 @@ class LangIdSpec extends SparkSpec {
     val snap = Seq((1L, "en", "abcab"), (2L, "fr", "zzzab"))
       .toDF("doc_id", "lang", "text")
     val empty = LangId.NbRaw(
-      Seq.empty[(Long, String, String, Long)].toDF("doc_id", "lang", "g", "c"),
+      Seq.empty[(Long, String, Seq[(String, Long)])]
+        .toDF("doc_id", "lang", "gcs")
+        .select($"doc_id", $"lang",
+          $"gcs".cast("array<struct<g:string,c:bigint>>").as("gcs")),
       Seq.empty[(Long, String)].toDF("doc_id", "lang"),
       Seq.empty[(String, String, Long)].toDF("lang", "g", "c"))
     val raw = LangId.appendToNbRaw(empty, snap)

@@ -599,6 +599,58 @@ class StreamingSpec extends SparkSpec {
     assert(before == afterTorn, "torn-commit replay diverged")
   }
 
+  test("revision route: streamed revise → ledger → compaction → re-admission == batch composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.Admission
+    val corpus = "/root/testdata/sf0.001"
+    val in = tmpDir("rev_in")
+    val state = tmpDir("rev_state")
+    val ckpt = tmpDir("rev_ckpt")
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val arr = Admission.revisionArrivals(spark, corpus)
+    def lines(df: org.apache.spark.sql.DataFrame) = df.select(to_json(struct(
+      lit("2026-03-01 08:00:00").as("ts"), $"doc_id", $"text", $"lang",
+      $"source", $"embedding"))).collect().map(_.getString(0))
+    // batch 0: the revisions arrive — every decision must be `revised`
+    // and the flagged ids must land in the state's tombstone ledger
+    writeJsonl(in, "b1.jsonl", lines(arr).toIndexedSeq: _*)
+    Pipeline.runAdmissionPipeline(spark, corpus, in, state, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val dec0got = spark.read.parquet(s"$state/decisions/batch=0")
+    assert(dec0got.filter($"status" =!= "revised").count() == 0)
+    assert(tab(Pipeline.readTombstoneLedger(spark, s"$state/tombstones")) ==
+      tab(arr.select($"doc_id")), "ledger == the revised ids")
+    // operator-scheduled compaction at the stopped, checkpointed boundary
+    Pipeline.compactAdmissionState(spark, state)
+    assert(Pipeline.readTombstoneLedger(spark, s"$state/tombstones")
+      .count() == 0, "compaction must drain the ledger")
+    // batch 1: the SAME revised contents re-enter as fresh arrivals
+    writeJsonl(in, "b2.jsonl", lines(arr).toIndexedSeq: _*)
+    Pipeline.runAdmissionPipeline(spark, corpus, in, state, ckpt,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val dec1got = spark.read.parquet(s"$state/decisions/batch=1")
+    // the whole streamed route == the batch composition (shared core)
+    val refState = tmpDir("rev_ref")
+    val (dec0, dec1) = Admission.revisionComposition(spark, corpus, refState)
+    assert(tab(dec0got) == tab(dec0), "batch-0 decisions")
+    assert(tab(dec1got) == tab(dec1), "batch-1 decisions")
+    // end state across the maintained stores == the composition's
+    assert(tab(spark.read.parquet(s"$state/hashes").drop("batch")) ==
+      tab(spark.read.parquet(s"$refState/hashes").drop("batch")),
+      "final hashes store")
+    assert(tab(spark.read.parquet(s"$state/corpus").drop("batch")) ==
+      tab(spark.read.parquet(s"$refState/corpus").drop("batch")),
+      "final corpus store")
+    assert(tab(spark.read.parquet(s"$state/minhash/bands").drop("batch")) ==
+      tab(spark.read.parquet(s"$refState/minhash/bands").drop("batch")),
+      "final minhash bands")
+    assert(tab(spark.read.parquet(s"$state/vec/vectors").drop("batch")) ==
+      tab(spark.read.parquet(s"$refState/vec/vectors").drop("batch")),
+      "final ivf vectors")
+  }
+
   test("streaming decontamination gate: flags == batch screen, orientation == q160") {
     import org.apache.spark.sql.functions.{lit, struct, to_json}
     import spark.implicits._
