@@ -84,6 +84,10 @@ object ScaleBench {
     // round-9: perceptual frame near-dup — one (band, bv) exchange over
     // 8 bands x 64-byte frames, capped in-bucket hamming sweep
     "q134_frame_phash_dedup",
+    // round-13: the MIH admission probe, rebuilt scan-local
+    // (MihMatchScan) after the r12 x100 replay caught its 8-bit
+    // ancestor at 764 s and the 4×16-bit join at 129 s
+    "q136_frame_phash_admit",
     // round-9: incremental cluster maintenance — rep 1 pays the stored
     // clustering + index artifacts, min-of-reps is the snapshot probe +
     // touched-component CC (the steady-state serving cost)

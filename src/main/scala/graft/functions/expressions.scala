@@ -2363,6 +2363,167 @@ object expressions {
       bc: org.apache.spark.broadcast.Broadcast[_]): String =
     s"lsh_scan_topk_b${bc.id}"
 
+  /** The broadcast operand of [[MihMatchScan]]: the arriving batch's
+    * DISTINCT frame hashes (slot-indexed), bounded by the serving-batch
+    * contract. The per-task probe index over their 4×16-bit chunks is
+    * compiled lazily from this. */
+  type MihQuerySet = Array[Long]
+
+  /** Multi-index-hashing match detection as ONE scan-local aggregate —
+    * [[LshScanTopK]]'s shape for the perceptual-frame admission screen
+    * (q136). Input rows are the STORED frame index (band, bv, h); the
+    * arriving batch's distinct hashes ride in as a broadcast. Per task
+    * it compiles a (band, chunk) → arriving-hash-slot index ONCE; each
+    * stored index row then probes its chunk value plus the 16 one-bit
+    * perturbations (17 lookups — one side of the symmetric Hamming ≤ 1
+    * pigeonhole cover), verifies candidates with the exact
+    * bit_count ≤ maxHam, and SETS A BIT per matched arriving hash. The
+    * aggregation state is one bitset over the arriving slots (merge =
+    * OR; a few hundred KB for millions of arriving hashes), and eval
+    * explodes to the matched hash values.
+    *
+    * Why: the join form exploded 68 probe rows per ARRIVING hash
+    * through a shuffle join against the index, plus two `distinct`
+    * exchanges (probe dedup, candidate dedup) — candidate volume rode
+    * the exchange. Here the only exchange carries one bitset per task,
+    * duplicates are free (idempotent bit sets), and the index needs no
+    * pre-distinct. Candidacy and verification are identical, so the
+    * matched-hash SET — all the caller consumes — is identical and the
+    * DuckDB oracle is unchanged. */
+  case class MihMatchScan(
+      children: Seq[Expression],
+      bc: org.apache.spark.broadcast.Broadcast[MihQuerySet],
+      maxHam: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (children.length != 3)
+        return TypeCheckResult.TypeCheckFailure(
+          "mih_match_scan takes (band, bv, h)")
+      val a = requireType(children(0), IntegerType, "mih_match_scan band")
+      if (a != TypeCheckResult.TypeCheckSuccess) return a
+      val b = requireType(children(1), IntegerType, "mih_match_scan bv")
+      if (b != TypeCheckResult.TypeCheckSuccess) return b
+      requireType(children(2), LongType, "mih_match_scan h")
+    }
+
+    /** (band << 16 | chunk) → arriving slots, built once per task. */
+    @transient private lazy val probeIndex: java.util.HashMap[Integer, Array[Int]] = {
+      val qs = bc.value
+      val m = new java.util.HashMap[Integer, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < qs.length) {
+        var b = 0
+        while (b < 4) {
+          val key = (b << 16) | (((qs(i) >>> (b * 16)) & 0xffffL).toInt)
+          var buf = m.get(key)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+            m.put(key, buf)
+          }
+          buf += i
+          b += 1
+        }
+        i += 1
+      }
+      val out = new java.util.HashMap[Integer, Array[Int]](m.size() * 2)
+      m.forEach((key, buf) => out.put(key, buf.toArray))
+      out
+    }
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long]((bc.value.length + 63) / 64)
+
+    override def update(buf: Array[Long], row: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+      val bAny = children(0).eval(row)
+      val vAny = children(1).eval(row)
+      val hAny = children(2).eval(row)
+      if (bAny == null || vAny == null || hAny == null) return buf
+      val band = bAny.asInstanceOf[Int]
+      val bv = vAny.asInstanceOf[Int]
+      val hOld = hAny.asInstanceOf[Long]
+      val qs = bc.value
+      var p = -1
+      while (p < 16) {
+        val probe = if (p < 0) bv else bv ^ (1 << p)
+        val bucket = probeIndex.get((band << 16) | (probe & 0xffff))
+        if (bucket != null) {
+          var bi = 0
+          while (bi < bucket.length) {
+            val slot = bucket(bi)
+            if ((buf(slot >> 6) & (1L << (slot & 63))) == 0L &&
+                java.lang.Long.bitCount(qs(slot) ^ hOld) <= maxHam)
+              buf(slot >> 6) |= 1L << (slot & 63)
+            bi += 1
+          }
+        }
+        p += 1
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) |= other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = {
+      val qs = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i < qs.length) {
+        if ((buf(i >> 6) & (1L << (i & 63))) != 0L) out += qs(i)
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bytes = new Array[Byte](buf.length * 8)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().put(buf)
+      bytes
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val buf = new Array[Long](bytes.length / 8)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): MihMatchScan =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): MihMatchScan =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): MihMatchScan =
+      copy(children = newChildren)
+    override def toString: String =
+      s"mih_match_scan(broadcast#${bc.id}, maxHam=$maxHam, ${children.mkString(", ")})"
+  }
+
+  /** [[MihMatchScan]] as a Column — per-call unique registration
+    * (name `mih_match_scan_b<id>`; drop with [[dropTempFunction]]
+    * ([[mihMatchScanName]]) after analysis). */
+  def mih_match_scan(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[MihQuerySet],
+      maxHam: Int, cols: Column*): Column = {
+    val name = s"mih_match_scan_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => MihMatchScan(exprs, bc, maxHam), "scala_udf")
+    call_function(name, cols: _*)
+  }
+
+  /** Name of the temp function [[mih_match_scan]] registers. */
+  def mihMatchScanName(
+      bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"mih_match_scan_b${bc.id}"
+
   /** Compiled Naive-Bayes trigram model for [[NbScore]] — the
     * vocabulary-bounded (lang, gram, w_fp) / (lang, prior_fp, unseen_fp)
     * tables flattened into primitive arrays for a branch-light scoring

@@ -889,12 +889,21 @@ object Admission {
       def legOf(dec: DataFrame, leg: String) = dec
         .select(lit(leg).as("leg"), $"doc_id", $"source", $"h", $"nw",
           $"status")
-      legOf(dec0, "revise")
+      val out = legOf(dec0, "revise")
         .unionByName(legOf(dec1, "readmit"))
         .unionByName(s.read.parquet(s"$state/hashes")
           .select(lit("final").as("leg"), $"doc_id", $"source", $"h",
             $"nw", lit("stored").as("status")))
         .orderBy($"leg", $"doc_id")
+        // materialize, then RECLAIM the per-run state tree now — a
+        // lifecycle rep rewrites every store family, and three bench
+        // sweeps at x100 would otherwise strand GBs of dead temp state
+        .localCheckpoint()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(work)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
     },
     oracle = Some {
       val jac = "CAST(COUNT(*) AS DOUBLE) / " +

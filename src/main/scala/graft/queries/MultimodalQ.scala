@@ -483,33 +483,40 @@ object MultimodalQ {
         "multi-index's single-bit probe guarantee (<= 7)")
     val fresh = frameHashes(newMedia).persist()
     try {
-      // distinct-hash level (matching is a pure function of h), MIH
-      // probe: chunk value + 16 one-bit perturbations per band — see
-      // the scaladoc; the r12 x100 replay measured the former 8-bit
-      // frame-level join at 764 s (quadratic bucket blow-up)
-      val probes = (0 until 4).flatMap { b =>
-        val chunk = shiftright($"h", b * 16).bitwiseAND(65535)
-        (-1 until 16).map { i =>
-          val bv = if (i < 0) chunk
-            else chunk.bitwiseXOR(lit(1 << i)).bitwiseAND(65535)
-          struct(lit(b).as("band"), bv.as("bv"))
+      // distinct-hash level (matching is a pure function of h), served
+      // SCAN-LOCAL (MihMatchScan — the LshScanTopK/PqScanTopK shape):
+      // the arriving batch's distinct hashes broadcast once; each task
+      // scans its slice of the STORED index, probes each index row's
+      // chunk + 16 one-bit perturbations against the broadcast
+      // (band, chunk) index — the symmetric side of the same Hamming ≤ 1
+      // pigeonhole cover — verifies bit_count ≤ maxHam exactly, and
+      // accumulates one BITSET over arriving slots. The former shape
+      // exploded 68 probe rows per arriving hash through a shuffle join
+      // plus two distinct exchanges (the r12 x100 replay measured the
+      // 8-bit ancestor at 764 s); here the only exchange is one bitset
+      // per task, and the matched-hash set is identical.
+      val newHashes: graft.functions.expressions.MihQuerySet =
+        fresh.select($"h").distinct().as[Long].collect().sorted
+      // register on the INDEX frame's session: the aggregate resolves
+      // under idxBands' registry, and inside foreachBatch the arriving
+      // frame rides an ISOLATED micro-batch session clone whose
+      // registry the outer index frame never consults
+      val sIdx = idxBands.sparkSession
+      val bc = sIdx.sparkContext.broadcast(newHashes)
+      val matchedH =
+        try {
+          idxBands
+            .agg(graft.functions.expressions.mih_match_scan(sIdx, bc, maxHam,
+              $"band".cast("int"), $"bv".cast("int"), $"h").as("t"))
+            .select(explode($"t").as("h"))
+            // bounded (≤ arriving distinct hashes); materialize so the
+            // broadcast reclaims now (pqAdcTopK's cleanup rule)
+            .localCheckpoint()
+        } finally {
+          graft.functions.expressions.dropTempFunction(sIdx,
+            graft.functions.expressions.mihMatchScanName(bc))
+          bc.destroy()
         }
-      }
-      // no distinct over the probe rows: for one h_new the 17 probes of a
-      // band are pairwise distinct (XOR with a nonzero single bit never
-      // equals the base chunk), bands ride in the row, and h_new itself
-      // distinguishes the rest — the row set is duplicate-free by
-      // construction, and matchedH's own distinct collapses multi-band
-      // hits, so the removed exchange changed no result row
-      val newProbes = fresh.select($"h").distinct()
-        .select($"h".as("h_new"), explode(array(probes: _*)).as("bb"))
-        .select($"h_new", $"bb.band".as("band"), $"bb.bv".as("bv"))
-      val oldBands = idxBands
-        .select($"band", $"bv", $"h".as("h_old")).distinct()
-      val matchedH = newProbes
-        .join(oldBands, Seq("band", "bv"))
-        .filter(expr(s"bit_count(h_new ^ h_old) <= $maxHam"))
-        .select($"h_new".as("h")).distinct()
       val matched = fresh.join(matchedH, Seq("h"), "left_semi")
         .select(expr("fid div 4096").as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_matched_frames"))
