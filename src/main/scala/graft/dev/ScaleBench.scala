@@ -29,6 +29,9 @@ object ScaleBench {
     // (%50 request set grows with the corpus), q26 the scan-local
     // multiprobe LSH kernel that must beat it
     "q25_knn_cosine_exact", "q26_knn_ann_lsh",
+    // round-13 (cont.): the exact-pool consumers, rebuilt over the
+    // CosineScanTopK serving core with q25
+    "q104_ann_recall_audit",
     // round-7 additions: the incremental dedup pair. Both go through the
     // per-JVM IndexCache, so rep 1 pays index build + probe and later
     // reps probe only — min-of-reps ≈ the per-snapshot serving cost.

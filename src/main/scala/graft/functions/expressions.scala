@@ -2107,6 +2107,25 @@ object expressions {
     spark.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name))
 
+  /** Order-preserving double ↔ long bijection for heap keys, flipped so
+    * score DESC == encoded ASC (the PqTopKState natural order): the
+    * ascending map flips the 63 value bits iff the sign bit is set
+    * (negatives reverse), leaves the sign bit — an involution under
+    * which signed-long order == IEEE double order (non-NaN) — then ~
+    * for DESC. Shared by [[LshScanTopK]] and [[CosineScanTopK]];
+    * decode inverts exactly. */
+  private[functions] object DescDouble {
+    @inline def encode(score: Double): Long = {
+      val bits = java.lang.Double.doubleToLongBits(score)
+      ~(bits ^ ((bits >> 63) & 0x7fffffffffffffffL))
+    }
+    @inline def decode(enc: Long): Double = {
+      val asc = ~enc
+      java.lang.Double.longBitsToDouble(
+        asc ^ ((asc >> 63) & 0x7fffffffffffffffL))
+    }
+  }
+
   /** The broadcast operand of [[LshScanTopK]]: one entry per query —
     * (query_id, quantized components floor(x·2²⁰), ‖q‖² in the quantized
     * domain, per-table hyperplane signatures). Bounded by the serving
@@ -2184,18 +2203,10 @@ object expressions {
     // order-preserving double -> long bijection (IEEE total order over
     // the non-NaN doubles this kernel produces), flipped so score DESC
     // == encoded ASC — the heap's natural order. decode inverts exactly.
-    // ascending map: flip the 63 value bits iff the sign bit is set
-    // (negatives reverse), leave the sign bit — an involution preserving
-    // signed order == double order; then ~ for DESC
-    @inline private def encodeDesc(score: Double): Long = {
-      val bits = java.lang.Double.doubleToLongBits(score)
-      ~(bits ^ ((bits >> 63) & 0x7fffffffffffffffL))
-    }
-    @inline private def decodeDesc(enc: Long): Double = {
-      val asc = ~enc
-      java.lang.Double.longBitsToDouble(
-        asc ^ ((asc >> 63) & 0x7fffffffffffffffL))
-    }
+    @inline private def encodeDesc(score: Double): Long =
+      DescDouble.encode(score)
+    @inline private def decodeDesc(enc: Long): Double =
+      DescDouble.decode(enc)
 
     /** (table, probe-signature) → query slots, open-addressed; built
       * once per deserialized expression copy (per task). Key packs
@@ -2523,6 +2534,160 @@ object expressions {
   def mihMatchScanName(
       bc: org.apache.spark.broadcast.Broadcast[_]): String =
     s"mih_match_scan_b${bc.id}"
+
+  /** The broadcast operand of [[CosineScanTopK]]: one entry per query —
+    * (query_id, quantized components floor(x·2²⁰), ‖q‖² in the
+    * quantized domain). Bounded by the serving-batch contract. */
+  type CosineQuerySet = Array[(Long, Array[Long], Long)]
+
+  /** EXACT brute-force cosine top-k as ONE scan-local aggregate — the
+    * [[LshScanTopK]] shape with every (query, vector) pair a candidate
+    * (q25's declared exhaustive baseline, and the exact pools q104's
+    * recall audit and q156's hard negatives consume). The broadcast
+    * nested-loop join form materialized nq·n scored ROWS into the
+    * two-stage window; at the x100 replay that was 77–134 s per
+    * consumer. Here each task scans its vectors once, quantizes the
+    * row once, scores EVERY query in a primitive loop (exactly
+    * [[QuantizedCosine]]'s arithmetic — a pair whose cosine is
+    * SQL-null there, i.e. dim mismatch / null component / zero norm,
+    * is skipped, and self-pairs are excluded like the join's
+    * `vec_id =!= query_id`), and keeps per-query k-entry heaps ordered
+    * by the exact (score desc, neighbor_id) total order via
+    * [[DescDouble]]; the only exchange carries one ≤ nq·k partial per
+    * task. Output is bit-identical to join + topK, oracles unchanged.
+    */
+  case class CosineScanTopK(
+      children: Seq[Expression],
+      bc: org.apache.spark.broadcast.Broadcast[CosineQuerySet],
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[PqTopKState] {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("neighbor_id", LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (children.length != 2)
+        return TypeCheckResult.TypeCheckFailure(
+          "cosine_scan_topk takes (vec_id, embedding)")
+      val a = requireType(children(0), LongType, "cosine_scan_topk vec_id")
+      if (a != TypeCheckResult.TypeCheckSuccess) return a
+      requireType(children(1), ArrayType(FloatType),
+        "cosine_scan_topk embedding")
+    }
+
+    @transient private lazy val scratch =
+      ThreadLocal.withInitial[LshScratch](() => {
+        val qs = bc.value
+        new LshScratch(qs.length,
+          qs.collectFirst { case (_, qv, _) => qv.length }.getOrElse(0))
+      })
+
+    override def createAggregationBuffer(): PqTopKState =
+      new PqTopKState(bc.value.length, k)
+
+    override def update(buf: PqTopKState, row: org.apache.spark.sql.catalyst.InternalRow): PqTopKState = {
+      val vid = children(0).eval(row)
+      val embAny = children(1).eval(row)
+      if (vid == null || embAny == null) return buf
+      val vecId = vid.asInstanceOf[Long]
+      val emb = embAny.asInstanceOf[ArrayData]
+      val qs = bc.value
+      if (qs.isEmpty) return buf
+      val st = scratch.get()
+      val n = emb.numElements()
+      if (n > st.qv.length) return buf // dim mismatch vs every query: null cosine, skip
+      // quantize the row ONCE (QuantizedCosine's floor(x·2²⁰) longs);
+      // null component / zero norm → null cosine for every pair → skip
+      var dbb = 0L
+      var i = 0
+      while (i < n) {
+        if (emb.isNullAt(i)) return buf
+        val q = math.floor(emb.getFloat(i).toDouble * 1048576.0).toLong
+        st.qv(i) = q
+        dbb += q * q
+        i += 1
+      }
+      if (dbb == 0L) return buf
+      val invB = math.sqrt(dbb.toDouble)
+      var qi = 0
+      while (qi < qs.length) {
+        val (qid, qv, qq) = qs(qi)
+        if (vecId != qid && qv.length == n && qq != 0L) {
+          var dab = 0L
+          var j = 0
+          while (j < n) { dab += qv(j) * st.qv(j); j += 1 }
+          buf.push(qi,
+            DescDouble.encode(dab.toDouble / (math.sqrt(qq.toDouble) * invB)),
+            vecId)
+        }
+        qi += 1
+      }
+      buf
+    }
+
+    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState =
+      buf.mergeFrom(other)
+
+    override def eval(buf: PqTopKState): Any = {
+      val qs = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var qi = 0
+      while (qi < buf.nq) {
+        val m = buf.size(qi)
+        val pairs = Array.tabulate(m)(i => (buf.dist(qi)(i), buf.id(qi)(i)))
+          .sortBy { case (d, v) => (d, v) }
+        var i = 0
+        while (i < m) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            qs(qi)._1, pairs(i)._2, i + 1, DescDouble.decode(pairs(i)._1))
+          i += 1
+        }
+        qi += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: PqTopKState): Array[Byte] = buf.writeTo
+
+    override def deserialize(bytes: Array[Byte]): PqTopKState =
+      PqTopKState.readFrom(bytes)
+
+    override def withNewMutableAggBufferOffset(offset: Int): CosineScanTopK =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): CosineScanTopK =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): CosineScanTopK =
+      copy(children = newChildren)
+    override def toString: String =
+      s"cosine_scan_topk(broadcast#${bc.id}, k=$k, ${children.mkString(", ")})"
+  }
+
+  /** [[CosineScanTopK]] as a Column — per-call unique registration
+    * (name `cosine_scan_topk_b<id>`; drop with [[dropTempFunction]]
+    * ([[cosineScanTopKName]]) after analysis). */
+  def cosine_scan_topk(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[CosineQuerySet],
+      k: Int, cols: Column*): Column = {
+    val name = s"cosine_scan_topk_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => CosineScanTopK(exprs, bc, k), "scala_udf")
+    call_function(name, cols: _*)
+  }
+
+  /** Name of the temp function [[cosine_scan_topk]] registers. */
+  def cosineScanTopKName(
+      bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"cosine_scan_topk_b${bc.id}"
 
   /** Compiled Naive-Bayes trigram model for [[NbScore]] — the
     * vocabulary-bounded (lang, gram, w_fp) / (lang, prior_fp, unseen_fp)

@@ -76,17 +76,46 @@ object VectorOps {
 
   /** [[cosineTopK]]'s serving core over an EXTERNAL request set
     * (query_id, q_emb): the queries broadcast against the corpus scan,
-    * exact quantized scoring, two-stage top-k — shared verbatim with the
+    * exact quantized scoring, top-k — shared verbatim with the
     * streaming hybrid lookup so a query ranks identically in stream and
     * batch. A query is never paired with the corpus row of its own id
-    * (both q25 and q88 serve corpus-resident request sets). */
+    * (both q25 and q88 serve corpus-resident request sets).
+    *
+    * Served SCAN-LOCAL since round 13 ([[graft.functions.expressions
+    * .CosineScanTopK]]): the old broadcast nested-loop join + two-stage
+    * window materialized nq·n scored rows — 77–134 s per consumer
+    * (q25/q104/q156) at the x100 replay; the kernel is the same exact
+    * arithmetic and (score desc, neighbor_id) selection with one
+    * ≤ nq·k partial per task through the exchange. Registered on the
+    * CORPUS frame's session (the q136 micro-batch clone-registry rule);
+    * the bounded result materializes so the broadcast reclaims
+    * immediately (pqAdcTopK's cleanup rule). */
   private[graft] def cosineServe(emb: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
-    import emb.sparkSession.implicits._
-    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        graft.functions.expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
-    topK(scored, k)
+    val s = emb.sparkSession
+    import s.implicits._
+    val qrows: graft.functions.expressions.CosineQuerySet = queries
+      .select($"query_id", quantize($"q_emb").cast("array<bigint>").as("qv"))
+      .filter($"qv".isNotNull)
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Long](1).toArray
+        (r.getLong(0), qv, qv.map(x => x * x).sum)
+      }
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(qrows)
+    try {
+      emb.agg(graft.functions.expressions
+          .cosine_scan_topk(s, bc, k, $"vec_id", $"embedding").as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.query_id", $"e.neighbor_id", $"e.rank", $"e.score")
+        .orderBy($"query_id", $"rank")
+        .localCheckpoint()
+    } finally {
+      graft.functions.expressions.dropTempFunction(s,
+        graft.functions.expressions.cosineScanTopKName(bc))
+      bc.destroy()
+    }
   }
 
   /** Q25 — brute-force cosine top-5 (brief's similarity-search baseline).
