@@ -2246,7 +2246,12 @@ object expressions {
     @transient private lazy val scratch =
       ThreadLocal.withInitial[LshScratch](() => {
         val qs = bc.value
-        new LshScratch(qs.length, if (qs.isEmpty) 0 else qs(0)._2.length)
+        // sized to the MAX query dim (not the first query's): with
+        // heterogeneous dims, the per-candidate n == qv.length check is
+        // the only dim gate — a row matching a longer-dim query must
+        // have scratch room (ADVICE r13)
+        new LshScratch(qs.length,
+          if (qs.isEmpty) 0 else qs.iterator.map(_._2.length).max)
       })
 
     override def createAggregationBuffer(): PqTopKState =
@@ -2585,8 +2590,12 @@ object expressions {
     @transient private lazy val scratch =
       ThreadLocal.withInitial[LshScratch](() => {
         val qs = bc.value
+        // max query dim, not the first's (ADVICE r13; see LshScanTopK):
+        // the update's n > st.qv.length early-return must only reject
+        // rows LONGER than every query — those match nothing under the
+        // per-pair n == qv.length rule
         new LshScratch(qs.length,
-          qs.collectFirst { case (_, qv, _) => qv.length }.getOrElse(0))
+          if (qs.isEmpty) 0 else qs.iterator.map(_._2.length).max)
       })
 
     override def createAggregationBuffer(): PqTopKState =
@@ -2688,6 +2697,197 @@ object expressions {
   def cosineScanTopKName(
       bc: org.apache.spark.broadcast.Broadcast[_]): String =
     s"cosine_scan_topk_b${bc.id}"
+
+  /** The broadcast operand of [[IvfScanTopK]]: one entry per query —
+    * (query_id, quantized components floor(x·2²⁰), ‖q‖² in the quantized
+    * domain, probe CELL labels — the ≤ nprobe nearest coarse-quantizer
+    * cells, distinct by construction). Bounded by the serving
+    * request-set contract. */
+  type IvfQuerySet = Array[(Long, Array[Long], Long, Array[Int])]
+
+  /** IVF cell-filtered exact cosine top-k as ONE scan-local aggregate —
+    * [[CosineScanTopK]] with [[LshScanTopK]]'s probe-index candidacy
+    * keyed by cell LABEL (VERDICT r13 #1: q39's probe equi-join
+    * `emb.join(probes, "label")` materialized one row per (corpus
+    * vector × query probing its cell) into the exchange before the
+    * window top-k — the LAST candidate-join ANN shape, 5.7× the exact
+    * scan at x100).
+    *
+    * Input rows are the corpus (vec_id, label, embedding). The query
+    * set rides in as a broadcast [[IvfQuerySet]]; per task it compiles
+    * ONCE into a label → query-slot index over the queries' probe-cell
+    * sets. Each task scans its vectors once: one index lookup per row
+    * finds every query probing the row's cell (identical candidacy to
+    * the equi-join — a row's single label meets each query's distinct
+    * probe set at most once, so no dedup mask is needed), the row
+    * quantizes once, and each candidate scores with EXACTLY
+    * [[QuantizedCosine]]'s arithmetic (a pair whose cosine is SQL-null
+    * there — dim mismatch / null component / zero norm — is skipped,
+    * and self-pairs are excluded like the join's
+    * `vec_id =!= query_id`). (score desc, neighbor_id) selection runs
+    * in per-query k-entry heaps via [[DescDouble]]; the only exchange
+    * carries one ≤ nq·k partial per task. Output is bit-identical to
+    * the join + two-stage window form, DuckDB oracle unchanged. */
+  case class IvfScanTopK(
+      children: Seq[Expression],
+      bc: org.apache.spark.broadcast.Broadcast[IvfQuerySet],
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[PqTopKState] {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("neighbor_id", LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("score", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (children.length != 3)
+        return TypeCheckResult.TypeCheckFailure(
+          "ivf_scan_topk takes (vec_id, label, embedding)")
+      val a = requireType(children(0), LongType, "ivf_scan_topk vec_id")
+      if (a != TypeCheckResult.TypeCheckSuccess) return a
+      val b = requireType(children(1), IntegerType, "ivf_scan_topk label")
+      if (b != TypeCheckResult.TypeCheckSuccess) return b
+      requireType(children(2), ArrayType(FloatType), "ivf_scan_topk embedding")
+    }
+
+    /** cell label → query slots probing it, built once per task. */
+    @transient private lazy val probeIndex: java.util.HashMap[Integer, Array[Int]] = {
+      val qs = bc.value
+      val m = new java.util.HashMap[Integer, scala.collection.mutable.ArrayBuffer[Int]]()
+      var qi = 0
+      while (qi < qs.length) {
+        val cells = qs(qi)._4
+        var ci = 0
+        while (ci < cells.length) {
+          var buf = m.get(cells(ci))
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+            m.put(cells(ci), buf)
+          }
+          buf += qi
+          ci += 1
+        }
+        qi += 1
+      }
+      val out = new java.util.HashMap[Integer, Array[Int]](m.size() * 2)
+      m.forEach((key, buf) => out.put(key, buf.toArray))
+      out
+    }
+
+    @transient private lazy val scratch =
+      ThreadLocal.withInitial[LshScratch](() => {
+        val qs = bc.value
+        // max query dim (the LshScanTopK/CosineScanTopK sizing rule)
+        new LshScratch(qs.length,
+          if (qs.isEmpty) 0 else qs.iterator.map(_._2.length).max)
+      })
+
+    override def createAggregationBuffer(): PqTopKState =
+      new PqTopKState(bc.value.length, k)
+
+    override def update(buf: PqTopKState, row: org.apache.spark.sql.catalyst.InternalRow): PqTopKState = {
+      val vid = children(0).eval(row)
+      val lab = children(1).eval(row)
+      val embAny = children(2).eval(row)
+      if (vid == null || lab == null || embAny == null) return buf
+      val bucket = probeIndex.get(lab.asInstanceOf[Int])
+      if (bucket == null) return buf
+      val vecId = vid.asInstanceOf[Long]
+      val emb = embAny.asInstanceOf[ArrayData]
+      val qs = bc.value
+      val st = scratch.get()
+      val n = emb.numElements()
+      if (n > st.qv.length) return buf // longer than every query: null cosine, skip
+      // quantize the row ONCE (QuantizedCosine's floor(x·2²⁰) longs);
+      // null component / zero norm → null cosine for every pair → skip
+      var dbb = 0L
+      var i = 0
+      while (i < n) {
+        if (emb.isNullAt(i)) return buf
+        val q = math.floor(emb.getFloat(i).toDouble * 1048576.0).toLong
+        st.qv(i) = q
+        dbb += q * q
+        i += 1
+      }
+      if (dbb == 0L) return buf
+      val sqB = math.sqrt(dbb.toDouble)
+      var bi = 0
+      while (bi < bucket.length) {
+        val (qid, qv, qq, _) = qs(bucket(bi))
+        if (vecId != qid && qv.length == n && qq != 0L) {
+          var dab = 0L
+          var j = 0
+          while (j < n) { dab += qv(j) * st.qv(j); j += 1 }
+          buf.push(bucket(bi),
+            DescDouble.encode(dab.toDouble / (math.sqrt(qq.toDouble) * sqB)),
+            vecId)
+        }
+        bi += 1
+      }
+      buf
+    }
+
+    override def merge(buf: PqTopKState, other: PqTopKState): PqTopKState =
+      buf.mergeFrom(other)
+
+    override def eval(buf: PqTopKState): Any = {
+      val qs = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var qi = 0
+      while (qi < buf.nq) {
+        val m = buf.size(qi)
+        val pairs = Array.tabulate(m)(i => (buf.dist(qi)(i), buf.id(qi)(i)))
+          .sortBy { case (d, v) => (d, v) }
+        var i = 0
+        while (i < m) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            qs(qi)._1, pairs(i)._2, i + 1, DescDouble.decode(pairs(i)._1))
+          i += 1
+        }
+        qi += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def serialize(buf: PqTopKState): Array[Byte] = buf.writeTo
+
+    override def deserialize(bytes: Array[Byte]): PqTopKState =
+      PqTopKState.readFrom(bytes)
+
+    override def withNewMutableAggBufferOffset(offset: Int): IvfScanTopK =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): IvfScanTopK =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): IvfScanTopK =
+      copy(children = newChildren)
+    override def toString: String =
+      s"ivf_scan_topk(broadcast#${bc.id}, k=$k, ${children.mkString(", ")})"
+  }
+
+  /** [[IvfScanTopK]] as a Column — per-call unique registration
+    * (name `ivf_scan_topk_b<id>`; drop with [[dropTempFunction]]
+    * ([[ivfScanTopKName]]) after analysis). */
+  def ivf_scan_topk(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[IvfQuerySet],
+      k: Int, cols: Column*): Column = {
+    val name = s"ivf_scan_topk_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => IvfScanTopK(exprs, bc, k), "scala_udf")
+    call_function(name, cols: _*)
+  }
+
+  /** Name of the temp function [[ivf_scan_topk]] registers. */
+  def ivfScanTopKName(
+      bc: org.apache.spark.broadcast.Broadcast[_]): String =
+    s"ivf_scan_topk_b${bc.id}"
 
   /** Compiled Naive-Bayes trigram model for [[NbScore]] — the
     * vocabulary-bounded (lang, gram, w_fp) / (lang, prior_fp, unseen_fp)

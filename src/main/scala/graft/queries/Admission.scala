@@ -393,13 +393,19 @@ object Admission {
       val t = dst.resolve(src.relativize(p).toString)
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
-      else if (!java.nio.file.Files.exists(t))
+      // the _seeded marker is NOT linked during the walk: a crash
+      // mid-clone must not leave a partial tree that the idempotency
+      // check above treats as complete — the marker is created LAST,
+      // exactly seedState's rule (ADVICE r13)
+      else if (p.getFileName.toString != "_seeded" &&
+          !java.nio.file.Files.exists(t))
         try java.nio.file.Files.createLink(t, p)
         catch {
           case _: UnsupportedOperationException | _: java.io.IOException =>
             java.nio.file.Files.copy(p, t)
         }
     }
+    java.nio.file.Files.createFile(seedMarker(stateDir))
   }
 
   /** COMPACTION FOLD for the admission stores — the artifact-specific

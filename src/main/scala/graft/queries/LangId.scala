@@ -123,6 +123,11 @@ object LangId {
       l -> rs.iterator.map(_._3).sum
     }
     val stats = priors.select($"lang", $"nd").collect()
+      // a language in priors with NO trigram counts (all its training
+      // docs too short — dlab keeps trigram-less docs) must not crash
+      // the fit: the old in-plan inner join on the count table dropped
+      // it from stats, so skip it here too (ADVICE r13)
+      .filter(r => nl.contains(r.getString(0)))
       .map { r =>
         val l = r.getString(0); val nd = r.getLong(1)
         (l, fp(StrictMath.log(nd.toDouble / nTrain)),

@@ -626,4 +626,84 @@ class ExpressionsSpec extends SparkSpec {
     val wide = dh("abcdefgh" * 16) // 128 bytes: comparisons beyond j=62 ignored
     assert(wide.head >= 0L, "bit 63 never set -> non-negative")
   }
+
+  test("ivf_scan_topk == the probe equi-join + quantized_cosine + window it replaced") {
+    import spark.implicits._
+    // 12 vectors over 3 cells; queries 0 and 3 probe different cell sets
+    val corpus = (0L until 12L).map { id =>
+      (id, (id % 3).toInt,
+        Seq.tabulate(4)(c => ((id * 7 + c * 13) % 11).toFloat / 11f - 0.4f))
+    }
+    val emb = corpus.toDF("vec_id", "label", "embedding")
+      .select($"vec_id", $"label", transform($"embedding", _.cast("float")).as("embedding"))
+    // q0 probes cells {0, 2} (its own cell + one more), q3 probes {0} only
+    val probeSets = Map(0L -> Array(0, 2), 3L -> Array(0))
+    val qrows: expressions.IvfQuerySet = corpus
+      .filter(r => probeSets.contains(r._1))
+      .map { case (id, _, e) =>
+        val qv = e.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray
+        (id, qv, qv.map(x => x * x).sum, probeSets(id))
+      }.sortBy(_._1).toArray
+    val bc = spark.sparkContext.broadcast(qrows)
+    val got =
+      try emb.agg(expressions.ivf_scan_topk(spark, bc, 3,
+          $"vec_id", $"label", $"embedding").as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.query_id", $"e.neighbor_id", $"e.rank", $"e.score")
+        .orderBy($"query_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      finally {
+        expressions.dropTempFunction(spark, expressions.ivfScanTopKName(bc))
+        bc.destroy()
+      }
+    // declarative reference: probe equi-join + exact kernel + window
+    val probes = probeSets.toSeq
+      .flatMap { case (q, cells) => cells.map(c => (q, c)) }
+      .toDF("query_id", "label")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    val want = emb.join(broadcast(probes), Seq("label"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb")), Seq("query_id"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        expressions.quantized_cosine($"q_emb", $"embedding").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"query_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq, "kernel must be bit-identical to the join form")
+    // candidacy really is cell-limited: q3 probes only cell 0
+    assert(got.filter(_._1 == 3L).forall(t => t._2 % 3 == 0))
+  }
+
+  test("cosine_scan_topk: heterogeneous query dims — scratch sized to the max") {
+    import spark.implicits._
+    // FIRST query is the short one (the r13 sizing bug keyed off qs(0))
+    val q2 = Array(1048576L, 1048576L) // dim 2
+    val q3 = Array(1048576L, 0L, 1048576L) // dim 3
+    val bc = spark.sparkContext.broadcast(Array(
+      (100L, q2, q2.map(x => x * x).sum),
+      (200L, q3, q3.map(x => x * x).sum)): expressions.CosineQuerySet)
+    val emb = Seq(
+      (1L, Seq(1.0f, 1.0f)),          // dim 2 — candidate for q100 only
+      (2L, Seq(1.0f, 0.0f, 1.0f)),    // dim 3 — candidate for q200 only
+      (3L, Seq(0.5f, 0.5f, 0.0f, 1.0f))) // dim 4 — matches neither
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", _.cast("float")).as("embedding"))
+    val got =
+      try emb.agg(expressions.cosine_scan_topk(spark, bc, 5,
+          $"vec_id", $"embedding").as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.query_id", $"e.neighbor_id", $"e.score")
+        .orderBy($"query_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      finally {
+        expressions.dropTempFunction(spark, expressions.cosineScanTopKName(bc))
+        bc.destroy()
+      }
+    // per-pair n == qv.length is the only dim gate: the longer-dim query
+    // (after a shorter first query) still scores its matching row
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((100L, 1L), (200L, 2L)))
+    assert(got.forall(_._3 > 0.999)) // parallel vectors, cosine ≈ 1
+  }
 }

@@ -3050,4 +3050,22 @@ class QueriesSpec extends SparkSpec {
       assert(out == Seq((1L, 1L), (2L, 1L), (9L, 9L), (10L, 9L)))
     } finally spark.conf.unset("graft.text.ccDriverMax")
   }
+
+  test("cosineServe: null-component query drops; null-component neighbor skips (QuantizedCosine's rule)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq[Option[Float]](Some(1.0f), Some(0.5f))),
+      (2L, Seq[Option[Float]](Some(0.5f), Some(1.0f))),
+      (3L, Seq[Option[Float]](Some(1.0f), None))) // null component
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val queries = emb.filter($"vec_id" >= 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val got = VectorOps.cosineServe(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // query 3 (null component) emits NOTHING — dropped at collect, the
+    // join form's all-pairs-null behavior; vector 3 never scores as a
+    // neighbor either (the kernel's per-row null skip)
+    assert(got == Seq((2L, 1L)))
+  }
 }
