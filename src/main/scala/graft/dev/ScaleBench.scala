@@ -29,6 +29,9 @@ object ScaleBench {
     // (%50 request set grows with the corpus), q26 the scan-local
     // multiprobe LSH kernel that must beat it
     "q25_knn_cosine_exact", "q26_knn_ann_lsh",
+    // round-14: the IVF probe path, rebuilt scan-local (IvfScanTopK)
+    // after VERDICT r13 #1 caught the probe equi-join at 21.7 s / x100
+    "q39_knn_ann_ivf",
     // round-13 (cont.): the exact-pool consumers, rebuilt over the
     // CosineScanTopK serving core with q25
     "q104_ann_recall_audit",

@@ -3215,17 +3215,39 @@ object expressions {
     buf.toArray
   }
 
+  /** UTF-8 byte-order `<` over strings — EXACTLY the total order Spark's
+    * `orderBy` applies to StringType (UTF8String.compareTo: unsigned
+    * byte-wise) and DuckDB's VARCHAR ORDER BY. The driver-side BPE
+    * argmax must break ties in THIS order, not Java String (UTF-16
+    * code-unit) order, to stay bit-parity with the distributed trainer
+    * and the unrolled SQL oracle (identical on ASCII; supplementary
+    * characters order differently). */
+  private[functions] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Deterministic greedy BPE TRAINING over a bounded word-count sample
     * (Sennrich et al., "Neural Machine Translation of Rare Words with
     * Subword Units", ACL 2016 — algorithm 1, re-derived): start from
     * per-character segmentations, and for `nMerges` rounds count every
     * adjacent symbol pair weighted by word frequency, merge the most
     * frequent pair everywhere, repeat. Ties break by (count desc, left,
-    * right) so the merges table is a pure function of the input sample.
-    * Driver-local by design: the input is a bounded heavy-hitter
-    * vocabulary (≤ a few hundred rows at any corpus scale — see q23b),
-    * never the corpus.
-    */
+    * right) under UTF-8 byte order ([[utf8Lt]] — the distributed
+    * trainer's Spark `orderBy` order) so the merges table is a pure
+    * function of the input sample AND bit-identical to the in-plan
+    * trainer on the same counts. Driver-local by design: the input is a
+    * vocabulary-bounded word-count table (Heaps-sublinear in the
+    * corpus), never the corpus — the [[graft.queries.TextOps]] artifact
+    * pair trains through this under `graft.bpe.driverVocabMax`. */
   private[graft] def trainBpeMerges(
       wordCounts: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
     var segs: Seq[(Array[String], Long)] = wordCounts
@@ -3245,9 +3267,19 @@ object expressions {
       }
       if (counts.isEmpty) done = true
       else {
-        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
-        merges += best
-        segs = segs.map { case (seq, c) => (bpeMergeAll(seq, best._1, best._2), c) }
+        // argmax under (count desc, l, r) — a total order, so the
+        // HashMap's iteration order can't leak into the result
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 || (e._2 == best._2 &&
+              (utf8Lt(e._1._1, best._1._1) || (e._1._1 == best._1._1 &&
+                utf8Lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        merges += best._1
+        segs = segs.map { case (seq, c) =>
+          (bpeMergeAll(seq, best._1._1, best._1._2), c)
+        }
       }
     }
     merges.toSeq

@@ -3051,6 +3051,32 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.unset("graft.text.ccDriverMax")
   }
 
+  test("BPE pair artifact: each leg == the distributed per-round trainer (sf0.001)") {
+    import spark.implicits._
+    // the same word-count projection the shared bpewc artifact scans
+    val wc = graft.sources.Tables.documents(spark, sf0001)
+      .select(($"doc_id" % 10 < 8).as("stored"),
+        explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(
+        sum(when($"stored", 1L).otherwise(0L)).as("c_stored"),
+        count(lit(1)).as("c_all"))
+    // the driver-side pair fit (the cached path at this vocab size) must
+    // be bit-identical to the unchanged distributed loop, per leg
+    val distV1 = TextOps.trainBpeDistributed(
+      wc.filter($"c_stored" > 0).select($"w", $"c_stored".as("c")), 48)
+    val distV2 = TextOps.trainBpeDistributed(
+      wc.select($"w", $"c_all".as("c")), 48)
+    assert(TextOps.bpeMergesCachedV1(spark, sf0001) == distV1,
+      "v1 (stored-split) leg diverged from the distributed trainer")
+    assert(TextOps.bpeMergesCached(spark, sf0001) == distV2,
+      "v2 (full-corpus) leg diverged from the distributed trainer")
+    // and the two sequences genuinely diverge on this corpus — the
+    // no-prefix-property fact that makes deriving v1 from v2's trace
+    // impossible (the pair must be trained, not sliced)
+    assert(distV1 != distV2)
+  }
+
   test("cosineServe: null-component query drops; null-component neighbor skips (QuantizedCosine's rule)") {
     import spark.implicits._
     val emb = Seq(
