@@ -47,7 +47,9 @@ object ScaleBench {
     // tables are vocabulary²-bounded at any corpus size
     "q84_bm25_topk", "q85_lm_perplexity_filter",
     // span surgery: q65's gram-flagging scan + per-row array arithmetic
-    "q86_dedup_span_removal",
+    // (q65 itself added for the r14 x1000 decade probe — VERDICT r13 #2
+    // names it among the corpus scans to break-test at the next decade)
+    "q65_dup_ngram_spans", "q86_dedup_span_removal",
     // canonicalization: shares q47's clustering artifact via IndexCache
     // (rep 1 pays LSH+CC, later reps read the artifact — min-of-reps is
     // the post-clustering selection cost: quality scan + broadcast joins
