@@ -1044,6 +1044,121 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Nearest-centroid assignment (with runner-up distance) as ONE
+    * scan-local pass — replaces the k-branch
+    * `least(struct(sq_dist(xq, typedlit(c)), cid))` fold whose PLAN grew
+    * with k: one expression branch (and one 64-long array literal) per
+    * centroid was the reason `autoCellCount` capped the scaled-k rule at
+    * 512 cells through round 13, which in turn put the blocked-quadratic
+    * dedup family (q38/q75/q83) back on a super-linear curve the moment
+    * the corpus outgrew 512·cellTarget vectors (measured at x1000:
+    * q38 14× for 10× data). Here the centroid table rides in ONE
+    * broadcast and each row pays a k·d long loop — the same arithmetic,
+    * none of the plan.
+    *
+    * Bit-identical to the fold it replaces, edge rules included:
+    *  - distance: [[SqDistLong]]'s exact long arithmetic (wrap and all);
+    *  - tie on distance → smallest cid (the (dist, cid) struct order);
+    *  - null xq / null element / dim mismatch → every per-centroid
+    *    sq_dist is null; the struct ordering ranks null first and
+    *    compares cid next, so the fold returned (dist null, cid 0) and
+    *    sort_array's runner-up was (null, 1) — reproduced literally as
+    *    struct(null, 0, null).
+    *
+    * Output struct(dist: long, cid: int, dist2: long): `dist`/`cid` are
+    * the Lloyd assignment (q74's contract), `dist2` the second-nearest
+    * distance (q128's silhouette b2 — the sort_array(...)(1) field of
+    * the old fold). Requires k >= 2 (autoCellCount's floor is 8).
+    */
+  case class CentroidArgmin(
+      child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("dist", LongType, nullable = true),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("dist2", LongType, nullable = true)))
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(LongType), "centroid_argmin")
+
+    private def nullRow: org.apache.spark.sql.catalyst.InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, 0, null))
+
+    /** Core loop, callable from codegen via the reference object. */
+    def assign(xAny: Any): org.apache.spark.sql.catalyst.InternalRow = {
+      if (xAny == null) return nullRow
+      val a = xAny.asInstanceOf[ArrayData]
+      val cents = bc.value
+      val dim = cents(0).length
+      val n = a.numElements()
+      if (n != dim) return nullRow
+      val xs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return nullRow
+        xs(i) = a.getLong(i)
+        i += 1
+      }
+      // track best and runner-up under the exact (dist asc, cid asc)
+      // struct order; strict < keeps the smaller cid on distance ties,
+      // matching least/sort_array over structs with distinct cids
+      var d1 = 0L; var c1 = 0; var d2 = 0L; var seen = 0
+      var c = 0
+      val k = cents.length
+      while (c < k) {
+        val cv = cents(c)
+        var acc = 0L
+        var j = 0
+        while (j < n) { val d = xs(j) - cv(j); acc += d * d; j += 1 }
+        if (seen == 0) { d1 = acc; c1 = c; seen = 1 }
+        else if (acc < d1) { d2 = d1; d1 = acc; c1 = c; seen = 2 }
+        else if (seen == 1 || acc < d2) { d2 = acc; seen = 2 }
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](d1, c1, d2))
+    }
+
+    override def eval(
+        input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      assign(child.eval(input))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("cam", this, classOf[CentroidArgmin].getName)
+      val childGen = child.genCode(ctx)
+      val row = "org.apache.spark.sql.catalyst.InternalRow"
+      ev.copy(
+        code = childGen.code +
+          code"""
+        $row ${ev.value} = ($row) $ref.assign(
+          ${childGen.isNull} ? null : (Object) ${childGen.value});""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): CentroidArgmin =
+      copy(child = c)
+    override def toString: String =
+      s"centroid_argmin(broadcast#${bc.id}, $child)"
+  }
+
+  /** [[CentroidArgmin]] as a Column — per-call unique registration
+    * keyed by the broadcast id (nb_score's pattern; a Lloyd fit
+    * registers one per round, all dropped with the session). */
+  def centroid_argmin(spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]],
+      xq: Column): Column = {
+    val name = s"centroid_argmin_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => {
+        require(exprs.length == 1, s"$name requires exactly 1 argument (xq)")
+        CentroidArgmin(exprs.head, bc)
+      }, "scala_udf")
+    call_function(name, xq)
+  }
+
   /** Misra–Gries heavy-hitter sketch over a string column: at most `k`
     * (token, est) counters in O(k) space, one stream pass, mergeable
     * partials — the frequent-items summary of Misra & Gries 1982 with the

@@ -369,13 +369,19 @@ object VectorOps {
     * cell per `graft.vec.cellTarget` vectors — default 1536, the measured
     * x100 optimum (SCALE.md: pair work falls with cell size until the
     * n·k centroid-assignment cost overtakes it; at 200k vectors k = 128
-    * beat both 64 and 256). Capped at 512: past that the
-    * typedlit-centroid assignment plan itself becomes the bottleneck and
-    * a deployment should shard the corpus before clustering (or use a
-    * two-level quantizer), not grow one plan. */
+    * beat both 64 and 256). Capped at 4096 (was 512 through r13, when
+    * assignment was a k-branch typedlit fold whose PLAN grew with k;
+    * since [[graft.functions.expressions.CentroidArgmin]] the table
+    * rides one broadcast and only the k·d per-row loop grows, so the
+    * cap is two decades higher — the r14 x1000 probe measured the old
+    * cap putting q38 on a 14×-per-decade curve the moment cells
+    * outgrew the target). Past 4096 (≈ 6M vectors per clustering
+    * domain) a deployment should shard the corpus before clustering or
+    * use a two-level quantizer — at that k the Lloyd refits themselves
+    * (rounds · n · k · d) are the bottleneck, not the assignment. */
   private def autoCellCount(s: SparkSession, n: Long): Int = {
     val target = math.max(1L, s.conf.get("graft.vec.cellTarget", "1536").toLong)
-    math.min(512L, math.max(8L, (n + target - 1) / target)).toInt
+    math.min(4096L, math.max(8L, (n + target - 1) / target)).toInt
   }
 
   /** Resolved cluster count for the Lloyd family (q74/q75/q87 and the
@@ -1124,7 +1130,7 @@ object VectorOps {
     * their projection.
     *
     * k is the `kk` CTE — [[autoCellCount]]'s exact rule
-    * (min(512, max(8, ceil(n/1536)))) over the training rows, so the
+    * (min(4096, max(8, ceil(n/1536)))) over the training rows, so the
     * oracle follows the scaled-k default at EVERY scale factor; like
     * q38's maxCell, the oracle pins the default `cellTarget` (1536) and
     * CORRECTNESS runs must use it. */
@@ -1135,7 +1141,7 @@ object VectorOps {
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
         FROM embeddings """ + where + """),
       kk AS (
-        SELECT LEAST(512, GREATEST(8, (COUNT(*) + 1535) // 1536)) AS k FROM q),
+        SELECT LEAST(4096, GREATEST(8, (COUNT(*) + 1535) // 1536)) AS k FROM q),
       init AS (
         SELECT cid, c FROM (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xq AS c
@@ -1246,12 +1252,14 @@ object VectorOps {
         .select($"xq").collect().toSeq
         .map(_.getSeq[Long](0).toArray)
       def assigned: org.apache.spark.sql.DataFrame = {
-        val scored = cents.zipWithIndex.map { case (c, i) =>
-          struct(
-            graft.functions.expressions.sq_dist($"xq", typedlit(c.toSeq)).as("dist"),
-            lit(i).as("cid"))
-        }
-        emb.withColumn("a", least(scored: _*))
+        // one broadcast + one scan-local k·d loop per row (CentroidArgmin)
+        // instead of a k-branch least(struct(sq_dist, cid)) fold — the
+        // fold's PLAN grew with k, which is what capped the scaled-k rule
+        // at 512 cells (and with it the whole blocked family) until r14;
+        // bit-identical output (tie → smallest cid, null → (null, 0))
+        val bc = s.sparkContext.broadcast(cents.map(_.clone()).toArray)
+        emb.withColumn("a",
+            graft.functions.expressions.centroid_argmin(s, bc, $"xq"))
           .select($"vec_id", $"xq",
             $"a.cid".cast("long").as("cluster"), $"a.dist".as("dist"))
       }
@@ -2100,18 +2108,19 @@ object VectorOps {
         // q74/q75/q87 read — one training run per dataset, and only the
         // one scoring pass below is silhouette-specific
         val (_, cents) = kmeansFitCached(s, d, k)
-        val scored = cents.zipWithIndex.map { case (c, i) =>
-          struct(
-            graft.functions.expressions.sq_dist($"xq", typedlit(c.toSeq)).as("dist"),
-            lit(i).as("cid"))
-        }
+        // CentroidArgmin carries the runner-up distance precisely for
+        // this consumer: (dist, cid, dist2) == the old
+        // sort_array(struct(sq_dist, cid))(0..1) fields, without the
+        // k-branch plan (see kmeansFit's assigned)
+        val bc = s.sparkContext.broadcast(cents.map(_.clone()).toArray)
         Tables.embeddings(s, d)
           .select($"vec_id", quantize($"embedding").cast("array<bigint>").as("xq"))
-          .withColumn("arr", sort_array(array(scored: _*)))
+          .withColumn("a",
+            graft.functions.expressions.centroid_argmin(s, bc, $"xq"))
           .select($"vec_id",
-            $"arr"(0)("cid").cast("long").as("cluster"),
-            $"arr"(0)("dist").as("a2"),
-            $"arr"(1)("dist").as("b2"))
+            $"a.cid".cast("long").as("cluster"),
+            $"a.dist".as("a2"),
+            $"a.dist2".as("b2"))
           .write.mode("overwrite").parquet(p)
       })
       val sa = sqrt($"a2".cast("double"))
