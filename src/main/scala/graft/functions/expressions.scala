@@ -1144,6 +1144,127 @@ object expressions {
       s"centroid_argmin(broadcast#${bc.id}, $child)"
   }
 
+  /** Pre-quantized centroid table for [[CellArgmax]]: labels,
+    * floor(float(cvec)·2^20) long vectors, and their precomputed
+    * self-dot-products (so each row pays one dot product per centroid,
+    * not three). */
+  final class CellCents(
+      val labels: Array[Long],
+      val q: Array[Array[Long]],
+      val dbb: Array[Long]) extends Serializable
+
+  /** Argmax-cosine cell assignment as ONE scan-local pass — the kernel
+    * form of VectorOps.assignCells' per-row `array_sort(transform(cents,
+    * struct(quantized_cosine, c_label)), (csim desc, c_label asc))(0)`.
+    * The interpreted-HOF sort was plan-size-safe (the centroid table is
+    * DATA there, not plan) but paid interpreted-lambda struct churn per
+    * (row × centroid) — fine at the old 512-cell cap, the dominant cost
+    * of index build/probe at the r14 4096 cap (q83's stored-split
+    * assignment at x1000 = 1.8M rows × 1302 cells).
+    *
+    * Arithmetic is [[QuantizedCosine]]'s, term for term: quantize both
+    * sides floor(float→double·2^20), long dot/norms,
+    * dab / (sqrt(daa)·sqrt(dbb)) in that association — bit-identical
+    * scores. Tie on score → smallest label (the comparator's c_label
+    * leg). Null/degenerate rows (null embedding, null component, dim
+    * mismatch, zero norm) return SQL NULL: every per-centroid cosine is
+    * null for such a row, downstream candidate joins/filters drop it
+    * either way (the old fold handed these rows an arbitrary
+    * collect-order cell whose candidates then all scored null — same
+    * final result through a needless join). Zero-norm CENTROIDS are
+    * skipped (their cosine is null against every row); the old
+    * comparator's null-vs-number leg was order-dependent there, so the
+    * kernel rule is the only self-consistent reading. */
+  case class CellArgmax(
+      child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[CellCents])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(FloatType), "cell_argmax")
+
+    /** Core loop; returns java.lang.Long or null. */
+    def best(eAny: Any): Any = {
+      if (eAny == null) return null
+      val a = eAny.asInstanceOf[ArrayData]
+      val t = bc.value
+      if (t.q.length == 0) return null
+      val dim = t.q(0).length
+      if (a.numElements() != dim) return null
+      val qa = new Array[Long](dim)
+      var daa = 0L
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        val q0 = math.floor(a.getFloat(i).toDouble * 1048576.0).toLong
+        qa(i) = q0
+        daa += q0 * q0
+        i += 1
+      }
+      if (daa == 0L) return null
+      val sa = math.sqrt(daa.toDouble)
+      var bestLab = 0L
+      var bestSim = 0.0
+      var found = false
+      var c = 0
+      while (c < t.q.length) {
+        val nbb = t.dbb(c)
+        if (nbb != 0L) {
+          val qv = t.q(c)
+          var dab = 0L
+          var j = 0
+          while (j < dim) { dab += qa(j) * qv(j); j += 1 }
+          val sim = dab.toDouble / (sa * math.sqrt(nbb.toDouble))
+          val lab = t.labels(c)
+          if (!found || sim > bestSim ||
+              (sim == bestSim && lab < bestLab)) {
+            bestSim = sim; bestLab = lab; found = true
+          }
+        }
+        c += 1
+      }
+      if (!found) null else java.lang.Long.valueOf(bestLab)
+    }
+
+    override def eval(
+        input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      best(child.eval(input))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cax", this, classOf[CellArgmax].getName)
+      val childGen = child.genCode(ctx)
+      val res = ctx.freshName("caxRes")
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      ev.copy(code = childGen.code +
+        code"""
+        Object $res = $ref.best(
+          ${childGen.isNull} ? null : (Object) ${childGen.value});
+        boolean ${ev.isNull} = $res == null;
+        long ${ev.value} = ${ev.isNull} ? -1L :
+          ((java.lang.Long) $res).longValue();""")
+    }
+    override protected def withNewChildInternal(c: Expression): CellArgmax =
+      copy(child = c)
+    override def toString: String =
+      s"cell_argmax(broadcast#${bc.id}, $child)"
+  }
+
+  /** [[CellArgmax]] as a Column — nb_score's per-broadcast registration
+    * pattern. */
+  def cell_argmax(spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[CellCents],
+      embedding: Column): Column = {
+    val name = s"cell_argmax_b${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => {
+        require(exprs.length == 1,
+          s"$name requires exactly 1 argument (embedding)")
+        CellArgmax(exprs.head, bc)
+      }, "scala_udf")
+    call_function(name, embedding)
+  }
+
   /** [[CentroidArgmin]] as a Column — per-call unique registration
     * keyed by the broadcast id (nb_score's pattern; a Lloyd fit
     * registers one per round, all dropped with the session). */

@@ -348,19 +348,37 @@ object VectorOps {
     * window. Output: (vec_id, embedding, cell). */
   private[graft] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val centArr = centroids
-      .agg(collect_list(struct($"c_label", $"cvec")).as("cents"))
-    emb.crossJoin(broadcast(centArr))
-      .withColumn("ranked", array_sort(
-        transform($"cents", c => struct(
-          graft.functions.expressions.quantized_cosine($"embedding", toF(c("cvec"))).as("csim"),
-          c("c_label").as("cell"))),
-        (l, r) => when(l("csim") > r("csim"), lit(-1))
-          .when(l("csim") < r("csim"), lit(1))
-          .when(l("cell") < r("cell"), lit(-1))
-          .when(l("cell") > r("cell"), lit(1))
-          .otherwise(lit(0))))
-      .select($"vec_id", $"embedding", $"ranked"(0)("cell").as("cell"))
+    val s = emb.sparkSession
+    // collect + pre-quantize the (small: k <= 4096) centroid table once
+    // and argmax in one scan-local kernel pass (CellArgmax) — the old
+    // per-row array_sort(transform(...)) over a broadcast struct array
+    // was plan-size-safe but paid interpreted-lambda struct churn per
+    // (row x centroid): the dominant index-build/probe cost once the
+    // r14 cap lift let k grow past 512 (q83 x1000). Scores, tie rule
+    // and the quantize-to-float step are bit-identical (see CellArgmax).
+    val labelType = centroids.schema("c_label").dataType
+    val rows = centroids.select($"c_label".cast("long"), $"cvec").collect()
+    val labels = rows.map(_.getLong(0))
+    val q = rows.map { r =>
+      // boxed read: a null cvec/component must NOT unbox to 0.0 (the
+      // ADVICE r13 rule) — such a centroid scored null against every
+      // row in the old fold, i.e. never won; dbb = 0 makes the kernel
+      // skip it the same way
+      val cv = if (r.isNullAt(1)) null
+        else r.getSeq[java.lang.Double](1)
+      if (cv == null || cv.exists(_ == null)) null
+      else cv.toArray.map(d =>
+        math.floor(d.doubleValue().toFloat.toDouble * 1048576.0).toLong)
+    }
+    val kept = labels.zip(q).filter(_._2 != null)
+    val dbb = kept.map(_._2.foldLeft(0L)((acc, x) => acc + x * x))
+    val bc = s.sparkContext.broadcast(
+      new graft.functions.expressions.CellCents(
+        kept.map(_._1), kept.map(_._2), dbb))
+    emb.withColumn("cell",
+      graft.functions.expressions.cell_argmax(s, bc, $"embedding")
+        .cast(labelType))
+      .select($"vec_id", $"embedding", $"cell")
   }
 
   /** k ∝ n cell-count rule for the blocked-quadratic family (q38 / q75
