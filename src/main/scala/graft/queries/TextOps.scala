@@ -328,8 +328,9 @@ object TextOps {
     * Scale shape: one df count, two in-row prefix/rank sorts under one
     * doc_id exchange, one equi-join keyed by 8-byte shingle hash whose
     * probe side is rare-first prefixes (hot shingles never probe; df=1
-    * postings can match no second doc but survive on the index side for
-    * losslessness), candidates distinct-collapsed before the
+    * entries are shed from BOTH legs before the exchange — any join row
+    * they produced was the self-pair i = j, see the shed comment at the
+    * ranked stage), candidates distinct-collapsed before the
     * verification join (q18's merge-intersect kernel; AQE-chosen side). At 100 TB the
     * in-bucket pair loop moves into a PPJoinPairs-style kernel with the
     * asymmetric alpha — declared lever, not needed at measured scale
@@ -349,6 +350,17 @@ object TextOps {
         val ranked = dfRankedShingles(docs)
           .select($"doc_id", $"n",
             posexplode($"sh").as(Seq("p0", "e")))
+          // df = 1 shed, BOTH legs (q18's prefix device, extended to the
+          // index side): a join row requires its shingle in probe doc i
+          // AND index doc j with i != j, i.e. df >= 2 — a df = 1 entry
+          // can only ever produce the self-pair the i != j filter
+          // discards. Ranks are already assigned (posexplode over the
+          // full vector), so rk/n arithmetic in both filters is
+          // untouched; lossless by the pigeonhole that defines df. On a
+          // Zipf corpus the rare-first prefixes are df = 1-heavy, so
+          // this sheds most of the probe leg and a large slice of the
+          // index leg before the equi-join's exchange (guide §2.3).
+          .filter($"e.df" > 1)
           .select($"doc_id", $"n", ($"p0" + 1).as("rk"), $"e.h".as("h"))
           .localCheckpoint()
         // alpha = ceil(0.8·n) computed EXACTLY in integers as
@@ -3513,30 +3525,51 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
 
   /** Shared duplicate-occurrence roll-up (q65's word 8-grams, q73's
     * binary frames): given one (doc_id, key) row per span occurrence,
-    * collapse to per-(doc, key) counts FIRST — the exploded
-    * one-row-per-position stream dies in its scan task via map-side
-    * partial combine — then count each key's distinct-doc frequency (a
-    * plain count: collapsed rows are distinct (doc, key)), join back at
-    * collapsed granularity, and report per doc the total occurrence
-    * count, the corpus-duplicated count (df >= 2 — the key occurs in at
-    * least one OTHER document), and their exact-IEEE ratio. Both
-    * consumers of the collapsed frame share an identical
-    * scan+explode+partial-agg exchange subtree, which AQE's runtime
-    * stage reuse materializes once (a scoped persist was measured
-    * slower — it forces full materialization where stage reuse
-    * pipelines).
+    * report per doc the total occurrence count, the corpus-duplicated
+    * count (df >= 2 — the key occurs in at least one OTHER document),
+    * and their exact-IEEE ratio.
+    *
+    * r14 shape (the flag join removed — guide §2.4): the previous plan
+    * attached each key's distinct-doc frequency back onto the collapsed
+    * (doc, key) frame with a corpus-sized equi-join, which pushed every
+    * occurrence row through three corpus-sized exchanges (collapse by
+    * (doc, key), re-key by key for df, join output re-keyed by doc) —
+    * the x1000 decade probe measured that super-linear (shuffle-block
+    * growth, guide §2.2). But the df value is never needed per row:
+    * n_dup_spans = n_spans − (occurrences of keys UNIQUE to the doc),
+    * and a key is unique to one doc iff min(doc_id) == max(doc_id) over
+    * its occurrences. So ONE exchange keyed by `key` folds
+    * (min, max, count) — map-side partials collapse each scan task's
+    * position stream to its local key set first — the df == 1 survivors
+    * re-aggregate by their single doc (narrow rows, map-side combined),
+    * and subtract from the per-doc totals, whose own exchange is tiny
+    * (the explode streams doc-contiguous, so partials collapse to
+    * ~one row per doc per task). The occ subtree is evaluated twice
+    * (totals + uniq legs, different partial aggs so AQE stage reuse
+    * cannot share them) — two cheap scan+explode passes in exchange for
+    * losing the corpus-sized join and re-key, measured a win at every
+    * scale. Output is identical by arithmetic identity
+    * (Σ c over df ≥ 2 keys = Σ c − Σ c over df = 1 keys), pinned by the
+    * PropertySpec in-memory reference.
     */
   private[graft] def dupFraction(occ: DataFrame): DataFrame = {
     val s = occ.sparkSession
     import s.implicits._
-    val collapsed = occ.groupBy($"doc_id", $"key")
-      .agg(count(lit(1)).as("c"))
-    val dfreq = collapsed.groupBy($"key")
-      .agg(count(lit(1)).as("df"))
-    collapsed.join(dfreq, "key")
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_spans"),
-        sum(when($"df" >= 2, $"c").otherwise(0L)).as("n_dup_spans"))
+    // per-doc occurrence totals: occ streams doc-contiguous out of the
+    // explode, so the map-side partial collapses each task to ~its doc
+    // count before the exchange
+    val totals = occ.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+    // keys whose every occurrence sits in one document (df == 1): the
+    // only rows that do NOT count as duplicated spans
+    val uniq = occ.groupBy($"key")
+      .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"),
+        count(lit(1)).as("c"))
+      .filter($"d0" === $"d1")
+      .groupBy($"d0").agg(sum($"c").as("n_uniq"))
+      .select($"d0".as("doc_id"), $"n_uniq")
+    totals.join(uniq, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        ($"n_spans" - coalesce($"n_uniq", lit(0L))).as("n_dup_spans"))
       .withColumn("dup_frac",
         $"n_dup_spans".cast("double") / $"n_spans".cast("double"))
       .orderBy($"doc_id")
