@@ -3468,13 +3468,15 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     * is the standard gate for "mostly-duplicated" pages.
     *
     * Scale shape: the explode emits n−7 grams per document, but each
-    * shuffles as a fixed 16-byte unhex(md5) key, not the ~50-byte gram text, and
-    * both legs (document frequency and the flag join) are plain
-    * hash-partitioned aggregates with map-side partials — no all-pairs
-    * anywhere, cost is O(total tokens), the same as a tokenize pass. The
-    * dup flag needs `df ≥ 2` over DISTINCT docs, so a gram repeated
-    * within one document only does not count (position count and
-    * distinct-doc count differ exactly there).
+    * shuffles as a fixed 16-byte unhex(md5) key, not the ~50-byte gram
+    * text, and the whole roll-up is [[dupFraction]]'s r14 join-free plan:
+    * per-doc totals plus ONE key-keyed (min, max, count) fold whose df = 1
+    * survivors are subtracted from the totals
+    * (n_dup = n_spans − Σc over min(doc)==max(doc) keys) — no corpus-sized
+    * join, no all-pairs anywhere, cost is O(total tokens), the same as a
+    * tokenize pass. The dup flag needs `df ≥ 2` over DISTINCT docs, so a
+    * gram repeated within one document only does not count (position count
+    * and distinct-doc count differ exactly there).
     *
     * `dup_frac` is one IEEE division of two exact integers — bit-identical
     * on any engine, no rounding needed.
