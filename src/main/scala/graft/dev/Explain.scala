@@ -16,6 +16,10 @@ import graft.{Sessions, SparkEntry}
 object Explain {
   def main(args: Array[String]): Unit = {
     val s = Sessions.local(8)
+    // show the EAGER subtree of ckpt-materializing queries (q86/q114)
+    // instead of a one-line checkpoint scan — plan-dump only, see the
+    // graft.queries.ckpt scaladoc
+    s.conf.set("graft.explain.noCheckpoint", "true")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val registry = SparkEntry.queries
     val names = if (args.nonEmpty) args.toSeq else registry.keys.toSeq.sorted

@@ -362,7 +362,7 @@ object TextOps {
           // index leg before the equi-join's exchange (guide §2.3).
           .filter($"e.df" > 1)
           .select($"doc_id", $"n", ($"p0" + 1).as("rk"), $"e.h".as("h"))
-          .localCheckpoint()
+          .transform(ckpt)
         // alpha = ceil(0.8·n) computed EXACTLY in integers as
         // (4n + 4) div 5 — double ceil(n*0.8) could round across an
         // integer for other thresholds and silently over-prune (q18's
@@ -393,7 +393,7 @@ object TextOps {
             $"n_j".cast("long").as("n_j"), $"common".cast("long").as("common"),
             $"containment")
           .orderBy($"i", $"j")
-          .localCheckpoint()
+          .transform(ckpt)
       } finally docs.unpersist()
     },
     oracle = Some("""
@@ -3468,8 +3468,10 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     * is the standard gate for "mostly-duplicated" pages.
     *
     * Scale shape: the explode emits n−7 grams per document, but each
-    * shuffles as a fixed 16-byte unhex(md5) key, not the ~50-byte gram
-    * text, and the whole roll-up is [[dupFraction]]'s r14 join-free plan:
+    * shuffles as a fixed 8-byte [[gram8Keys]] long (r15; was 16-byte
+    * unhex(md5) of the gram string — see the helper's identity/audit
+    * note), not the ~50-byte gram text, and the whole roll-up is
+    * [[dupFraction]]'s r14 join-free plan:
     * per-doc totals plus ONE key-keyed (min, max, count) fold whose df = 1
     * survivors are subtracted from the totals
     * (n_dup = n_spans − Σc over min(doc)==max(doc) keys) — no corpus-sized
@@ -3488,11 +3490,11 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
         Tables.documents(s, d)
           .select($"doc_id", split($"text", " ").as("ws"))
           .filter(size($"ws") >= 8)
-          .select($"doc_id", explode(transform(sequence(lit(0), size($"ws") - 8),
-            i => concat_ws(" ", slice($"ws", i + 1, lit(8))))).as("gram"))
-          // 16-byte binary key (unhex(md5)): same 128-bit identity at
-          // half the shuffle width of the hex string
-          .select($"doc_id", unhex(md5($"gram")).as("key")))
+          // r15: 8-byte long key straight off the word array
+          // ([[gram8Keys]]) — half the r14 exchange width (16-byte
+          // unhex(md5)), and neither the ~50-byte gram string nor the
+          // md5 is ever computed
+          .select($"doc_id", explode(gram8Keys($"ws")).as("key")))
     },
     oracle = Some("""
       WITH w AS (
@@ -3524,6 +3526,29 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
       .when(nibble === "c" || nibble === "d", "val")
       .otherwise("test")
   }
+
+  /** One 8-byte key per word-8-gram position (q65 / q86's span-dedup
+    * identity): xxhash64 over the 8 words AS A TUPLE — the gram string
+    * is never concatenated and no md5 runs, and the key shuffles as a
+    * long (8 bytes) instead of r14's 16-byte unhex(md5(gram)) binary
+    * (guide §2.3: narrower types through the exchange; the hash itself
+    * is also ~an order of magnitude cheaper per position than md5 over
+    * the ~50-byte string).
+    *
+    * Identity contract: the oracles key grams by md5(gram-string).
+    * Tuple identity EQUALS gram-string identity because words are
+    * space-free (they come from split on ' '), so joining with a space
+    * separator is injective — the only semantic delta is hash width
+    * (128 → 64 bit). Collisions would first show up as a df
+    * over-count; audited by [[graft.dev.KeyAuditProbe]] (count distinct
+    * md5 vs xxhash64-tuple vs pairs — bijective on the x1000 corpus,
+    * zero collisions; OPTIMIZATION_r15.md) on top of the driver-SF
+    * oracle hash checks. If a future corpus ever trips the audit, fall
+    * back to the md5 key and take the r14 exchange width.
+    */
+  private[graft] def gram8Keys(ws: Column): Column =
+    transform(sequence(lit(0), size(ws) - 8),
+      i => xxhash64((0 to 7).map(j => element_at(ws, i + (j + 1))): _*))
 
   /** Shared duplicate-occurrence roll-up (q65's word 8-grams, q73's
     * binary frames): given one (doc_id, key) row per span occurrence,
@@ -6730,29 +6755,60 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     * surgery: gram identity, df ≥ 2 flagging, span coverage, word
     * reconstruction order.
     *
-    * Shape at scale: gram flagging is q65's measured scan shape (16-byte
-    * binary keys, map-side-combined distinct-doc counts, no all-pairs);
-    * the per-doc flagged-start lists are bounded by document length and
-    * collect per doc_id (one hash agg); the surgery itself is pure
-    * per-row array arithmetic — coverage check per position is
-    * O(|starts|) with both bounded by words-per-doc, never corpus-sized.
+    * Shape at scale (r15 rewrite — VERDICT r14 #1, guide §2.3/§2.4/§3.2):
+    * gram keys are [[gram8Keys]] 8-byte longs (no gram string, no md5);
+    * the df ≥ 2 key set comes from q65's min ≠ max identity — ONE
+    * map-side-combinable (key → min, max) exchange, where r14's
+    * count_distinct planned TWO corpus-sized ones (a (key, doc_id)
+    * dedup exchange, then the per-key count) — and position re-attach
+    * is a bloom-prefiltered LEFT SEMI join against that (Zipf-small,
+    * persisted) key set: every occurrence probes the broadcast bloom
+    * scan-side, so only true-dup occurrences (plus the bloom's false
+    * positives, which the exact semi join then sheds) ever reach a join
+    * exchange — at any corpus size, even past the broadcast-hash-join
+    * cap, the exchange carries the duplicated mass, not the corpus
+    * (guide §3.2: false positives only cost a little extra shuffle,
+    * never wrong rows). The per-doc flagged-start lists are bounded by
+    * document length and collect per doc_id (one hash agg); the surgery
+    * itself is pure per-row array arithmetic — coverage check per
+    * position is O(|starts|) with both bounded by words-per-doc, never
+    * corpus-sized.
     */
   private val q86 = Q(
     fn = (s, d) => {
       import s.implicits._
+      val E = graft.functions.expressions
       val docs = Tables.documents(s, d)
         .select($"doc_id", split($"text", " ").as("ws"))
       val grams = docs.filter(size($"ws") >= 8)
-        .select($"doc_id", posexplode(transform(sequence(lit(0), size($"ws") - 8),
-          i => concat_ws(" ", slice($"ws", i + 1, lit(8))))).as(Seq("p", "gram")))
-        .select($"doc_id", ($"p" + 1).as("s"), unhex(md5($"gram")).as("key"))
+        .select($"doc_id", posexplode(gram8Keys($"ws")).as(Seq("p", "key")))
+        .select($"doc_id", ($"p" + 1).as("s"), $"key")
+      // df >= 2 over distinct docs == min(doc) != max(doc) per key
+      // (q65's identity): full map-side partials, one narrow exchange
       val dupKeys = grams.groupBy($"key")
-        .agg(count_distinct($"doc_id").as("df"))
-        .filter($"df" >= 2)
+        .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"))
+        .filter($"d0" =!= $"d1")
         .select($"key")
-      val flagged = grams.join(dupKeys, Seq("key"))
-        .groupBy($"doc_id").agg(sort_array(collect_list($"s")).as("starts"))
-      docs.join(flagged, Seq("doc_id"))
+        .persist()
+      try ckpt {
+        // exact count sizes the bloom (the key set is already
+        // materialized by persist, so this is a K-row pass, not a
+        // corpus pass); an empty key set means no duplicated span
+        // anywhere — the semi join below returns empty without a probe
+        val nDup = dupKeys.count()
+        val pre = if (nDup == 0) grams else {
+          val bloom = dupKeys.agg(E.bloom_agg($"key", lit(nDup)).as("bf"))
+            .collect()(0).getAs[Array[Byte]](0)
+          val bc = s.sparkContext.broadcast(bloom)
+          try {
+            val filtered = grams.filter(E.bloom_probe_broadcast(s, bc, $"key"))
+            filtered.queryExecution.analyzed // bind the probe before the drop
+            filtered
+          } finally E.dropTempFunction(s, E.bloomProbeName(bc))
+        }
+        val flagged = pre.join(dupKeys, Seq("key"), "left_semi")
+          .groupBy($"doc_id").agg(sort_array(collect_list($"s")).as("starts"))
+        docs.join(flagged, Seq("doc_id"))
         .withColumn("kept",
           filter(transform($"ws", (w, i) => struct(w.as("w"), (i + 1).as("p"))),
             x => !exists($"starts",
@@ -6762,6 +6818,10 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
           size($"kept").cast("long").as("n_kept"),
           concat_ws(" ", transform($"kept", x => x("w"))).as("text_clean"))
         .orderBy($"doc_id")
+        // ckpt (above): materialize while dupKeys is still persisted
+        // (the q114/q68 pattern) — the semi join's build side must not
+        // recompute the corpus agg after the finally-unpersist below
+      } finally dupKeys.unpersist()
     },
     oracle = Some("""
       WITH w AS (

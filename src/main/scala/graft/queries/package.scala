@@ -15,6 +15,24 @@ package object queries {
       oracle: Option[String],
       doc: String = "")
 
+  /** `localCheckpoint()` unless the PLAN-DUMP conf asks for the lazy tree.
+    *
+    * Queries that materialize their result eagerly (q86/q114: the
+    * bounded output is computed while a persisted/broadcast operand is
+    * still alive, then the operand is released) explain as a one-line
+    * checkpoint scan — the committed plan files then show NOTHING of the
+    * exchanges/join strategy the optimization claims (VERDICT r14 #8).
+    * `graft.dev.Explain` sets `graft.explain.noCheckpoint=true` so the
+    * dumped plan is the full eager subtree. The conf is a plan-dump
+    * device only: under it the returned DataFrame may reference
+    * operands the query fn already released (unpersisted frames
+    * recompute; q68-style destroyed broadcasts would fail), so nothing
+    * but Explain should set it — results are unaffected either way.
+    */
+  private[graft] def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.explain.noCheckpoint", "false").toBoolean) df
+    else df.localCheckpoint()
+
   /** Exact, order-independent double aggregation.
     *
     * Double sums are non-associative: Spark's partial/final aggregation over
