@@ -133,7 +133,14 @@ object MultimodalQ {
               explode(sequence(lit(1), greatest(length($"content"), lit(1)), lit(64)))
                 .as("start"))
             .select($"doc_id",
-              unhex(md5(expr("substring(content, start, 64)"))).as("key")))
+              unhex(md5(expr("substring(content, start, 64)"))).as("key")),
+          // n_frames is arithmetic in the row — ⌈len/64⌉ with the
+          // empty-payload floor of 1, the exact row count of the
+          // sequence explode above — so the totals leg skips the
+          // single-arg overload's second frame-cut + md5 pass
+          media.select($"doc_id",
+            (floor((greatest(length($"content"), lit(1)) - 1) / lit(64)) + 1)
+              .cast("long").as("n_spans")))
         .withColumnRenamed("n_spans", "n_frames")
         .withColumnRenamed("n_dup_spans", "n_dup_frames")
     },

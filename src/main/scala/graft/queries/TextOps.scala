@@ -3486,15 +3486,21 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
   private val q65 = Q(
     fn = (s, d) => {
       import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= 8)
       dupFraction(
-        Tables.documents(s, d)
-          .select($"doc_id", split($"text", " ").as("ws"))
-          .filter(size($"ws") >= 8)
+        docs
           // r15: 8-byte long key straight off the word array
           // ([[gram8Keys]]) — half the r14 exchange width (16-byte
           // unhex(md5)), and neither the ~50-byte gram string nor the
           // md5 is ever computed
-          .select($"doc_id", explode(gram8Keys($"ws")).as("key")))
+          .select($"doc_id", explode(gram8Keys($"ws")).as("key")),
+        // n_spans is arithmetic in the row (n − 7 positions, the exact
+        // row count of the explode above): supplying it skips the
+        // single-arg overload's second scan + hash + explode + count
+        // pass over every position
+        docs.select($"doc_id", (size($"ws") - 7).cast("long").as("n_spans")))
     },
     oracle = Some("""
       WITH w AS (
@@ -3571,13 +3577,19 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     * re-aggregate by their single doc (narrow rows, map-side combined),
     * and subtract from the per-doc totals, whose own exchange is tiny
     * (the explode streams doc-contiguous, so partials collapse to
-    * ~one row per doc per task). The occ subtree is evaluated twice
-    * (totals + uniq legs, different partial aggs so AQE stage reuse
-    * cannot share them) — two cheap scan+explode passes in exchange for
-    * losing the corpus-sized join and re-key, measured a win at every
-    * scale. Output is identical by arithmetic identity
-    * (Σ c over df ≥ 2 keys = Σ c − Σ c over df = 1 keys), pinned by the
-    * PropertySpec in-memory reference.
+    * ~one row per doc per task). Output is identical by arithmetic
+    * identity (Σ c over df ≥ 2 keys = Σ c − Σ c over df = 1 keys),
+    * pinned by the PropertySpec in-memory reference.
+    *
+    * r15: callers whose span count is arithmetic in the row itself
+    * (q65: n−7 8-gram positions; q73: ⌈len/64⌉ frames) pass `totals`
+    * explicitly via the two-argument overload — the single-argument
+    * form re-evaluated the whole occ subtree (scan + key hash + explode
+    * + partial count) just to COUNT rows per doc (the two legs' partial
+    * aggs differ, so AQE stage reuse never shared them; guide §2.3/§2.4:
+    * don't produce the rows at all). The contract: `totals` must be
+    * (doc_id, n_spans) with n_spans == occ's exact per-doc row count —
+    * pinned against the counting form by PropertySpec.
     */
   private[graft] def dupFraction(occ: DataFrame): DataFrame = {
     val s = occ.sparkSession
@@ -3585,7 +3597,14 @@ ${x}wn AS (SELECT w, len(seq) AS n_sub FROM ${x}seg$n)"""
     // per-doc occurrence totals: occ streams doc-contiguous out of the
     // explode, so the map-side partial collapses each task to ~its doc
     // count before the exchange
-    val totals = occ.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+    dupFraction(occ, occ.groupBy($"doc_id").agg(count(lit(1)).as("n_spans")))
+  }
+
+  /** [[dupFraction]] with caller-supplied per-doc totals — see the
+    * single-argument overload's r15 note for the exactness contract. */
+  private[graft] def dupFraction(occ: DataFrame, totals: DataFrame): DataFrame = {
+    val s = occ.sparkSession
+    import s.implicits._
     // keys whose every occurrence sits in one document (df == 1): the
     // only rows that do NOT count as duplicated spans
     val uniq = occ.groupBy($"key")

@@ -223,6 +223,14 @@ class PropertySpec extends SparkSpec {
           rows.count(r => byKeyDocs(r._2) >= 2).toLong)
       }
       assert(got == exp)
+      // the r15 explicit-totals overload (q65/q73 supply arithmetic
+      // per-doc counts instead of paying a second counting pass) must
+      // be row-identical when handed exactly occ's per-doc row counts
+      val totals = occ.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      val got2 = graft.queries.TextOps.dupFraction(occ.toDF("doc_id", "key"),
+          totals.toDF("doc_id", "n_spans"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got2 == exp)
     }
   }
 
