@@ -20,6 +20,19 @@ object Sessions {
       .master(master)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Scale-adaptive shuffle width (guide §2.2/§5): START every shuffle
+      // at 8× cores and let AQE coalesce down by actual bytes — AQE can
+      // merge small partitions but can never SPLIT a too-coarse one
+      // (except in skew joins), so a fixed `shuffle.partitions = cores`
+      // forces multi-GB per-task aggregate state at the x100/x1000
+      // corpora (measured: q65 x1000 spilled 49 GB mem / 13 GB disk per
+      // run at 32 partitions; spill-free at 256). Small inputs coalesce
+      // back to the same effective widths as before, so driver-SF plans
+      // and bench numbers stay comparable; a deployment overrides via
+      // SPARK_GRAFT_INITIAL_PARTITIONS (production guidance: ~2–3× total
+      // executor cores, or input-bytes/64 MB, whichever is larger).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", (cores * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
